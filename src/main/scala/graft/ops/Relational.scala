@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic relational operators from the reference inventory (SURVEY.md §2),
+  * each a pure DataFrame transformer. These are scale-first re-expressions:
+  * broadcast the provably-small side, keep aggregation partial (map-side
+  * combine comes free from Catalyst HashAggregate), and make every implicit
+  * pandas row-order explicit with window `row_number` (SURVEY.md §2.6).
+  */
+object Relational {
+
+  /** O-3 analog (`bin/concatenate.py:339-342`): keep left rows with no match
+    * in `right` — the "leaf dataset" filter generalized to an anti join.
+    * At scale: Catalyst plans a broadcast anti join when `right` is small.
+    */
+  def antiJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    left.join(right, cond, "left_anti")
+
+  /** O-5/O-6 (`bin/concatenate.py:284-286,318-320`): membership (isin)
+    * filter expressed as a left-semi join — never a driver-side collected
+    * list, so it scales to membership sets of any size.
+    */
+  def semiJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    left.join(right, cond, "left_semi")
+
+  /** J-3 (`bin/concatenate.py:74-81`): alias normalization — map a dirty key
+    * through a (alias_lower → canonical) table, identity when absent.
+    * `aliases` must have columns (alias_lower, canonical); it is broadcast
+    * (alias dictionaries are tiny by construction).
+    */
+  def aliasNormalize(df: DataFrame, keyCol: String, aliases: DataFrame,
+                     outCol: String): DataFrame = {
+    val norm = lower(trim(col(keyCol)))
+    df.join(broadcast(aliases), norm === aliases("alias_lower"), "left")
+      .withColumn(outCol, coalesce(aliases("canonical"), col(keyCol)))
+      .drop("alias_lower", "canonical")
+  }
+
+  /** J-4 (`bin/concatenate.py:195-221`): first-match annotation join. The
+    * reference takes `.values[0]` of all matches; Spark DataFrames are
+    * unordered so "first" is made deterministic by `orderCols`. One window
+    * partitioned by the join key replaces the reference's O(n) loc-scan per
+    * key (quadratic in channels).
+    */
+  def firstMatchPerKey(df: DataFrame, keyCols: Seq[String],
+                       orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** J-5 (`bin/concatenate.py:322-329`): positional index assignment — the
+    * explicit replacement for pandas's free positional order. Assigns a
+    * dense 1-based index over `orderCols`. A global window (no partition)
+    * serializes through one task, so callers partition first when the frame
+    * is large; for per-dataset label files partition by the dataset key.
+    */
+  def denseIndex(df: DataFrame, idxCol: String, orderCols: Seq[Column],
+                 partitionCols: Seq[Column] = Nil): DataFrame = {
+    val w =
+      if (partitionCols.isEmpty) Window.orderBy(orderCols: _*)
+      else Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+    df.withColumn(idxCol, row_number().over(w))
+  }
+
+  /** O-20 (`bin/concatenate.py:412`): outer-aligned union — rows appended,
+    * schema = union of schemas, missing columns null-filled. Shuffle-free.
+    */
+  def outerConcat(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** O-22 (`bin/concatenate.py:333-336,413-416`): block-diagonal offsets.
+    * Given per-block sizes (blockKey, n), computes each block's starting
+    * offset = cumulative sum of preceding block sizes (block order =
+    * `orderCol`). The sizes table is tiny (one row per block/dataset) so the
+    * window sort is negligible and the result is broadcast back to edges.
+    */
+  def blockOffsets(sizes: DataFrame, blockKey: String, nCol: String,
+                   orderCol: Column, offsetCol: String): DataFrame = {
+    val w = Window.orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sizes.withColumn(offsetCol,
+      coalesce(sum(col(nCol)).over(w), lit(0L)).cast("long"))
+  }
+
+  /** O-23 (`bin/concatenate.py:419-421`): reindex-with-fill — align an
+    * annotation table to a final key universe; missing rows become NULL.
+    */
+  def reindexFill(universe: DataFrame, annotations: DataFrame,
+                  keys: Seq[String]): DataFrame =
+    universe.join(annotations, keys, "left")
+
+  /** F-13 (`make_uuids_tsv.py:105-156`): long → wide pivot with a fixed,
+    * explicitly-provided pivot-value list. Passing the values avoids the
+    * extra distinct-collect job Spark otherwise runs, and keeps the output
+    * schema static (a requirement for streaming and for plan caching).
+    */
+  def pivotCount(df: DataFrame, rowKey: String, pivotCol: String,
+                 values: Seq[String]): DataFrame =
+    df.groupBy(col(rowKey)).pivot(pivotCol, values).agg(count(lit(1)))
+
+  /** §2.6: deterministic top-k — ORDER BY + LIMIT with a unique tiebreak
+    * column so results are stable across engines and runs. Spark executes
+    * this as TakeOrderedAndProject: per-partition heaps, no full sort.
+    */
+  def topK(df: DataFrame, k: Int, order: Seq[Column]): DataFrame =
+    df.orderBy(order: _*).limit(k)
+}

@@ -1,0 +1,257 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Knn
+import graft.streaming.Streams
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+/** The large-scale training-data-pipeline operator suite (builder mandate:
+  * dedup, similarity search, multimodal columns, text analysis), phrased
+  * over the `documents` and `embeddings` harness tables. Queries that rely
+  * on engine-specific hash functions (xxhash64) or non-SQL semantics have
+  * no DuckDB oracle and get the driver's rows-only check; everything
+  * count/length-based is oracle-checked exactly (integer outputs, no float
+  * compare).
+  */
+object PipelineQueries {
+
+  def all: Seq[Q] = Seq(
+
+    Q("t_token_count",
+      "Text analysis: whitespace token counting (codegen'd split, no UDF).",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", TextOps.tokenCount($"text").as("n_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |    ELSE len(string_split_regex(trim(text), '\s+')) END
+             |    AS BIGINT) AS n_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("t_quality_features",
+      "Text analysis: quality-score features as exact integer columns " +
+        "(char/token/non-space counts) — one projection, zero shuffles.",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id",
+            length($"text").cast("long").as("n_chars_m"),
+            length(regexp_replace($"text", "\\s+", "")).cast("long")
+              .as("n_nospace"),
+            TextOps.tokenCount($"text").as("n_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(length(text) AS BIGINT) AS n_chars_m,
+             |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
+             |    AS n_nospace,
+             |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             |    AS n_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("t_lang_id",
+      "Text analysis: n-gram/stopword language-ID heuristic (expression-" +
+        "only argmax over marker-word hits). Not SQL-expressible → " +
+        "rows-only check; accuracy asserted in ScalaTest.",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang",
+            TextOps.langId($"text").as("pred_lang"))
+          .orderBy($"doc_id")
+      },
+      None),
+
+    Q("t_fingerprint",
+      "Text analysis: document fingerprint over normalized text " +
+        "(whitespace-collapsed, lowercased) — md5 variant for oracle " +
+        "parity; engine API also exposes xxhash64.",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id",
+            md5(regexp_replace(lower(trim($"text")), "\\s+", " "))
+              .as("fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("d_exact_dedup",
+      "Dedup: exact content-hash groupBy — shuffles 16-byte digests, " +
+        "never full texts.",
+      (s, d) => {
+        import s.implicits._
+        Dedup.exact(Tables.documents(s, d), "text", "doc_id")
+          .orderBy($"content_hash")
+      },
+      Some("""SELECT md5(text) AS content_hash,
+             |  min(doc_id) AS keep_id,
+             |  CAST(count(*) AS BIGINT) AS n_copies
+             |FROM documents GROUP BY md5(text)
+             |ORDER BY content_hash""".stripMargin)),
+
+    Q("d_minhash_lsh",
+      "Dedup: MinHash+LSH — shingle → k minhashes → banded bucket self-" +
+        "join; per-doc candidate counts (xxhash64-based → rows-only).",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+          shingleN = 3, bands = 8, rowsPerBand = 2)
+        val perDoc = cands.select($"a_id".as("doc_id"))
+          .union(cands.select($"b_id".as("doc_id")))
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_candidates"))
+        docs.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_candidates"))
+          .orderBy($"doc_id")
+      },
+      None),
+
+    Q("d_simhash",
+      "Dedup: 64-bit SimHash signatures (per-bit majority over token " +
+        "hashes, expression-only) — rows-only (engine hash).",
+      (s, d) => {
+        import s.implicits._
+        Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy($"doc_id")
+      },
+      None),
+
+    Q("d_ngram_jaccard",
+      "Dedup: n-gram Jaccard verify — token-set overlap within source " +
+        "groups, exact integer intersect/union sizes.",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .filter($"doc_id" < 100)
+          .select($"doc_id", $"source",
+            array_distinct(split($"text", " ")).as("toks"))
+        val a = docs.as("a"); val b = docs.as("b")
+        a.join(b, col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            size(array_intersect(col("a.toks"), col("b.toks"))).cast("long")
+              .as("n_inter"),
+            size(array_union(col("a.toks"), col("b.toks"))).cast("long")
+              .as("n_union"))
+          .orderBy($"a_id", $"b_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+             |    list_distinct(string_split(text, ' ')) AS toks
+             |  FROM documents WHERE doc_id < 100)
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT)
+             |    AS n_inter,
+             |  CAST(len(list_distinct(list_concat(a.toks, b.toks)))
+             |    AS BIGINT) AS n_union
+             |FROM t a JOIN t b
+             |  ON a.source = b.source AND a.doc_id < b.doc_id
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    Q("d_embedding_neardup",
+      "Dedup: embedding-cosine near-dup via random-hyperplane LSH buckets " +
+        "+ in-bucket exact cosine (engine hash planes → rows-only).",
+      (s, d) => {
+        import s.implicits._
+        val pairs = Dedup.embeddingNearDup(Tables.embeddings(s, d),
+          "vec_id", "embedding", threshold = 0.5, nPlanes = 4)
+        // per-vector near-dup degree: always one row per vector
+        Tables.embeddings(s, d).select($"vec_id")
+          .join(pairs.select($"a_id".as("vec_id"))
+              .union(pairs.select($"b_id".as("vec_id")))
+              .groupBy($"vec_id").agg(count(lit(1)).as("n_neardups")),
+            Seq("vec_id"), "left")
+          .na.fill(0L, Seq("n_neardups"))
+          .orderBy($"vec_id")
+      },
+      None),
+
+    Q("e_knn_brute",
+      "Similarity: brute-force cosine top-k (broadcast queries, corpus " +
+        "streams; zip_with/aggregate dot products, no UDF).",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        Knn.bruteForceTopK(emb, emb.filter($"vec_id" < 10), "vec_id",
+            "embedding", k = 5)
+          .select($"query_id", $"neighbor_id", $"rank".cast("long")
+            .as("rank"))
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH q AS (SELECT vec_id, embedding FROM embeddings
+             |           WHERE vec_id < 10),
+             |pairs AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             |    list_cosine_similarity(q.embedding, e.embedding) AS sim
+             |  FROM q CROSS JOIN embeddings e
+             |  WHERE e.vec_id <> q.vec_id)
+             |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank
+             |FROM (SELECT query_id, neighbor_id,
+             |        ROW_NUMBER() OVER (PARTITION BY query_id
+             |          ORDER BY sim DESC, neighbor_id) AS rn
+             |      FROM pairs) t
+             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q("e_knn_lsh",
+      "Similarity: LSH-bucketed ANN top-k — the scale path (probe one " +
+        "bucket instead of the corpus). Engine hash planes → rows-only; " +
+        "recall vs brute force asserted in ScalaTest.",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        Knn.lshTopK(emb, emb.filter($"vec_id" < 10), "vec_id",
+            "embedding", k = 5, nPlanes = 4)
+          .select($"query_id", $"neighbor_id", $"rank".cast("long")
+            .as("rank"))
+          .orderBy($"query_id", $"rank")
+      },
+      None),
+
+    Q("m_multimodal_meta",
+      "Multimodal: binary-column plumbing — payload bytes + typed " +
+        "metadata; byte length oracle-checked, stub decode exercised in " +
+        "ScalaTest.",
+      (s, d) => {
+        import s.implicits._
+        Multimodal.asBinaryAssets(Tables.documents(s, d), "doc_id", "text")
+          .select($"asset_id", $"media_type", $"n_bytes")
+          .orderBy($"asset_id")
+      },
+      Some("""SELECT doc_id AS asset_id, 'image/fake' AS media_type,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+             |FROM documents ORDER BY asset_id""".stripMargin)),
+
+    Q("stream_windowed_counts",
+      "Streaming: file-source stream → watermarked tumbling-window " +
+        "counts, run to completion on the static events table; equals the " +
+        "batch truncation aggregate (oracle-checked).",
+      (s, d) => {
+        import s.implicits._
+        // raw (as-stored) schema — the stream reads the file directly; the
+        // glob keeps basePath a directory as the file source requires
+        val schema = Tables.eventsRaw(s, d).schema
+        val stream = Tables.normalizeEventsTs(
+          Streams.fileStream(s, s"$d/events.*", schema))
+        val agg = Streams.windowedCounts(stream, "ts", "1 hour", "1 hour")
+        Streams.runToMemory(agg, s"stream_counts_${System.nanoTime()}")
+          .select(col("window.start").cast("timestamp").as("window_start"),
+            col("event_type"), col("n"),
+            round(col("total_value"), 2).as("total_value"))
+          .orderBy(col("window_start"), col("event_type"))
+      },
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+             |    AS window_start,
+             |  event_type, count(*) AS n,
+             |  round(sum(value), 2) AS total_value
+             |FROM events GROUP BY 1, 2
+             |ORDER BY window_start, event_type""".stripMargin))
+  )
+}

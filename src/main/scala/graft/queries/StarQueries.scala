@@ -1,0 +1,568 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Relational
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A registered query: the Spark implementation plus (when SQL-expressible)
+  * the equivalent DuckDB oracle SQL over the same parquet tables. Column
+  * names and types are aligned on both sides (the driver compare sorts
+  * columns by name and hashes values).
+  */
+final case class Q(name: String, doc: String,
+                   fn: (SparkSession, String) => DataFrame,
+                   oracle: Option[String])
+
+/** Star-schema phrasings of the reference's relational operator inventory
+  * (SURVEY.md §2) — one named query per operator, each oracle-checked
+  * against DuckDB. Determinism rules used throughout:
+  *  - every query ends in an explicit ORDER BY on a unique key;
+  *  - integer aggregates are cast to BIGINT on both sides;
+  *  - double aggregates are rounded at the grid resolution of their exact
+  *    value (2 decimals for sums of 2-decimal money, 4 for sums of
+  *    price×discount products), which makes the Spark and DuckDB doubles
+  *    bit-identical despite different summation orders.
+  */
+object StarQueries {
+
+  def all: Seq[Q] = Seq(
+
+    Q("q1_agg",
+      "Flagship TPC-H Q1-style scan+agg: map-side partial aggregation, " +
+        "filter pushed to parquet (ref dataflow: bin/concatenate.py:345-468 " +
+        "global stats).",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          // string literal: analyzer casts it to the scan's timestamp type
+          // (NTZ or LTZ), avoiding a hard-coded timestamp flavor
+          .filter($"l_shipdate" <= lit("2000-12-01 00:00:00"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum($"l_quantity").as("sum_qty"),
+            round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+              .as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(l_quantity) AS sum_qty,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+             |  count(*) AS n_lines
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("s1_scan_pushdown",
+      "S-1 (bin/concatenate.py:347): schema-explicit scan with projection " +
+        "pruning + predicate pushdown to the parquet reader.",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+            $"l_returnflag")
+          .filter($"l_quantity" <= 3)
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+             |FROM lineitem WHERE l_quantity <= 3
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("o1_manifest_predicate",
+      "O-1 (make_uuids_tsv.py:15-34): the ES bool-query as conjunctive " +
+        "Spark filters (must / must / not-exists-null).",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .filter($"o_orderstatus" === "O" &&
+            $"o_orderpriority" === "1-URGENT" && $"o_totalprice".isNotNull)
+          .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+             |WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'
+             |  AND o_totalprice IS NOT NULL
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    Q("o2_null_drop",
+      "O-2 (make_directory.py:113): na.drop on a nullable joined key.",
+      (s, d) => {
+        import s.implicits._
+        val urgent = Tables.orders(s, d)
+          .filter($"o_orderpriority" === "1-URGENT")
+          .select($"o_custkey").distinct()
+        Tables.customer(s, d)
+          .join(urgent, $"c_custkey" === $"o_custkey", "left")
+          .na.drop("any", Seq("o_custkey"))
+          .select($"c_custkey", $"c_name", $"o_custkey")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, o_custkey
+             |FROM customer LEFT JOIN
+             |  (SELECT DISTINCT o_custkey FROM orders
+             |   WHERE o_orderpriority = '1-URGENT') u
+             |  ON c_custkey = o_custkey
+             |WHERE o_custkey IS NOT NULL
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("o3_leaf_filter_anti",
+      "O-3 (bin/concatenate.py:339-342): leaf-dataset filter generalized " +
+        "to an anti join (customers with no orders).",
+      (s, d) => {
+        import s.implicits._
+        Relational.antiJoin(Tables.customer(s, d),
+            Tables.orders(s, d).filter($"o_orderpriority" === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"))
+          .select($"c_custkey", $"c_name")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderpriority = '1-URGENT')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("o4_column_prune",
+      "O-4/O-8 (bin/concatenate.py:180-184,303): column removal — pruning " +
+        "reaches the scan (ReadSchema shows 3 of 6 columns).",
+      (s, d) => {
+        import s.implicits._
+        Tables.part(s, d).drop("p_retailprice", "p_size", "p_type")
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name, p_brand FROM part
+             |ORDER BY p_partkey""".stripMargin)),
+
+    Q("o5_semi_isin",
+      "O-5 (bin/concatenate.py:284-286): membership (isin) filter as a " +
+        "left-semi join, then partial-aggregated.",
+      (s, d) => {
+        import s.implicits._
+        Relational.semiJoin(Tables.lineitem(s, d),
+            Tables.part(s, d).filter($"p_size" < 5),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+             |FROM lineitem
+             |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 5)
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("o6_membership_semi",
+      "O-6 (bin/concatenate.py:318-320): label-membership semi join " +
+        "(suppliers that appear in lineitem), counted per nation.",
+      (s, d) => {
+        import s.implicits._
+        Relational.semiJoin(Tables.supplier(s, d), Tables.lineitem(s, d),
+            col("s_suppkey") === col("l_suppkey"))
+          .groupBy($"s_nationkey")
+          .agg(count(lit(1)).as("n_suppliers"))
+          .orderBy($"s_nationkey")
+      },
+      Some("""SELECT s_nationkey, count(*) AS n_suppliers FROM supplier
+             |WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
+             |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
+    Q("o7_channel_regex_filter",
+      "O-7/F-5 (bin/concatenate.py:443-450): negated regex + negated " +
+        "case-insensitive contains filter.",
+      (s, d) => {
+        import s.implicits._
+        Tables.part(s, d)
+          .filter(!$"p_name".rlike("^(red|blue)") &&
+            !lower($"p_name").contains("small"))
+          .select($"p_partkey", $"p_name")
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE NOT regexp_matches(p_name, '^(red|blue)')
+             |  AND lower(p_name) NOT LIKE '%small%'
+             |ORDER BY p_partkey""".stripMargin)),
+
+    Q("o20_outer_union",
+      "O-20 (bin/concatenate.py:412): outer-aligned union — schema = union " +
+        "of schemas, missing columns null-filled; shuffle-free.",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d)
+        Relational.outerConcat(Seq(
+          o.filter($"o_orderstatus" === "F")
+            .select($"o_orderkey", $"o_totalprice"),
+          o.filter($"o_orderstatus" === "O")
+            .select($"o_orderkey", $"o_orderpriority")))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+             |       CAST(NULL AS VARCHAR) AS o_orderpriority
+             |FROM orders WHERE o_orderstatus = 'F'
+             |UNION ALL
+             |SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority
+             |FROM orders WHERE o_orderstatus = 'O'
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    Q("o22_block_diag_offsets",
+      "O-22 (bin/concatenate.py:333-336,413-416): block-diagonal index " +
+        "offsets — cumulative sum over tiny per-block sizes, then applied " +
+        "per row (global id = block offset + dense in-block index).",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d)
+        val sizes = cust.groupBy($"c_nationkey")
+          .agg(count(lit(1)).as("n"))
+        val offsets = Relational.blockOffsets(sizes, "c_nationkey", "n",
+          col("c_nationkey"), "off").select($"c_nationkey", $"off")
+        val ranked = Relational.denseIndex(cust.select($"c_custkey",
+            $"c_nationkey"), "rn", Seq(col("c_custkey")),
+          Seq(col("c_nationkey")))
+        ranked.join(offsets, Seq("c_nationkey"))
+          .select($"c_custkey",
+            ($"off" + $"rn").cast("long").as("global_idx"))
+          .orderBy($"c_custkey")
+      },
+      Some("""WITH sz AS (SELECT c_nationkey, count(*) AS n FROM customer
+             |            GROUP BY c_nationkey),
+             |off AS (SELECT c_nationkey,
+             |  COALESCE(SUM(n) OVER (ORDER BY c_nationkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+             |  FROM sz)
+             |SELECT c_custkey,
+             |  CAST(o + ROW_NUMBER() OVER (PARTITION BY c.c_nationkey
+             |    ORDER BY c_custkey) AS BIGINT) AS global_idx
+             |FROM customer c JOIN off ON c.c_nationkey = off.c_nationkey
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("o23_reindex_fill",
+      "O-23 (bin/concatenate.py:419-421): reindex-with-fill — align an " +
+        "annotation table to the full key universe, missing rows → NULL.",
+      (s, d) => {
+        import s.implicits._
+        val ann = Tables.lineitem(s, d).filter($"l_quantity" >= 49)
+          .groupBy($"l_partkey").agg(count(lit(1)).as("n_hits"))
+        Relational.reindexFill(
+            Tables.part(s, d).select($"p_partkey"),
+            ann.withColumnRenamed("l_partkey", "p_partkey"),
+            Seq("p_partkey"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey, n_hits FROM part LEFT JOIN
+             |  (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_hits
+             |   FROM lineitem WHERE l_quantity >= 49 GROUP BY l_partkey) a
+             |  ON p_partkey = l_partkey
+             |ORDER BY p_partkey""".stripMargin)),
+
+    Q("o24_intersect",
+      "O-24 (bin/concatenate.py:250-254): set intersection of two " +
+        "projections (distinct semantics).",
+      (s, d) => {
+        import s.implicits._
+        val p = Tables.part(s, d)
+        p.filter($"p_size" < 10).select($"p_brand")
+          .intersect(p.filter($"p_size" > 35).select($"p_brand"))
+          .orderBy($"p_brand")
+      },
+      Some("""SELECT p_brand FROM part WHERE p_size < 10
+             |INTERSECT
+             |SELECT p_brand FROM part WHERE p_size > 35
+             |ORDER BY p_brand""".stripMargin)),
+
+    Q("o25_collect_list",
+      "O-25 (bin/concatenate.py:251,342): column-to-list collect per " +
+        "group, deterministically sorted, joined to a string.",
+      (s, d) => {
+        import s.implicits._
+        Tables.nation(s, d).join(Tables.region(s, d),
+            $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name")
+          .agg(concat_ws(",", sort_array(collect_list($"n_name")))
+            .as("nations"))
+          .orderBy($"r_name")
+      },
+      Some("""SELECT r_name,
+             |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    Q("o26_row_count",
+      "O-26 (bin/concatenate.py:435): global row count.",
+      (s, _d) => {
+        Tables.lineitem(s, _d).agg(count(lit(1)).as("n_rows"))
+      },
+      Some("SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem")),
+
+    Q("j1_patient_join",
+      "J-1 (bin/concatenate.py:300-307): inner equi join against the tiny " +
+        "manifest — explicitly broadcast, then aggregated per segment.",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)),
+            $"o_custkey" === $"c_custkey")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum($"o_totalprice"), 2).as("revenue"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |  round(sum(o_totalprice), 2) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    Q("j3_alias_normalize",
+      "J-3 (bin/concatenate.py:74-81): case/trim-insensitive alias lookup " +
+        "with identity fallback (coalesce over a broadcast alias table).",
+      (s, d) => {
+        import s.implicits._
+        val aliases = Seq(("america", "AMER"), ("europe", "EUR"))
+          .toDF("alias_lower", "canonical")
+        Relational.aliasNormalize(Tables.region(s, d), "r_name", aliases,
+            "r_code")
+          .select($"r_regionkey", $"r_name", $"r_code")
+          .orderBy($"r_regionkey")
+      },
+      Some("""SELECT r_regionkey, r_name,
+             |  COALESCE(canonical, r_name) AS r_code
+             |FROM region LEFT JOIN
+             |  (VALUES ('america','AMER'), ('europe','EUR'))
+             |    AS a(alias_lower, canonical)
+             |  ON lower(trim(r_name)) = alias_lower
+             |ORDER BY r_regionkey""".stripMargin)),
+
+    Q("j4_first_match",
+      "J-4 (bin/concatenate.py:195-221): first-match annotation join — " +
+        "pandas .values[0] made deterministic with a per-key window; one " +
+        "window pass replaces the reference's quadratic per-key loc scan.",
+      (s, d) => {
+        import s.implicits._
+        Relational.firstMatchPerKey(Tables.lineitem(s, d), Seq("l_partkey"),
+            Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+          .select($"l_partkey", $"l_orderkey", $"l_linenumber",
+            $"l_shipdate".cast("date").as("first_ship"))
+          .orderBy($"l_partkey")
+      },
+      Some("""SELECT l_partkey, l_orderkey, l_linenumber,
+             |  CAST(l_shipdate AS DATE) AS first_ship
+             |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
+             |        ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+             |      FROM lineitem) t
+             |WHERE rn = 1 ORDER BY l_partkey""".stripMargin)),
+
+    Q("j5_positional_index",
+      "J-5 (bin/concatenate.py:322-329): positional index join — explicit " +
+        "row_number index replacing pandas positional order, joined to " +
+        "per-key counts.",
+      (s, d) => {
+        import s.implicits._
+        val idx = Relational.denseIndex(
+            Tables.supplier(s, d).select($"s_suppkey"), "idx",
+            Seq(col("s_suppkey")))
+          .withColumn("idx", $"idx".cast("long"))
+        val counts = Tables.lineitem(s, d).groupBy($"l_suppkey")
+          .agg(count(lit(1)).as("n_items"))
+        idx.join(counts, $"s_suppkey" === $"l_suppkey")
+          .select($"idx", $"s_suppkey", $"n_items")
+          .orderBy($"idx")
+      },
+      Some("""SELECT idx, s_suppkey, n_items FROM
+             |  (SELECT CAST(ROW_NUMBER() OVER (ORDER BY s_suppkey) AS BIGINT)
+             |     AS idx, s_suppkey FROM supplier) s
+             |JOIN (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_items
+             |      FROM lineitem GROUP BY l_suppkey) l
+             |  ON s_suppkey = l_suppkey
+             |ORDER BY idx""".stripMargin)),
+
+    Q("f1_regex_strip",
+      "F-1 (bin/concatenate.py:63-71): chained regexp_replace " +
+        "normalization (prefix/suffix strip).",
+      (s, d) => {
+        import s.implicits._
+        Tables.part(s, d)
+          .select($"p_partkey",
+            regexp_replace(
+              regexp_replace($"p_name", "^(red|blue|green|hot|small) ", ""),
+              "(bolt|gear)$", "part").as("clean_name"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey,
+             |  regexp_replace(
+             |    regexp_replace(p_name, '^(red|blue|green|hot|small) ',
+             |                   '', 'g'),
+             |    '(bolt|gear)$', 'part', 'g') AS clean_name
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    Q("f2_norm_key",
+      "F-2 (bin/concatenate.py:74-81): lower(trim()) key normalization + " +
+        "distinct.",
+      (s, d) => {
+        import s.implicits._
+        Tables.part(s, d)
+          .select(lower(trim($"p_type")).as("type_norm")).distinct()
+          .orderBy($"type_norm")
+      },
+      Some("""SELECT DISTINCT lower(trim(p_type)) AS type_norm FROM part
+             |ORDER BY type_norm""".stripMargin)),
+
+    Q("f4_concat_key",
+      "F-4 (bin/concatenate.py:273-275): composite key via concat_ws.",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .select(concat_ws("-", $"l_orderkey", $"l_linenumber")
+            .as("line_key"), $"l_partkey")
+          .orderBy($"line_key")
+      },
+      Some("""SELECT concat_ws('-', l_orderkey, l_linenumber) AS line_key,
+             |  l_partkey
+             |FROM lineitem ORDER BY line_key""".stripMargin)),
+
+    Q("f7_cast_string",
+      "F-7 (bin/concatenate.py:409,439-440): whole-column cast to string " +
+        "(NULL-preserving, unlike pandas's 'nan' stringification — " +
+        "documented divergence).",
+      (s, d) => {
+        import s.implicits._
+        Tables.part(s, d)
+          .select($"p_partkey", $"p_partkey".cast("string").as("key_str"),
+            $"p_size".cast("string").as("size_str"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey, CAST(p_partkey AS VARCHAR) AS key_str,
+             |  CAST(p_size AS VARCHAR) AS size_str
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    Q("f8_json_extract_cast",
+      "F-8/F-14 (make_uuids_tsv.py:77-94; bin/concatenate.py:305): nested " +
+        "JSON field extraction + string→numeric cast.",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select($"event_id",
+            get_json_object($"props", "$.k").cast("long").as("k"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    Q("f11_time_trunc",
+      "F-11 (bin/concatenate.py:433): timestamp handling — per-day " +
+        "truncation + aggregation.",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy(date_trunc("day", $"ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total"))
+          .orderBy($"day")
+      },
+      Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             |  count(*) AS n, round(sum(value), 2) AS total
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("f13_donor_pivot",
+      "F-13 (make_uuids_tsv.py:105-156): long→wide pivot with a fixed " +
+        "pivot-value list (static schema, no distinct-collect job).",
+      (s, d) => {
+        import s.implicits._
+        val types = Seq("click", "view", "purchase", "signup", "error")
+        Relational.pivotCount(Tables.events(s, d), "user_id", "event_type",
+            types)
+          .na.fill(0L, types)
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id,
+             |  CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS click,
+             |  CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS view,
+             |  CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS purchase,
+             |  CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS signup,
+             |  CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS error
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    Q("f15_dict_lookup",
+      "F-15 (make_uuids_tsv.py:160-163): broadcast map lookup " +
+        "(organ code → description analog).",
+      (s, d) => {
+        import s.implicits._
+        val m = map(
+          lit("AFRICA"), lit("AF"), lit("AMERICA"), lit("AM"),
+          lit("ASIA"), lit("AS"), lit("EUROPE"), lit("EU"),
+          lit("MIDDLE EAST"), lit("ME"))
+        Tables.region(s, d)
+          .select($"r_regionkey", $"r_name",
+            element_at(m, $"r_name").as("code"))
+          .orderBy($"r_regionkey")
+      },
+      Some("""SELECT r_regionkey, r_name,
+             |  CASE r_name WHEN 'AFRICA' THEN 'AF' WHEN 'AMERICA' THEN 'AM'
+             |    WHEN 'ASIA' THEN 'AS' WHEN 'EUROPE' THEN 'EU'
+             |    WHEN 'MIDDLE EAST' THEN 'ME' END AS code
+             |FROM region ORDER BY r_regionkey""".stripMargin)),
+
+    Q("lim_topk",
+      "§2.6 limits: deterministic top-k (TakeOrderedAndProject — " +
+        "per-partition heaps, no global sort).",
+      (s, d) => {
+        import s.implicits._
+        Relational.topK(Tables.orders(s, d), 10,
+            Seq(col("o_totalprice").desc, col("o_orderkey")))
+          .select($"o_orderkey", $"o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey
+             |LIMIT 10""".stripMargin)),
+
+    Q("agg_stats",
+      "§2.4 note: the wider agg surface the engine exposes beyond the " +
+        "reference's count/first (min/max/distinct-count/sum).",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(min($"l_quantity").as("min_qty"),
+            max($"l_extendedprice").as("max_price"),
+            countDistinct($"l_orderkey").as("n_orders"),
+            round(sum($"l_discount"), 2).as("sum_disc"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, min(l_quantity) AS min_qty,
+             |  max(l_extendedprice) AS max_price,
+             |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+             |  round(sum(l_discount), 2) AS sum_disc
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    Q("q3_top_orders",
+      "Headline 3-way join: broadcast dim ⋈ fact ⋈ fact with grouped " +
+        "revenue and deterministic top-k.",
+      (s, d) => {
+        import s.implicits._
+        val bldg = Tables.customer(s, d)
+          .filter($"c_mktsegment" === "BUILDING")
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(bldg), $"o_custkey" === $"c_custkey")
+          .groupBy($"o_orderkey")
+          .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+            .as("revenue"))
+          .orderBy($"revenue".desc, $"o_orderkey")
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 4)
+             |    AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY o_orderkey
+             |ORDER BY revenue DESC, o_orderkey
+             |LIMIT 10""".stripMargin))
+  )
+}

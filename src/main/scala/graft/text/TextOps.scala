@@ -1,0 +1,113 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, and document fingerprinting.
+  * Everything here is built from codegen'd `functions._` expressions — no
+  * Scala UDF in the hot path — so whole-stage codegen spans the full
+  * pipeline and the operators run at parquet-scan speed on 100 TB.
+  */
+object TextOps {
+
+  /** Whitespace token count. `split` on \s+ with empty-string guard (Spark's
+    * split of "" yields [""], so blank docs count 0 tokens).
+    */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** A BPE-ish token estimate: words + punctuation runs counted separately,
+    * approximating subword tokenizer behavior without a vocab file.
+    */
+  def tokenCountBpeIsh(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L)).otherwise(
+      size(split(trim(text), "\\s+")).cast("long") +
+        (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
+          .cast("long"))
+
+  /** Quality-score feature columns: length, token count, mean word length,
+    * punctuation ratio, stopword ratio, alpha ratio. All ratios are plain
+    * column arithmetic — one projection, zero shuffles.
+    */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from", "that", "this")
+
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nTok = tokenCount(t)
+    val nStop = size(array_intersect(
+      split(lower(t), "\\s+"), lit(stopwords.toArray))).cast("long")
+    df.withColumn("n_chars_m", length(t).cast("long"))
+      .withColumn("n_tokens", nTok)
+      .withColumn("mean_word_len",
+        round(length(regexp_replace(t, "\\s+", "")).cast("double") /
+          greatest(nTok, lit(1L)), 2))
+      .withColumn("punct_ratio",
+        round((length(t) - length(regexp_replace(t, "[\\p{Punct}]", "")))
+          .cast("double") / greatest(length(t), lit(1)), 4))
+      .withColumn("stop_distinct", nStop)
+  }
+
+  /** Language ID via stopword-hit heuristic: score each candidate language
+    * by how many of its marker words appear in the document, pick argmax.
+    * Pure expression code — `array_intersect` against small literal arrays,
+    * `greatest`-based argmax — broadcastable to any scale.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "den", "mit"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不"))
+
+  def langId(text: Column): Column = {
+    val toks = split(lower(text), "\\s+")
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      struct(size(array_intersect(toks, lit(ms.toArray))).as("score"),
+             lit(lang).as("lang"))
+    }
+    // argmax by (score, lang): greatest on structs compares fieldwise
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: a 64-bit rolling-style hash of the normalized
+    * text (collapsed whitespace, lowercased) — xxhash64 is Spark's codegen'd
+    * 64-bit hash, the idiomatic stand-in for a hand-rolled polynomial hash.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Character n-gram shingles of the normalized text, as a distinct array —
+    * the input to MinHash/Jaccard dedup. Expression-only (`sequence` +
+    * `transform` + `substr`), so it stays inside codegen.
+    */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    array_distinct(
+      transform(sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
+        i => norm.substr(i, lit(n))))
+  }
+
+  /** Word n-gram shingles: join every n consecutive tokens. Expression-only:
+    * `sequence` + `transform` + `slice` + `array_join`.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+
+  /** n-gram Jaccard similarity between two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+}

@@ -188,30 +188,18 @@ object Dedup {
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, nPlanes: Int = 8): DataFrame = {
-    val v = col(vecCol)
-    val norm = sqrt(aggregate(v, lit(0.0d), (a, x) =>
-      a + x.cast("double") * x.cast("double")))
-    val bucketBits = (0 until nPlanes).map { p =>
-      val dot = aggregate(zip_with(v,
-          sequence(lit(0), size(v) - 1),
-          (x, i) => x.cast("double") *
-            when(xxhash64(i, lit(p)) % 2 === 0, 1.0d).otherwise(-1.0d)),
-        lit(0.0d), (a, x) => a + x)
-      when(dot >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
-    }.reduce(_ + _)
+    import graft.functions.vector._
     // Exchange on the bucket key: hyperplane projections computed once per
-    // vector, self-join pre-partitioned on bucket.
-    val prepped = df.select(col(idCol).as("id"), v.as("vec"),
-      norm.as("nrm"), bucketBits.as("bucket"))
+    // vector, self-join pre-partitioned on bucket. All vector math is the
+    // codegen'd kernels (graft.functions) — fused loops, no boxing.
+    val prepped = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      lsh_bucket(col(vecCol), nPlanes).as("bucket"))
       .repartition(col("bucket"))
     val a = prepped.as("a"); val b = prepped.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
-      .withColumn("cosine", round(
-        aggregate(zip_with(col("a.vec"), col("b.vec"),
-            (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0d), (acc, x) => acc + x) /
-          (col("a.nrm") * col("b.nrm")), 6))
+      .withColumn("cosine",
+        round(vec_cosine(col("a.vec"), col("b.vec")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"), col("cosine"))
   }

@@ -33,10 +33,14 @@ object Relational {
     */
   def aliasNormalize(df: DataFrame, keyCol: String, aliases: DataFrame,
                      outCol: String): DataFrame = {
-    val norm = lower(trim(col(keyCol)))
-    df.join(broadcast(aliases), norm === aliases("alias_lower"), "left")
-      .withColumn(outCol, coalesce(aliases("canonical"), col(keyCol)))
-      .drop("alias_lower", "canonical")
+    // fresh internal names so repeated application (or a self-join of two
+    // normalized frames) never trips ambiguous-attribute detection
+    val a = aliases.select(lower(trim(col("alias_lower")))
+      .as("__gr_alias"), col("canonical").as("__gr_canon"))
+    df.join(broadcast(a), lower(trim(col(keyCol))) === col("__gr_alias"),
+        "left")
+      .withColumn(outCol, coalesce(col("__gr_canon"), col(keyCol)))
+      .drop("__gr_alias", "__gr_canon")
   }
 
   /** J-4 (`bin/concatenate.py:195-221`): first-match annotation join. The

@@ -1,0 +1,225 @@
+package graft.product
+
+import graft.ops.Relational
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The assembled CODEX data-product pipeline — the Spark-native equivalent
+  * of the reference's `concatenate.py:main` (`bin/concatenate.py:345-468`),
+  * producing the annotated star-schema bundle SURVEY.md §1.1(3) maps the
+  * AnnData/MuData composite onto:
+  *
+  *   obs(cell_id, dataset, original_obs_id, tissue, + donor columns)
+  *   var(channel)                       — the channel universe
+  *   x_long(cell_id, channel, total, mean)
+  *   obsm_centers(cell_id, x, y)
+  *   varm(channel, dataset, uniprot_accession_number, rr_id, channel_id)
+  *   obsp_edges(src, dst, weight)       — global block-diagonal indices
+  *   uns                                — single-row manifest of scalars
+  *
+  * Where the reference loops datasets serially and materializes everything
+  * in RAM, every step here is a DataFrame transformation over tables
+  * carrying a `dataset` key: per-dataset work parallelizes as partitions,
+  * global merges are unions + small broadcast joins, and the only
+  * wide shuffles are the per-dataset window for deterministic cell indices
+  * and the final obsp re-index joins.
+  */
+object CodexProduct {
+
+  /** Per-dataset inputs in long/tidy form (the post-ingest shape; the HDF5→
+    * parquet conversion S-5 happens in the ingest connector).
+    */
+  case class DatasetInputs(
+      xLong: DataFrame,      // (dataset, original_obs_id, channel, total, mean)
+      centers: DataFrame,    // (dataset, ID, x, y)
+      edges: DataFrame,      // (dataset, row, col, value)  1-based local idx
+      labels: DataFrame,     // (dataset, idx, cell_id)     1-based file order
+      antibodies: DataFrame) // (dataset, antibody_name, uniprot_accession_number, rr_id, channel_id)
+
+  /** O-3 (`bin/concatenate.py:339-342`): leaf datasets of the manifest. */
+  def leafDatasets(manifest: DataFrame): DataFrame =
+    manifest.filter(col("immediate_descendant_ids").isNull ||
+      length(trim(col("immediate_descendant_ids"))) === 0)
+
+  /** obs assembly (`bin/concatenate.py:266-275`): one row per cell with the
+    * F-4 composite key, J-1 donor metadata joined from the (broadcast)
+    * manifest, and EPIC constants (`bin/concatenate.py:451-453`).
+    */
+  def buildObs(xLong: DataFrame, manifest: DataFrame,
+               tissue: String): DataFrame = {
+    val cells = xLong.select(col("dataset"), col("original_obs_id"))
+      .distinct()
+    cells
+      .withColumn("cell_id",
+        concat_ws("-", col("dataset"), col("original_obs_id")))
+      .join(broadcast(
+          manifest.select(col("uuid"), col("hubmap_id"),
+            col("age").cast("double").as("age"), col("sex"),
+            col("height").cast("double").as("height"),
+            col("weight").cast("double").as("weight"),
+            col("bmi").cast("double").as("bmi"),
+            col("cause_of_death"), col("race"))),
+        col("dataset") === col("uuid"), "inner")
+      .drop("uuid")
+      .withColumn("tissue", lit(tissue))
+      .withColumn("object_type", lit("ftu"))
+      .withColumn("analyte_class", lit("Protein"))
+  }
+
+  /** F-1 (`bin/concatenate.py:63-71`): strip `Anti-` prefix and
+    * `antibody` suffixes from an analyte/channel name.
+    */
+  def stripAnalyteName(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(
+      regexp_replace(c, "^Anti-", ""), "\\s+antibody$", ""),
+      "antibody$", ""))
+
+  /** F-1 + J-3 (`bin/concatenate.py:187-192`): vectorized channel-name
+    * standardization — regex strip then alias-table lookup with identity
+    * fallback. One projection + one broadcast join; the reference's
+    * per-row iterrows loop disappears.
+    */
+  def normalizeChannels(df: DataFrame, channelCol: String,
+                        aliases: DataFrame): DataFrame =
+    Relational.aliasNormalize(
+      df.withColumn(channelCol, stripAnalyteName(col(channelCol))),
+      channelCol, aliases, channelCol)
+
+  /** var assembly + O-7 channel filter (`bin/concatenate.py:443-450`):
+    * union of per-dataset channel sets, minus unidentifiable
+    * `Channel:<n>:<n>` names and blanks.
+    */
+  def buildVar(xLong: DataFrame): DataFrame =
+    xLong.select(col("channel")).distinct()
+      .filter(!col("channel").rlike("^Channel:\\d+:\\d+$") &&
+        !lower(col("channel")).contains("blank"))
+
+  /** varm assembly (J-4, `bin/concatenate.py:195-221`): long-form channel
+    * annotations per dataset — first match per (dataset, channel) made
+    * deterministic, then O-23 reindexed to the final var universe.
+    */
+  def buildVarm(varFinal: DataFrame, antibodies: DataFrame): DataFrame = {
+    val firstMatch = Relational.firstMatchPerKey(
+      antibodies, Seq("dataset", "antibody_name"),
+      Seq(col("uniprot_accession_number"), col("rr_id"), col("channel_id")))
+    varFinal
+      .join(firstMatch.withColumnRenamed("antibody_name", "channel"),
+        Seq("channel"), "left")
+      .select("channel", "dataset", "uniprot_accession_number", "rr_id",
+        "channel_id")
+  }
+
+  /** O-5 (`bin/concatenate.py:281-286`): centers for cells present in obs,
+    * keyed by the composite cell_id.
+    */
+  def buildCenters(centers: DataFrame, obs: DataFrame): DataFrame =
+    centers
+      .withColumn("cell_id",
+        concat_ws("-", col("dataset"), col("ID").cast("string")))
+      .join(obs.select("cell_id"), Seq("cell_id"), "left_semi")
+      .select("cell_id", "x", "y")
+
+  /** The adjacency path (S-6/S-7 + O-6 + J-5 + O-22,
+    * `bin/concatenate.py:310-336,413-416`): per-dataset 1-based COO edges +
+    * label files → one global edge list.
+    *
+    *  1. keep labels whose cell id exists in the expression matrix (O-6);
+    *  2. per dataset, assign kept labels a dense local index (J-5) — the
+    *     explicit replacement for pandas positional slicing;
+    *  3. per-dataset offsets = cumulative kept-cell counts (O-22);
+    *  4. two equi joins remap (row, col) → global (src, dst).
+    *
+    * The per-dataset window partitions by dataset (parallel across
+    * datasets); the offsets table is one row per dataset (broadcast).
+    */
+  def buildObsp(edges: DataFrame, labels: DataFrame,
+                xLong: DataFrame): DataFrame = {
+    val matrixCells = xLong
+      .select(col("dataset"), col("original_obs_id").cast("long")
+        .as("cell_id")).distinct()
+    val kept = labels.join(matrixCells, Seq("dataset", "cell_id"),
+      "left_semi")
+    val reindexed = Relational.denseIndex(kept, "local_idx",
+      Seq(col("idx")), Seq(col("dataset")))
+    val sizes = reindexed.groupBy(col("dataset"))
+      .agg(count(lit(1)).as("n"))
+    val offsets = Relational.blockOffsets(sizes, "dataset", "n",
+      col("dataset"), "offset")
+    val withOffsets = reindexed.join(broadcast(offsets
+        .select(col("dataset"), col("offset"))), Seq("dataset"))
+      .select(col("dataset"), col("idx"),
+        (col("local_idx") + col("offset")).cast("long").as("global_idx"))
+    val src = withOffsets.toDF("dataset", "idx", "src")
+    val dst = withOffsets.toDF("dataset", "idx", "dst")
+    edges
+      .join(src, edges("dataset") === src("dataset") &&
+        edges("row") === src("idx"))
+      .drop(src("dataset")).drop("idx")
+      .join(dst, edges("dataset") === dst("dataset") &&
+        edges("col") === dst("idx"))
+      .select(col("src"), col("dst"), col("value").as("weight"))
+  }
+
+  /** Final x_long: composite key + channel filter applied (row filter in
+    * long form — pushes below the union, unlike the reference's
+    * last-minute column slice).
+    */
+  def buildXLong(xLong: DataFrame, varFinal: DataFrame): DataFrame =
+    xLong
+      .withColumn("cell_id",
+        concat_ws("-", col("dataset"), col("original_obs_id")))
+      .join(broadcast(varFinal), Seq("channel"), "left_semi")
+      .select("cell_id", "channel", "total", "mean")
+
+  /** uns scalars (`bin/concatenate.py:433-438`) as a single-row frame. */
+  def buildUns(spark: SparkSession, obs: DataFrame, tissue: String,
+               productUuid: String, creationTime: String): DataFrame = {
+    import spark.implicits._
+    val datasets = obs.select("dataset").distinct()
+      .orderBy("dataset").collect().map(_.getString(0))
+    Seq((productUuid, tissue, creationTime, datasets.mkString(","),
+      obs.count()))
+      .toDF("uuid", "tissue", "creation_time", "datasets",
+        "total_cell_count")
+  }
+
+  /** Full product bundle. */
+  case class Bundle(obs: DataFrame, varDf: DataFrame, xLong: DataFrame,
+                    obsmCenters: DataFrame, varm: DataFrame,
+                    obspEdges: DataFrame, uns: DataFrame)
+
+  def build(spark: SparkSession, manifest: DataFrame, in: DatasetInputs,
+            tissue: String, productUuid: String,
+            creationTime: String): Bundle = {
+    val leaves = leafDatasets(manifest)
+    val xLeaf = in.xLong.join(
+      broadcast(leaves.select(col("uuid"))),
+      in.xLong("dataset") === col("uuid"), "left_semi")
+    val varFinal = buildVar(xLeaf)
+    val obs = buildObs(xLeaf, leaves, tissue)
+    Bundle(
+      obs = obs,
+      varDf = varFinal,
+      xLong = buildXLong(xLeaf, varFinal),
+      obsmCenters = buildCenters(in.centers, obs),
+      varm = buildVarm(varFinal, in.antibodies),
+      obspEdges = buildObsp(in.edges, in.labels, xLeaf),
+      uns = buildUns(spark, obs, tissue, productUuid, creationTime))
+  }
+
+  /** K-1 sink: the engine-native product layout — one partitioned parquet
+    * directory per component table plus the K-2 metadata JSON
+    * (`bin/concatenate.py:154-177,454-468`).
+    */
+  def write(bundle: Bundle, outDir: String): Unit = {
+    bundle.obs.write.mode("overwrite").parquet(s"$outDir/obs")
+    bundle.varDf.write.mode("overwrite").parquet(s"$outDir/var")
+    bundle.xLong.write.mode("overwrite").parquet(s"$outDir/x_long")
+    bundle.obsmCenters.write.mode("overwrite")
+      .parquet(s"$outDir/obsm_centers")
+    bundle.varm.write.mode("overwrite").parquet(s"$outDir/varm")
+    bundle.obspEdges.write.mode("overwrite").parquet(s"$outDir/obsp_edges")
+    bundle.uns.coalesce(1).write.mode("overwrite").json(s"$outDir/uns")
+  }
+}

@@ -1,5 +1,6 @@
 package graft.similarity
 
+import graft.functions.vector._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -9,30 +10,23 @@ import org.apache.spark.sql.functions._
   *
   *  - brute-force cosine top-k: the correctness baseline. Queries are
   *    broadcast (a query set is small by definition); the corpus streams —
-  *    one pass, no corpus shuffle, per-partition top-k heaps via
-  *    window-free `TakeOrderedAndProject` when k is global, or a
-  *    partitioned window for per-query top-k.
-  *  - IVF-style bucketed ANN: corpus pre-bucketed by random-hyperplane LSH
-  *    (deterministic seeded planes); a query probes only its bucket(s),
-  *    turning the O(N) scan into O(N / 2^planes) with recall controlled by
-  *    multi-probe.
+  *    one pass, no corpus shuffle; per-query top-k via a partitioned
+  *    window over the scored pairs.
+  *  - LSH-bucketed ANN: corpus bucketed by deterministic random-hyperplane
+  *    signs; a query probes only its bucket, turning the O(N) scan into
+  *    O(N / 2^planes) with recall controlled by the plane count. At 100 TB
+  *    the corpus is written `bucketBy(bucket)` so the probe is a
+  *    partition-pruned scan; the bucket equi-join here has the same plan
+  *    shape.
   *
-  * All vector math is `zip_with` + `aggregate` expression code over array
-  * columns — no UDF, no driver collect of the corpus.
+  * All vector math is codegen'd native expressions (graft.functions) — a
+  * fused primitive loop per pair, no boxing, inside whole-stage codegen.
   */
 object Knn {
 
-  /** Dot product of two array<numeric> columns (cast to double). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, x) => acc + x)
-
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0d), (acc, x) =>
-      acc + x.cast("double") * x.cast("double")))
-
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2norm(a) * l2norm(b))
+  def dot(a: Column, b: Column): Column = vec_dot(a, b)
+  def l2norm(a: Column): Column = vec_l2(a)
+  def cosine(a: Column, b: Column): Column = vec_cosine(a, b)
 
   /** Brute-force per-query cosine top-k. `queries` must be small (it is
     * broadcast); `corpus` scales. Ties broken by corpus id for determinism.
@@ -53,34 +47,28 @@ object Knn {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
-  /** Deterministic random-hyperplane bucket id from `nPlanes` sign bits.
-    * Plane p's component for dimension i is ±1 by xxhash64(i, p) parity —
-    * no stored centroids, identical on every executor, and cheap enough to
-    * recompute at query time.
-    */
-  def lshBucket(vec: Column, nPlanes: Int): Column =
-    (0 until nPlanes).map { p =>
-      val dot = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") *
-            when(xxhash64(i, lit(p)) % 2 === 0, 1.0d).otherwise(-1.0d)),
-        lit(0.0d), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
-    }.reduce(_ + _)
-
-  /** Bucketed ANN top-k: probe only the query's LSH bucket. At 100 TB the
-    * corpus would be written bucketed-by(`bucket`) so the probe is a
-    * partition-pruned scan; here the bucket equi-join achieves the same
-    * plan shape (hash-partition both sides on bucket).
+  /** Bucketed ANN top-k with multi-probe: each query probes its own bucket
+    * plus (radius-1) every bucket one sign-flip away — the standard recall
+    * lever that costs `nPlanes` extra probes per QUERY (the small side)
+    * while the corpus is still touched once per bucket.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nPlanes: Int = 6): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
+              vecCol: String, k: Int, nPlanes: Int = 6,
+              multiProbe: Int = 1): DataFrame = {
+    val qb = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("q_vec"),
-      lshBucket(col(vecCol), nPlanes).as("bucket")))
+      lsh_bucket(col(vecCol), nPlanes).as("bucket0"))
+    val probeCols =
+      if (multiProbe >= 1)
+        col("bucket0") +: (0 until nPlanes).map(p =>
+          col("bucket0").bitwiseXOR(lit(1L << p)))
+      else Seq(col("bucket0"))
+    val q = broadcast(qb
+      .withColumn("bucket", explode(array(probeCols: _*)))
+      .drop("bucket0"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("c_vec"),
-      lshBucket(col(vecCol), nPlanes).as("bucket"))
+      lsh_bucket(col(vecCol), nPlanes).as("bucket"))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(cosine(col("q_vec"), col("c_vec")), 6))

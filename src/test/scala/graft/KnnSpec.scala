@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.vector._
+import graft.similarity.Knn
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class KnnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("vec_dot / vec_l2 / vec_cosine match hand computation") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    val r = df.select(vec_dot($"a", $"b"), vec_l2($"a"),
+      vec_cosine($"a", $"a")).collect().head
+    assert(r.getDouble(0) == 32.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("vector expressions work on array<double> too") {
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0))).toDF("a", "b")
+    assert(df.select(vec_cosine($"a", $"b")).as[Double].collect().head
+      == 0.0)
+  }
+
+  test("brute-force top-1 finds the planted nearest neighbor") {
+    val q = Array.tabulate(8)(_.toFloat + 1)
+    val near = q.map(_ * 2.0f) // same direction → cosine 1
+    val others = (1 to 20).map(i =>
+      (100L + i, Array.tabulate(8)(j =>
+        math.sin(i * 8 + j).toFloat).toSeq))
+    val corpus = (Seq((1L, q.toSeq), (2L, near.toSeq)) ++ others)
+      .toDF("vec_id", "embedding")
+    val top = Knn.bruteForceTopK(corpus,
+        corpus.filter($"vec_id" === 1), "vec_id", "embedding", 1)
+      .collect().head
+    assert(top.getLong(1) == 2L)
+  }
+
+  test("LSH top-k recall vs brute force ≥ 0.5 on sf0.001 embeddings") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val queries = emb.filter($"vec_id" < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Knn.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", 10))
+    val lsh = pairs(Knn.lshTopK(emb, queries, "vec_id", "embedding", 10,
+      nPlanes = 3, multiProbe = 1))
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  test("lsh_bucket is deterministic and in range") {
+    val emb = Tables.embeddings(spark, TestSpark.sf).limit(50)
+    val b1 = emb.select($"vec_id", lsh_bucket($"embedding", 6).as("b"))
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    val b2 = emb.select($"vec_id", lsh_bucket($"embedding", 6).as("b"))
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    assert(b1 == b2)
+    assert(b1.forall { case (_, b) => b >= 0 && b < 64 })
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalStreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("multimodal: binary assets carry payload bytes + typed metadata") {
+    val docs = Seq((1L, "hello"), (2L, "wörld")).toDF("doc_id", "text")
+    val assets = Multimodal.asBinaryAssets(docs, "doc_id", "text")
+    assert(assets.columns.toSeq ==
+      Seq("asset_id", "media_type", "payload", "n_bytes"))
+    val bytes = assets.orderBy("asset_id").select("n_bytes")
+      .as[Long].collect().toSeq
+    assert(bytes == Seq(5L, 6L)) // ö is 2 UTF-8 bytes
+  }
+
+  test("multimodal: stub decode is deterministic, batched per partition") {
+    val docs = Seq((1L, "same"), (2L, "same"), (3L, "diff"))
+      .toDF("doc_id", "text")
+    val feats = Multimodal.decodeFeatures(
+      Multimodal.asBinaryAssets(docs, "doc_id", "text"))
+      .collect().sortBy(_.asset_id)
+    assert(feats(0).features.toSeq == feats(1).features.toSeq)
+    assert(feats(0).width == feats(1).width)
+    assert(feats.forall(_.features.length == 8))
+  }
+
+  test("streaming windowed counts equal the batch aggregate") {
+    val schema = Tables.eventsRaw(spark, TestSpark.sf).schema
+    val stream = Tables.normalizeEventsTs(
+      Streams.fileStream(spark, s"${TestSpark.sf}/events.*", schema))
+    val agg = Streams.windowedCounts(stream, "ts", "1 hour", "1 hour")
+    val streamed = Streams.runToMemory(agg, "spec_stream_counts")
+      .select(col("window.start").as("w"), col("event_type"), col("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val batch = Tables.events(spark, TestSpark.sf)
+      .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+}

@@ -538,6 +538,81 @@ object StarQueries {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    Q("o21_horizontal_pivot",
+      "O-21 (bin/concatenate.py:407-408): horizontal concat as a wide " +
+        "pivot — one scalar per (row, pivot-value); min() as the " +
+        "deterministic first()-analog.",
+      (s, d) => {
+        import s.implicits._
+        val types = Seq("click", "view", "purchase", "signup", "error")
+        Tables.events(s, d)
+          .groupBy($"user_id")
+          .pivot("event_type", types)
+          .agg(min($"value"))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id,
+             |  min(CASE WHEN event_type='click' THEN value END) AS click,
+             |  min(CASE WHEN event_type='view' THEN value END) AS view,
+             |  min(CASE WHEN event_type='purchase' THEN value END)
+             |    AS purchase,
+             |  min(CASE WHEN event_type='signup' THEN value END) AS signup,
+             |  min(CASE WHEN event_type='error' THEN value END) AS error
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    Q("f12_json_construct",
+      "F-12 (bin/concatenate.py:163-177): metadata dict/JSON construction " +
+        "as named_struct → to_json.",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .select($"o_orderkey",
+            to_json(struct($"o_orderkey", $"o_orderstatus")).as("meta"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(to_json(struct_pack(o_orderkey := o_orderkey,
+             |    o_orderstatus := o_orderstatus)) AS VARCHAR) AS meta
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    Q("w_running_sum",
+      "§2.5 window analogue (bin/concatenate.py:327-336): running " +
+        "per-partition cumulative sum with a fully deterministic frame.",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"l_suppkey")
+          .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        Tables.lineitem(s, d)
+          .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+            sum($"l_quantity").over(w).as("running_qty"))
+          .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+             |  SUM(l_quantity) OVER (PARTITION BY l_suppkey
+             |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS running_qty
+             |FROM lineitem
+             |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("agg_approx_distinct",
+      "Scale-path sketch aggregation: approx_count_distinct (HLL++) — the " +
+        "100 TB substitute for exact distinct counts; sketch values are " +
+        "engine-specific → rows-only (exactness asserted in ScalaTest " +
+        "within HLL error bounds).",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+            approx_count_distinct($"l_orderkey").as("approx_orders"))
+          .orderBy($"l_returnflag")
+      },
+      None),
+
     Q("q3_top_orders",
       "Headline 3-way join: broadcast dim ⋈ fact ⋈ fact with grouped " +
         "revenue and deterministic top-k.",

@@ -106,6 +106,23 @@ object Relational {
                  values: Seq[String]): DataFrame =
     df.groupBy(col(rowKey)).pivot(pivotCol, values).agg(count(lit(1)))
 
+  /** Skew-safe equi join: salt the skewed (left) side's key into
+    * `saltBuckets` sub-keys and explode the build (right) side once per
+    * salt, so one hot key spreads over `saltBuckets` reducers. AQE's
+    * skew-join split handles most cases at runtime; explicit salting is
+    * for the pathological keys AQE can't split (single-key hot spots in
+    * a sort-merge join) and for engines/pipelines with AQE off.
+    * `right` must be the smaller side (it is replicated ×saltBuckets).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltBuckets: Int): DataFrame = {
+    val salted = left.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
+    val exploded = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(exploded, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** §2.6: deterministic top-k — ORDER BY + LIMIT with a unique tiebreak
     * column so results are stable across engines and runs. Spark executes
     * this as TakeOrderedAndProject: per-partition heaps, no full sort.

@@ -229,6 +229,46 @@ object PipelineQueries {
              |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
              |FROM documents ORDER BY asset_id""".stripMargin)),
 
+    Q("curate_corpus",
+      "Composite training-data curation: quality gate (token count + char " +
+        "length) → exact dedup (keep min doc_id per digest) → per-(lang, " +
+        "source) stats — one fused plan: scan-side filters, a single " +
+        "digest shuffle, one aggregation. The canonical pre-training " +
+        "corpus pass.",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val quality = docs
+          .withColumn("n_tokens", TextOps.tokenCount($"text"))
+          .filter($"n_tokens" >= 20 && length($"text") >= 100)
+        val kept = quality
+          .withColumn("content_hash", md5($"text"))
+          .withColumn("rk",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy($"content_hash").orderBy($"doc_id")))
+          .filter($"rk" === 1)
+        kept.groupBy($"lang", $"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tokens").as("total_tokens"),
+            min($"doc_id").as("first_doc"))
+          .orderBy($"lang", $"source")
+      },
+      Some("""WITH quality AS (
+             |  SELECT doc_id, lang, source, text,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             |      AS n_tokens
+             |  FROM documents
+             |  WHERE len(string_split_regex(trim(text), '\s+')) >= 20
+             |    AND length(text) >= 100),
+             |kept AS (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+             |    ORDER BY doc_id) AS rk FROM quality)
+             |SELECT lang, source, count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             |  min(doc_id) AS first_doc
+             |FROM kept WHERE rk = 1
+             |GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+
     Q("stream_windowed_counts",
       "Streaming: file-source stream → watermarked tumbling-window " +
         "counts, run to completion on the static events table; equals the " +

@@ -215,6 +215,21 @@ object PipelineQueries {
       },
       None),
 
+    Q("e_knn_ivf",
+      "Similarity: IVF-style ANN — data-adaptive centroid cells, nProbe " +
+        "nearest cells probed per query (deterministic centroid sample → " +
+        "rows-only; recall vs brute force asserted in ScalaTest).",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        Knn.ivfTopK(emb, emb.filter($"vec_id" < 10), "vec_id",
+            "embedding", k = 5, nCells = 16, nProbe = 3)
+          .select($"query_id", $"neighbor_id",
+            $"rank".cast("long").as("rank"))
+          .orderBy($"query_id", $"rank")
+      },
+      None),
+
     Q("m_multimodal_meta",
       "Multimodal: binary-column plumbing — payload bytes + typed " +
         "metadata; byte length oracle-checked, stub decode exercised in " +

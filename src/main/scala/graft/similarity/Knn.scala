@@ -47,6 +47,51 @@ object Knn {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** IVF-style ANN: a small deterministic centroid sample partitions the
+    * corpus into data-adaptive cells (unlike LSH's data-oblivious planes);
+    * each query probes the `nProbe` nearest cells.
+    *
+    * Scale path: centroid selection is a tiny deterministic sample
+    * (hash-ordered take(k) — metadata-sized, broadcast as literals);
+    * assignment is one scan with the codegen'd cosine kernel; at rest the
+    * corpus is written partitioned/bucketed by `cell` so probes prune
+    * partitions. Queries explode ×nProbe on the broadcast side only.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int = 16,
+              nProbe: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // deterministic centroid sample: smallest xxhash64(id) wins — a cheap,
+    // seedless, reproducible spread (kmeans init would go here)
+    val centroids = corpus
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"))
+      .orderBy(xxhash64(col("cid")), col("cid"))
+      .limit(nCells)
+    val cellOf = centroids.select($"cid", $"cvec")
+    def assign(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
+      val scored = df.join(broadcast(cellOf))
+        .withColumn("sim", cosine(col(vec), col("cvec")))
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("sim").desc, col("cid"))
+      scored.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= n)
+        .select(df.columns.map(col) :+ col("cid").as("cell"): _*)
+    }
+    val c = assign(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec")), "neighbor_id", "c_vec", 1)
+    val q = broadcast(assign(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec")), "query_id", "q_vec", nProbe))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** Bucketed ANN top-k with multi-probe: each query probes its own bucket
     * plus (radius-1) every bucket one sign-flip away — the standard recall
     * lever that costs `nPlanes` extra probes per QUERY (the small side)

@@ -36,6 +36,18 @@ object Streams {
       .groupBy(window(col(tsCol), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Streaming exact dedup: drop duplicate keys within the watermark
+    * horizon — the incremental form of the batch digest-dedup. State is one
+    * (key, timestamp) entry per distinct key inside the horizon; the
+    * watermark evicts it, so state size is bounded by arrival rate ×
+    * horizon, not by stream length.
+    */
+  def streamingDedup(stream: DataFrame, tsCol: String, keyCols: Seq[String],
+                     lateness: String): DataFrame =
+    stream
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Run a streaming aggregation to completion against a static directory
     * (memory sink, complete mode) and return the result — used by tests and
     * by the `queries` registry to exercise the streaming path on the batch

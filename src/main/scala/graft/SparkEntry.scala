@@ -13,7 +13,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  def registry: Seq[Q] = StarQueries.all ++ PipelineQueries.all
+  def registry: Seq[Q] = {
+    val all = StarQueries.all ++ PipelineQueries.all
+    val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(",")}")
+    all
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

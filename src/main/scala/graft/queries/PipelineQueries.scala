@@ -244,6 +244,70 @@ object PipelineQueries {
              |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
              |FROM documents ORDER BY asset_id""".stripMargin)),
 
+    Q("t_oov_rate",
+      "Text analysis: per-doc out-of-vocabulary token counts vs the " +
+        "corpus top-20 vocabulary — explode (the UDTF surface, SURVEY " +
+        "§2.8) + broadcast vocab join + re-aggregation, all integers.",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select($"doc_id", explode(split(trim($"text"), "\\s+"))
+            .as("tok"))
+        val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("freq"))
+          .orderBy($"freq".desc, $"tok").limit(20)
+          .select($"tok", lit(1).as("known"))
+        toks.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when($"known".isNull, 1).otherwise(0)).cast("long")
+              .as("n_oov"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+             |    AS tok FROM documents),
+             |vocab AS (
+             |  SELECT tok FROM (SELECT tok, count(*) AS freq FROM toks
+             |    GROUP BY tok ORDER BY freq DESC, tok LIMIT 20))
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_oov
+             |FROM toks LEFT JOIN vocab v USING (tok)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("w_sessionize",
+      "Window composition: gap-based sessionization — lag() marks session " +
+        "starts (> 6h gap), running sum assigns session ids; output " +
+        "per-user session counts (all integers).",
+      (s, d) => {
+        import s.implicits._
+        val byUser = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id")
+          .orderBy($"ts", $"event_id")
+        val marked = Tables.events(s, d)
+          .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+          .withColumn("new_session",
+            when($"prev_ts".isNull ||
+              unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 21600,
+              1).otherwise(0))
+        marked.groupBy($"user_id")
+          .agg(sum($"new_session").cast("long").as("n_sessions"),
+            count(lit(1)).as("n_events"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH marked AS (
+             |  SELECT user_id,
+             |    CASE WHEN prev_ts IS NULL
+             |      OR epoch(ts) - epoch(prev_ts) > 21600
+             |      THEN 1 ELSE 0 END AS new_session
+             |  FROM (SELECT user_id, ts, event_id,
+             |          lag(ts) OVER (PARTITION BY user_id
+             |            ORDER BY ts, event_id) AS prev_ts
+             |        FROM events) t)
+             |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+             |  count(*) AS n_events
+             |FROM marked GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     Q("curate_corpus",
       "Composite training-data curation: quality gate (token count + char " +
         "length) → exact dedup (keep min doc_id per digest) → per-(lang, " +

@@ -287,8 +287,10 @@ object PipelineQueries {
         val marked = Tables.events(s, d)
           .withColumn("prev_ts", lag($"ts", 1).over(byUser))
           .withColumn("new_session",
+            // exact microsecond arithmetic — unix_timestamp would FLOOR to
+            // seconds and disagree with the oracle on sub-second gaps
             when($"prev_ts".isNull ||
-              unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 21600,
+              unix_micros($"ts") - unix_micros($"prev_ts") > 21600000000L,
               1).otherwise(0))
         marked.groupBy($"user_id")
           .agg(sum($"new_session").cast("long").as("n_sessions"),
@@ -298,7 +300,7 @@ object PipelineQueries {
       Some("""WITH marked AS (
              |  SELECT user_id,
              |    CASE WHEN prev_ts IS NULL
-             |      OR epoch(ts) - epoch(prev_ts) > 21600
+             |      OR epoch_us(ts) - epoch_us(prev_ts) > 21600000000
              |      THEN 1 ELSE 0 END AS new_session
              |  FROM (SELECT user_id, ts, event_id,
              |          lag(ts) OVER (PARTITION BY user_id

@@ -60,28 +60,33 @@ object Knn {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16,
               nProbe: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     // deterministic centroid sample: smallest xxhash64(id) wins — a cheap,
-    // seedless, reproducible spread (kmeans init would go here)
-    val centroids = corpus
-      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"))
+    // seedless, reproducible spread (kmeans init would go here). The
+    // centroid set is metadata-sized, so it is collected once and inlined
+    // as literals: cell assignment becomes a PURE MAP over the corpus
+    // (greatest over nCells scored structs — no join, no shuffle; at rest
+    // the corpus is written partitioned by this `cell` column).
+    val centroids: Array[(Long, Array[Float])] = corpus
+      .select(col(idCol).cast("long").as("cid"),
+        col(vecCol).cast("array<float>").as("cvec"))
       .orderBy(xxhash64(col("cid")), col("cid"))
       .limit(nCells)
-    val cellOf = centroids.select($"cid", $"cvec")
-    def assign(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
-      val scored = df.join(broadcast(cellOf))
-        .withColumn("sim", cosine(col(vec), col("cvec")))
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("sim").desc, col("cid"))
-      scored.withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= n)
-        .select(df.columns.map(col) :+ col("cid").as("cell"): _*)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cellScores(vec: Column): Seq[Column] = centroids.toSeq.map {
+      case (cid, cvec) =>
+        struct(cosine(vec, typedLit(cvec)).as("sim"), lit(cid).as("cid"))
     }
-    val c = assign(corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("c_vec")), "neighbor_id", "c_vec", 1)
-    val q = broadcast(assign(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("q_vec")), "query_id", "q_vec", nProbe))
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("cell",
+        greatest(cellScores(col("c_vec")): _*).getField("cid"))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("__probe",
+        explode(slice(sort_array(array(cellScores(col("q_vec")): _*),
+          asc = false), 1, nProbe)))
+      .withColumn("cell", col("__probe.cid"))
+      .drop("__probe"))
     val scored = c.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(cosine(col("q_vec"), col("c_vec")), 6))

@@ -35,6 +35,8 @@ object CodexIngest {
     val files = manifest.filter(col("kind") === kind)
       .select("dataset", "path").collect()
       .map(r => (r.getString(0), r.getString(1)))
+    require(files.nonEmpty,
+      s"no '$kind' inputs discovered — check the data directory layout")
     files.map { case (ds, path) =>
       read(path).withColumn("dataset", lit(ds))
     }.reduceLeft(_.unionByName(_))

@@ -322,12 +322,13 @@ object PipelineQueries {
         val quality = docs
           .withColumn("n_tokens", TextOps.tokenCount($"text"))
           .filter($"n_tokens" >= 20 && length($"text") >= 100)
+        // keep-min-doc dedup as ONE aggregation (min_by of the full row)
+        // instead of window+filter — halves the shuffles on this path
         val kept = quality
-          .withColumn("content_hash", md5($"text"))
-          .withColumn("rk",
-            row_number().over(org.apache.spark.sql.expressions.Window
-              .partitionBy($"content_hash").orderBy($"doc_id")))
-          .filter($"rk" === 1)
+          .groupBy(md5($"text").as("content_hash"))
+          .agg(min_by(struct($"doc_id", $"lang", $"source", $"n_tokens"),
+            $"doc_id").as("r"))
+          .select($"r.doc_id", $"r.lang", $"r.source", $"r.n_tokens")
         kept.groupBy($"lang", $"source")
           .agg(count(lit(1)).as("n_docs"),
             sum($"n_tokens").as("total_tokens"),

@@ -60,6 +60,13 @@ object Sources {
     val nonComment = indexed.filter { case (l, _) =>
       val t = l.trim; t.nonEmpty && !t.startsWith("%")
     }
+    if (nonComment.isEmpty()) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[
+        org.apache.spark.sql.Row], StructType(Seq(
+        StructField("row", LongType), StructField("col", LongType),
+        StructField("value", DoubleType))))
+    }
     val headerIdx = nonComment.map(_._2).min() // first non-comment = dims line
     nonComment
       .filter { case (_, i) => i != headerIdx }

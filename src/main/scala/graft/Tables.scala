@@ -50,8 +50,9 @@ object Tables {
 
   def normalizeEventsTs(raw: DataFrame): DataFrame =
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts",
-        timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer division — `/` on longs is double division, whose 256 ns
+      // ulp at epoch-nanosecond magnitudes would corrupt the microsecond
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -41,6 +41,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // full registry listing so the compare can detect queries that failed
+    // before writing any output (a missing dir must count as a failure)
+    Files.writeString(Paths.get(s"$outDir/query_names.json"),
+      SparkEntry.queries.keys.toSeq.sorted
+        .map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -62,11 +62,17 @@ object Dedup {
           val shingles =
             if (toks.length <= shingleN) Iterator(toks.mkString(" "))
             else toks.sliding(shingleN).map(_.mkString(" "))
+          // standard 2-hash scheme: hash each shingle twice, derive the k
+          // "permutations" as h1 + i*h2 — O(2) string hashes per shingle
+          // instead of O(k), the dominant CPU cost at corpus scale
           shingles.foreach { sh =>
+            val h1 = h64(sh, 0)
+            val h2 = h64(sh, 1) | 1L // odd => full-period stride
             var i = 0
+            var h = h1
             while (i < k) {
-              val h = h64(sh, i)
               if (h < sig(i)) sig(i) = h
+              h += h2
               i += 1
             }
           }

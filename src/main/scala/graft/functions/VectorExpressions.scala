@@ -28,13 +28,15 @@ object VectorKernels {
     z ^ (z >>> 31)
   }
 
-  def dot(a: ArrayData, b: ArrayData, isFloat: Boolean): Double = {
+  @inline private def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean,
+          bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
-    if (isFloat) while (i < n) {
-      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1
-    } else while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) { acc += get(a, i, aFloat) * get(b, i, bFloat); i += 1 }
     acc
   }
 
@@ -49,13 +51,14 @@ object VectorKernels {
   }
 
   /** Fused cosine: one pass computing dot and both norms. */
-  def cosine(a: ArrayData, b: ArrayData, isFloat: Boolean): Double = {
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean,
+             bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var d = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (isFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = get(a, i, aFloat)
+      val y = get(b, i, bFloat)
       d += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -111,11 +114,12 @@ case class DotProduct(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult = checkVec(left, right)
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      isFloat(left))
+      isFloat(left), isFloat(right))
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VectorKernels.dot($a, $b, ${isFloat(left)})")
+      s"graft.functions.VectorKernels.dot($a, $b, " +
+        s"${isFloat(left)}, ${isFloat(right)})")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(l, r)
 }
@@ -127,11 +131,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult = checkVec(left, right)
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorKernels.cosine(a.asInstanceOf[ArrayData],
-      b.asInstanceOf[ArrayData], isFloat(left))
+      b.asInstanceOf[ArrayData], isFloat(left), isFloat(right))
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VectorKernels.cosine($a, $b, ${isFloat(left)})")
+      s"graft.functions.VectorKernels.cosine($a, $b, " +
+        s"${isFloat(left)}, ${isFloat(right)})")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(l, r)
 }

@@ -100,9 +100,12 @@ object CodexProduct {
     * deterministic, then O-23 reindexed to the final var universe.
     */
   def buildVarm(varFinal: DataFrame, antibodies: DataFrame): DataFrame = {
+    // nulls LAST: with ascending null-first ordering a duplicate antibody
+    // row with empty annotations would win over the annotated one
     val firstMatch = Relational.firstMatchPerKey(
       antibodies, Seq("dataset", "antibody_name"),
-      Seq(col("uniprot_accession_number"), col("rr_id"), col("channel_id")))
+      Seq(col("uniprot_accession_number").asc_nulls_last,
+        col("rr_id").asc_nulls_last, col("channel_id").asc_nulls_last))
     varFinal
       .join(firstMatch.withColumnRenamed("antibody_name", "channel"),
         Seq("channel"), "left")
@@ -189,13 +192,27 @@ object CodexProduct {
                     obsmCenters: DataFrame, varm: DataFrame,
                     obspEdges: DataFrame, uns: DataFrame)
 
+  /** Empty alias table for callers with no alias dictionary. */
+  private def emptyAliases(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String)].toDF("alias_lower", "canonical")
+  }
+
   def build(spark: SparkSession, manifest: DataFrame, in: DatasetInputs,
-            tissue: String, productUuid: String,
-            creationTime: String): Bundle = {
+            tissue: String, productUuid: String, creationTime: String,
+            channelAliases: Option[DataFrame] = None): Bundle = {
     val leaves = leafDatasets(manifest)
-    val xLeaf = in.xLong.join(
+    val aliases = channelAliases.getOrElse(emptyAliases(spark))
+    // F-1 + J-3 first (`bin/concatenate.py:246,187-192`): channel names and
+    // antibody names are normalized BEFORE any var/varm/x assembly, so the
+    // annotation join keys agree even when inputs carry raw
+    // 'Anti-X'/'… antibody' names or aliased spellings.
+    val xNorm = normalizeChannels(in.xLong, "channel", aliases)
+    val antibodiesNorm = normalizeChannels(in.antibodies, "antibody_name",
+      aliases)
+    val xLeaf = xNorm.join(
       broadcast(leaves.select(col("uuid"))),
-      in.xLong("dataset") === col("uuid"), "left_semi")
+      xNorm("dataset") === col("uuid"), "left_semi")
     val varFinal = buildVar(xLeaf)
     val obs = buildObs(xLeaf, leaves, tissue)
     Bundle(
@@ -203,7 +220,7 @@ object CodexProduct {
       varDf = varFinal,
       xLong = buildXLong(xLeaf, varFinal),
       obsmCenters = buildCenters(in.centers, obs),
-      varm = buildVarm(varFinal, in.antibodies),
+      varm = buildVarm(varFinal, antibodiesNorm),
       obspEdges = buildObsp(in.edges, in.labels, xLeaf),
       uns = buildUns(spark, obs, tissue, productUuid, creationTime))
   }

@@ -37,14 +37,17 @@ object Knn {
       col(vecCol).as("q_vec")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("c_vec"))
+    // rank on the UNROUNDED cosine (rounding first would manufacture ties
+    // the oracle does not have); round only the displayed column
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine(col("q_vec"), col("c_vec")), 6))
+      .withColumn("cosine_raw", cosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
+      .orderBy(col("cosine_raw").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cosine")
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine_raw"), 6).as("cosine"))
   }
 
   /** IVF-style ANN: a small deterministic centroid sample partitions the
@@ -72,6 +75,10 @@ object Knn {
       .orderBy(xxhash64(col("cid")), col("cid"))
       .limit(nCells)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // degenerate corpora: 0 centroids -> brute force is the only sensible
+    // answer; 1 centroid -> everything lands in that single cell
+    if (centroids.length < 2)
+      return bruteForceTopK(corpus, queries, idCol, vecCol, k)
     def cellScores(vec: Column): Seq[Column] = centroids.toSeq.map {
       case (cid, cvec) =>
         struct(cosine(vec, typedLit(cvec)).as("sim"), lit(cid).as("cid"))
@@ -89,12 +96,13 @@ object Knn {
       .drop("__probe"))
     val scored = c.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine(col("q_vec"), col("c_vec")), 6))
+      .withColumn("cosine_raw", cosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
+      .orderBy(col("cosine_raw").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cosine")
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine_raw"), 6).as("cosine"))
   }
 
   /** Bucketed ANN top-k with multi-probe: each query probes its own bucket
@@ -108,11 +116,16 @@ object Knn {
     val qb = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("q_vec"),
       lsh_bucket(col(vecCol), nPlanes).as("bucket0"))
-    val probeCols =
-      if (multiProbe >= 1)
-        col("bucket0") +: (0 until nPlanes).map(p =>
-          col("bucket0").bitwiseXOR(lit(1L << p)))
-      else Seq(col("bucket0"))
+    require(multiProbe >= 0 && multiProbe <= 2,
+      "multiProbe is the probe Hamming radius; 0, 1 and 2 are supported")
+    val radius1 = (0 until nPlanes).map(p => 1L << p)
+    val masks: Seq[Long] = (Seq(0L) ++
+      (if (multiProbe >= 1) radius1 else Nil) ++
+      (if (multiProbe >= 2)
+        for { i <- 0 until nPlanes; j <- (i + 1) until nPlanes }
+          yield (1L << i) | (1L << j)
+      else Nil)).distinct
+    val probeCols = masks.map(m => col("bucket0").bitwiseXOR(lit(m)))
     val q = broadcast(qb
       .withColumn("bucket", explode(array(probeCols: _*)))
       .drop("bucket0"))
@@ -121,11 +134,12 @@ object Knn {
       lsh_bucket(col(vecCol), nPlanes).as("bucket"))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine(col("q_vec"), col("c_vec")), 6))
+      .withColumn("cosine_raw", cosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
+      .orderBy(col("cosine_raw").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cosine")
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine_raw"), 6).as("cosine"))
   }
 }

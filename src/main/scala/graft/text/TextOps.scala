@@ -27,9 +27,9 @@ object TextOps {
         (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
           .cast("long"))
 
-  /** Quality-score feature columns: length, token count, mean word length,
-    * punctuation ratio, stopword ratio, alpha ratio. All ratios are plain
-    * column arithmetic — one projection, zero shuffles.
+  /** Quality-score feature columns: char count, token count, mean word
+    * length, punctuation ratio, distinct-stopword count, alpha ratio. All
+    * plain column arithmetic — one projection, zero shuffles.
     */
   val stopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
@@ -47,6 +47,9 @@ object TextOps {
           greatest(nTok, lit(1L)), 2))
       .withColumn("punct_ratio",
         round((length(t) - length(regexp_replace(t, "[\\p{Punct}]", "")))
+          .cast("double") / greatest(length(t), lit(1)), 4))
+      .withColumn("alpha_ratio",
+        round(length(regexp_replace(t, "[^A-Za-z]", ""))
           .cast("double") / greatest(length(t), lit(1)), 4))
       .withColumn("stop_distinct", nStop)
   }

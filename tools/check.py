@@ -41,6 +41,14 @@ def main(outdir, sfdir):
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     results = {}
+    seen_dirs = {d.rstrip("/").split("/")[-1]
+                 for d in glob.glob(f"{outdir}/*/")}
+    try:
+        expected = set(json.load(open(f"{outdir}/query_names.json")))
+    except FileNotFoundError:
+        expected = seen_dirs | set(oracle)
+    for name in sorted(expected - seen_dirs):
+        results[name] = "MISSING_OUTPUT (query failed before writing)"
     for qdir in sorted(glob.glob(f"{outdir}/*/")):
         name = qdir.rstrip("/").split("/")[-1]
         files = glob.glob(f"{qdir}/*.parquet")

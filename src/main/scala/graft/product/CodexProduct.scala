@@ -187,6 +187,44 @@ object CodexProduct {
         "total_cell_count")
   }
 
+  /** F-13 (`make_uuids_tsv.py:105-156`): donor-metadata pivot. Input rows
+    * carry two arrays of `{grouping_concept_preferred_term, data_value,
+    * preferred_term}` structs (organ-donor and living-donor data; either
+    * nullable); output is one row per donor with the 7 fixed columns.
+    * Semantics preserved from the reference:
+    *  - living-donor data OVERRIDES organ-donor data (the reference
+    *    iterates organ first, living second, last write wins) — expressed
+    *    as max_by over the concatenation position, so it is deterministic
+    *    under Spark's unordered execution;
+    *  - Sex / Cause of Death / Race take `preferred_term`, the numeric
+    *    concepts take `data_value`.
+    */
+  val donorConcepts: Seq[String] = Seq(
+    "Age", "Sex", "Height", "Weight", "Body Mass Index", "Cause of Death",
+    "Race")
+
+  def donorPivot(donors: DataFrame, donorIdCol: String): DataFrame = {
+    val termConcepts = Seq("Sex", "Cause of Death", "Race")
+    // explode each side with a source tag instead of concat'ing the arrays
+    // (concat over a null-able array needs a typed empty-array literal);
+    // position = sourceTag · 1e6 + in-array pos reproduces organ-then-
+    // living write order. posexplode_outer keeps all-null donors present.
+    def side(arrCol: String, srcIdx: Int): DataFrame = donors
+      .select(col(donorIdCol), posexplode_outer(col(arrCol))
+        .as(Seq("pos", "entry")))
+      .select(col(donorIdCol),
+        (lit(srcIdx * 1000000L) + coalesce(col("pos"), lit(0)))
+          .as("write_order"),
+        col("entry.grouping_concept_preferred_term").as("concept"),
+        when(col("entry.grouping_concept_preferred_term")
+            .isin(termConcepts: _*), col("entry.preferred_term"))
+          .otherwise(col("entry.data_value")).as("value"))
+    side("organ_donor_data", 0).union(side("living_donor_data", 1))
+      .groupBy(col(donorIdCol))
+      .pivot("concept", donorConcepts)
+      .agg(max_by(col("value"), col("write_order")))
+  }
+
   /** Full product bundle. */
   case class Bundle(obs: DataFrame, varDf: DataFrame, xLong: DataFrame,
                     obsmCenters: DataFrame, varm: DataFrame,

@@ -269,6 +269,38 @@ object StarQueries {
              |SELECT p_brand FROM part WHERE p_size > 35
              |ORDER BY p_brand""".stripMargin)),
 
+    Q("o24b_except",
+      "Set difference (complement of O-24): distinct brands present among " +
+        "small parts but absent among large ones.",
+      (s, d) => {
+        import s.implicits._
+        val p = Tables.part(s, d)
+        p.filter($"p_size" < 10).select($"p_brand")
+          .except(p.filter($"p_size" > 35).select($"p_brand"))
+          .orderBy($"p_brand")
+      },
+      Some("""SELECT p_brand FROM part WHERE p_size < 10
+             |EXCEPT
+             |SELECT p_brand FROM part WHERE p_size > 35
+             |ORDER BY p_brand""".stripMargin)),
+
+    Q("agg_rollup",
+      "Beyond-reference agg surface: ROLLUP hierarchy — per (flag, " +
+        "status), per flag, and grand total in one pass.",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"))
+          .orderBy($"l_returnflag".asc_nulls_first,
+            $"l_linestatus".asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  sum(l_quantity) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST,
+             |  l_linestatus NULLS FIRST""".stripMargin)),
+
     Q("o25_collect_list",
       "O-25 (bin/concatenate.py:251,342): column-to-list collect per " +
         "group, deterministically sorted, joined to a string.",

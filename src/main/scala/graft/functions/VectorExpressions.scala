@@ -20,6 +20,19 @@ import org.apache.spark.sql.types._
   */
 object VectorKernels {
 
+  /** Null-element policy: any null element makes the whole vector result
+    * NULL (SQL-consistent), rather than silently reading the slot as 0.0.
+    * Parquet-sourced arrays are containsNull=true even when no element is
+    * actually null, so this is a cheap prepass (bitmap check per element)
+    * instead of a type-check rejection.
+    */
+  def anyNull(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
   /** splitmix64 finalizer — deterministic ±1 hyperplane components. */
   @inline def mix(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
@@ -107,67 +120,100 @@ trait VectorExpr { self: Expression =>
     vecType(e).contains(FloatType)
 }
 
-/** dot(a, b) → double. */
+/** dot(a, b) → double; NULL if either array has a null element. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with VectorExpr {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = checkVec(left, right)
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      isFloat(left), isFloat(right))
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]; val bb = b.asInstanceOf[ArrayData]
+    if (VectorKernels.anyNull(aa) || VectorKernels.anyNull(bb)) null
+    else VectorKernels.dot(aa, bb, isFloat(left), isFloat(right))
+  }
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VectorKernels.dot($a, $b, " +
-        s"${isFloat(left)}, ${isFloat(right)})")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if (graft.functions.VectorKernels.anyNull($a) ||
+          graft.functions.VectorKernels.anyNull($b)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VectorKernels.dot($a, $b,
+          ${isFloat(left)}, ${isFloat(right)});
+      }""")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(l, r)
 }
 
-/** cosine(a, b) → double, fused single pass. */
+/** cosine(a, b) → double, fused single pass; NULL on null elements. */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with VectorExpr {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = checkVec(left, right)
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.cosine(a.asInstanceOf[ArrayData],
-      b.asInstanceOf[ArrayData], isFloat(left), isFloat(right))
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]; val bb = b.asInstanceOf[ArrayData]
+    if (VectorKernels.anyNull(aa) || VectorKernels.anyNull(bb)) null
+    else VectorKernels.cosine(aa, bb, isFloat(left), isFloat(right))
+  }
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VectorKernels.cosine($a, $b, " +
-        s"${isFloat(left)}, ${isFloat(right)})")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if (graft.functions.VectorKernels.anyNull($a) ||
+          graft.functions.VectorKernels.anyNull($b)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VectorKernels.cosine($a, $b,
+          ${isFloat(left)}, ${isFloat(right)});
+      }""")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(l, r)
 }
 
-/** l2norm(a) → double. */
+/** l2norm(a) → double; NULL on null elements. */
 case class L2Norm(child: Expression)
     extends UnaryExpression with VectorExpr {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = checkVec(child)
-  override def nullSafeEval(a: Any): Any =
-    VectorKernels.l2(a.asInstanceOf[ArrayData], isFloat(child))
+  override def nullSafeEval(a: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    if (VectorKernels.anyNull(aa)) null
+    else VectorKernels.l2(aa, isFloat(child))
+  }
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a =>
-      s"graft.functions.VectorKernels.l2($a, ${isFloat(child)})")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      if (graft.functions.VectorKernels.anyNull($a)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VectorKernels.l2($a, ${isFloat(child)});
+      }""")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(c)
 }
 
-/** lsh_bucket(a, nPlanes) → long bucket id from nPlanes sign bits. */
+/** lsh_bucket(a, nPlanes) → long bucket id; NULL on null elements. */
 case class HyperplaneBucket(child: Expression, nPlanes: Int)
     extends UnaryExpression with VectorExpr {
   require(nPlanes > 0 && nPlanes <= 62, "nPlanes must be in [1, 62]")
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = checkVec(child)
-  override def nullSafeEval(a: Any): Any =
-    VectorKernels.bucket(a.asInstanceOf[ArrayData], isFloat(child), nPlanes)
+  override def nullSafeEval(a: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    if (VectorKernels.anyNull(aa)) null
+    else VectorKernels.bucket(aa, isFloat(child), nPlanes)
+  }
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a =>
-      s"graft.functions.VectorKernels.bucket($a, ${isFloat(child)}, $nPlanes)")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      if (graft.functions.VectorKernels.anyNull($a)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VectorKernels.bucket($a,
+          ${isFloat(child)}, $nPlanes);
+      }""")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(c)
 }

@@ -175,16 +175,24 @@ object CodexProduct {
       .join(broadcast(varFinal), Seq("channel"), "left_semi")
       .select("cell_id", "channel", "total", "mean")
 
-  /** uns scalars (`bin/concatenate.py:433-438`) as a single-row frame. */
+  /** uns scalars (`bin/concatenate.py:433-438`) as a single-row frame.
+    * `datasets` carries HuBMAP IDs, matching the reference checkpoint
+    * (`bin/concatenate.py:437` stores `processed_hbmids` in
+    * `uns['datasets']`); the UUIDs ride in a separate `dataset_uuids`
+    * field, mirroring create_json's distinct "Dataset UUIDs" list
+    * (`bin/concatenate.py:154-177`).
+    */
   def buildUns(spark: SparkSession, obs: DataFrame, tissue: String,
                productUuid: String, creationTime: String): DataFrame = {
     import spark.implicits._
-    val datasets = obs.select("dataset").distinct()
-      .orderBy("dataset").collect().map(_.getString(0))
-    Seq((productUuid, tissue, creationTime, datasets.mkString(","),
+    val pairs = obs.select("dataset", "hubmap_id").distinct()
+      .orderBy("dataset").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    Seq((productUuid, tissue, creationTime,
+      pairs.map(_._2).mkString(","), pairs.map(_._1).mkString(","),
       obs.count()))
       .toDF("uuid", "tissue", "creation_time", "datasets",
-        "total_cell_count")
+        "dataset_uuids", "total_cell_count")
   }
 
   /** F-13 (`make_uuids_tsv.py:105-156`): donor-metadata pivot. Input rows
@@ -200,11 +208,11 @@ object CodexProduct {
     *    concepts take `data_value`.
     */
   val donorConcepts: Seq[String] = Seq(
-    "Age", "Sex", "Height", "Weight", "Body Mass Index", "Cause of Death",
+    "Age", "Sex", "Height", "Weight", "Body mass index", "Cause of death",
     "Race")
 
   def donorPivot(donors: DataFrame, donorIdCol: String): DataFrame = {
-    val termConcepts = Seq("Sex", "Cause of Death", "Race")
+    val termConcepts = Seq("Sex", "Cause of death", "Race")
     // explode each side with a source tag instead of concat'ing the arrays
     // (concat over a null-able array needs a typed empty-array literal);
     // position = sourceTag · 1e6 + in-array pos reproduces organ-then-

@@ -88,8 +88,15 @@ object Sources {
     */
   def labels(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.sparkContext.textFile(path).zipWithIndex()
-      .collect { case (l, i) if l.trim.nonEmpty => (i + 1L, l.trim.toLong) }
+    // index among PARSED rows, not raw file lines: pandas read_csv skips
+    // blank lines, and the adjacency matrix's 1-based indices refer to
+    // positions among parsed label rows — numbering raw lines would
+    // silently mis-join every edge after an interior blank line. Filter
+    // first, then zipWithIndex over the surviving rows.
+    spark.sparkContext.textFile(path)
+      .map(_.trim).filter(_.nonEmpty)
+      .zipWithIndex()
+      .map { case (l, i) => (i + 1L, l.toLong) }
       .toDF("idx", "cell_id")
   }
 

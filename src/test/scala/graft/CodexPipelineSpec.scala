@@ -127,7 +127,9 @@ class CodexPipelineSpec extends AnyFunSuite {
     val r = bundle.uns.collect().head
     assert(r.getAs[String]("uuid") == "prod-1")
     assert(r.getAs[Long]("total_cell_count") == 4L)
-    assert(r.getAs[String]("datasets") == "ds1,ds2")
+    // datasets = HuBMAP IDs (concatenate.py:437); uuids ride separately
+    assert(r.getAs[String]("datasets") == "HBM1,HBM2")
+    assert(r.getAs[String]("dataset_uuids") == "ds1,ds2")
   }
 
   test("K-1 sink writes the component-table bundle") {

@@ -53,6 +53,20 @@ class KnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("null array elements propagate NULL, never read as 0.0") {
+    val df = Seq(
+      (1L, Seq[java.lang.Float](1.0f, null, 3.0f), Seq[java.lang.Float](1.0f, 1.0f, 1.0f)),
+      (2L, Seq[java.lang.Float](1.0f, 2.0f, 3.0f), Seq[java.lang.Float](1.0f, 1.0f, 1.0f))
+    ).toDF("id", "a", "b")
+    val out = df.select($"id", vec_dot($"a", $"b").as("d"),
+        vec_cosine($"a", $"b").as("c"), vec_l2($"a").as("n"),
+        lsh_bucket($"a", 4).as("bk"))
+      .orderBy("id").collect()
+    assert(out(0).isNullAt(1) && out(0).isNullAt(2) &&
+      out(0).isNullAt(3) && out(0).isNullAt(4))
+    assert(out(1).getDouble(1) == 6.0) // clean rows unaffected
+  }
+
   test("lsh_bucket is deterministic and in range") {
     val emb = Tables.embeddings(spark, TestSpark.sf).limit(50)
     val b1 = emb.select($"vec_id", lsh_bucket($"embedding", 6).as("b"))

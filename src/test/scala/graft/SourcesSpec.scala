@@ -47,6 +47,16 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, 101L), (2L, 205L), (3L, 3L)))
   }
 
+  test("S-7 label reader: blank lines don't shift indices (pandas parity)") {
+    // pandas read_csv skips blank lines, so the 1-based matrix index counts
+    // PARSED rows — an interior blank line must not create a gap
+    val p = tmpFile("labels_blank.txt", "101\n\n205\n   \n3\n")
+    val rows = Sources.labels(spark, p.toString)
+      .orderBy("idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((1L, 101L), (2L, 205L), (3L, 3L)))
+  }
+
   test("S-1 manifest TSV: all-string schema, header respected") {
     val p = tmpFile("uuids.tsv",
       "uuid\thubmap_id\timmediate_ancestor_ids\timmediate_descendant_ids" +

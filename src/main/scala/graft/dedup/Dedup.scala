@@ -133,25 +133,54 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
-  /** SimHash signatures: 64-bit, bit i = majority over token hashes' bit i.
-    * Single typed pass: one tokenization, 64 counters, branch-free update.
-    * Output (id: long, simhash: long).
+  /** 60-bit md5-prefix token hash: first 15 hex chars of md5(token). ~2×
+    * slower than murmur but portable — any engine with md5 (DuckDB, Trino,
+    * …) reproduces it bit-for-bit, which is what makes the simhash oracle-
+    * checkable across engines.
     */
-  def simhashSignatures(df: DataFrame, idCol: String,
-                        textCol: String): DataFrame = {
+  private[dedup] def md5h60(md: java.security.MessageDigest,
+                            s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 7.5 bytes = 15 hex chars = 60 bits
+    ((d(0) & 0xFFL) << 52) | ((d(1) & 0xFFL) << 44) |
+      ((d(2) & 0xFFL) << 36) | ((d(3) & 0xFFL) << 28) |
+      ((d(4) & 0xFFL) << 20) | ((d(5) & 0xFFL) << 12) |
+      ((d(6) & 0xFFL) << 4) | ((d(7) & 0xF0L) >>> 4)
+  }
+
+  /** SimHash signatures: bit i = majority over token hashes' bit i.
+    * Single typed pass: one tokenization, one hash per token, branch-free
+    * counter update. Output (id: long, simhash: long).
+    *
+    * `tokenHash` picks the token hash: "murmur" (64-bit, fastest — the
+    * 100 TB default) or "md5" (60-bit md5 prefix, engine-portable so the
+    * signature is verifiable against an independent SQL engine).
+    */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        tokenHash: String = "murmur"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val useMd5 = tokenHash match {
+      case "md5" => true
+      case "murmur" => false
+      case other => throw new IllegalArgumentException(
+        s"tokenHash must be 'murmur' or 'md5', got '$other'")
+    }
+    val nBits = if (useMd5) 60 else 64
     df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { it =>
+        val md = if (useMd5)
+          java.security.MessageDigest.getInstance("MD5") else null
         it.map { case (id, text) =>
-          val counts = new Array[Int](64)
+          val counts = new Array[Int](nBits)
           val toks = tokenize(text)
           var t = 0
           while (t < toks.length) {
-            val h = h64(toks(t), 0)
+            val h = if (useMd5) md5h60(md, toks(t)) else h64(toks(t), 0)
             var i = 0
-            while (i < 64) {
+            while (i < nBits) {
               counts(i) += ((h >>> i) & 1L).toInt
               i += 1
             }
@@ -159,7 +188,7 @@ object Dedup {
           }
           var sig = 0L
           var i = 0
-          while (i < 64) {
+          while (i < nBits) {
             if (counts(i) * 2 >= toks.length) sig |= (1L << i)
             i += 1
           }
@@ -185,6 +214,54 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
+  }
+
+  /** Duplicate clusters: connected components over a near-dup candidate
+    * edge list — the standard post-pass after MinHash/SimHash/embedding
+    * candidate generation ("keep one doc per duplicate cluster"). Returns
+    * (id, cluster_id) with cluster_id = the smallest id in the component.
+    *
+    * Distributed min-label propagation: each round every vertex takes the
+    * min of its own label and its neighbors' labels — one join + one
+    * aggregation per round, converging in O(component diameter) rounds
+    * (near-dup clusters are shallow; pathological chains are bounded by
+    * `maxIter`). `localCheckpoint` truncates the iterative lineage so plans
+    * don't grow unboundedly — the classic Spark iterative-algorithm trap.
+    * At 100 TB scale the same loop runs with edges pre-partitioned by src;
+    * alternating large-star/small-star would cut rounds to O(log n) but
+    * needs no different plumbing.
+    */
+  def duplicateClusters(nodes: DataFrame, edges: DataFrame, idCol: String,
+                        maxIter: Int = 25): DataFrame = {
+    val sym = edges
+      .select(col("a_id").cast("long").as("src"),
+        col("b_id").cast("long").as("dst"))
+      .union(edges.select(col("b_id").cast("long").as("src"),
+        col("a_id").cast("long").as("dst")))
+    var labels = nodes
+      .select(col(idCol).cast("long").as("id"))
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val next = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("cluster_id"))
+        .union(labels.select(col("id"), col("cluster_id")))
+        .groupBy(col("id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .count()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIter " +
+      "rounds — raise maxIter for deep components")
+    labels
   }
 
   /** Embedding near-dup: pairs with cosine ≥ threshold, brute force within

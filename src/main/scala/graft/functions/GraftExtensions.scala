@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for the engine's native Catalyst expressions —
+  * the idiomatic Spark extension point (SURVEY.md §7.3): with this
+  * installed, `spark.sql("SELECT vec_cosine(a, b) ...")` parses, analyzes
+  * and codegens exactly like a built-in function.
+  *
+  * Two installation paths:
+  *  - cluster-wide: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  *    (applied when the session is built);
+  *  - per-session on a live session: `GraftFunctions.register(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft.functions." + name, name)
+
+  private def intArg(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn: argument must be a literal integer")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected integer literal, got $other")
+    }
+  }
+
+  /** (name, info, builder) triples, shared by the extensions injector and
+    * the live-session registrar.
+    */
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      info("DotProduct", "vec_dot(a, b) - dot product"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    (FunctionIdentifier("vec_cosine"),
+      info("CosineSimilarity", "vec_cosine(a, b) - cosine similarity"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    (FunctionIdentifier("vec_l2"),
+      info("L2Norm", "vec_l2(a) - L2 norm"),
+      (args: Seq[Expression]) => L2Norm(args(0))),
+    (FunctionIdentifier("lsh_bucket"),
+      info("HyperplaneBucket", "lsh_bucket(a, nPlanes) - LSH bucket id"),
+      (args: Seq[Expression]) =>
+        HyperplaneBucket(args(0), intArg(args(1), "lsh_bucket"))))
+
+  /** Register the functions into an already-built session's registry (the
+    * same mechanism `injectFunction` uses at session build time).
+    */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (ident, inf, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, inf, builder)
+    }
+}

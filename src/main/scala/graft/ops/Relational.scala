@@ -129,4 +129,49 @@ object Relational {
     */
   def topK(df: DataFrame, k: Int, order: Seq[Column]): DataFrame =
     df.orderBy(order: _*).limit(k)
+
+  /** As-of join (beyond-reference operator): for every left row, attach the
+    * `valueCols` of the LATEST right row with the same `keys` whose
+    * `rightTs` is before (`strict = true`) or at-or-before the left row's
+    * `leftTs`. Left rows with no eligible right row keep NULLs (left-outer
+    * as-of).
+    *
+    * Spark-first design: instead of a range join (which explodes to
+    * O(left × right) per key before filtering), both sides are UNIONED and
+    * processed with ONE window over (keys) ordered by (ts, side):
+    * `last(value, ignoreNulls)` over the strictly-preceding frame is
+    * exactly "most recent earlier right row". Cost = one shuffle on `keys`
+    * + one sort per partition — the merge-join shape an as-of join should
+    * have at 100 TB. Equal timestamps: with `strict` the left row sorts
+    * BEFORE same-ts right rows (they are invisible); non-strict sorts them
+    * after. `rightTieBreak` makes the pick among equal-ts right rows
+    * deterministic.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, valueCols: Seq[String],
+               strict: Boolean = true,
+               rightTieBreak: Seq[String] = Nil): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(valueCols.intersect(leftCols).isEmpty,
+      s"valueCols ${valueCols.intersect(leftCols).mkString(",")} collide " +
+        "with left columns — rename on the right side first")
+    val rOrd = if (strict) 1 else -1
+    val l = left
+      .withColumn("__asof_ts", col(leftTs))
+      .withColumn("__asof_ord", lit(0))
+    val r = right.select(
+      (keys.map(col) :+ col(rightTs).as("__asof_ts") :+
+        lit(rOrd).as("__asof_ord")) ++
+        valueCols.map(col) ++ rightTieBreak.map(col): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__asof_ts").asc +: col("__asof_ord").asc +:
+        rightTieBreak.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val matched = valueCols.foldLeft(unioned) { (df, v) =>
+      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+    }
+    matched.filter(col("__asof_ord") === 0)
+      .select((leftCols ++ valueCols).map(col): _*)
+  }
 }

@@ -1,0 +1,206 @@
+package graft.queries
+
+import graft.functions.VectorKernels
+import graft.text.TextOps
+
+/** Generators for DuckDB oracle SQL that must agree BIT-FOR-BIT with the
+  * engine's native vector kernels (`graft.functions.VectorKernels`) and
+  * text heuristics (`graft.text.TextOps`).
+  *
+  * The trick that makes hash-exact verification possible: the kernels do
+  * sequential left-associated double arithmetic over float inputs widened
+  * to double, and SQL's `a + b + c` / explicit `CAST(x AS DOUBLE)` chains
+  * evaluate identically (verified bit-for-bit against DuckDB), so the
+  * oracle can reproduce cosine ranks, LSH buckets and IVF cells exactly —
+  * the ±1 hyperplane signs and language marker lists are expanded from the
+  * SAME Scala constants the engine executes, so they cannot drift.
+  */
+object OracleGen {
+
+  /** Σ_i CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE), left-associated —
+    * matches the kernels' sequential accumulation order exactly.
+    */
+  private def dotTerms(a: String, b: String, dim: Int): String =
+    (1 to dim).map(i =>
+      s"(CAST($a.embedding[$i] AS DOUBLE)*CAST($b.embedding[$i] AS DOUBLE))")
+      .mkString("+")
+
+  /** Fused cosine (`VectorKernels.cosine`): d / (sqrt(na)*sqrt(nb)), 0.0 on
+    * zero denominator; operand order preserved (first arg's norm under the
+    * first sqrt).
+    */
+  def cosExpr(a: String, b: String, dim: Int): String = {
+    val d = dotTerms(a, b, dim)
+    val na = dotTerms(a, a, dim)
+    val nb = dotTerms(b, b, dim)
+    s"(CASE WHEN sqrt($na)*sqrt($nb) = 0 THEN 0.0 " +
+      s"ELSE ($d)/(sqrt($na)*sqrt($nb)) END)"
+  }
+
+  /** Random-hyperplane LSH bucket (`VectorKernels.bucket`): bit p = sign of
+    * Σ_i x_i·s(i,p) with s(i,p) = ±1 from splitmix64 parity. The signs are
+    * computed HERE from the same `mix` the codegen'd kernel calls, and
+    * expanded as +/- term chains (IEEE a-b ≡ a+(-b), so the fold matches
+    * the kernel's `acc += x*s` exactly).
+    */
+  def bucketExpr(t: String, dim: Int, nPlanes: Int): String =
+    (0 until nPlanes).map { p =>
+      val acc = (0 until dim).map { i =>
+        val neg = (VectorKernels.mix((i.toLong << 16) | p.toLong) & 1L) != 0L
+        val sign = if (neg) "-" else "+"
+        s"$sign CAST($t.embedding[${i + 1}] AS DOUBLE)"
+      }.mkString("0.0 ", " ", "")
+      s"(CASE WHEN ($acc) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Language-ID argmax (`TextOps.langId`): per-language score = number of
+    * DISTINCT marker words present; winner = lexicographic max of
+    * (score, lang) — `list_max` over structs reproduces Spark's
+    * `greatest(struct(score, lang))` fieldwise comparison.
+    */
+  def langIdSql: String = {
+    val structs = TextOps.langMarkers.toSeq.sortBy(_._1).map {
+      case (lang, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"struct_pack(s := len(list_intersect(toks, $lst)), l := '$lang')"
+    }.mkString(",\n      ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    string_split_regex(lower(text), '\\s+') AS toks
+       |  FROM documents),
+       |best AS (
+       |  SELECT doc_id, lang, list_max([
+       |      $structs]) AS b
+       |  FROM t)
+       |SELECT doc_id, lang,
+       |  CASE WHEN b.s > 0 THEN b.l ELSE 'und' END AS pred_lang
+       |FROM best ORDER BY doc_id""".stripMargin
+  }
+
+  /** SimHash over the 60-bit md5-prefix token hash
+    * (`Dedup.simhashSignatures(tokenHash = "md5")`): bit i of the signature
+    * = majority of token-hash bit i (ties → 1); docs with no tokens get all
+    * 60 bits set (the kernel's `0*2 >= 0` degenerate case).
+    */
+  def simhashMd5Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |th AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+       |  FROM toks),
+       |bits AS (
+       |  SELECT doc_id, b.bit,
+       |    SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+       |    COUNT(*) AS n
+       |  FROM th CROSS JOIN (SELECT unnest(range(60)) AS bit) b
+       |  GROUP BY doc_id, b.bit),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN ones * 2 >= n
+       |      THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(s.simhash, ${(1L << 60) - 1}) AS simhash
+       |FROM documents d LEFT JOIN sig s USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Embedding near-dup degree (`Dedup.embeddingNearDup` with nPlanes
+    * hyperplane buckets): in-bucket pairs with round(cosine, 6) ≥
+    * threshold, counted per vector.
+    */
+  def embeddingNearDupSql(dim: Int, nPlanes: Int, threshold: Double): String = {
+    val bucket = bucketExpr("t", dim, nPlanes)
+    val cos = cosExpr("a", "b", dim)
+    s"""WITH e AS (
+       |  SELECT t.vec_id, t.embedding, $bucket AS bucket
+       |  FROM embeddings t),
+       |near AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM e a JOIN e b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE round($cos, 6) >= $threshold),
+       |deg AS (
+       |  SELECT id AS vec_id, count(*) AS c FROM (
+       |    SELECT a_id AS id FROM near
+       |    UNION ALL SELECT b_id AS id FROM near)
+       |  GROUP BY id)
+       |SELECT e.vec_id, CAST(coalesce(deg.c, 0) AS BIGINT) AS n_neardups
+       |FROM e LEFT JOIN deg USING (vec_id)
+       |ORDER BY e.vec_id""".stripMargin
+  }
+
+  /** LSH ANN top-k (`Knn.lshTopK`, multiProbe = 1): query probes its own
+    * bucket plus every bucket one sign-flip away; rank on the UNROUNDED
+    * cosine (bit-identical across engines), ties by neighbor id.
+    */
+  def knnLshSql(dim: Int, nPlanes: Int, k: Int, maxQueryId: Long): String = {
+    val bucket = bucketExpr("t", dim, nPlanes)
+    val cos = cosExpr("p", "c", dim)
+    val masks = (Seq(0L) ++ (0 until nPlanes).map(p => 1L << p))
+      .map(m => s"($m)").mkString(", ")
+    s"""WITH e AS (
+       |  SELECT t.vec_id, t.embedding, $bucket AS bucket
+       |  FROM embeddings t),
+       |q AS (SELECT vec_id AS query_id, embedding, bucket
+       |      FROM e WHERE vec_id < $maxQueryId),
+       |probes AS (
+       |  SELECT query_id, embedding,
+       |    xor(bucket, m.m::BIGINT) AS bucket
+       |  FROM q CROSS JOIN (VALUES $masks) m(m)),
+       |scored AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id,
+       |    $cos AS cos
+       |  FROM probes p JOIN e c USING (bucket)
+       |  WHERE c.vec_id <> p.query_id)
+       |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank
+       |FROM (SELECT query_id, neighbor_id,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, neighbor_id) AS rn
+       |      FROM scored) t
+       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** IVF ANN top-k (`Knn.ivfTopK`): centroids = smallest nCells by
+    * md5(id-as-string); corpus assigned to argmax-cosine cell (ties → max
+    * centroid id, matching Spark's greatest-over-structs); queries probe
+    * their nProbe best cells.
+    */
+  def knnIvfSql(dim: Int, nCells: Int, nProbe: Int, k: Int,
+                maxQueryId: Long): String = {
+    val cosCT = cosExpr("c", "t", dim) // corpus × centroid (corpus first)
+    val cosQT = cosExpr("a", "t", dim) // query  × centroid (query first)
+    val cosQC = cosExpr("q", "c", dim) // query  × corpus   (query first)
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cid, embedding FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCells),
+       |cells AS (
+       |  SELECT vec_id, embedding, cid AS cell FROM (
+       |    SELECT c.vec_id, c.embedding, t.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY $cosCT DESC, t.cid DESC) AS rn
+       |    FROM embeddings c CROSS JOIN cent t) x
+       |  WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, embedding, cid AS cell FROM (
+       |    SELECT a.vec_id, a.embedding, t.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |        ORDER BY $cosQT DESC, t.cid DESC) AS rn
+       |    FROM (SELECT * FROM embeddings WHERE vec_id < $maxQueryId) a
+       |    CROSS JOIN cent t) x
+       |  WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    $cosQC AS cos
+       |  FROM qprobe q JOIN cells c USING (cell)
+       |  WHERE c.vec_id <> q.query_id)
+       |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank
+       |FROM (SELECT query_id, neighbor_id,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, neighbor_id) AS rn
+       |      FROM scored) t
+       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
+  }
+}

@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
 
 /** The large-scale training-data-pipeline operator suite (builder mandate:
   * dedup, similarity search, multimodal columns, text analysis), phrased
-  * over the `documents` and `embeddings` harness tables. Queries that rely
-  * on engine-specific hash functions (xxhash64) or non-SQL semantics have
-  * no DuckDB oracle and get the driver's rows-only check; everything
-  * count/length-based is oracle-checked exactly (integer outputs, no float
-  * compare).
+  * over the `documents` and `embeddings` harness tables. Nearly everything
+  * is oracle-exact against DuckDB — including the ANN/LSH/simhash family,
+  * whose hashes and float kernels are reproduced bit-for-bit in generated
+  * SQL (`OracleGen`). Only queries built on engine-specific hashing with
+  * modular arithmetic (minhash's 2-hash scheme wraps 64-bit ints, which
+  * SQL BIGINT refuses) or engine-specific sketches (HLL) stay rows-only.
   */
 object PipelineQueries {
 
@@ -57,8 +58,9 @@ object PipelineQueries {
 
     Q("t_lang_id",
       "Text analysis: n-gram/stopword language-ID heuristic (expression-" +
-        "only argmax over marker-word hits). Not SQL-expressible → " +
-        "rows-only check; accuracy asserted in ScalaTest.",
+        "only argmax over marker-word hits). Oracle: the marker lists are " +
+        "expanded into SQL from the SAME TextOps constant, argmax via " +
+        "list_max over (score, lang) structs.",
       (s, d) => {
         import s.implicits._
         Tables.documents(s, d)
@@ -66,7 +68,7 @@ object PipelineQueries {
             TextOps.langId($"text").as("pred_lang"))
           .orderBy($"doc_id")
       },
-      None),
+      Some(OracleGen.langIdSql)),
 
     Q("t_fingerprint",
       "Text analysis: document fingerprint over normalized text " +
@@ -116,15 +118,18 @@ object PipelineQueries {
       None),
 
     Q("d_simhash",
-      "Dedup: 64-bit SimHash signatures (per-bit majority over token " +
-        "hashes, expression-only) — rows-only (engine hash).",
+      "Dedup: SimHash signatures (per-bit majority over token hashes, one " +
+        "typed pass). The 60-bit md5-prefix token hash is engine-portable, " +
+        "so the signature itself is oracle-exact; the murmur variant stays " +
+        "the throughput default.",
       (s, d) => {
         import s.implicits._
-        Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text")
+        Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text",
+            tokenHash = "md5")
           .withColumnRenamed("id", "doc_id")
           .orderBy($"doc_id")
       },
-      None),
+      Some(OracleGen.simhashMd5Sql)),
 
     Q("d_ngram_jaccard",
       "Dedup: n-gram Jaccard verify — token-set overlap within source " +
@@ -173,7 +178,8 @@ object PipelineQueries {
           .na.fill(0L, Seq("n_neardups"))
           .orderBy($"vec_id")
       },
-      None),
+      Some(OracleGen.embeddingNearDupSql(dim = 64, nPlanes = 4,
+        threshold = 0.5))),
 
     Q("e_knn_brute",
       "Similarity: brute-force cosine top-k (broadcast queries, corpus " +
@@ -202,8 +208,9 @@ object PipelineQueries {
 
     Q("e_knn_lsh",
       "Similarity: LSH-bucketed ANN top-k — the scale path (probe one " +
-        "bucket instead of the corpus). Engine hash planes → rows-only; " +
-        "recall vs brute force asserted in ScalaTest.",
+        "bucket + one-flip neighbors instead of the corpus). Oracle-exact: " +
+        "the ±1 plane signs are expanded into SQL from the same splitmix64 " +
+        "the kernel evaluates; ranks compare on bit-identical doubles.",
       (s, d) => {
         import s.implicits._
         val emb = Tables.embeddings(s, d)
@@ -213,12 +220,13 @@ object PipelineQueries {
             .as("rank"))
           .orderBy($"query_id", $"rank")
       },
-      None),
+      Some(OracleGen.knnLshSql(dim = 64, nPlanes = 4, k = 5,
+        maxQueryId = 10))),
 
     Q("e_knn_ivf",
-      "Similarity: IVF-style ANN — data-adaptive centroid cells, nProbe " +
-        "nearest cells probed per query (deterministic centroid sample → " +
-        "rows-only; recall vs brute force asserted in ScalaTest).",
+      "Similarity: IVF-style ANN — data-adaptive centroid cells (portable " +
+        "md5-ordered sample), nProbe nearest cells probed per query. " +
+        "Oracle-exact: cell assignment and ranks reproduce bit-for-bit.",
       (s, d) => {
         import s.implicits._
         val emb = Tables.embeddings(s, d)
@@ -228,7 +236,8 @@ object PipelineQueries {
             $"rank".cast("long").as("rank"))
           .orderBy($"query_id", $"rank")
       },
-      None),
+      Some(OracleGen.knnIvfSql(dim = 64, nCells = 16, nProbe = 3, k = 5,
+        maxQueryId = 10))),
 
     Q("m_multimodal_meta",
       "Multimodal: binary-column plumbing — payload bytes + typed " +
@@ -350,6 +359,210 @@ object PipelineQueries {
              |  min(doc_id) AS first_doc
              |FROM kept WHERE rk = 1
              |GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+
+    Q("t_token_bpe",
+      "Text analysis: BPE-ish token estimate — words + punctuation runs " +
+        "counted separately, approximating subword tokenizers without a " +
+        "vocab file. Pure column arithmetic, oracle-exact.",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", TextOps.tokenCountBpeIsh($"text").as("n_bpe"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |    ELSE len(string_split_regex(trim(text), '\s+')) +
+             |      (length(text) -
+             |       length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+             |    END AS BIGINT) AS n_bpe
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("e_knn_sql",
+      "SQL surface for the native vector expressions: vec_cosine is " +
+        "registered through SparkSessionExtensions/FunctionRegistry, so " +
+        "plain spark.sql text plans and codegens it like a built-in — " +
+        "brute-force top-3 written entirely in SQL.",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.embeddings(s, d).createOrReplaceTempView("graft_emb")
+        s.sql("""
+          WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+                     FROM graft_emb WHERE vec_id < 5),
+          scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   vec_cosine(q.q_vec, e.embedding) AS cos
+            FROM graft_emb e JOIN q ON e.vec_id <> q.query_id)
+          SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank
+          FROM (SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS rn
+                FROM scored) t
+          WHERE rn <= 3 ORDER BY query_id, rank""")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding
+             |           FROM embeddings WHERE vec_id < 5),
+             |pairs AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             |    list_cosine_similarity(q.embedding, e.embedding) AS sim
+             |  FROM q CROSS JOIN embeddings e
+             |  WHERE e.vec_id <> q.query_id)
+             |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank
+             |FROM (SELECT query_id, neighbor_id,
+             |        ROW_NUMBER() OVER (PARTITION BY query_id
+             |          ORDER BY sim DESC, neighbor_id) AS rn
+             |      FROM pairs) t
+             |WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin)),
+
+    Q("stream_sessionize",
+      "Streaming custom state: flatMapGroupsWithState sessionization — " +
+        "per-user (lastTs, counters) state carried across batches; on the " +
+        "static table this equals the batch window sessionization " +
+        "(oracle-checked against the same SQL as w_sessionize).",
+      (s, d) => {
+        import s.implicits._
+        val schema = Tables.eventsRaw(s, d).schema
+        val stream = Tables.normalizeEventsTs(
+          Streams.fileStream(s, s"$d/events.*", schema))
+        val sessions = Streams.streamingSessionCounts(stream,
+          gapMicros = 21600000000L)
+        Streams.runToMemoryAppend(sessions,
+            s"stream_sessions_${System.nanoTime()}")
+          .orderBy($"user_id")
+      },
+      Some("""WITH marked AS (
+             |  SELECT user_id,
+             |    CASE WHEN prev_ts IS NULL
+             |      OR epoch_us(ts) - epoch_us(prev_ts) > 21600000000
+             |      THEN 1 ELSE 0 END AS new_session
+             |  FROM (SELECT user_id, ts, event_id,
+             |          lag(ts) OVER (PARTITION BY user_id
+             |            ORDER BY ts, event_id) AS prev_ts
+             |        FROM events) t)
+             |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+             |  count(*) AS n_events
+             |FROM marked GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    Q("j7_asof_join",
+      "Beyond-reference join surface: as-of join — each purchase event " +
+        "picks the latest strictly-earlier click of the same user. " +
+        "Spark side: union + one window (merge shape, one shuffle), no " +
+        "range-join explosion; oracle: DuckDB's native ASOF JOIN — an " +
+        "independent algorithm agreeing on every row.",
+      (s, d) => {
+        import graft.ops.Relational
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts".as("click_ts"),
+            $"ts".as("prior_click_ts"))
+        Relational.asofJoin(purchases, clicks, Seq("user_id"),
+            leftTs = "ts", rightTs = "click_ts",
+            valueCols = Seq("prior_click_ts"), strict = true)
+          .orderBy($"event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id,
+             |    epoch_ns(ts) // 1000 AS ts_us FROM events
+             |  WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us
+             |  FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id, make_timestamp(p.ts_us) AS ts,
+             |  make_timestamp(c.ts_us) AS prior_click_ts
+             |FROM p ASOF LEFT JOIN c
+             |  ON p.user_id = c.user_id AND p.ts_us > c.ts_us
+             |ORDER BY p.event_id""".stripMargin)),
+
+    Q("w_rolling_window",
+      "Window frames: rolling 5-row sum + count per user over event time " +
+        "— exact integer cents so the sliding aggregation is bit-exact " +
+        "across engines regardless of their frame-evaluation algorithm.",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val cents = round($"value" * 100).cast("long")
+        val w = Window.partitionBy($"user_id")
+          .orderBy(unix_micros($"ts"), $"event_id")
+          .rowsBetween(-4, 0)
+        Tables.events(s, d)
+          .select($"event_id", $"user_id",
+            sum(cents).over(w).as("rolling_cents"),
+            count(lit(1)).over(w).as("n_window"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER w
+             |    AS BIGINT) AS rolling_cents,
+             |  CAST(COUNT(*) OVER w AS BIGINT) AS n_window
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id
+             |  ORDER BY epoch_ns(ts) // 1000, event_id
+             |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
+    Q("d_dup_clusters",
+      "Dedup post-pass: duplicate clusters = connected components over " +
+        "near-dup candidate edges (token-set Jaccard ≥ 0.3 within source " +
+        "groups), cluster id = min doc id. Spark: distributed min-label " +
+        "propagation; oracle: DuckDB recursive CTE — independent " +
+        "algorithms, identical components.",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).filter($"doc_id" < 100)
+          .select($"doc_id", $"source",
+            array_distinct(split($"text", " ")).as("toks"))
+        val a = docs.as("a"); val b = docs.as("b")
+        // integer cross-multiplication, not a float ratio — exact compare
+        val edges = a.join(b, col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .filter(lit(10) * size(array_intersect(col("a.toks"),
+            col("b.toks"))) >=
+            lit(3) * size(array_union(col("a.toks"), col("b.toks"))))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        Dedup.duplicateClusters(docs.select($"doc_id"), edges, "doc_id")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT doc_id, source,
+             |    list_distinct(string_split(text, ' ')) AS toks
+             |  FROM documents WHERE doc_id < 100),
+             |e AS (SELECT a.doc_id AS a, b.doc_id AS b
+             |  FROM t a JOIN t b
+             |  ON a.source = b.source AND a.doc_id < b.doc_id
+             |  AND 10 * len(list_intersect(a.toks, b.toks)) >=
+             |      3 * len(list_distinct(list_concat(a.toks, b.toks)))),
+             |ee AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+             |reach AS (
+             |  SELECT doc_id AS id, doc_id AS lab FROM t
+             |  UNION
+             |  SELECT ee.b, reach.lab FROM reach
+             |  JOIN ee ON ee.a = reach.id)
+             |SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
+    Q("stream_dedup",
+      "Streaming dedup: dropDuplicatesWithinWatermark on (user_id, " +
+        "event_type) over the file stream, run to completion (single " +
+        "batch over the static table ⇒ exactly batch DISTINCT), then " +
+        "distinct-users-per-type — oracle-checked against batch SQL.",
+      (s, d) => {
+        import s.implicits._
+        val schema = Tables.eventsRaw(s, d).schema
+        val stream = Tables.normalizeEventsTs(
+          Streams.fileStream(s, s"$d/events.*", schema))
+        val deduped = Streams.streamingDedup(stream, "ts",
+          Seq("user_id", "event_type"), "1 hour")
+        Streams.runToMemoryAppend(deduped,
+            s"stream_dedup_${System.nanoTime()}")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_first_seen"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type,
+             |  count(DISTINCT user_id) AS n_first_seen
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
 
     Q("stream_windowed_counts",
       "Streaming: file-source stream → watermarked tumbling-window " +

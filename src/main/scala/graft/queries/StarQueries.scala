@@ -301,6 +301,58 @@ object StarQueries {
              |ORDER BY l_returnflag NULLS FIRST,
              |  l_linestatus NULLS FIRST""".stripMargin)),
 
+    Q("agg_cube",
+      "Beyond-reference agg surface: CUBE over (flag, status) with " +
+        "GROUPING indicators — all four grouping sets in one pass " +
+        "(partial aggregation expands grouping sets map-side, one " +
+        "shuffle).",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .cube($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"),
+            grouping($"l_returnflag").cast("long").as("g_flag"),
+            grouping($"l_linestatus").cast("long").as("g_status"))
+          .orderBy($"l_returnflag".asc_nulls_first,
+            $"l_linestatus".asc_nulls_first, $"g_flag", $"g_status")
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  sum(l_quantity) AS sum_qty,
+             |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+             |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST,
+             |  l_linestatus NULLS FIRST, g_flag, g_status""".stripMargin)),
+
+    Q("o30_stratified_sample",
+      "Beyond-reference sampling: deterministic per-stratum hash sample — " +
+        "md5-derived [0,100) bucket per row, per-returnflag rate " +
+        "(A:5%, N:10%, else 20%). Reproducible on any engine and any " +
+        "cluster size (no RNG state), a pure scan-side filter at 100 TB.",
+      (s, d) => {
+        import s.implicits._
+        val bucket = conv(substring(
+          md5(concat_ws("-", $"l_orderkey", $"l_linenumber")), 1, 15),
+          16, 10).cast("long") % 100
+        val rate = when($"l_returnflag" === "A", 5)
+          .when($"l_returnflag" === "N", 10).otherwise(20)
+        Tables.lineitem(s, d)
+          .filter(bucket < rate)
+          .select($"l_orderkey", $"l_linenumber".cast("long")
+            .as("l_linenumber"), $"l_returnflag")
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT)
+             |    AS l_linenumber, l_returnflag
+             |FROM lineitem
+             |WHERE CAST(concat('0x', substr(md5(
+             |    CAST(l_orderkey AS VARCHAR) || '-' ||
+             |    CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT)
+             |  % 100 <
+             |  CASE l_returnflag WHEN 'A' THEN 5 WHEN 'N' THEN 10
+             |    ELSE 20 END
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     Q("o25_collect_list",
       "O-25 (bin/concatenate.py:251,342): column-to-list collect per " +
         "group, deterministically sorted, joined to a string.",
@@ -612,9 +664,15 @@ object StarQueries {
         "per-partition cumulative sum with a fully deterministic frame.",
       (s, d) => {
         import s.implicits._
+        // (shipdate, orderkey, linenumber) is NOT unique in the generated
+        // data (175 duplicate triples at sf0.1) — a running sum over a
+        // non-total order is engine-order-dependent. Adding l_quantity
+        // makes any remaining ties interchangeable for the prefix sum, so
+        // the result is deterministic on every engine.
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"l_suppkey")
-          .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+          .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber",
+            $"l_quantity")
           .rowsBetween(org.apache.spark.sql.expressions.Window
             .unboundedPreceding, 0)
         Tables.lineitem(s, d)
@@ -624,7 +682,7 @@ object StarQueries {
       },
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
              |  SUM(l_quantity) OVER (PARTITION BY l_suppkey
-             |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |    AS running_qty
              |FROM lineitem

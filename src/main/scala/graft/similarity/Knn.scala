@@ -63,16 +63,18 @@ object Knn {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16,
               nProbe: Int = 2): DataFrame = {
-    // deterministic centroid sample: smallest xxhash64(id) wins — a cheap,
-    // seedless, reproducible spread (kmeans init would go here). The
-    // centroid set is metadata-sized, so it is collected once and inlined
-    // as literals: cell assignment becomes a PURE MAP over the corpus
-    // (greatest over nCells scored structs — no join, no shuffle; at rest
-    // the corpus is written partitioned by this `cell` column).
+    // deterministic centroid sample: smallest md5(id-as-string) wins — a
+    // cheap, seedless, reproducible spread (kmeans init would go here) that
+    // any md5-capable engine reproduces, making the whole operator
+    // verifiable against an independent oracle. The centroid set is
+    // metadata-sized, so it is collected once and inlined as literals: cell
+    // assignment becomes a PURE MAP over the corpus (greatest over nCells
+    // scored structs — no join, no shuffle; at rest the corpus is written
+    // partitioned by this `cell` column).
     val centroids: Array[(Long, Array[Float])] = corpus
       .select(col(idCol).cast("long").as("cid"),
         col(vecCol).cast("array<float>").as("cvec"))
-      .orderBy(xxhash64(col("cid")), col("cid"))
+      .orderBy(md5(col("cid").cast("string")), col("cid"))
       .limit(nCells)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     // degenerate corpora: 0 centroids -> brute force is the only sensible

@@ -2,7 +2,13 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
+
+/** Per-user session accumulator carried across micro-batches by
+  * `flatMapGroupsWithState` (custom-state surface, SURVEY.md §2.7).
+  */
+case class SessionState(lastTs: Long, sessions: Long, events: Long)
 
 /** Structured Streaming equivalents for the reference's batch dataflow
   * (SURVEY.md §2.7): arriving dataset files become a file-source stream;
@@ -48,17 +54,101 @@ object Streams {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming gap-based sessionization via `flatMapGroupsWithState` — the
+    * custom-state API the built-in windowed aggregates can't express (state
+    * = one (lastTs, counters) record per user, updated per batch). Within a
+    * batch events are sorted by (event time, id) per group; across batches
+    * the state carries the last seen timestamp so a session spanning a
+    * batch boundary is not double-counted. Emits the cumulative
+    * (user_id, n_sessions, n_events) per group per batch (append mode); on
+    * a single-batch run over static input this equals the batch
+    * sessionization exactly.
+    */
+  def streamingSessionCounts(events: DataFrame,
+                             gapMicros: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "unix_micros(ts) AS ts_us", "event_id")
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state) =>
+          val evs = it.toArray.sortBy(t => (t._2, t._3))
+          var (lastTs, sessions, nEvents) = state.getOption
+            .map(s => (s.lastTs, s.sessions, s.events))
+            .getOrElse((Long.MinValue, 0L, 0L))
+          evs.foreach { case (_, ts, _) =>
+            if (lastTs == Long.MinValue || ts - lastTs > gapMicros)
+              sessions += 1
+            lastTs = ts
+            nEvents += 1
+          }
+          state.update(SessionState(lastTs, sessions, nEvents))
+          Iterator((uid, sessions, nEvents))
+      }
+      .toDF("user_id", "n_sessions", "n_events")
+  }
+
   /** Run a streaming aggregation to completion against a static directory
     * (memory sink, complete mode) and return the result — used by tests and
     * by the `queries` registry to exercise the streaming path on the batch
     * harness data.
     */
-  def runToMemory(agg: DataFrame, name: String): DataFrame = {
+  def runToMemory(agg: DataFrame, name: String,
+                  statePartitions: Int = 8): DataFrame =
+    runToMemoryMode(agg, name, "complete", statePartitions)
+
+  /** Append-mode variant for non-aggregating stateful streams
+    * (dropDuplicatesWithinWatermark etc.) — each input row is emitted at
+    * most once, so the memory sink accumulates the deduped stream.
+    */
+  def runToMemoryAppend(stream: DataFrame, name: String,
+                        statePartitions: Int = 8): DataFrame =
+    runToMemoryMode(stream, name, "append", statePartitions)
+
+  private def runToMemoryMode(agg: DataFrame, name: String, mode: String,
+                              statePartitions: Int): DataFrame = {
     val spark = agg.sparkSession
-    val q = agg.writeStream
-      .format("memory").queryName(name).outputMode("complete")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    // stateful ops fix their partition count at the first batch; 32 state
+    // partitions mean 32 sequential store-commit barriers (file create +
+    // fsync + rename each) PER BATCH — pure fixed overhead at this state
+    // size and the reason this query degrades worst under host contention.
+    // 8 partitions keep plenty of parallelism for windowed counts; restore
+    // the session setting afterwards so batch queries are unaffected.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, statePartitions.toString)
+    // ephemeral run-to-completion stream: durability of the checkpoint buys
+    // nothing (the result is read back immediately), so put the WAL + state
+    // store on tmpfs when available — every offset/commit/state write is an
+    // fsync'd create+rename, the dominant fixed cost under disk contention
+    val ckpt = {
+      val base = new java.io.File("/dev/shm")
+      val dir = if (base.isDirectory && base.canWrite)
+        java.nio.file.Files.createTempDirectory(base.toPath, "graft-ckpt-")
+      else java.nio.file.Files.createTempDirectory("graft-ckpt-")
+      dir.toFile.deleteOnExit()
+      dir.toString
+    }
+    try {
+      val q = agg.writeStream
+        .format("memory").queryName(name).outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+        q.recentProgress.foreach(p => System.err.println(
+          s"[stream] batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durations=${p.durationMs}"))
+    } finally {
+      spark.conf.set(key, prev)
+      // best-effort cleanup of the tmpfs checkpoint
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(ckpt))
+    }
     spark.table(name)
   }
 }

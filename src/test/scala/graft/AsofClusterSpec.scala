@@ -1,0 +1,60 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.ops.Relational
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the beyond-reference as-of join and duplicate-cluster
+  * (connected components) operators.
+  */
+class AsofClusterSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("asofJoin: latest strictly-earlier right row per key; outer nulls") {
+    val left = Seq(
+      (1L, "u1", 100L), (2L, "u1", 200L), (3L, "u2", 50L),
+      (4L, "u3", 10L) // u3 has no right rows at all
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", 90L, "a"), ("u1", 100L, "b"), // 100 NOT eligible for t=100
+      ("u1", 150L, "c"), ("u2", 60L, "d")  // 60 after u2's only left row
+    ).toDF("k", "rt", "v")
+    val out = Relational.asofJoin(left, right, Seq("k"),
+        leftTs = "t", rightTs = "rt", valueCols = Seq("v"), strict = true)
+      .orderBy("id").collect()
+    assert(out.map(r => Option(r.getAs[String]("v"))).toSeq ==
+      Seq(Some("a"), Some("c"), None, None))
+  }
+
+  test("asofJoin non-strict: same-timestamp right row IS eligible") {
+    val left = Seq((1L, "u1", 100L)).toDF("id", "k", "t")
+    val right = Seq(("u1", 100L, "eq"), ("u1", 90L, "lt"))
+      .toDF("k", "rt", "v")
+    val out = Relational.asofJoin(left, right, Seq("k"),
+        "t", "rt", Seq("v"), strict = false).collect()
+    assert(out.head.getAs[String]("v") == "eq")
+  }
+
+  test("duplicateClusters: min-label over chained components") {
+    // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {5,6}; singleton {9}
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("a_id", "b_id")
+    val out = Dedup.duplicateClusters(nodes, edges, "doc_id")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (5L, 5L), (6L, 5L), (9L, 9L)))
+  }
+
+  test("duplicateClusters: cluster count matches distinct components") {
+    // two triangles bridged by one edge → one component
+    val nodes = (1L to 6L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("a_id", "b_id")
+    val out = Dedup.duplicateClusters(nodes, edges, "doc_id").collect()
+    assert(out.map(_.getLong(1)).toSet == Set(1L))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface registration of the native vector expressions and the
+  * flatMapGroupsWithState streaming sessionizer.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("registered vec_* functions parse and evaluate from spark.sql") {
+    GraftFunctions.register(spark)
+    Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b").createOrReplaceTempView("ext_vec")
+    val r = spark.sql(
+      "SELECT vec_dot(a, b) AS d, vec_l2(a) AS n, " +
+        "vec_cosine(a, a) AS c, lsh_bucket(a, 4) AS bk FROM ext_vec")
+      .collect().head
+    assert(r.getDouble(0) == 32.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    assert(r.getLong(3) >= 0 && r.getLong(3) < 16)
+  }
+
+  test("lsh_bucket via SQL requires a literal plane count") {
+    GraftFunctions.register(spark)
+    Seq((Seq(1.0f), 2)).toDF("a", "n").createOrReplaceTempView("ext_bad")
+    intercept[Exception] {
+      spark.sql("SELECT lsh_bucket(a, n) FROM ext_bad").collect()
+    }
+  }
+
+  test("streaming sessionization == batch window sessionization") {
+    val sf = TestSpark.sf
+    val schema = Tables.eventsRaw(spark, sf).schema
+    val stream = Tables.normalizeEventsTs(
+      Streams.fileStream(spark, s"$sf/events.*", schema))
+    val streaming = Streams.runToMemoryAppend(
+      Streams.streamingSessionCounts(stream, gapMicros = 21600000000L),
+      s"spec_sessions_${System.nanoTime()}")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val batch = Tables.events(spark, sf)
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+          unix_micros($"ts") - unix_micros($"prev_ts") > 21600000000L,
+          1).otherwise(0))
+      .groupBy($"user_id")
+      .agg(sum($"new_session").cast("long").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(streaming.toSeq == batch.toSeq)
+  }
+}

@@ -232,36 +232,48 @@ object Dedup {
     * needs no different plumbing.
     */
   def duplicateClusters(nodes: DataFrame, edges: DataFrame, idCol: String,
-                        maxIter: Int = 25): DataFrame = {
+                        maxIter: Int = 25,
+                        loopPartitions: Int = 8): DataFrame = {
+    val spark = nodes.sparkSession
     val sym = edges
       .select(col("a_id").cast("long").as("src"),
         col("b_id").cast("long").as("dst"))
       .union(edges.select(col("b_id").cast("long").as("src"),
         col("a_id").cast("long").as("dst")))
-    var labels = nodes
-      .select(col(idCol).cast("long").as("id"))
-      .withColumn("cluster_id", col("id"))
-      .localCheckpoint()
-    var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
-      val next = sym.join(labels, sym("src") === labels("id"))
-        .select(col("dst").as("id"), col("cluster_id"))
-        .union(labels.select(col("id"), col("cluster_id")))
-        .groupBy(col("id"))
-        .agg(min(col("cluster_id")).as("cluster_id"))
+    // each round is a tiny shuffle (one row per label/edge) repeated many
+    // times — at the session's full shuffle width the per-round task-launch
+    // overhead dominates, so the loop runs at its own width and the session
+    // setting is restored afterwards. At 100 TB raise loopPartitions to the
+    // edge-set scale; the loop body is width-agnostic.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, loopPartitions.toString)
+    try {
+      var labels = nodes
+        .select(col(idCol).cast("long").as("id"))
+        .withColumn("cluster_id", col("id"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-        .count()
-      labels = next
-      converged = changed == 0L
-      iter += 1
-    }
-    require(converged, s"label propagation did not converge in $maxIter " +
-      "rounds — raise maxIter for deep components")
-    labels
+      var iter = 0
+      var converged = false
+      while (iter < maxIter && !converged) {
+        val next = sym.join(labels, sym("src") === labels("id"))
+          .select(col("dst").as("id"), col("cluster_id"))
+          .union(labels.select(col("id"), col("cluster_id")))
+          .groupBy(col("id"))
+          .agg(min(col("cluster_id")).as("cluster_id"))
+          .localCheckpoint()
+        val changed = next.as("n")
+          .join(labels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+          .count()
+        labels = next
+        converged = changed == 0L
+        iter += 1
+      }
+      require(converged, s"label propagation did not converge in $maxIter " +
+        "rounds — raise maxIter for deep components")
+      labels
+    } finally spark.conf.set(key, prev)
   }
 
   /** Embedding near-dup: pairs with cosine ≥ threshold, brute force within

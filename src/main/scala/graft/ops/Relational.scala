@@ -147,6 +147,28 @@ object Relational {
     * after. `rightTieBreak` makes the pick among equal-ts right rows
     * deterministic.
     */
+  /** Banded interval join (beyond-reference): pairs (l, r) with the same
+    * `keys` and 0 < r.ts − l.ts ≤ maxGap. A naive theta join explodes to
+    * O(|l|×|r|) per key before filtering; bucketing both sides into
+    * `maxGap`-wide time bands turns it into an equi join — the left side
+    * is replicated to its band and the next (a qualifying right row lands
+    * in exactly one of the two), then the exact range predicate filters
+    * within the ~2-band candidate set. One shuffle on (keys, band); no
+    * duplicate pairs by construction (each right row has one band).
+    */
+  def bandJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTsUs: String, rightTsUs: String,
+               maxGapUs: Long): DataFrame = {
+    val l = left.withColumn("__band",
+      explode(array(expr(s"$leftTsUs div $maxGapUs"),
+        expr(s"$leftTsUs div $maxGapUs") + 1)))
+    val r = right.withColumn("__band", expr(s"$rightTsUs div $maxGapUs"))
+    l.join(r, keys :+ "__band")
+      .filter(col(rightTsUs) > col(leftTsUs) &&
+        col(rightTsUs) - col(leftTsUs) <= maxGapUs)
+      .drop("__band")
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, valueCols: Seq[String],
                strict: Boolean = true,

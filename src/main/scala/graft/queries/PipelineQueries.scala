@@ -442,6 +442,60 @@ object PipelineQueries {
              |  count(*) AS n_events
              |FROM marked GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    Q("t_chunk_text",
+      "Training-data prep: context-window chunking — overlapping windows " +
+        "of 50 tokens, stride 40, one typed pass (tokenize once per doc). " +
+        "Row-multiplying UDTF surface done scan-side; oracle via per-row " +
+        "range unnest + list slicing.",
+      (s, d) => {
+        import s.implicits._
+        TextOps.chunkTokens(Tables.documents(s, d), "doc_id", "text",
+            window = 50, stride = 40)
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |c AS (SELECT doc_id, toks,
+             |    unnest(range((len(toks) - 1) // 40 + 1)) AS ci
+             |  FROM t)
+             |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+             |  array_to_string(toks[ci*40 + 1 : ci*40 + 50], ' ') AS chunk
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    Q("j8_range_join",
+      "Beyond-reference join surface: interval (band) join — purchases " +
+        "within 5 minutes after a click of the same user. Banding turns " +
+        "the O(n²)-per-key theta join into an equi join on (user, band) " +
+        "with the exact range filtered inside ~2-band candidates.",
+      (s, d) => {
+        import graft.ops.Relational
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"event_id".as("click_id"),
+            unix_micros($"ts").as("c_us"))
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id".as("purchase_id"),
+            unix_micros($"ts").as("p_us"))
+        Relational.bandJoin(clicks, purchases, Seq("user_id"),
+            leftTsUs = "c_us", rightTsUs = "p_us",
+            maxGapUs = 300000000L)
+          .select($"click_id", $"purchase_id",
+            ($"p_us" - $"c_us").as("gap_us"))
+          .orderBy($"click_id", $"purchase_id")
+      },
+      Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+             |  epoch_ns(p.ts) // 1000 - epoch_ns(c.ts) // 1000 AS gap_us
+             |FROM events c JOIN events p
+             |  ON c.user_id = p.user_id
+             |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+             |  AND epoch_ns(p.ts) // 1000 > epoch_ns(c.ts) // 1000
+             |  AND epoch_ns(p.ts) // 1000 - epoch_ns(c.ts) // 1000
+             |      <= 300000000
+             |ORDER BY click_id, purchase_id""".stripMargin)),
+
     Q("j7_asof_join",
       "Beyond-reference join surface: as-of join — each purchase event " +
         "picks the latest strictly-earlier click of the same user. " +

@@ -301,6 +301,59 @@ object StarQueries {
              |ORDER BY l_returnflag NULLS FIRST,
              |  l_linestatus NULLS FIRST""".stripMargin)),
 
+    Q("q5_region_revenue",
+      "Deep join chain (region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem): " +
+        "dimension tables broadcast, the fact table shuffles once. " +
+        "Revenue accumulates in exact integer cents×basis-points (a " +
+        "120k-term double sum differs across engines in the last decimal " +
+        "— accumulation order), divided once at the end.",
+      (s, d) => {
+        import s.implicits._
+        val dims = broadcast(Tables.region(s, d)
+          .join(Tables.nation(s, d), $"r_regionkey" === $"n_regionkey"))
+        val cust = Tables.customer(s, d)
+          .join(dims, $"c_nationkey" === $"n_nationkey")
+        val revScaled = round($"l_extendedprice" * 100).cast("long") *
+          (lit(100L) - round($"l_discount" * 100).cast("long"))
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+          .join(cust, $"o_custkey" === $"c_custkey")
+          .groupBy($"r_name")
+          .agg((sum(revScaled) / 10000.0).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"r_name")
+      },
+      Some("""SELECT r_name,
+             |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+             |    (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+             |    AS BIGINT) / 10000.0 AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    Q("agg_percentile",
+      "Beyond-reference agg surface: exact interpolated percentiles — " +
+        "quartile fractions over integer-grid values are exactly " +
+        "representable, so the interpolation is bit-identical across " +
+        "engines (arbitrary p would not be).",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+            expr("percentile(l_quantity, 0.25)").as("p25_qty"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.5) AS median_qty,
+             |  quantile_cont(l_quantity, 0.25) AS p25_qty
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     Q("agg_cube",
       "Beyond-reference agg surface: CUBE over (flag, status) with " +
         "GROUPING indicators — all four grouping sets in one pass " +

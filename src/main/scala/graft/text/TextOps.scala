@@ -113,4 +113,35 @@ object TextOps {
     val uni = size(array_union(a, b)).cast("double")
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
+
+  /** Context-window chunking: split each document into overlapping windows
+    * of `window` tokens advancing by `stride` — the standard prep step
+    * before feeding a bounded-context model. One typed pass (tokenize once
+    * per doc, emit slices): a higher-order `transform` over an outer
+    * column re-inlines the tokenization per chunk in interpreted mode (the
+    * round-1 ~1000× pitfall), so chunking flatMaps instead. Empty docs
+    * produce no chunks; every non-empty doc produces ≥ 1.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = if (text == null) "" else text.trim
+        if (t.isEmpty) Iterator.empty
+        else {
+          val toks = t.split("\\s+")
+          val nChunks = (toks.length - 1) / stride + 1
+          Iterator.range(0, nChunks).map { i =>
+            (id, i.toLong,
+              toks.slice(i * stride, i * stride + window).mkString(" "))
+          }
+        }
+      }
+      .toDF(idCol, "chunk_idx", "chunk")
+  }
 }

@@ -37,6 +37,33 @@ class AsofClusterSpec extends AnyFunSuite {
     assert(out.head.getAs[String]("v") == "eq")
   }
 
+  test("bandJoin: exact range pairs, no duplicates across bands") {
+    val left = Seq((1L, 10L, 100L), (1L, 11L, 250L), (2L, 12L, 100L))
+      .toDF("k", "lid", "lt")
+    // gaps: 50 (in), 300 (in, boundary), 301 (out), wrong key (out)
+    val right = Seq((1L, 20L, 150L), (1L, 21L, 400L), (1L, 22L, 551L),
+      (3L, 23L, 150L)).toDF("k", "rid", "rt")
+    val out = graft.ops.Relational.bandJoin(left, right, Seq("k"),
+        "lt", "rt", maxGapUs = 300L)
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (10,20) gap 50; (10,21) gap 300 boundary-inclusive; (11,21) gap 150;
+    // (11,22) gap 301 excluded; rt=150 for key 2 has no 'click' before it
+    assert(out == Set((10L, 20L), (10L, 21L), (11L, 21L)))
+  }
+
+  test("chunkTokens: overlap, short docs, empty docs") {
+    import graft.text.TextOps
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val out = TextOps.chunkTokens(docs, "doc_id", "text",
+        window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out == Seq((1L, 0L, "a b c d"), (1L, 1L, "d e f g"),
+      (1L, 2L, "g"), (2L, 0L, "x")))
+  }
+
   test("duplicateClusters: min-label over chained components") {
     // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {5,6}; singleton {9}
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("doc_id")

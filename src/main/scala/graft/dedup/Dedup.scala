@@ -113,6 +113,28 @@ object Dedup {
       .distinct()
   }
 
+  /** Distinct word shingles in ONE typed pass — the expression-based
+    * `TextOps.wordShingles` is a `transform` lambda over an outer column,
+    * which interpreted HOF evaluation re-inlines per element (tokenize per
+    * shingle ⇒ O(tokens²) per doc, the round-1 pitfall). Here: tokenize
+    * once, slide once.
+    */
+  private[dedup] def shingleSets(df: DataFrame, idCol: String,
+                                 textCol: String, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val toks = tokenize(text)
+        val shingles: Array[String] =
+          if (toks.isEmpty) Array.empty
+          else if (toks.length <= n) Array(toks.mkString(" "))
+          else toks.sliding(n).map(_.mkString(" ")).toArray
+        (id, shingles.distinct)
+      }).toDF("id", "sh")
+  }
+
   /** MinHash near-dup pairs, verified: LSH candidates re-checked with exact
     * n-gram Jaccard ≥ threshold. Shingle recomputation only touches
     * candidate ids, not the corpus.
@@ -122,8 +144,7 @@ object Dedup {
                         bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, shingleN, bands,
       rowsPerBand)
-    val sh = df.select(col(idCol).cast("long").as("id"),
-      TextOps.wordShingles(col(textCol), shingleN).as("sh"))
+    val sh = shingleSets(df, idCol, textCol, shingleN)
     cands
       .join(sh.toDF("a_id", "a_sh"), Seq("a_id"))
       .join(sh.toDF("b_id", "b_sh"), Seq("b_id"))
@@ -256,12 +277,26 @@ object Dedup {
       var iter = 0
       var converged = false
       while (iter < maxIter && !converged) {
-        val next = sym.join(labels, sym("src") === labels("id"))
+        // checkpoint BEFORE the pointer-jump self-join: it cuts the
+        // union+agg lineage (which a self-join would otherwise analyze
+        // twice and re-execute twice) and gives the join fresh attributes
+        val propagated = sym.join(labels, sym("src") === labels("id"))
           .select(col("dst").as("id"), col("cluster_id"))
           .union(labels.select(col("id"), col("cluster_id")))
           .groupBy(col("id"))
           .agg(min(col("cluster_id")).as("cluster_id"))
           .localCheckpoint()
+        // pointer jumping (path compression): label ← label(label). Labels
+        // are always node ids, so the self-join resolves; this shortcuts a
+        // k-long chain in half each round, making total rounds
+        // O(log diameter) instead of O(diameter) — the difference between
+        // 40 rounds and 6 on a pathological chain at corpus scale.
+        val next = propagated.as("x")
+          .join(propagated.select(col("id").as("pid"),
+            col("cluster_id").as("pcluster")).as("p"),
+            col("x.cluster_id") === col("pid"), "left")
+          .select(col("x.id"),
+            coalesce(col("pcluster"), col("x.cluster_id")).as("cluster_id"))
         val changed = next.as("n")
           .join(labels.as("o"), col("n.id") === col("o.id"))
           .filter(col("n.cluster_id") =!= col("o.cluster_id"))

@@ -117,6 +117,22 @@ object PipelineQueries {
       },
       None),
 
+    Q("d_minhash_verify",
+      "Dedup: the full MinHash pipeline — LSH candidates re-checked with " +
+        "exact n-gram Jaccard ≥ 0.3 (shingle recomputation touches only " +
+        "candidate ids, not the corpus). Candidates depend on engine " +
+        "hashing → rows-only; the planted-pair spec asserts semantics.",
+      (s, d) => {
+        import s.implicits._
+        // 4 bands × 4 rows: same 16 hashes as 8×2 but band collisions go
+        // with sim⁴ not sim² — an order of magnitude fewer false
+        // candidates reach the exact-Jaccard verify stage
+        Dedup.minhashDuplicates(Tables.documents(s, d), "doc_id", "text",
+            threshold = 0.3, shingleN = 3, bands = 4, rowsPerBand = 4)
+          .orderBy($"a_id", $"b_id")
+      },
+      None),
+
     Q("d_simhash",
       "Dedup: SimHash signatures (per-bit majority over token hashes, one " +
         "typed pass). The 60-bit md5-prefix token hash is engine-portable, " +

@@ -84,4 +84,48 @@ class AsofClusterSpec extends AnyFunSuite {
     val out = Dedup.duplicateClusters(nodes, edges, "doc_id").collect()
     assert(out.map(_.getLong(1)).toSet == Set(1L))
   }
+
+  test("duplicateClusters: pointer jumping resolves a 40-chain in few rounds") {
+    // worst case for plain min-propagation: a path graph — O(diameter)
+    // rounds without path compression, O(log) with. maxIter = 10 would
+    // fail the naive loop on a 40-chain.
+    val n = 40L
+    val nodes = (1L to n).toDF("doc_id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val out = Dedup.duplicateClusters(nodes, edges, "doc_id", maxIter = 10)
+      .collect()
+    assert(out.length == 40 && out.map(_.getLong(1)).toSet == Set(1L))
+  }
+
+  test("duplicateClusters matches union-find on random graphs") {
+    // driver-side union-find as an independent oracle
+    def components(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min id per component root
+      val byRoot = (1 to n).groupBy(find)
+      (1 to n).map(i => i.toLong -> byRoot(find(i)).min.toLong).toMap
+    }
+    val rng = new scala.util.Random(42)
+    (0 until 3).foreach { _ =>
+      val n = 20 + rng.nextInt(20)
+      val edges = Seq.fill(rng.nextInt(25))(
+        (1L + rng.nextInt(n), 1L + rng.nextInt(n)))
+        .filter { case (a, b) => a != b }
+      val nodes = (1L to n.toLong).toDF("doc_id")
+      val got = Dedup.duplicateClusters(nodes,
+          edges.toDF("a_id", "b_id"), "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == components(n, edges))
+    }
+  }
 }

@@ -54,6 +54,32 @@ object Multimodal {
     * executor (for 100 TB of images: `maxPartitionBytes` on the binaryFile
     * scan does this for free).
     */
+  /** Frame sampling over an opaque media payload: treat the binary as
+    * fixed-size frames and keep every `everyK`-th — the video keyframe /
+    * audio-window sampling shape. Pure byte arithmetic on the stub side
+    * (a real container format would parse frame boundaries in the same
+    * loop); one typed pass, rows multiply by ≤ n_frames/everyK, and the
+    * emitted frames carry their index so downstream ordering is explicit.
+    */
+  case class Frame(asset_id: Long, frame_idx: Long, frame: Array[Byte])
+
+  def sampleFrames(assets: DataFrame, frameBytes: Int,
+                   everyK: Int): Dataset[Frame] = {
+    require(frameBytes > 0 && everyK > 0)
+    import assets.sparkSession.implicits._
+    assets.select("asset_id", "payload")
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val nFrames = (payload.length + frameBytes - 1) / frameBytes
+        Iterator.range(0, nFrames, everyK).map { f =>
+          val from = f * frameBytes
+          val until = math.min(from + frameBytes, payload.length)
+          Frame(id, f.toLong, java.util.Arrays.copyOfRange(payload,
+            from, until))
+        }
+      }
+  }
+
   def decodeFeatures(assets: DataFrame): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.select("asset_id", "media_type", "payload", "n_bytes")

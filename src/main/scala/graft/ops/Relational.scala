@@ -181,10 +181,13 @@ object Relational {
     val l = left
       .withColumn("__asof_ts", col(leftTs))
       .withColumn("__asof_ord", lit(0))
+    // a tiebreak column may also be a value/key column — select it once
+    val extraTies = rightTieBreak
+      .filterNot(c => valueCols.contains(c) || keys.contains(c))
     val r = right.select(
       (keys.map(col) :+ col(rightTs).as("__asof_ts") :+
         lit(rOrd).as("__asof_ord")) ++
-        valueCols.map(col) ++ rightTieBreak.map(col): _*)
+        valueCols.map(col) ++ extraTies.map(col): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__asof_ts").asc +: col("__asof_ord").asc +:

@@ -37,6 +37,31 @@ class AsofClusterSpec extends AnyFunSuite {
     assert(out.head.getAs[String]("v") == "eq")
   }
 
+  test("asofJoin matches a naive per-row scan on random data") {
+    val rng = new scala.util.Random(7)
+    (0 until 3).foreach { _ =>
+      val keys = Seq("k1", "k2", "k3")
+      val left = Seq.tabulate(30)(i =>
+        (i.toLong, keys(rng.nextInt(3)), rng.nextInt(50).toLong))
+      val right = Seq.tabulate(40)(i =>
+        (keys(rng.nextInt(3)), rng.nextInt(50).toLong, s"v$i"))
+      // naive oracle: max-ts strictly-earlier right row per left row, ties
+      // on (rt, v) resolved by the operator's (ts, tiebreak) ordering —
+      // last in ascending (rt, v) order wins
+      val expect = left.map { case (id, k, t) =>
+        val cands = right.filter(r => r._1 == k && r._2 < t)
+        id -> (if (cands.isEmpty) null
+               else cands.maxBy(r => (r._2, r._3))._3)
+      }.toMap
+      val got = Relational.asofJoin(
+          left.toDF("id", "k", "t"), right.toDF("k", "rt", "v"),
+          Seq("k"), "t", "rt", Seq("v"), strict = true,
+          rightTieBreak = Seq("v"))
+        .collect().map(r => r.getLong(0) -> r.getAs[String]("v")).toMap
+      assert(got == expect)
+    }
+  }
+
   test("bandJoin: exact range pairs, no duplicates across bands") {
     val left = Seq((1L, 10L, 100L), (1L, 11L, 250L), (2L, 12L, 100L))
       .toDF("k", "lid", "lt")

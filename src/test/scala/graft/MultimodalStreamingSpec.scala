@@ -30,6 +30,19 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(feats.forall(_.features.length == 8))
   }
 
+  test("multimodal: frame sampling keeps every k-th fixed-size frame") {
+    val docs = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, ""))
+      .toDF("doc_id", "text")
+    // frameBytes=3 over 10 bytes → frames 0..3 (last short); everyK=2 → 0,2
+    val frames = Multimodal.sampleFrames(
+        Multimodal.asBinaryAssets(docs, "doc_id", "text"),
+        frameBytes = 3, everyK = 2)
+      .collect().sortBy(f => (f.asset_id, f.frame_idx))
+    val got = frames.map(f =>
+      (f.asset_id, f.frame_idx, new String(f.frame, "UTF-8"))).toSeq
+    assert(got == Seq((1L, 0L, "abc"), (1L, 2L, "ghi"), (2L, 0L, "xy")))
+  }
+
   test("streaming windowed counts equal the batch aggregate") {
     val schema = Tables.eventsRaw(spark, TestSpark.sf).schema
     val stream = Tables.normalizeEventsTs(

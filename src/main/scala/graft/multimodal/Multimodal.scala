@@ -92,4 +92,23 @@ object Multimodal {
         }
       }
   }
+
+  /** Resize (STUB): decode → scale → re-encode collapses here to a
+    * deterministic payload transform that tags the target dimensions in
+    * the metadata. Same plumbing contract as a real resizer: payload in,
+    * payload out, metadata updated, one typed pass.
+    */
+  case class Resized(asset_id: Long, width: Int, height: Int,
+                     payload: Array[Byte])
+
+  def resizeStub(assets: DataFrame, width: Int, height: Int): Dataset[Resized] = {
+    import assets.sparkSession.implicits._
+    assets.select("asset_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        // fake "resize": truncate/pad the payload to width*height/64 bytes
+        val n = math.max(1, width * height / 64)
+        Resized(id, width, height, java.util.Arrays.copyOf(payload, n))
+      })
+  }
 }

@@ -96,8 +96,12 @@ object TextOps {
         i => norm.substr(i, lit(n))))
   }
 
-  /** Word n-gram shingles: join every n consecutive tokens. Expression-only:
-    * `sequence` + `transform` + `slice` + `array_join`.
+  /** Word n-gram shingles: join every n consecutive tokens. Expression-only
+    * (`sequence` + `transform` + `slice` + `array_join`) — fine for small
+    * frames and ad-hoc use, but the `transform` lambda references the outer
+    * token array, which interpreted HOF evaluation re-inlines per element
+    * (O(tokens²) per doc). Hot paths should use the single-pass typed
+    * variant (`graft.dedup.Dedup.shingleSets`) instead.
     */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")

@@ -43,6 +43,15 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(got == Seq((1L, 0L, "abc"), (1L, 2L, "ghi"), (2L, 0L, "xy")))
   }
 
+  test("multimodal: resize stub keeps contract (payload out, dims tagged)") {
+    val docs = Seq((1L, "payload-bytes-here")).toDF("doc_id", "text")
+    val out = Multimodal.resizeStub(
+        Multimodal.asBinaryAssets(docs, "doc_id", "text"), 128, 128)
+      .collect().head
+    assert(out.width == 128 && out.height == 128)
+    assert(out.payload.length == 128 * 128 / 64)
+  }
+
   test("streaming windowed counts equal the batch aggregate") {
     val schema = Tables.eventsRaw(spark, TestSpark.sf).schema
     val stream = Tables.normalizeEventsTs(

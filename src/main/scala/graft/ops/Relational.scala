@@ -147,6 +147,37 @@ object Relational {
     * after. `rightTieBreak` makes the pick among equal-ts right rows
     * deterministic.
     */
+  /** J-2 (`bin/concatenate.py:233-235`): scalar lookup with the
+    * reference's `.item()` contract — a key matching MORE than one lookup
+    * row is a data error and must fail loudly, not silently pick one.
+    * Executed distributed: per-key counts ride the broadcast lookup and a
+    * codegen'd `raise_error` fires on the first ambiguous key touched.
+    * Missing keys stay NULL (left outer), as `.loc[...]` before `.item()`
+    * would raise separately on emptiness — callers decide null policy.
+    */
+  def strictLookup(left: DataFrame, lookup: DataFrame, key: String,
+                   valueCol: String): DataFrame = {
+    val counted = lookup.groupBy(col(key))
+      .agg(first(col(valueCol)).as(valueCol), count(lit(1)).as("__n"))
+    left.join(broadcast(counted), Seq(key), "left")
+      .withColumn(valueCol,
+        when(col("__n") > 1, raise_error(concat(
+          lit("strictLookup: key "), col(key).cast("string"),
+          lit(s" has multiple '$valueCol' matches"))))
+          .otherwise(col(valueCol)))
+      .drop("__n")
+  }
+
+  /** F-8 (`bin/concatenate.py:305`): the reference's `pd.to_numeric`
+    * RAISES on unparseable input where Spark's cast silently yields NULL —
+    * this cast keeps the raise semantics: null stays null, garbage fails
+    * the job with the offending value in the message.
+    */
+  def strictCast(c: Column, to: String): Column =
+    when(c.isNotNull && c.cast(to).isNull,
+      raise_error(concat(lit(s"strictCast($to) failed for value: "), c)))
+      .otherwise(c.cast(to))
+
   /** Banded interval join (beyond-reference): pairs (l, r) with the same
     * `keys` and 0 < r.ts − l.ts ≤ maxGap. A naive theta join explodes to
     * O(|l|×|r|) per key before filtering; bucketing both sides into

@@ -377,6 +377,34 @@ object StarQueries {
              |ORDER BY l_returnflag NULLS FIRST,
              |  l_linestatus NULLS FIRST, g_flag, g_status""".stripMargin)),
 
+    Q("o31_full_outer",
+      "Join-type surface: FULL OUTER alignment of two per-nation " +
+        "aggregates — the two-sided generalization of O-23's " +
+        "reindex-with-fill (either side may be missing → NULL).",
+      (s, d) => {
+        import s.implicits._
+        val supp = Tables.supplier(s, d).filter($"s_acctbal" > 5000)
+          .groupBy($"s_nationkey".as("nationkey"))
+          .agg(count(lit(1)).as("n_rich_supp"))
+        val cust = Tables.customer(s, d)
+          .filter($"c_mktsegment" === "BUILDING")
+          .groupBy($"c_nationkey".as("nationkey"))
+          .agg(count(lit(1)).as("n_building_cust"))
+        supp.join(cust, Seq("nationkey"), "full_outer")
+          .orderBy($"nationkey")
+      },
+      Some("""SELECT coalesce(s.sk, c.ck) AS nationkey,
+             |  n_rich_supp, n_building_cust
+             |FROM (SELECT s_nationkey AS sk, count(*) AS n_rich_supp
+             |      FROM supplier WHERE s_acctbal > 5000
+             |      GROUP BY s_nationkey) s
+             |FULL OUTER JOIN
+             |     (SELECT c_nationkey AS ck, count(*) AS n_building_cust
+             |      FROM customer WHERE c_mktsegment = 'BUILDING'
+             |      GROUP BY c_nationkey) c
+             |ON s.sk = c.ck
+             |ORDER BY nationkey""".stripMargin)),
+
     Q("o30_stratified_sample",
       "Beyond-reference sampling: deterministic per-stratum hash sample — " +
         "md5-derived [0,100) bucket per row, per-returnflag rate " +

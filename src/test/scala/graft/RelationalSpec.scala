@@ -8,6 +8,33 @@ class RelationalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("J-2 strictLookup: unique keys resolve, ambiguous keys raise") {
+    val left = Seq(("d1"), ("d2"), ("d3")).toDF("uuid")
+    val ok = Seq(("d1", "p1"), ("d2", "p2")).toDF("uuid", "parent")
+    val got = Relational.strictLookup(left, ok, "uuid", "parent")
+      .orderBy("uuid").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    assert(got == Seq("d1" -> Some("p1"), "d2" -> Some("p2"),
+      "d3" -> None))
+    val dup = Seq(("d1", "p1"), ("d1", "pX")).toDF("uuid", "parent")
+    val ex = intercept[Exception] {
+      Relational.strictLookup(left, dup, "uuid", "parent").collect()
+    }
+    assert(ex.getMessage.contains("multiple"))
+  }
+
+  test("F-8 strictCast: null passes, garbage raises with the value") {
+    val df = Seq(("61"), (null.asInstanceOf[String])).toDF("age")
+    val ok = df.select(Relational.strictCast($"age", "double").as("a"))
+      .orderBy($"a".asc_nulls_last).collect()
+    assert(ok(0).getDouble(0) == 61.0 && ok(1).isNullAt(0))
+    val ex = intercept[Exception] {
+      Seq(("sixty-one")).toDF("age")
+        .select(Relational.strictCast($"age", "double")).collect()
+    }
+    assert(ex.getMessage.contains("sixty-one"))
+  }
+
   test("O-22 blockOffsets: offset = prefix sum of preceding block sizes") {
     val sizes = Seq(("a", 3L), ("b", 5L), ("c", 2L)).toDF("k", "n")
     val got = Relational.blockOffsets(sizes, "k", "n", col("k"), "off")

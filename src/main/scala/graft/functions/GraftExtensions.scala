@@ -22,7 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo("graft.functions." + name, name)
+    new ExpressionInfo("graft.functions." + name, null, name, usage, "")
 
   private def intArg(e: Expression, fn: String): Int = {
     require(e.foldable, s"$fn: argument must be a literal integer")
@@ -34,6 +34,20 @@ object GraftFunctions {
     }
   }
 
+  /** Arity gate: a builder indexing args(i) without a length check turns
+    * `SELECT vec_dot(a)` into an IndexOutOfBoundsException from deep inside
+    * the planner — fail instead with a clean error naming the signature.
+    */
+  private def arity(n: Int, usage: String)(
+      f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != n)
+        throw new IllegalArgumentException(
+          s"wrong argument count: expected $n as in '$usage', " +
+            s"got ${args.length}")
+      f(args)
+    }
+
   /** (name, info, builder) triples, shared by the extensions injector and
     * the live-session registrar.
     */
@@ -41,17 +55,18 @@ object GraftFunctions {
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),
       info("DotProduct", "vec_dot(a, b) - dot product"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+      arity(2, "vec_dot(a, b)")(args => DotProduct(args(0), args(1)))),
     (FunctionIdentifier("vec_cosine"),
       info("CosineSimilarity", "vec_cosine(a, b) - cosine similarity"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+      arity(2, "vec_cosine(a, b)")(args =>
+        CosineSimilarity(args(0), args(1)))),
     (FunctionIdentifier("vec_l2"),
       info("L2Norm", "vec_l2(a) - L2 norm"),
-      (args: Seq[Expression]) => L2Norm(args(0))),
+      arity(1, "vec_l2(a)")(args => L2Norm(args(0)))),
     (FunctionIdentifier("lsh_bucket"),
       info("HyperplaneBucket", "lsh_bucket(a, nPlanes) - LSH bucket id"),
-      (args: Seq[Expression]) =>
-        HyperplaneBucket(args(0), intArg(args(1), "lsh_bucket"))))
+      arity(2, "lsh_bucket(a, nPlanes)")(args =>
+        HyperplaneBucket(args(0), intArg(args(1), "lsh_bucket")))))
 
   /** Register the functions into an already-built session's registry (the
     * same mechanism `injectFunction` uses at session build time).

@@ -224,10 +224,19 @@ object Relational {
       .orderBy(col("__asof_ts").asc +: col("__asof_ord").asc +:
         rightTieBreak.map(col(_).asc): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val matched = valueCols.foldLeft(unioned) { (df, v) =>
-      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
-    }
+    // Propagate the latest right row ATOMICALLY: valueCols ride one struct
+    // that is non-null exactly for right-side rows, so a NULL inside a value
+    // column still travels with its own row. Per-column last(ignoreNulls)
+    // would skip that NULL and stitch values from DIFFERENT right rows —
+    // diverging from merge_asof/ASOF JOIN, which take the latest eligible
+    // row wholesale.
+    val matched = unioned
+      .withColumn("__asof_row",
+        when(col("__asof_ord") =!= 0, struct(valueCols.map(col): _*)))
+      .withColumn("__asof_m",
+        last(col("__asof_row"), ignoreNulls = true).over(w))
     matched.filter(col("__asof_ord") === 0)
-      .select((leftCols ++ valueCols).map(col): _*)
+      .select(leftCols.map(col) ++
+        valueCols.map(v => col(s"__asof_m.$v").as(v)): _*)
   }
 }

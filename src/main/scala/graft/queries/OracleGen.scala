@@ -37,6 +37,28 @@ object OracleGen {
       s"ELSE ($d)/(sqrt($na)*sqrt($nb)) END)"
   }
 
+  /** Brute-force cosine top-k (`Knn.bruteForceTopK` / the SQL-surface
+    * `vec_cosine` query): rank every (query, corpus) pair on the
+    * bit-identical cosine expansion — DuckDB's `list_cosine_similarity`
+    * builtin accumulates in its own order and near-equal cosines can rank
+    * differently, so the oracle uses `cosExpr` like the LSH/IVF variants.
+    */
+  def knnBruteSql(dim: Int, k: Int, maxQueryId: Long): String = {
+    val cos = cosExpr("q", "e", dim)
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+       |           WHERE vec_id < $maxQueryId),
+       |pairs AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    $cos AS cos
+       |  FROM q CROSS JOIN embeddings e
+       |  WHERE e.vec_id <> q.query_id)
+       |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank
+       |FROM (SELECT query_id, neighbor_id,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, neighbor_id) AS rn
+       |      FROM pairs) t
+       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Random-hyperplane LSH bucket (`VectorKernels.bucket`): bit p = sign of
     * Σ_i x_i·s(i,p) with s(i,p) = ±1 from splitmix64 parity. The signs are
     * computed HERE from the same `mix` the codegen'd kernel calls, and

@@ -209,18 +209,7 @@ object PipelineQueries {
             .as("rank"))
           .orderBy($"query_id", $"rank")
       },
-      Some("""WITH q AS (SELECT vec_id, embedding FROM embeddings
-             |           WHERE vec_id < 10),
-             |pairs AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-             |    list_cosine_similarity(q.embedding, e.embedding) AS sim
-             |  FROM q CROSS JOIN embeddings e
-             |  WHERE e.vec_id <> q.vec_id)
-             |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank
-             |FROM (SELECT query_id, neighbor_id,
-             |        ROW_NUMBER() OVER (PARTITION BY query_id
-             |          ORDER BY sim DESC, neighbor_id) AS rn
-             |      FROM pairs) t
-             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
+      Some(OracleGen.knnBruteSql(dim = 64, k = 5, maxQueryId = 10))),
 
     Q("e_knn_lsh",
       "Similarity: LSH-bucketed ANN top-k — the scale path (probe one " +
@@ -416,18 +405,7 @@ object PipelineQueries {
                 FROM scored) t
           WHERE rn <= 3 ORDER BY query_id, rank""")
       },
-      Some("""WITH q AS (SELECT vec_id AS query_id, embedding
-             |           FROM embeddings WHERE vec_id < 5),
-             |pairs AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-             |    list_cosine_similarity(q.embedding, e.embedding) AS sim
-             |  FROM q CROSS JOIN embeddings e
-             |  WHERE e.vec_id <> q.query_id)
-             |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank
-             |FROM (SELECT query_id, neighbor_id,
-             |        ROW_NUMBER() OVER (PARTITION BY query_id
-             |          ORDER BY sim DESC, neighbor_id) AS rn
-             |      FROM pairs) t
-             |WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin)),
+      Some(OracleGen.knnBruteSql(dim = 64, k = 3, maxQueryId = 5))),
 
     Q("stream_sessionize",
       "Streaming custom state: flatMapGroupsWithState sessionization — " +
@@ -437,12 +415,17 @@ object PipelineQueries {
       (s, d) => {
         import s.implicits._
         val schema = Tables.eventsRaw(s, d).schema
-        val stream = Tables.normalizeEventsTs(
-          Streams.fileStream(s, s"$d/events.*", schema))
-        val sessions = Streams.streamingSessionCounts(stream,
-          gapMicros = 21600000000L)
-        Streams.runToMemoryAppend(sessions,
-            s"stream_sessions_${System.nanoTime()}")
+        Streams.runToMemoryAppend(s,
+            s"stream_sessions_${System.nanoTime()}") { scoped =>
+            // maxFilesPerTrigger=MaxValue: the whole static input must land
+            // in ONE batch — multi-batch append emits one cumulative row per
+            // user PER batch and the memory sink would accumulate them
+            val stream = Tables.normalizeEventsTs(
+              Streams.fileStream(scoped, s"$d/events.*", schema,
+                maxFilesPerTrigger = Int.MaxValue))
+            Streams.streamingSessionCounts(stream,
+              gapMicros = 21600000000L)
+          }
           .orderBy($"user_id")
       },
       Some("""WITH marked AS (
@@ -619,12 +602,16 @@ object PipelineQueries {
       (s, d) => {
         import s.implicits._
         val schema = Tables.eventsRaw(s, d).schema
-        val stream = Tables.normalizeEventsTs(
-          Streams.fileStream(s, s"$d/events.*", schema))
-        val deduped = Streams.streamingDedup(stream, "ts",
-          Seq("user_id", "event_type"), "1 hour")
-        Streams.runToMemoryAppend(deduped,
-            s"stream_dedup_${System.nanoTime()}")
+        Streams.runToMemoryAppend(s,
+            s"stream_dedup_${System.nanoTime()}") { scoped =>
+            // single batch (MaxValue trigger) — across batches the watermark
+            // advance could drop rows that batch DISTINCT keeps
+            val stream = Tables.normalizeEventsTs(
+              Streams.fileStream(scoped, s"$d/events.*", schema,
+                maxFilesPerTrigger = Int.MaxValue))
+            Streams.streamingDedup(stream, "ts",
+              Seq("user_id", "event_type"), "1 hour")
+          }
           .groupBy($"event_type")
           .agg(count(lit(1)).as("n_first_seen"))
           .orderBy($"event_type")
@@ -643,10 +630,13 @@ object PipelineQueries {
         // raw (as-stored) schema — the stream reads the file directly; the
         // glob keeps basePath a directory as the file source requires
         val schema = Tables.eventsRaw(s, d).schema
-        val stream = Tables.normalizeEventsTs(
-          Streams.fileStream(s, s"$d/events.*", schema))
-        val agg = Streams.windowedCounts(stream, "ts", "1 hour", "1 hour")
-        Streams.runToMemory(agg, s"stream_counts_${System.nanoTime()}")
+        Streams.runToMemory(s,
+            s"stream_counts_${System.nanoTime()}") { scoped =>
+            val stream = Tables.normalizeEventsTs(
+              Streams.fileStream(scoped, s"$d/events.*", schema,
+                maxFilesPerTrigger = Int.MaxValue))
+            Streams.windowedCounts(stream, "ts", "1 hour", "1 hour")
+          }
           .select(col("window.start").cast("timestamp").as("window_start"),
             col("event_type"), col("n"),
             round(col("total_value"), 2).as("total_value"))

@@ -93,32 +93,49 @@ object Streams {
   /** Run a streaming aggregation to completion against a static directory
     * (memory sink, complete mode) and return the result — used by tests and
     * by the `queries` registry to exercise the streaming path on the batch
-    * harness data.
+    * harness data. `build` receives a CLONED session (scoped conf) and must
+    * construct the stream on it.
     */
-  def runToMemory(agg: DataFrame, name: String,
-                  statePartitions: Int = 8): DataFrame =
-    runToMemoryMode(agg, name, "complete", statePartitions)
+  def runToMemory(spark: SparkSession, name: String,
+                  statePartitions: Int = 8)
+                 (build: SparkSession => DataFrame): DataFrame =
+    runToMemoryMode(spark, name, "complete", statePartitions,
+      requireSingleBatch = false)(build)
 
-  /** Append-mode variant for non-aggregating stateful streams
-    * (dropDuplicatesWithinWatermark etc.) — each input row is emitted at
-    * most once, so the memory sink accumulates the deduped stream.
+  /** Append-mode variant for non-aggregating/flatMapGroupsWithState streams.
+    * Run-to-completion append-mode verification is only meaningful when the
+    * whole static input lands in ONE micro-batch (multi-batch: cumulative
+    * per-group emissions accumulate in the sink, and watermark advance
+    * between batches can drop rows batch semantics would keep) — callers
+    * build the stream with `maxFilesPerTrigger = Int.MaxValue` and this
+    * asserts the single-batch expectation held.
     */
-  def runToMemoryAppend(stream: DataFrame, name: String,
-                        statePartitions: Int = 8): DataFrame =
-    runToMemoryMode(stream, name, "append", statePartitions)
+  def runToMemoryAppend(spark: SparkSession, name: String,
+                        statePartitions: Int = 8)
+                       (build: SparkSession => DataFrame): DataFrame =
+    runToMemoryMode(spark, name, "append", statePartitions,
+      requireSingleBatch = true)(build)
 
-  private def runToMemoryMode(agg: DataFrame, name: String, mode: String,
-                              statePartitions: Int): DataFrame = {
-    val spark = agg.sparkSession
+  private def runToMemoryMode(session: SparkSession, name: String,
+                              mode: String, statePartitions: Int,
+                              requireSingleBatch: Boolean)
+                             (build: SparkSession => DataFrame): DataFrame = {
+    // Scope the run's conf to a CLONED session (shared SparkContext,
+    // isolated SQLConf + temp views): mutating the caller's session-global
+    // shuffle.partitions would silently re-plan any query running
+    // concurrently on it. Runtime confs are copied over so source options
+    // (nanosAsLong, ICU off) survive the clone.
+    val spark = session.newSession()
+    session.conf.getAll.foreach { case (k, v) =>
+      try spark.conf.set(k, v) catch { case _: Exception => () }
+    }
     // stateful ops fix their partition count at the first batch; 32 state
     // partitions mean 32 sequential store-commit barriers (file create +
     // fsync + rename each) PER BATCH — pure fixed overhead at this state
     // size and the reason this query degrades worst under host contention.
-    // 8 partitions keep plenty of parallelism for windowed counts; restore
-    // the session setting afterwards so batch queries are unaffected.
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, statePartitions.toString)
+    // 8 partitions keep plenty of parallelism for windowed counts.
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val agg = build(spark)
     // ephemeral run-to-completion stream: durability of the checkpoint buys
     // nothing (the result is read back immediately), so put the WAL + state
     // store on tmpfs when available — every offset/commit/state write is an
@@ -141,8 +158,19 @@ object Streams {
         q.recentProgress.foreach(p => System.err.println(
           s"[stream] batch=${p.batchId} rows=${p.numInputRows} " +
             s"durations=${p.durationMs}"))
+      if (requireSingleBatch) {
+        // A trailing zero-input batch is fine (watermark-advance state
+        // eviction runs one); INPUT split across batches is not — that is
+        // the mode where cumulative per-group emissions accumulate in the
+        // sink and watermark advance can drop rows batch semantics keeps.
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches <= 1,
+          s"run-to-completion append stream '$name' consumed input over " +
+            s"$dataBatches batches — build it with " +
+            "maxFilesPerTrigger=Int.MaxValue so the static input lands in " +
+            "one batch")
+      }
     } finally {
-      spark.conf.set(key, prev)
       // best-effort cleanup of the tmpfs checkpoint
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()

@@ -28,6 +28,22 @@ class AsofClusterSpec extends AnyFunSuite {
       Seq(Some("a"), Some("c"), None, None))
   }
 
+  test("asofJoin: latest right row propagates ATOMICALLY — a NULL value " +
+    "on the latest match is returned, not an older row's value") {
+    val left = Seq((1L, "u1", 200L)).toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", 90L, "old", "x"),
+      ("u1", 150L, null.asInstanceOf[String], "y") // latest match: v IS NULL
+    ).toDF("k", "rt", "v", "w")
+    val out = Relational.asofJoin(left, right, Seq("k"),
+        "t", "rt", Seq("v", "w"), strict = true).collect().head
+    // merge_asof/ASOF JOIN semantics: the t=150 row wins wholesale —
+    // v = NULL rides with w = "y"; per-column last(ignoreNulls) would have
+    // stitched ("old" from t=90, "y" from t=150)
+    assert(out.getAs[String]("v") == null)
+    assert(out.getAs[String]("w") == "y")
+  }
+
   test("asofJoin non-strict: same-timestamp right row IS eligible") {
     val left = Seq((1L, "u1", 100L)).toDF("id", "k", "t")
     val right = Seq(("u1", 100L, "eq"), ("u1", 90L, "lt"))

@@ -34,14 +34,29 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("wrong arity fails with a clean analysis-time error, not an IOOBE") {
+    GraftFunctions.register(spark)
+    Seq(Seq(1.0f)).toDF("a").createOrReplaceTempView("ext_arity")
+    val e = intercept[Exception] {
+      spark.sql("SELECT vec_dot(a) FROM ext_arity").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).map(x => x +: chain(x.getCause)).getOrElse(Nil)
+    assert(!chain(e).exists(_.isInstanceOf[IndexOutOfBoundsException]))
+    assert(chain(e).exists(t =>
+      Option(t.getMessage).exists(_.contains("vec_dot(a, b)"))))
+  }
+
   test("streaming sessionization == batch window sessionization") {
     val sf = TestSpark.sf
     val schema = Tables.eventsRaw(spark, sf).schema
-    val stream = Tables.normalizeEventsTs(
-      Streams.fileStream(spark, s"$sf/events.*", schema))
-    val streaming = Streams.runToMemoryAppend(
-      Streams.streamingSessionCounts(stream, gapMicros = 21600000000L),
-      s"spec_sessions_${System.nanoTime()}")
+    val streaming = Streams.runToMemoryAppend(spark,
+        s"spec_sessions_${System.nanoTime()}") { scoped =>
+        val stream = Tables.normalizeEventsTs(
+          Streams.fileStream(scoped, s"$sf/events.*", schema,
+            maxFilesPerTrigger = Int.MaxValue))
+        Streams.streamingSessionCounts(stream, gapMicros = 21600000000L)
+      }
       .orderBy("user_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
 

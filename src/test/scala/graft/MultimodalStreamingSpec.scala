@@ -54,10 +54,12 @@ class MultimodalStreamingSpec extends AnyFunSuite {
 
   test("streaming windowed counts equal the batch aggregate") {
     val schema = Tables.eventsRaw(spark, TestSpark.sf).schema
-    val stream = Tables.normalizeEventsTs(
-      Streams.fileStream(spark, s"${TestSpark.sf}/events.*", schema))
-    val agg = Streams.windowedCounts(stream, "ts", "1 hour", "1 hour")
-    val streamed = Streams.runToMemory(agg, "spec_stream_counts")
+    val streamed = Streams.runToMemory(spark, "spec_stream_counts") {
+        scoped =>
+          val stream = Tables.normalizeEventsTs(
+            Streams.fileStream(scoped, s"${TestSpark.sf}/events.*", schema))
+          Streams.windowedCounts(stream, "ts", "1 hour", "1 hour")
+      }
       .select(col("window.start").as("w"), col("event_type"), col("n"))
       .as[(java.sql.Timestamp, String, Long)].collect().toSet
     val batch = Tables.events(spark, TestSpark.sf)

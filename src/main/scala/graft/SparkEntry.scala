@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{PipelineQueries, Q, StarQueries}
+import graft.queries.{ExtendedQueries, PipelineQueries, Q, StarQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -14,7 +14,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def registry: Seq[Q] = {
-    val all = StarQueries.all ++ PipelineQueries.all
+    val all = StarQueries.all ++ PipelineQueries.all ++ ExtendedQueries.all
     val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(",")}")
     all

@@ -1,0 +1,409 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.Streams
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 surface widening: grouping sets, the full rank-function family,
+  * array/date/interval functions, unpivot (melt), date-spine reindexing,
+  * fuzzy (edit-distance) joins, SQL subquery forms, argmax aggregates,
+  * regex scrubbing, repetition/TF-IDF text signals, and two more streaming
+  * shapes (stream-static broadcast enrichment, built-in session_window).
+  * Everything is oracle-exact: integer/cents arithmetic, explicit
+  * tiebreaks, and engine-portable expressions throughout.
+  */
+object ExtendedQueries {
+
+  def all: Seq[Q] = Seq(
+
+    Q("agg_grouping_sets",
+      "Explicit GROUPING SETS ((p,s),(p),()) with grouping() markers — " +
+        "the general form behind ROLLUP/CUBE, one shuffle, partial aggs.",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .groupingSets(
+            Seq(Seq($"o_orderpriority", $"o_orderstatus"),
+              Seq($"o_orderpriority"), Seq()),
+            $"o_orderpriority", $"o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            grouping($"o_orderpriority").cast("long").as("g_p"),
+            grouping($"o_orderstatus").cast("long").as("g_s"))
+          .orderBy($"g_p", $"g_s", $"o_orderpriority", $"o_orderstatus")
+      },
+      Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+             |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p,
+             |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_s
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+             |  (o_orderpriority), ())
+             |ORDER BY g_p, g_s, o_orderpriority, o_orderstatus"""
+        .stripMargin)),
+
+    Q("w_rank_suite",
+      "The full rank-function family over one (user, time) window: ntile, " +
+        "percent_rank, cume_dist, lead/lag, first_value — unique sort key " +
+        "(ts, event_id) makes every value engine-portable; percent_rank/" +
+        "cume_dist are single IEEE divisions of exact integers.",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+          .orderBy(unix_micros($"ts"), $"event_id")
+        Tables.events(s, d)
+          .select($"event_id", $"user_id",
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"),
+            lag($"event_id", 1).over(w).as("prev_ev"),
+            lead($"event_id", 1).over(w).as("next_ev"),
+            first($"event_id").over(w).as("first_ev"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |  percent_rank() OVER w AS pct_rank,
+             |  cume_dist() OVER w AS cume,
+             |  lag(event_id, 1) OVER w AS prev_ev,
+             |  lead(event_id, 1) OVER w AS next_ev,
+             |  first_value(event_id) OVER w AS first_ev
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id
+             |  ORDER BY epoch_ns(ts) // 1000, event_id)
+             |ORDER BY event_id""".stripMargin)),
+
+    Q("f16_array_ops",
+      "Array-function surface: distinct/sort/slice/join, membership, " +
+        "1-based position — all codegen'd builtins over split tokens.",
+      (s, d) => {
+        import s.implicits._
+        val toks = split($"text", " ")
+        Tables.documents(s, d)
+          .select($"doc_id",
+            size(toks).cast("long").as("n_toks"),
+            array_join(slice(sort_array(array_distinct(toks)), 1, 3), " ")
+              .as("first3"),
+            array_contains(toks, "spark").as("has_spark"),
+            array_position(toks, "the").cast("long").as("pos_the"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+             |  array_to_string(
+             |    list_sort(list_distinct(string_split(text, ' ')))[1:3],
+             |    ' ') AS first3,
+             |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+             |  CAST(coalesce(list_position(string_split(text, ' '), 'the'),
+             |    0) AS BIGINT) AS pos_the
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("f17_date_arith",
+      "Date-function surface: add, diff, last_day, month-trunc, " +
+        "day-of-week — engine conventions aligned explicitly (DuckDB dow " +
+        "is 0-based Sunday, Spark 1-based).",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .select(to_date($"o_orderdate").as("d")).distinct()
+          .select($"d",
+            date_add($"d", 30).as("d30"),
+            datediff($"d", lit("1995-01-01").cast("date")).cast("long")
+              .as("days_since"),
+            last_day($"d").as("ld"),
+            trunc($"d", "month").as("m0"),
+            dayofweek($"d").cast("long").as("dow"))
+          .orderBy($"d")
+      },
+      Some("""SELECT d, d + 30 AS d30,
+             |  date_diff('day', DATE '1995-01-01', d) AS days_since,
+             |  last_day(d) AS ld,
+             |  CAST(date_trunc('month', d) AS DATE) AS m0,
+             |  CAST(dayofweek(d) + 1 AS BIGINT) AS dow
+             |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d
+             |      FROM orders)
+             |ORDER BY d""".stripMargin)),
+
+    Q("o32_date_spine",
+      "Time-series reindex: generated date spine (sequence + explode) " +
+        "left-joined to daily order counts, gaps zero-filled — the " +
+        "temporal form of O-23 reindex-with-fill.",
+      (s, d) => {
+        import s.implicits._
+        val spine = s.range(1).select(explode(sequence(
+          lit(java.sql.Date.valueOf("1995-01-01")),
+          lit(java.sql.Date.valueOf("1995-03-31")))).as("d"))
+        val daily = Tables.orders(s, d)
+          .select(to_date($"o_orderdate").as("d"))
+          .groupBy($"d").agg(count(lit(1)).as("n_orders"))
+        spine.join(daily, Seq("d"), "left")
+          .na.fill(0L, Seq("n_orders"))
+          .orderBy($"d")
+      },
+      Some("""SELECT CAST(t.d AS DATE) AS d,
+             |  coalesce(n.n_orders, 0) AS n_orders
+             |FROM generate_series(DATE '1995-01-01', DATE '1995-03-31',
+             |  INTERVAL 1 DAY) t(d)
+             |LEFT JOIN (SELECT CAST(o_orderdate AS DATE) AS d,
+             |    count(*) AS n_orders FROM orders GROUP BY 1) n
+             |  ON CAST(t.d AS DATE) = n.d
+             |ORDER BY d""".stripMargin)),
+
+    Q("o33_unpivot",
+      "Unpivot (melt): the wide per-segment count matrix back to long " +
+        "(nation, segment, n) — the inverse of O-21's horizontal pivot, " +
+        "null cells dropped like a long-form groupBy never makes them.",
+      (s, d) => {
+        import s.implicits._
+        val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+          "MACHINERY")
+        Tables.customer(s, d)
+          .groupBy($"c_nationkey").pivot("c_mktsegment", segs)
+          .agg(count(lit(1)))
+          .unpivot(Array(col("c_nationkey")), segs.map(col).toArray,
+            "segment", "n")
+          .filter($"n".isNotNull)
+          .orderBy($"c_nationkey", $"segment")
+      },
+      Some("""SELECT c_nationkey, c_mktsegment AS segment,
+             |  count(*) AS n
+             |FROM customer GROUP BY c_nationkey, c_mktsegment
+             |ORDER BY c_nationkey, segment""".stripMargin)),
+
+    Q("j9_fuzzy_join",
+      "Fuzzy join: nation-name pairs within Levenshtein distance 5 — the " +
+        "edit-distance form of J-3 alias matching for keys with typos. " +
+        "Tiny dimension ⇒ broadcast nested loop; at scale the same " +
+        "operator runs behind an n-gram-blocking equi join.",
+      (s, d) => {
+        import s.implicits._
+        val a = Tables.nation(s, d).select($"n_name".as("name_a"))
+        val b = Tables.nation(s, d).select($"n_name".as("name_b"))
+        a.join(b, $"name_a" < $"name_b" &&
+            levenshtein($"name_a", $"name_b") <= 5)
+          .select($"name_a", $"name_b",
+            levenshtein($"name_a", $"name_b").cast("long").as("dist"))
+          .orderBy($"name_a", $"name_b")
+      },
+      Some("""SELECT a.n_name AS name_a, b.n_name AS name_b,
+             |  CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+             |FROM nation a JOIN nation b
+             |  ON a.n_name < b.n_name
+             |  AND levenshtein(a.n_name, b.n_name) <= 5
+             |ORDER BY name_a, name_b""".stripMargin)),
+
+    Q("o34_subqueries",
+      "SQL subquery surface through spark.sql: correlated EXISTS, " +
+        "uncorrelated IN, and a scalar subquery in one predicate — " +
+        "Catalyst decorrelates to joins; all-integer semantics.",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+        s.sql("""
+          SELECT o_orderkey, o_orderstatus
+          FROM graft_orders o
+          WHERE EXISTS (SELECT 1 FROM graft_lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey
+                          AND l.l_quantity >= 49)
+            AND o_orderkey IN (SELECT l_orderkey FROM graft_lineitem
+                               WHERE l_quantity <= 2)
+            AND o_orderkey > (SELECT min(o_orderkey) FROM graft_orders)
+          ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus
+             |FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM lineitem l
+             |              WHERE l.l_orderkey = o.o_orderkey
+             |                AND l.l_quantity >= 49)
+             |  AND o_orderkey IN (SELECT l_orderkey FROM lineitem
+             |                     WHERE l_quantity <= 2)
+             |  AND o_orderkey > (SELECT min(o_orderkey) FROM orders)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    Q("agg_argmax",
+      "Argmax/argmin aggregates: per-nation top/bottom customer by " +
+        "(acctbal, custkey) via max_by/min_by over structs — one " +
+        "aggregation instead of a window+filter pass; oracle = an " +
+        "INDEPENDENT row_number algorithm agreeing on every tiebreak.",
+      (s, d) => {
+        import s.implicits._
+        val byNation = Tables.customer(s, d)
+          .groupBy($"c_nationkey")
+          .agg(count(lit(1)).as("n_cust"),
+            max_by($"c_name", struct($"c_acctbal", $"c_custkey"))
+              .as("top_cust"),
+            min_by($"c_name", struct($"c_acctbal", $"c_custkey"))
+              .as("bottom_cust"))
+        byNation
+          .join(broadcast(Tables.nation(s, d)),
+            $"c_nationkey" === $"n_nationkey")
+          .select($"n_name", $"n_cust", $"top_cust", $"bottom_cust")
+          .orderBy($"n_name")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT c_nationkey, c_name,
+             |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+             |      ORDER BY c_acctbal DESC, c_custkey DESC) AS rt,
+             |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+             |      ORDER BY c_acctbal ASC, c_custkey ASC) AS rb
+             |  FROM customer)
+             |SELECT n.n_name,
+             |  (SELECT count(*) FROM customer c
+             |   WHERE c.c_nationkey = r.c_nationkey) AS n_cust,
+             |  max(CASE WHEN rt = 1 THEN c_name END) AS top_cust,
+             |  max(CASE WHEN rb = 1 THEN c_name END) AS bottom_cust
+             |FROM ranked r JOIN nation n ON r.c_nationkey = n.n_nationkey
+             |GROUP BY n.n_name, r.c_nationkey
+             |ORDER BY n_name""".stripMargin)),
+
+    Q("t_scrub_redact",
+      "Redaction pass (PII-shaped regex scrub): count pattern hits and " +
+        "fingerprint the scrubbed text — replace-all + regexp_count, " +
+        "single projection, no shuffle.",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id",
+            regexp_count($"text", lit("\\ba[a-z]*")).cast("long")
+              .as("n_hits"),
+            md5(regexp_replace($"text", "\\ba[a-z]*", "[TOK]")).as("fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '\ba[a-z]*')) AS BIGINT)
+             |    AS n_hits,
+             |  md5(regexp_replace(text, '\ba[a-z]*', '[TOK]', 'g')) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("t_repetition",
+      "Gopher-style repetition signals: total/distinct token counts and " +
+        "the most-repeated token's frequency per doc — duplicate-heavy " +
+        "docs are low-quality training data; all exact integers.",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", explode(split(trim($"text"), "\\s+"))
+            .as("tok"))
+          .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id")
+          .agg(sum($"c").cast("long").as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            max($"c").cast("long").as("top_n"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH per AS (
+             |  SELECT doc_id, tok, count(*) AS c
+             |  FROM (SELECT doc_id,
+             |          unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |        FROM documents)
+             |  GROUP BY doc_id, tok)
+             |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |  count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_n
+             |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("t_tfidf_top",
+      "TF-IDF-shaped signal: each doc's top term by (tf desc, term asc) " +
+        "with its corpus document frequency — two aggregations + one " +
+        "window first-match + a broadcast df join, integers only (float " +
+        "idf ranks are engine-order traps; the integer pair is the same " +
+        "order).",
+      (s, d) => {
+        import s.implicits._
+        val tf = Tables.documents(s, d)
+          .select($"doc_id", explode(split(trim($"text"), "\\s+"))
+            .as("tok"))
+          .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy($"doc_id")
+          .orderBy($"tf".desc, $"tok".asc)
+        tf.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .join(broadcast(dfreq), Seq("tok"))
+          .select($"doc_id", $"tok".as("top_tok"),
+            $"tf".cast("long").as("tf"), $"df".cast("long").as("df"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, tok, count(*) AS tf
+             |  FROM (SELECT doc_id,
+             |          unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |        FROM documents)
+             |  GROUP BY doc_id, tok),
+             |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+             |top AS (SELECT doc_id, tok, tf,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id
+             |      ORDER BY tf DESC, tok ASC) AS rn
+             |  FROM tf)
+             |SELECT t.doc_id, t.tok AS top_tok,
+             |  CAST(t.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df
+             |FROM top t JOIN dfreq d USING (tok)
+             |WHERE t.rn = 1 ORDER BY t.doc_id""".stripMargin)),
+
+    Q("stream_enrich",
+      "Stream-static enrichment: the file stream broadcast-joined to a " +
+        "static tier dimension (the streaming form of J-1's broadcast " +
+        "manifest join), aggregated per tier in integer cents.",
+      (s, d) => {
+        import s.implicits._
+        val schema = Tables.eventsRaw(s, d).schema
+        Streams.runToMemory(s,
+            s"stream_enrich_${System.nanoTime()}") { scoped =>
+            val stream = Tables.normalizeEventsTs(
+              Streams.fileStream(scoped, s"$d/events.*", schema,
+                maxFilesPerTrigger = Int.MaxValue))
+            val dim = scoped.createDataFrame(Seq(
+              ("click", "engage"), ("view", "engage"),
+              ("purchase", "convert"), ("signup", "convert"),
+              ("error", "ops"))).toDF("event_type", "tier")
+            stream.join(broadcast(dim), Seq("event_type"))
+              .groupBy(col("tier"))
+              .agg(count(lit(1)).as("n"),
+                sum(round(col("value") * 100).cast("long"))
+                  .as("total_cents"))
+          }
+          .orderBy($"tier")
+      },
+      Some("""SELECT CASE event_type
+             |    WHEN 'click' THEN 'engage' WHEN 'view' THEN 'engage'
+             |    WHEN 'purchase' THEN 'convert' WHEN 'signup' THEN 'convert'
+             |    ELSE 'ops' END AS tier,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             |    AS total_cents
+             |FROM events GROUP BY tier ORDER BY tier""".stripMargin)),
+
+    Q("stream_session_window",
+      "Streaming built-in session windows: session_window(ts, 6h) " +
+        "aggregation (complete mode) — the declarative sibling of the " +
+        "flatMapGroupsWithState sessionizer; per-user session/event " +
+        "counts. Oracle uses session_window's merge rule (a gap of " +
+        "EXACTLY 6h starts a new session: next < prev + gap merges).",
+      (s, d) => {
+        import s.implicits._
+        val schema = Tables.eventsRaw(s, d).schema
+        Streams.runToMemory(s,
+            s"stream_sesswin_${System.nanoTime()}") { scoped =>
+            val stream = Tables.normalizeEventsTs(
+              Streams.fileStream(scoped, s"$d/events.*", schema,
+                maxFilesPerTrigger = Int.MaxValue))
+            stream.groupBy(col("user_id"),
+                session_window(col("ts"), "6 hours"))
+              .agg(count(lit(1)).as("n"))
+          }
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum($"n").cast("long").as("n_events"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH marked AS (
+             |  SELECT user_id,
+             |    CASE WHEN prev_ts IS NULL
+             |      OR epoch_us(ts) - epoch_us(prev_ts) >= 21600000000
+             |      THEN 1 ELSE 0 END AS new_session
+             |  FROM (SELECT user_id, ts,
+             |          lag(ts) OVER (PARTITION BY user_id
+             |            ORDER BY ts) AS prev_ts
+             |        FROM events) t)
+             |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+             |  count(*) AS n_events
+             |FROM marked GROUP BY user_id ORDER BY user_id""".stripMargin))
+  )
+}

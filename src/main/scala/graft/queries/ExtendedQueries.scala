@@ -315,8 +315,11 @@ object ExtendedQueries {
         val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
         val w = Window.partitionBy($"doc_id")
           .orderBy($"tf".desc, $"tok".asc)
+        // no broadcast hint: dfreq is vocabulary-sized, which grows with
+        // the corpus — at 100 TB it must shuffle-join; AQE still picks a
+        // broadcast join at runtime when the vocab is actually small
         tf.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-          .join(broadcast(dfreq), Seq("tok"))
+          .join(dfreq, Seq("tok"))
           .select($"doc_id", $"tok".as("top_tok"),
             $"tf".cast("long").as("tf"), $"df".cast("long").as("df"))
           .orderBy($"doc_id")
@@ -336,6 +339,28 @@ object ExtendedQueries {
              |  CAST(t.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df
              |FROM top t JOIN dfreq d USING (tok)
              |WHERE t.rn = 1 ORDER BY t.doc_id""".stripMargin)),
+
+    Q("d_bow_dedup",
+      "Dedup: bag-of-words fingerprint — md5 over the sorted distinct " +
+        "token set, so reordered/duplicated-word copies collapse to one " +
+        "group (the cheap order-insensitive tier between exact-hash and " +
+        "MinHash). Shuffles 16-byte digests only.",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", md5(array_join(sort_array(array_distinct(
+            split(trim($"text"), "\\s+"))), " ")).as("bow_fp"))
+          .groupBy($"bow_fp")
+          .agg(min($"doc_id").as("keep_id"),
+            count(lit(1)).as("n_copies"))
+          .orderBy($"bow_fp")
+      },
+      Some("""SELECT md5(array_to_string(list_sort(list_distinct(
+             |    string_split_regex(trim(text), '\s+'))), ' ')) AS bow_fp,
+             |  min(doc_id) AS keep_id,
+             |  CAST(count(*) AS BIGINT) AS n_copies
+             |FROM documents
+             |GROUP BY 1 ORDER BY bow_fp""".stripMargin)),
 
     Q("stream_enrich",
       "Stream-static enrichment: the file stream broadcast-joined to a " +

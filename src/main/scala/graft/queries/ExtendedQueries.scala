@@ -340,6 +340,34 @@ object ExtendedQueries {
              |FROM top t JOIN dfreq d USING (tok)
              |WHERE t.rn = 1 ORDER BY t.doc_id""".stripMargin)),
 
+    Q("agg_topk_udaf",
+      "Typed Aggregator (UDAF) surface: exact per-group top-3 via a " +
+        "bounded map-side heap — partial buffers cap at k entries per " +
+        "group before the exchange, so huge groups shuffle k rows, not " +
+        "all; oracle = an independent window row_number algorithm.",
+      (s, d) => {
+        import s.implicits._
+        val topk = graft.functions.TopKAgg.topK(3)
+        Tables.events(s, d)
+          .select($"event_type",
+            round($"value" * 100).cast("long").as("cents"), $"event_id")
+          .groupBy($"event_type")
+          .agg(topk($"cents", $"event_id").as("top"))
+          .select($"event_type", posexplode($"top"))
+          .select($"event_type", ($"pos" + 1).cast("long").as("rank"),
+            $"col.v".as("cents"), $"col.id".as("event_id"))
+          .orderBy($"event_type", $"rank")
+      },
+      Some("""SELECT event_type, CAST(rn AS BIGINT) AS rank, cents, event_id
+             |FROM (SELECT event_type,
+             |        CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             |        event_id,
+             |        ROW_NUMBER() OVER (PARTITION BY event_type
+             |          ORDER BY CAST(round(value * 100, 0) AS BIGINT) DESC,
+             |            event_id DESC) AS rn
+             |      FROM events) t
+             |WHERE rn <= 3 ORDER BY event_type, rank""".stripMargin)),
+
     Q("d_bow_dedup",
       "Dedup: bag-of-words fingerprint — md5 over the sorted distinct " +
         "token set, so reordered/duplicated-word copies collapse to one " +

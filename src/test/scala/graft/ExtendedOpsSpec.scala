@@ -90,6 +90,40 @@ class ExtendedOpsSpec extends AnyFunSuite {
       src.agg(sum($"event_id")).head.getLong(0))
   }
 
+  test("TopKAgg: bounded buffer equals full-sort top-k on random data") {
+    import graft.functions.{KV, TopKAgg}
+    val rng = new scala.util.Random(11)
+    val agg = new TopKAgg(5)
+    (0 until 20).foreach { _ =>
+      val data = Seq.fill(50)(KV(rng.nextInt(10).toLong, rng.nextLong()))
+      // arbitrary partial/merge order must not change the result
+      val chunks = data.grouped(7).map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = chunks.foldLeft(agg.zero)(agg.merge)
+      val expect = data.sortBy(kv => (-kv.v, -kv.id)).take(5)
+      assert(agg.finish(merged) == expect)
+    }
+  }
+
+  test("TopKAgg distributed: per-group top-k equals window row_number") {
+    import graft.functions.TopKAgg
+    val df = Seq.tabulate(200)(i =>
+      (s"g${i % 3}", (i * 37 % 11).toLong, i.toLong))
+      .toDF("g", "v", "id").repartition(8)
+    val got = df.groupBy($"g").agg(TopKAgg.topK(4)($"v", $"id").as("top"))
+      .select($"g", posexplode($"top"))
+      .select($"g", ($"pos" + 1).as("rank"), $"col.v", $"col.id")
+      .collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"v".desc, $"id".desc)
+    val expect = df.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 4)
+      .select($"g", $"rank", $"v", $"id")
+      .collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+  }
+
   test("grouping sets: marker columns identify each grouping level") {
     val df = Seq(("a", "x", 1), ("a", "y", 2), ("b", "x", 3))
       .toDF("p", "s", "v")

@@ -423,6 +423,154 @@ object ExtendedQueries {
              |    AS total_cents
              |FROM events GROUP BY tier ORDER BY tier""".stripMargin)),
 
+    Q("d_simhash_hamming",
+      "Dedup: SimHash → Hamming candidate pairs — bit_count(xor) over the " +
+        "md5-portable 60-bit signatures, blocked by source group. " +
+        "Completes the SimHash pipeline (signatures → candidates); the " +
+        "oracle recomputes signatures in SQL from the same hash, so every " +
+        "pair and distance matches bit-for-bit.",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).filter($"doc_id" < 200)
+        val sigs = graft.dedup.Dedup
+          .simhashSignatures(docs, "doc_id", "text", tokenHash = "md5")
+          .withColumnRenamed("id", "doc_id")
+          .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+          // exchange before the self-join so the mapPartitions signature
+          // pass runs once per side-independent stage, not inside the join
+          .repartition($"source")
+        val a = sigs.select($"doc_id".as("a_id"), $"source",
+          $"simhash".as("sig_a"))
+        val b = sigs.select($"doc_id".as("b_id"), $"source",
+          $"simhash".as("sig_b"))
+        a.join(b, Seq("source")).filter($"a_id" < $"b_id")
+          .withColumn("hamming",
+            bit_count($"sig_a".bitwiseXOR($"sig_b")).cast("long"))
+          .filter($"hamming" <= 20)
+          .select($"a_id", $"b_id", $"hamming")
+          .orderBy($"a_id", $"b_id")
+      },
+      Some(OracleGen.simhashHammingSql(maxDocId = 200, maxHamming = 20))),
+
+    Q("f19_string_suite",
+      "String-function surface: pad/reverse/repeat/translate/split_part/" +
+        "regexp_extract — one codegen'd projection, cross-engine-identical " +
+        "for ASCII.",
+      (s, d) => {
+        import s.implicits._
+        Tables.customer(s, d)
+          .select($"c_custkey",
+            lpad($"c_name", 22, "*").as("padded_l"),
+            rpad($"c_name", 22, "*").as("padded_r"),
+            reverse($"c_name").as("rev"),
+            repeat($"c_mktsegment", 2).as("seg2"),
+            translate($"c_name", "#", "-").as("dashed"),
+            split_part($"c_name", lit("#"), lit(2)).as("cust_num"),
+            regexp_extract($"c_name", "(\\d+)", 1).as("digits"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  lpad(c_name, 22, '*') AS padded_l,
+             |  rpad(c_name, 22, '*') AS padded_r,
+             |  reverse(c_name) AS rev,
+             |  repeat(c_mktsegment, 2) AS seg2,
+             |  translate(c_name, '#', '-') AS dashed,
+             |  split_part(c_name, '#', 2) AS cust_num,
+             |  regexp_extract(c_name, '(\d+)', 1) AS digits
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    Q("f18_map_ops",
+      "Map-function surface: map_from_arrays/str_to_map construction, " +
+        "element_at lookup, map_keys enumeration — MapType stays inside " +
+        "the engine; the projection emits scalars so the oracle needs no " +
+        "MAP type at all.",
+      (s, d) => {
+        import s.implicits._
+        val m = map_from_arrays(array(lit("t"), lit("u")),
+          array($"event_type", $"user_id".cast("string")))
+        val cfg = str_to_map(lit("retries:3,region:eu"), lit(","), lit(":"))
+        Tables.events(s, d)
+          .select($"event_id",
+            element_at(m, "t").as("type_val"),
+            element_at(m, "u").as("uid_val"),
+            size(m).cast("long").as("n_keys"),
+            array_join(map_keys(m), ",").as("keys"),
+            element_at(cfg, "retries").as("retries"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, event_type AS type_val,
+             |  CAST(user_id AS VARCHAR) AS uid_val,
+             |  CAST(2 AS BIGINT) AS n_keys, 't,u' AS keys,
+             |  '3' AS retries
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    Q("f21_hof",
+      "Higher-order-function surface: transform/filter/aggregate lambdas " +
+        "over token arrays — exact integer outputs. (Interpreted, not " +
+        "codegen'd: fine for array-per-row shapes; hot kernels use typed " +
+        "passes or native expressions instead — see SCALE.md.)",
+      (s, d) => {
+        import s.implicits._
+        val toks = split($"text", " ")
+        Tables.documents(s, d)
+          .select($"doc_id",
+            aggregate(transform(toks, t => length(t)), lit(0),
+              (acc, x) => acc + x).cast("long").as("sum_len"),
+            size(filter(toks, t => length(t) > 4)).cast("long")
+              .as("n_long"),
+            array_max(transform(toks, t => length(t))).cast("long")
+              .as("max_len"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(list_sum(list_transform(string_split(text, ' '),
+             |    t -> length(t))) AS BIGINT) AS sum_len,
+             |  CAST(len(list_filter(string_split(text, ' '),
+             |    t -> length(t) > 4)) AS BIGINT) AS n_long,
+             |  CAST(list_max(list_transform(string_split(text, ' '),
+             |    t -> length(t))) AS BIGINT) AS max_len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("stream_stream_join",
+      "Stream-stream inner join: clicks ⋈ purchases within 5 minutes, " +
+        "both sides watermarked file streams with an event-time range " +
+        "condition (state pruned by watermark at scale) — the streaming " +
+        "form of the banded interval join, same oracle as j8_range_join.",
+      (s, d) => {
+        import s.implicits._
+        val schema = Tables.eventsRaw(s, d).schema
+        Streams.runToMemoryAppend(s,
+            s"stream_ssj_${System.nanoTime()}") { scoped =>
+            val ev = Tables.normalizeEventsTs(
+              Streams.fileStream(scoped, s"$d/events.*", schema,
+                maxFilesPerTrigger = Int.MaxValue))
+            val clicks = ev.filter(col("event_type") === "click")
+              .select(col("user_id").as("c_uid"),
+                col("event_id").as("click_id"), col("ts").as("c_ts"))
+              .withWatermark("c_ts", "1 hour")
+            val purchases = ev.filter(col("event_type") === "purchase")
+              .select(col("user_id").as("p_uid"),
+                col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+              .withWatermark("p_ts", "1 hour")
+            clicks.join(purchases,
+              col("c_uid") === col("p_uid") &&
+                col("p_ts") > col("c_ts") &&
+                col("p_ts") <= col("c_ts") + expr("interval 5 minutes"))
+          }
+          .select($"click_id", $"purchase_id",
+            (unix_micros($"p_ts") - unix_micros($"c_ts")).as("gap_us"))
+          .orderBy($"click_id", $"purchase_id")
+      },
+      Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+             |  epoch_ns(p.ts) // 1000 - epoch_ns(c.ts) // 1000 AS gap_us
+             |FROM events c JOIN events p
+             |  ON c.user_id = p.user_id
+             |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+             |  AND epoch_ns(p.ts) // 1000 > epoch_ns(c.ts) // 1000
+             |  AND epoch_ns(p.ts) // 1000 - epoch_ns(c.ts) // 1000
+             |      <= 300000000
+             |ORDER BY click_id, purchase_id""".stripMargin)),
+
     Q("stream_session_window",
       "Streaming built-in session windows: session_window(ts, 6h) " +
         "aggregation (complete mode) — the declarative sibling of the " +

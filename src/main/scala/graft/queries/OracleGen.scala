@@ -129,6 +129,46 @@ object OracleGen {
        |FROM documents d LEFT JOIN sig s USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** SimHash → Hamming candidate pairs (`Dedup.simhashSignatures` md5
+    * variant + bit_count(xor) pairing within source groups): the
+    * candidate-generation stage the signature query feeds. Signatures are
+    * recomputed in SQL from the same md5-prefix hash, so pairs agree
+    * bit-for-bit.
+    */
+  def simhashHammingSql(maxDocId: Long, maxHamming: Int): String =
+    s"""WITH docs_f AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  WHERE doc_id < $maxDocId),
+       |toks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |  FROM docs_f WHERE length(trim(text)) > 0),
+       |th AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+       |  FROM toks),
+       |bits AS (
+       |  SELECT doc_id, b.bit,
+       |    SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+       |    COUNT(*) AS n
+       |  FROM th CROSS JOIN (SELECT unnest(range(60)) AS bit) b
+       |  GROUP BY doc_id, b.bit),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN ones * 2 >= n
+       |      THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id),
+       |sigs AS (
+       |  SELECT d.doc_id, d.source,
+       |    coalesce(s.simhash, ${(1L << 60) - 1}) AS simhash
+       |  FROM docs_f d LEFT JOIN sig s USING (doc_id))
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sigs a JOIN sigs b
+       |  ON a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
+       |ORDER BY a_id, b_id""".stripMargin
+
   /** Embedding near-dup degree (`Dedup.embeddingNearDup` with nPlanes
     * hyperplane buckets): in-bucket pairs with round(cosine, 6) ≥
     * threshold, counted per vector.

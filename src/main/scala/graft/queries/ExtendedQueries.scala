@@ -423,6 +423,68 @@ object ExtendedQueries {
              |    AS total_cents
              |FROM events GROUP BY tier ORDER BY tier""".stripMargin)),
 
+    Q("o35_bag_setops",
+      "Bag (multiset) set ops: INTERSECT ALL / EXCEPT ALL keep " +
+        "multiplicities (min/difference of per-value counts) — the ALL " +
+        "variants Spark plans as aggregated joins, no row explosion.",
+      (s, d) => {
+        import s.implicits._
+        val open = Tables.orders(s, d)
+          .filter($"o_orderstatus" === "O").select($"o_custkey")
+        val urgent = Tables.orders(s, d)
+          .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+        val inter = open.intersectAll(urgent)
+          .groupBy($"o_custkey").agg(count(lit(1)).as("n_inter"))
+        val exc = open.exceptAll(urgent)
+          .groupBy($"o_custkey").agg(count(lit(1)).as("n_except"))
+        inter.join(exc, Seq("o_custkey"), "full_outer")
+          .na.fill(0L, Seq("n_inter", "n_except"))
+          .orderBy($"o_custkey")
+      },
+      Some("""WITH i AS (
+             |  SELECT o_custkey, count(*) AS n_inter FROM (
+             |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |    INTERSECT ALL
+             |    SELECT o_custkey FROM orders
+             |    WHERE o_orderpriority = '1-URGENT')
+             |  GROUP BY o_custkey),
+             |e AS (
+             |  SELECT o_custkey, count(*) AS n_except FROM (
+             |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |    EXCEPT ALL
+             |    SELECT o_custkey FROM orders
+             |    WHERE o_orderpriority = '1-URGENT')
+             |  GROUP BY o_custkey)
+             |SELECT coalesce(i.o_custkey, e.o_custkey) AS o_custkey,
+             |  coalesce(i.n_inter, 0) AS n_inter,
+             |  coalesce(e.n_except, 0) AS n_except
+             |FROM i FULL OUTER JOIN e ON i.o_custkey = e.o_custkey
+             |ORDER BY o_custkey""".stripMargin)),
+
+    Q("f22_null_suite",
+      "Null-handling functions: nullif / coalesce / null-safe equality " +
+        "(<=> ≡ IS NOT DISTINCT FROM) / nvl2-style routing — the NULL " +
+        "algebra every pandas fillna/isna migration leans on (F-9).",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .select($"o_orderkey",
+            nullif($"o_orderstatus", lit("O")).as("status_nz"),
+            coalesce(nullif($"o_orderstatus", lit("O")), lit("open"))
+              .as("status_fill"),
+            ($"o_orderstatus" <=> "O").as("is_open_nsafe"),
+            when(nullif($"o_orderstatus", lit("O")).isNull, "open-route")
+              .otherwise("other-route").as("nvl2_route"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  nullif(o_orderstatus, 'O') AS status_nz,
+             |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_fill,
+             |  o_orderstatus IS NOT DISTINCT FROM 'O' AS is_open_nsafe,
+             |  CASE WHEN nullif(o_orderstatus, 'O') IS NULL
+             |    THEN 'open-route' ELSE 'other-route' END AS nvl2_route
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     Q("d_simhash_hamming",
       "Dedup: SimHash → Hamming candidate pairs — bit_count(xor) over the " +
         "md5-portable 60-bit signatures, blocked by source group. " +

@@ -423,6 +423,62 @@ object ExtendedQueries {
              |    AS total_cents
              |FROM events GROUP BY tier ORDER BY tier""".stripMargin)),
 
+    Q("w_range_frame",
+      "Value-RANGE window frames (vs w_rolling_window's ROWS frames): " +
+        "trailing-hour sums per user over event-time microseconds — ties " +
+        "in the order key all join the frame, so the result is " +
+        "deterministic without a unique sort key; plus last-non-null over " +
+        "a ROWS frame (IGNORE NULLS semantics).",
+      (s, d) => {
+        import s.implicits._
+        val cents = round($"value" * 100).cast("long")
+        val wRange = Window.partitionBy($"user_id")
+          .orderBy(unix_micros($"ts"))
+          .rangeBetween(-3600000000L, 0)
+        val wRows = Window.partitionBy($"user_id")
+          .orderBy(unix_micros($"ts"), $"event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        Tables.events(s, d)
+          .select($"event_id", $"user_id",
+            sum(cents).over(wRange).as("hr_cents"),
+            count(lit(1)).over(wRange).cast("long").as("hr_n"),
+            last(nullif($"event_type", lit("view")), ignoreNulls = true)
+              .over(wRows).as("last_nonview"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER wr
+             |    AS BIGINT) AS hr_cents,
+             |  CAST(COUNT(*) OVER wr AS BIGINT) AS hr_n,
+             |  last_value(nullif(event_type, 'view') IGNORE NULLS)
+             |    OVER wo AS last_nonview
+             |FROM events
+             |WINDOW wr AS (PARTITION BY user_id
+             |    ORDER BY epoch_ns(ts) // 1000
+             |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+             |  wo AS (PARTITION BY user_id
+             |    ORDER BY epoch_ns(ts) // 1000, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
+    Q("agg_approx_quantile",
+      "Approximate-quantile sketch (KLL-style percentile_approx): p50/p90 " +
+        "of value per event_type — mergeable sketch, one pass, bounded " +
+        "memory at any scale. Engine-specific sketch ⇒ rows-only check " +
+        "(like HLL; the exact-percentile query is the value-exact twin).",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy($"event_type")
+          .agg(percentile_approx($"value", array(lit(0.5), lit(0.9)),
+            lit(10000)).as("p50_p90"))
+          .select($"event_type",
+            $"p50_p90".getItem(0).as("p50"),
+            $"p50_p90".getItem(1).as("p90"))
+          .orderBy($"event_type")
+      },
+      None),
+
     Q("o35_bag_setops",
       "Bag (multiset) set ops: INTERSECT ALL / EXCEPT ALL keep " +
         "multiplicities (min/difference of per-value counts) — the ALL " +

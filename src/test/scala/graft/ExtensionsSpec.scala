@@ -47,6 +47,32 @@ class ExtensionsSpec extends AnyFunSuite {
       Option(t.getMessage).exists(_.contains("vec_dot(a, b)"))))
   }
 
+  test("LevenshteinPrune rule: length-difference guard injected, " +
+    "results unchanged") {
+    val df = Seq("ALGERIA", "NIGERIA", "ARGENTINA", "IRAN", "IRAQ")
+      .toDF("n1")
+    def pairs = df.crossJoin(df.select($"n1".as("n2")))
+      .filter($"n1" < $"n2" && levenshtein($"n1", $"n2") <= 2)
+    // materialize the baseline on a FRESH plan before installing (a
+    // QueryExecution caches its optimizedPlan, so reuse would mask the rule)
+    val before = pairs.collect().map(r =>
+      (r.getString(0), r.getString(1))).toSet
+    graft.plans.LevenshteinPrune.install(spark)
+    graft.plans.LevenshteinPrune.install(spark) // idempotent
+    assert(spark.experimental.extraOptimizations
+      .count(_ == graft.plans.LevenshteinPrune) == 1)
+    val guarded = pairs
+    val optimized = guarded.queryExecution.optimizedPlan
+    assert(optimized.toString.contains("abs((length(n1"),
+      s"guard missing in:\n$optimized")
+    val after = guarded.collect().map(r =>
+      (r.getString(0), r.getString(1))).toSet
+    assert(after == before && before.contains(("ALGERIA", "NIGERIA")))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_ == graft.plans.LevenshteinPrune)
+  }
+
   test("streaming sessionization == batch window sessionization") {
     val sf = TestSpark.sf
     val schema = Tables.eventsRaw(spark, sf).schema

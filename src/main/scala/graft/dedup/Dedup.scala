@@ -255,60 +255,70 @@ object Dedup {
   def duplicateClusters(nodes: DataFrame, edges: DataFrame, idCol: String,
                         maxIter: Int = 25,
                         loopPartitions: Int = 8): DataFrame = {
-    val spark = nodes.sparkSession
+    // each round is a tiny shuffle (one row per label/edge) repeated many
+    // times — at the session's full shuffle width the per-round task-launch
+    // overhead dominates. The loop runs at its own width via EXPLICIT
+    // repartition on the loop keys (never by mutating the session-global
+    // shuffle.partitions, which would silently re-plan concurrent queries);
+    // localCheckpoint preserves the hash partitioning in LogicalRDD, so
+    // co-partitioned joins below plan no extra exchanges. At 100 TB raise
+    // loopPartitions to the edge-set scale; the loop body is width-agnostic.
     val sym = edges
       .select(col("a_id").cast("long").as("src"),
         col("b_id").cast("long").as("dst"))
       .union(edges.select(col("b_id").cast("long").as("src"),
         col("a_id").cast("long").as("dst")))
-    // each round is a tiny shuffle (one row per label/edge) repeated many
-    // times — at the session's full shuffle width the per-round task-launch
-    // overhead dominates, so the loop runs at its own width and the session
-    // setting is restored afterwards. At 100 TB raise loopPartitions to the
-    // edge-set scale; the loop body is width-agnostic.
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, loopPartitions.toString)
-    try {
-      var labels = nodes
-        .select(col(idCol).cast("long").as("id"))
-        .withColumn("cluster_id", col("id"))
+      .repartition(loopPartitions, col("src"))
+      .localCheckpoint()
+    var labels = nodes
+      .select(col(idCol).cast("long").as("id"))
+      .withColumn("cluster_id", col("id"))
+      .repartition(loopPartitions, col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // neighbor-min via join+least instead of union+agg: only edge rows
+      // shuffle (labels ride their existing id-partitioning), and the
+      // checkpoint BEFORE the pointer-jump self-join cuts the lineage a
+      // self-join would otherwise analyze and execute twice
+      val nbrMin = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst"), col("cluster_id"))
+        .repartition(loopPartitions, col("dst"))
+        .groupBy(col("dst"))
+        .agg(min(col("cluster_id")).as("nmin"))
+      val propagated = labels
+        .join(nbrMin, labels("id") === nbrMin("dst"), "left")
+        .select(labels("id"),
+          least(col("cluster_id"), coalesce(col("nmin"),
+            col("cluster_id"))).as("cluster_id"))
         .localCheckpoint()
-      var iter = 0
-      var converged = false
-      while (iter < maxIter && !converged) {
-        // checkpoint BEFORE the pointer-jump self-join: it cuts the
-        // union+agg lineage (which a self-join would otherwise analyze
-        // twice and re-execute twice) and gives the join fresh attributes
-        val propagated = sym.join(labels, sym("src") === labels("id"))
-          .select(col("dst").as("id"), col("cluster_id"))
-          .union(labels.select(col("id"), col("cluster_id")))
-          .groupBy(col("id"))
-          .agg(min(col("cluster_id")).as("cluster_id"))
-          .localCheckpoint()
-        // pointer jumping (path compression): label ← label(label). Labels
-        // are always node ids, so the self-join resolves; this shortcuts a
-        // k-long chain in half each round, making total rounds
-        // O(log diameter) instead of O(diameter) — the difference between
-        // 40 rounds and 6 on a pathological chain at corpus scale.
-        val next = propagated.as("x")
-          .join(propagated.select(col("id").as("pid"),
-            col("cluster_id").as("pcluster")).as("p"),
-            col("x.cluster_id") === col("pid"), "left")
-          .select(col("x.id"),
-            coalesce(col("pcluster"), col("x.cluster_id")).as("cluster_id"))
-        val changed = next.as("n")
-          .join(labels.as("o"), col("n.id") === col("o.id"))
-          .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-          .count()
-        labels = next
-        converged = changed == 0L
-        iter += 1
-      }
-      require(converged, s"label propagation did not converge in $maxIter " +
-        "rounds — raise maxIter for deep components")
-      labels
-    } finally spark.conf.set(key, prev)
+      // pointer jumping (path compression): label ← label(label). Labels
+      // are always node ids, so the self-join resolves; this shortcuts a
+      // k-long chain in half each round, making total rounds
+      // O(log diameter) instead of O(diameter) — the difference between
+      // 40 rounds and 6 on a pathological chain at corpus scale.
+      val next = propagated.as("x")
+        .repartition(loopPartitions, col("cluster_id"))
+        .join(propagated.select(col("id").as("pid"),
+          col("cluster_id").as("pcluster")).as("p")
+          .repartition(loopPartitions, col("pid")),
+          col("x.cluster_id") === col("pid"), "left")
+        .select(col("x.id"),
+          coalesce(col("pcluster"), col("x.cluster_id")).as("cluster_id"))
+        .repartition(loopPartitions, col("id"))
+        .localCheckpoint() // next is consumed twice (count + next round)
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .count()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIter " +
+      "rounds — raise maxIter for deep components")
+    labels
   }
 
   /** Embedding near-dup: pairs with cosine ≥ threshold, brute force within

@@ -723,6 +723,81 @@ object ExtendedQueries {
              |        FROM events) t)
              |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
              |  count(*) AS n_events
-             |FROM marked GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM marked GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    Q("o36_explode",
+      "Array explode with ordinal position (posexplode / UNNEST): one row " +
+        "per token, 0-based position — generate-once flatten, fully " +
+        "codegen'd (Generate node), no shuffle before the final sort.",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .filter($"doc_id" % 10 === 0)
+          .select($"doc_id", posexplode(split($"text", " ")))
+          .select($"doc_id", $"pos".cast("long").as("pos"),
+            $"col".as("tok"))
+          .orderBy($"doc_id", $"pos")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(generate_subscripts(string_split(text, ' '), 1) - 1
+             |    AS BIGINT) AS pos,
+             |  unnest(string_split(text, ' ')) AS tok
+             |FROM documents WHERE doc_id % 10 = 0
+             |ORDER BY doc_id, pos""".stripMargin)),
+
+    Q("agg_corr",
+      "Pearson correlation, engine-portable: NOT the corr() builtin " +
+        "(whose running-moment accumulation order varies with partitioning" +
+        ") — exact BIGINT power sums in one partial-aggregated pass, then " +
+        "a single fixed-shape IEEE expression (cast/mul/sqrt/div) that is " +
+        "bit-identical on any engine and any cluster size.",
+      (s, d) => {
+        import s.implicits._
+        val x = $"l_quantity".cast("long")
+        val y = $"l_linenumber".cast("long")
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(x * y).as("sxy"), sum(x).as("sx"), sum(y).as("sy"),
+            sum(x * x).as("sxx"), sum(y * y).as("syy"))
+          .select($"l_returnflag", $"n",
+            (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+              sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+                ($"n" * $"syy" - $"sy" * $"sy").cast("double")))
+              .as("corr_qln"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH sums AS (
+             |  SELECT l_returnflag, count(*) AS n,
+             |    sum(CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS
+             |      BIGINT)) AS sxy,
+             |    sum(CAST(l_quantity AS BIGINT)) AS sx,
+             |    sum(CAST(l_linenumber AS BIGINT)) AS sy,
+             |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS
+             |      BIGINT)) AS sxx,
+             |    sum(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS
+             |      BIGINT)) AS syy
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, n,
+             |  CAST(n * sxy - sx * sy AS DOUBLE) /
+             |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+             |         CAST(n * syy - sy * sy AS DOUBLE)) AS corr_qln
+             |FROM sums ORDER BY l_returnflag""".stripMargin)),
+
+    Q("o37_cross_join",
+      "Explicit cartesian scaffold (CROSS JOIN): every region × every " +
+        "order status — the dimension-scaffold shape (calendar × category)" +
+        "; both sides tiny so the plan is a broadcast nested loop, never " +
+        "a shuffled cartesian.",
+      (s, d) => {
+        import s.implicits._
+        Tables.region(s, d).select($"r_name")
+          .crossJoin(Tables.orders(s, d).select($"o_orderstatus").distinct())
+          .orderBy($"r_name", $"o_orderstatus")
+      },
+      Some("""SELECT r_name, o_orderstatus
+             |FROM region CROSS JOIN
+             |  (SELECT DISTINCT o_orderstatus FROM orders)
+             |ORDER BY r_name, o_orderstatus""".stripMargin))
   )
 }

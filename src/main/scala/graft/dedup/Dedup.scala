@@ -154,6 +154,121 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Modulus of the portable MinHash hash space: 2^60. All md5-prefix
+    * hashes are < 2^60, so the sentinel `M60` itself marks "no shingles".
+    */
+  private[dedup] val M60 = 1L << 60
+
+  /** Portable MinHash signatures: 60-bit md5-prefix shingle hashes, k
+    * "permutations" via the 2-hash scheme in Z_{2^60} — h_i = (h1 + i·h2)
+    * mod 2^60 never wraps a 64-bit long (each step adds h2 < 2^60 to a
+    * value < 2^60 then reduces), so any engine with md5 + 128-bit
+    * arithmetic (DuckDB HUGEINT) reproduces the signature bit-for-bit.
+    * ~2× the hashing cost of [[minhashSignatures]] (murmur): use that at
+    * 100 TB, this when results must verify across engines. Docs with no
+    * tokens get all-sentinel signatures (M60 > every real hash).
+    */
+  def minhashSignaturesPortable(df: DataFrame, idCol: String,
+                                textCol: String, k: Int,
+                                shingleN: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) => (id, portableSig(md, text, k, shingleN)) }
+      }.toDF("id", "sig")
+  }
+
+  private def portableSig(md: java.security.MessageDigest, text: String,
+                          k: Int, shingleN: Int): Array[Long] = {
+    val sig = Array.fill(k)(M60)
+    val toks = tokenize(text)
+    if (toks.nonEmpty) {
+      val shingles =
+        if (toks.length <= shingleN) Iterator(toks.mkString(" "))
+        else toks.sliding(shingleN).map(_.mkString(" "))
+      shingles.foreach { sh =>
+        val h1 = md5h60(md, sh)
+        val h2 = md5h60(md, "x" + sh) | 1L // odd => full period in Z_{2^60}
+        var i = 0
+        var h = h1
+        while (i < k) {
+          if (h < sig(i)) sig(i) = h
+          h = (h + h2) % M60
+          i += 1
+        }
+      }
+    }
+    sig
+  }
+
+  /** Portable LSH buckets: (id, band, band_hash) with band_hash = 60-bit
+    * md5 prefix of the band's signature slice joined with ','. One typed
+    * pass (signature + banding fused — nothing but fixed-width bucket rows
+    * ever shuffles).
+    */
+  def minhashBucketsPortable(df: DataFrame, idCol: String, textCol: String,
+                             shingleN: Int, bands: Int,
+                             rowsPerBand: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = bands * rowsPerBand
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val sig = portableSig(md, text, k, shingleN)
+          (0 until bands).iterator.map { b =>
+            val key = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+              .mkString(",")
+            (id, b, md5h60(md, key))
+          }
+        }
+      }.toDF("id", "band", "band_hash")
+  }
+
+  /** Portable MinHash LSH candidate pairs — same join shape as
+    * [[minhashCandidates]] over the portable buckets.
+    */
+  def minhashCandidatesPortable(df: DataFrame, idCol: String,
+                                textCol: String, shingleN: Int = 5,
+                                bands: Int = 8,
+                                rowsPerBand: Int = 2): DataFrame = {
+    val buckets = minhashBucketsPortable(df, idCol, textCol, shingleN,
+        bands, rowsPerBand)
+      .repartition(col("band"), col("band_hash"))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+  }
+
+  /** Portable verified MinHash duplicates — exact-Jaccard recheck over the
+    * portable candidates (same shape as [[minhashDuplicates]]).
+    */
+  def minhashDuplicatesPortable(df: DataFrame, idCol: String,
+                                textCol: String, threshold: Double,
+                                shingleN: Int = 5, bands: Int = 8,
+                                rowsPerBand: Int = 2): DataFrame = {
+    val cands = minhashCandidatesPortable(df, idCol, textCol, shingleN,
+      bands, rowsPerBand)
+    val sh = shingleSets(df, idCol, textCol, shingleN)
+    cands
+      .join(sh.toDF("a_id", "a_sh"), Seq("a_id"))
+      .join(sh.toDF("b_id", "b_sh"), Seq("b_id"))
+      .withColumn("jaccard",
+        round(TextOps.jaccard(col("a_sh"), col("b_sh")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
   /** 60-bit md5-prefix token hash: first 15 hex chars of md5(token). ~2×
     * slower than murmur but portable — any engine with md5 (DuckDB, Trino,
     * …) reproduces it bit-for-bit, which is what makes the simhash oracle-

@@ -38,9 +38,12 @@ object LevenshteinPrune extends Rule[LogicalPlan] {
     case le @ LessThanOrEqual(Levenshtein(l, r, None), k @ Literal(_, _))
         if !hasGuard(cond, l, r, k) =>
       And(guardFor(l, r, k), le)
+    // dist < k implies abs(len(a)-len(b)) <= lev(a,b) < k, so the same <=
+    // guard form is valid here — and using guardFor keeps hasGuard able to
+    // detect it, so the fixed-point optimizer converges after one pass.
     case lt @ LessThan(Levenshtein(l, r, None), k @ Literal(_, _))
         if !hasGuard(cond, l, r, k) =>
-      And(LessThan(Abs(Subtract(Length(l), Length(r))), k), lt)
+      And(guardFor(l, r, k), lt)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {

@@ -406,7 +406,10 @@ object ExtendedQueries {
               ("click", "engage"), ("view", "engage"),
               ("purchase", "convert"), ("signup", "convert"),
               ("error", "ops"))).toDF("event_type", "tier")
-            stream.join(broadcast(dim), Seq("event_type"))
+            // left join + coalesce mirrors the oracle CASE's ELSE 'ops':
+            // unknown event types fall through instead of being dropped.
+            stream.join(broadcast(dim), Seq("event_type"), "left")
+              .withColumn("tier", coalesce(col("tier"), lit("ops")))
               .groupBy(col("tier"))
               .agg(count(lit(1)).as("n"),
                 sum(round(col("value") * 100).cast("long"))

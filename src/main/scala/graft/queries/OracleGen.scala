@@ -169,6 +169,95 @@ object OracleGen {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Shared CTE body reproducing `Dedup.minhashBucketsPortable` bit-for-bit:
+    * 60-bit md5-prefix shingle hashes, k minima over (h1 + i·h2) mod 2^60
+    * (HUGEINT arithmetic — no 64-bit wraparound on either side), band key =
+    * md5 prefix of the band's signature slice joined with ','. Docs with no
+    * tokens signature to the sentinel 2^60 (> every real hash).
+    */
+  def minhashBucketsCte(shingleN: Int, bands: Int, rowsPerBand: Int): String = {
+    val k = bands * rowsPerBand
+    val m60 = 1L << 60
+    val sentinel = Seq.fill(k)(m60.toString).mkString("[", ", ", "]")
+    s"""mh_toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |mh_sh AS (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(toks) <= $shingleN
+       |        THEN [array_to_string(toks, ' ')]
+       |        ELSE list_transform(range(1, len(toks) - $shingleN + 2),
+       |          i -> array_to_string(toks[i:i+${shingleN - 1}], ' ')) END)
+       |      AS sh
+       |    FROM mh_toks)),
+       |mh_h AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS h1,
+       |    CAST(concat('0x', substr(md5(concat('x', sh)), 1, 15))
+       |      AS BIGINT) | 1 AS h2
+       |  FROM mh_sh),
+       |mh_min AS (
+       |  SELECT doc_id, i.i AS i,
+       |    min(CAST((CAST(h1 AS HUGEINT) + i.i * CAST(h2 AS HUGEINT))
+       |      % $m60 AS BIGINT)) AS mh
+       |  FROM mh_h CROSS JOIN (SELECT unnest(range($k)) AS i) i
+       |  GROUP BY doc_id, i.i),
+       |mh_sig AS (
+       |  SELECT d.doc_id, coalesce(m.sig, $sentinel) AS sig
+       |  FROM documents d LEFT JOIN
+       |    (SELECT doc_id, list(mh ORDER BY i) AS sig
+       |     FROM mh_min GROUP BY doc_id) m USING (doc_id)),
+       |mh_buckets AS (
+       |  SELECT doc_id, b.b AS band,
+       |    CAST(concat('0x', substr(md5(array_to_string(
+       |      sig[b.b*$rowsPerBand+1 : b.b*$rowsPerBand+$rowsPerBand], ',')),
+       |      1, 15)) AS BIGINT) AS band_hash
+       |  FROM mh_sig CROSS JOIN (SELECT unnest(range($bands)) AS b) b),
+       |mh_cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM mh_buckets a JOIN mh_buckets b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash
+       |    AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** Per-doc LSH candidate degree (`d_minhash_lsh` over the portable
+    * buckets).
+    */
+  def minhashLshSql(shingleN: Int, bands: Int, rowsPerBand: Int): String =
+    s"""WITH ${minhashBucketsCte(shingleN, bands, rowsPerBand)},
+       |deg AS (
+       |  SELECT id, count(*) AS c FROM (
+       |    SELECT a_id AS id FROM mh_cand
+       |    UNION ALL SELECT b_id AS id FROM mh_cand)
+       |  GROUP BY id)
+       |SELECT d.doc_id, CAST(coalesce(deg.c, 0) AS BIGINT) AS n_candidates
+       |FROM documents d LEFT JOIN deg ON d.doc_id = deg.id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Verified MinHash duplicates (`d_minhash_verify`): portable candidates
+    * re-checked with exact n-gram Jaccard ≥ threshold, round 4 (division of
+    * identical small-int sizes — bit-exact cross-engine).
+    */
+  def minhashVerifySql(shingleN: Int, bands: Int, rowsPerBand: Int,
+                       threshold: Double): String =
+    s"""WITH ${minhashBucketsCte(shingleN, bands, rowsPerBand)},
+       |shs AS (
+       |  SELECT d.doc_id, coalesce(s.sh, []) AS sh
+       |  FROM documents d LEFT JOIN
+       |    (SELECT doc_id, list(sh) AS sh FROM mh_sh GROUP BY doc_id) s
+       |    USING (doc_id)),
+       |j AS (
+       |  SELECT c.a_id, c.b_id,
+       |    round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
+       |      THEN 0.0
+       |      ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+       |      END, 4) AS jaccard
+       |  FROM mh_cand c JOIN shs a ON c.a_id = a.doc_id
+       |    JOIN shs b ON c.b_id = b.doc_id)
+       |SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= $threshold
+       |ORDER BY a_id, b_id""".stripMargin
+
   /** Embedding near-dup degree (`Dedup.embeddingNearDup` with nPlanes
     * hyperplane buckets): in-bucket pairs with round(cosine, 6) ≥
     * threshold, counted per vector.

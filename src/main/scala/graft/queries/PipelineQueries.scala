@@ -102,11 +102,14 @@ object PipelineQueries {
 
     Q("d_minhash_lsh",
       "Dedup: MinHash+LSH — shingle → k minhashes → banded bucket self-" +
-        "join; per-doc candidate counts (xxhash64-based → rows-only).",
+        "join; per-doc candidate counts. The portable 60-bit md5-prefix " +
+        "hash scheme (2-hash permutations in Z_2^60, no 64-bit wraparound) " +
+        "makes the whole LSH pipeline oracle-exact; the faster murmur " +
+        "variant (same shape) stays the 100 TB default, spec-verified.",
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-        val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+        val cands = Dedup.minhashCandidatesPortable(docs, "doc_id", "text",
           shingleN = 3, bands = 8, rowsPerBand = 2)
         val perDoc = cands.select($"a_id".as("doc_id"))
           .union(cands.select($"b_id".as("doc_id")))
@@ -115,23 +118,26 @@ object PipelineQueries {
           .na.fill(0L, Seq("n_candidates"))
           .orderBy($"doc_id")
       },
-      None),
+      Some(OracleGen.minhashLshSql(shingleN = 3, bands = 8,
+        rowsPerBand = 2))),
 
     Q("d_minhash_verify",
       "Dedup: the full MinHash pipeline — LSH candidates re-checked with " +
         "exact n-gram Jaccard ≥ 0.3 (shingle recomputation touches only " +
-        "candidate ids, not the corpus). Candidates depend on engine " +
-        "hashing → rows-only; the planted-pair spec asserts semantics.",
+        "candidate ids, not the corpus). Portable md5 hashing → the " +
+        "candidates AND the verify stage are oracle-exact.",
       (s, d) => {
         import s.implicits._
         // 4 bands × 4 rows: same 16 hashes as 8×2 but band collisions go
         // with sim⁴ not sim² — an order of magnitude fewer false
         // candidates reach the exact-Jaccard verify stage
-        Dedup.minhashDuplicates(Tables.documents(s, d), "doc_id", "text",
-            threshold = 0.3, shingleN = 3, bands = 4, rowsPerBand = 4)
+        Dedup.minhashDuplicatesPortable(Tables.documents(s, d), "doc_id",
+            "text", threshold = 0.3, shingleN = 3, bands = 4,
+            rowsPerBand = 4)
           .orderBy($"a_id", $"b_id")
       },
-      None),
+      Some(OracleGen.minhashVerifySql(shingleN = 3, bands = 4,
+        rowsPerBand = 4, threshold = 0.3))),
 
     Q("d_simhash",
       "Dedup: SimHash signatures (per-bit majority over token hashes, one " +

@@ -58,19 +58,45 @@ class ExtensionsSpec extends AnyFunSuite {
     val before = pairs.collect().map(r =>
       (r.getString(0), r.getString(1))).toSet
     graft.plans.LevenshteinPrune.install(spark)
-    graft.plans.LevenshteinPrune.install(spark) // idempotent
-    assert(spark.experimental.extraOptimizations
-      .count(_ == graft.plans.LevenshteinPrune) == 1)
-    val guarded = pairs
-    val optimized = guarded.queryExecution.optimizedPlan
-    assert(optimized.toString.contains("abs((length(n1"),
-      s"guard missing in:\n$optimized")
-    val after = guarded.collect().map(r =>
+    try {
+      graft.plans.LevenshteinPrune.install(spark) // idempotent
+      assert(spark.experimental.extraOptimizations
+        .count(_ == graft.plans.LevenshteinPrune) == 1)
+      val guarded = pairs
+      val optimized = guarded.queryExecution.optimizedPlan
+      assert(optimized.toString.contains("abs((length(n1"),
+        s"guard missing in:\n$optimized")
+      val after = guarded.collect().map(r =>
+        (r.getString(0), r.getString(1))).toSet
+      assert(after == before && before.contains(("ALGERIA", "NIGERIA")))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.LevenshteinPrune)
+    }
+  }
+
+  test("LevenshteinPrune rule: strict `< k` converges to exactly one guard") {
+    val df = Seq("ALGERIA", "NIGERIA", "ARGENTINA", "IRAN", "IRAQ")
+      .toDF("n1")
+    def pairs = df.crossJoin(df.select($"n1".as("n2")))
+      .filter($"n1" < $"n2" && levenshtein($"n1", $"n2") < 3)
+    val before = pairs.collect().map(r =>
       (r.getString(0), r.getString(1))).toSet
-    assert(after == before && before.contains(("ALGERIA", "NIGERIA")))
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations
-        .filterNot(_ == graft.plans.LevenshteinPrune)
+    graft.plans.LevenshteinPrune.install(spark)
+    try {
+      val optimized = pairs.queryExecution.optimizedPlan
+      val guards = "abs\\(\\(length\\(n1".r
+        .findAllIn(optimized.toString).length
+      assert(guards == 1, s"expected exactly 1 guard, got $guards in:\n$optimized")
+      val after = pairs.collect().map(r =>
+        (r.getString(0), r.getString(1))).toSet
+      assert(after == before && before.contains(("ALGERIA", "NIGERIA")))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.LevenshteinPrune)
+    }
   }
 
   test("streaming sessionization == batch window sessionization") {

@@ -43,12 +43,26 @@ object Bench {
     }
     // a crashed query reports -1, never its (tiny) elapsed time — a crash
     // must not read as a fast run, and the failed list makes it explicit
-    val qs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) v else -1) }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // The harness captures only the LAST ~2000 chars of stdout; a JSON
+    // line longer than that loses its head and never parses. Emit the
+    // queries map slowest-first, truncated to a hard budget (the slowest
+    // queries are the informative ones), and note how many were omitted.
+    // The complete per-query listing is on stderr above.
+    val entries = results.sortBy { case (_, v, ok) => if (ok) -v else 1e18 }
+      .map { case (k, v, ok) =>
+        "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1") }
+    val fixed = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","queries":{},"omitted":000}"""
+    val budget = 1700 - fixed.length
+    val kept = new scala.collection.mutable.ArrayBuffer[String]
+    var used = 0
+    entries.foreach { e =>
+      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    }
+    val omitted = entries.size - kept.size
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","queries":${kept.mkString("{", ",", "}")},"omitted":$omitted}""")
     spark.stop()
   }
 }

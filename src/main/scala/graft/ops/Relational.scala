@@ -239,4 +239,62 @@ object Relational {
       .select(leftCols.map(col) ++
         valueCols.map(v => col(s"__asof_m.$v").as(v)): _*)
   }
+
+  /** SCD2 (slowly-changing-dimension type 2) history build: each row of a
+    * keyed change stream becomes a validity interval
+    * `[valid_from, valid_to)` with `valid_to` = the next change's
+    * timestamp (NULL ⇒ current). One window per key — the incremental
+    * MERGE pattern expressed as a batch rebuild; at scale the same window
+    * runs per key-partition after one shuffle on `keyCols`, no driver
+    * involvement. `tieBreak` must make the per-key order total (a change
+    * feed can carry several updates at one timestamp).
+    */
+  def scd2(df: DataFrame, keyCols: Seq[String], orderCol: Column,
+           tieBreak: Column*): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCol +: tieBreak: _*)
+    df.withColumn("valid_from", orderCol)
+      .withColumn("valid_to", lead(orderCol, 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Runtime Bloom-filter join pruning: build a compact bitmap over the
+    * build side's join keys (`nHashes` positions per key from seeded
+    * xxhash64), ship it to every probe task as a literal word array, and
+    * filter the probe side BEFORE its exchange — only rows that might
+    * match pay the shuffle; the exact join afterwards removes false
+    * positives, so the result is identical to the plain join by
+    * construction. The bitmap build collects ≤ `bits` distinct positions
+    * (a fixed few KB, independent of build-side row count) — the same
+    * driver round-trip a broadcast join performs. Spark's own
+    * `InjectRuntimeFilter` does this automatically for some shuffle-join
+    * shapes; this operator is the explicit form for when the build side
+    * is a computed frame or the probe filter must sit below a
+    * non-join-adjacent exchange. All probe-side checks are codegen'd
+    * column expressions (array literal lookups + shifts), no UDF.
+    */
+  def bloomPrunedJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+                      buildKey: String, bits: Int = 1 << 16,
+                      nHashes: Int = 3): DataFrame = {
+    require(bits >= 64 && Integer.bitCount(bits) == 1,
+      s"bits must be a power of two >= 64, got $bits")
+    def positions(key: Column): Seq[Column] =
+      (0 until nHashes).map(j =>
+        pmod(xxhash64(key, lit(j)), lit(bits.toLong)))
+    val words = new Array[Long](bits / 64)
+    build.select(explode(array(positions(col(buildKey)): _*)).as("pos"))
+      .distinct().collect()
+      .foreach { r =>
+        val p = r.getLong(0).toInt
+        words(p >> 6) |= 1L << (p & 63)
+      }
+    val wordsLit = typedLit(words)
+    val keep = positions(col(probeKey)).map { p =>
+      call_function("shiftright",
+        element_at(wordsLit, (p.cast("int") / lit(64)).cast("int") + 1),
+        pmod(p, lit(64L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+    probe.filter(keep).join(build, col(probeKey) === col(buildKey))
+  }
 }

@@ -169,6 +169,15 @@ object OracleGen {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Z-order interleave (`graft.functions.ZOrder.interleave`): the same
+    * unrolled shift/mask OR-chain over SQL integer operators — bit i of x
+    * lands at position 2i, bit i of y at 2i+1.
+    */
+  def zorderExpr(x: String, y: String, bitsPerDim: Int): String =
+    (0 until bitsPerDim).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " | ", ")")
+
   /** Shared CTE body reproducing `Dedup.minhashBucketsPortable` bit-for-bit:
     * 60-bit md5-prefix shingle hashes, k minima over (h1 + i·h2) mod 2^60
     * (HUGEINT arithmetic — no 64-bit wraparound on either side), band key =

@@ -1,0 +1,111 @@
+package graft
+
+import graft.functions.ZOrder
+import graft.ops.{Relational, TimeSeries}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge semantics for the round-4 operator surface (SCD2, Bloom-pruned
+  * join, gap fill + interpolation, Z-order). The oracle sweep covers the
+  * data paths; these cover constructed corners.
+  */
+class Round4OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("scd2: intervals chain per key, last row open-ended, ties total") {
+    val df = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 20L, "c"),
+      (2L, 5L, "d")).toDF("k", "ts", "v")
+    val out = Relational.scd2(df, Seq("k"), col("ts"), col("v"))
+      .orderBy($"k", $"valid_from", $"v")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      (1L, "a", 10L, Some(20L), false),
+      (1L, "b", 20L, Some(20L), false), // tie: v breaks the order totally
+      (1L, "c", 20L, None, true),
+      (2L, "d", 5L, None, true)))
+  }
+
+  test("bloomPrunedJoin == plain join (no false negatives ever)") {
+    val probe = spark.range(0, 2000).select($"id".as("pk"),
+      ($"id" % 7).as("payload"))
+    val build = spark.range(0, 2000).filter($"id" % 13 === 0)
+      .select($"id".as("bk"))
+    val expected = probe.join(build, $"pk" === $"bk")
+      .select($"pk").collect().map(_.getLong(0)).toSet
+    val got = Relational.bloomPrunedJoin(probe, build, "pk", "bk",
+        bits = 1 << 12, nHashes = 3)
+      .select($"pk").collect().map(_.getLong(0)).toSet
+    assert(got == expected && expected.size == 154)
+  }
+
+  test("bloom pre-filter actually prunes most non-matching probe rows") {
+    val probe = spark.range(0, 4096).select($"id".as("pk"))
+    val build = spark.range(0, 4).select(($"id" * 1000).as("bk"))
+    // count rows surviving the filter stage alone: re-create the filter by
+    // running the pruned join against an always-true build side copy
+    val joined = Relational.bloomPrunedJoin(probe, build, "pk", "bk",
+      bits = 1 << 12, nHashes = 3)
+    assert(joined.count() == 4)
+    // structural check: the plan filters probe BEFORE the join
+    val plan = joined.queryExecution.optimizedPlan.toString
+    assert(plan.contains("shiftright"), s"no bloom filter in plan:\n$plan")
+  }
+
+  test("gapFillInterpolate: locf carries, interpolation is linear") {
+    // one key, observations on day 1 (100) and day 4 (400): days 2,3
+    // interpolate at 200/300; all days locf the previous observation
+    val df = Seq(
+      (1L, "2020-01-01", 1L, 100L),
+      (1L, "2020-01-04", 2L, 400L)
+    ).toDF("k", "ds", "ord", "cents")
+      .select($"k", $"ds".cast("date").as("day"), $"ord", $"cents")
+    val out = TimeSeries.gapFillInterpolate(df, "k", col("day"),
+        col("ord"), col("cents"), col("ord"))
+      .orderBy($"day")
+      .collect()
+      .map(r => (r.getDate(1).toString, Option(r.get(2)),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("2020-01-01", Some(100L), 100L, 100.0),
+      ("2020-01-02", None, 100L, 200.0),
+      ("2020-01-03", None, 100L, 300.0),
+      ("2020-01-04", Some(400L), 400L, 400.0)))
+  }
+
+  test("gapFillInterpolate: last-of-day wins by (ord, tie)") {
+    val df = Seq(
+      (1L, "2020-01-01", 5L, 7L, 111L),
+      (1L, "2020-01-01", 9L, 1L, 222L), // later ord wins the day
+      (1L, "2020-01-01", 9L, 2L, 333L)  // ord tie → higher tie wins
+    ).toDF("k", "ds", "ord", "tie", "cents")
+      .select($"k", $"ds".cast("date").as("day"), $"ord", $"tie", $"cents")
+    val out = TimeSeries.gapFillInterpolate(df, "k", col("day"),
+        col("ord"), col("cents"), col("tie"))
+      .collect().map(r => r.getLong(3))
+    assert(out.toSeq == Seq(333L))
+  }
+
+  test("zorder interleave: known codes and extent-bounding property") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (255L, 255L))
+      .toDF("x", "y")
+    val codes = df.select(
+        ZOrder.interleave($"x", $"y", 8).as("z"))
+      .collect().map(_.getLong(0))
+    assert(codes.toSeq == Seq(0L, 1L, 2L, 3L, 65535L))
+    // bounding property: within one z >> 8 bucket, both dims span < 32
+    // (the 16-bit code's high 8 bits fix the high 4 bits of each dim)
+    val data = spark.range(0, 4096).select(
+      ($"id" % 256).as("x"), (($"id" * 37) % 256).as("y"))
+    val spans = data
+      .select(shiftright(ZOrder.interleave($"x", $"y", 8), 8).as("b"),
+        $"x", $"y")
+      .groupBy($"b")
+      .agg((max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"))
+      .agg(max(greatest($"sx", $"sy")).as("worst"))
+      .collect().head.getLong(0)
+    assert(spans < 32, s"bucket extent span $spans ≥ 32")
+  }
+}

@@ -654,9 +654,15 @@ object ExtendedQueries {
 
     Q("stream_stream_join",
       "Stream-stream inner join: clicks ⋈ purchases within 5 minutes, " +
-        "both sides watermarked file streams with an event-time range " +
-        "condition (state pruned by watermark at scale) — the streaming " +
-        "form of the banded interval join, same oracle as j8_range_join.",
+        "both sides watermarked file streams — the streaming form of the " +
+        "banded interval join (same oracle as j8_range_join). Like the " +
+        "batch `bandJoin`, the equi-key is (user_id, 5-min band) with the " +
+        "click emitted at its band and the next: the symmetric hash join " +
+        "probes only the 1-2 rows in the matching band instead of scanning " +
+        "every buffered row for the user (a few-distinct-users stream " +
+        "otherwise degenerates to an O(n²) per-key scan), and the exact " +
+        "range predicate keeps the result identical — a (c,p) pair can " +
+        "match at most one of the two bands.",
       (s, d) => {
         import s.implicits._
         val schema = Tables.eventsRaw(s, d).schema
@@ -665,16 +671,22 @@ object ExtendedQueries {
             val ev = Tables.normalizeEventsTs(
               Streams.fileStream(scoped, s"$d/events.*", schema,
                 maxFilesPerTrigger = Int.MaxValue))
+            val bandUs = 300000000L // 5 minutes in microseconds
             val clicks = ev.filter(col("event_type") === "click")
               .select(col("user_id").as("c_uid"),
                 col("event_id").as("click_id"), col("ts").as("c_ts"))
+              .withColumn("band", explode(array(
+                expr(s"unix_micros(c_ts) div $bandUs"),
+                expr(s"unix_micros(c_ts) div $bandUs") + 1)))
               .withWatermark("c_ts", "1 hour")
             val purchases = ev.filter(col("event_type") === "purchase")
               .select(col("user_id").as("p_uid"),
                 col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+              .withColumn("band", expr(s"unix_micros(p_ts) div $bandUs"))
               .withWatermark("p_ts", "1 hour")
             clicks.join(purchases,
               col("c_uid") === col("p_uid") &&
+                clicks("band") === purchases("band") &&
                 col("p_ts") > col("c_ts") &&
                 col("p_ts") <= col("c_ts") + expr("interval 5 minutes"))
           }

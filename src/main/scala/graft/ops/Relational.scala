@@ -258,6 +258,47 @@ object Relational {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** CDC snapshot diff: classify every key of two snapshots of the same
+    * table as `insert` (new only), `delete` (old only), `update` (both,
+    * compared columns differ) or `unchanged`. One full-outer sort-merge
+    * join on `keys` — the standard change-data-capture derivation when no
+    * change feed exists, and the verification step after a migration or
+    * backfill. Comparison is null-safe (`<=>` on a packed struct), so a
+    * NULL→value transition counts as an update, not a match.
+    * Output: keys ++ old_/new_-prefixed compare columns + `change_type`.
+    */
+  def deltaDetect(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                  compareCols: Seq[String]): DataFrame = {
+    val o = oldDf.select(
+      keys.map(col) ++ compareCols.map(c => col(c).as(s"old_$c")) :+
+        lit(true).as("__in_old"): _*)
+    val n = newDf.select(
+      keys.map(col) ++ compareCols.map(c => col(c).as(s"new_$c")) :+
+        lit(true).as("__in_new"): _*)
+    val oldSide = struct(compareCols.map(c => col(s"old_$c")): _*)
+    val newSide = struct(compareCols.map(c => col(s"new_$c")): _*)
+    o.join(n, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__in_old").isNull, "insert")
+          .when(col("__in_new").isNull, "delete")
+          .when(!(oldSide <=> newSide), "update")
+          .otherwise("unchanged"))
+      .drop("__in_old", "__in_new")
+  }
+
+  /** Batch MERGE/upsert: rows of `updates` replace base rows with the same
+    * `keys`; unmatched update rows are appended. Expressed as
+    * anti-join + union — both sides shuffle once on `keys` (or the anti
+    * join broadcasts when `updates` is small), which is the cheapest
+    * batch-rebuild form; storage-level MERGE (Delta/Iceberg) does the
+    * same logically with file-level pruning. `updates` must be unique per
+    * key (enforce upstream with firstMatchPerKey) and share the base
+    * schema.
+    */
+  def upsert(base: DataFrame, updates: DataFrame,
+             keys: Seq[String]): DataFrame =
+    base.join(updates, keys, "left_anti").unionByName(updates)
+
   /** Runtime Bloom-filter join pruning: build a compact bitmap over the
     * build side's join keys (`nHashes` positions per key from seeded
     * xxhash64), ship it to every probe task as a literal word array, and

@@ -241,6 +241,237 @@ object Round4Queries {
              |    AS sum_qty
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE o_orderpriority = '1-URGENT'
-             |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin))
+             |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)),
+
+    Q("j11_salted_join",
+      "Skew-salted equi join (`Relational.saltedJoin`): the fact side's " +
+        "key is salted into 8 sub-keys and the dim side replicated once " +
+        "per salt, so a single hot key spreads over 8 reducers — the " +
+        "manual fallback for single-key hot spots AQE's skew split can't " +
+        "break up. Result equals the plain join by construction (the " +
+        "oracle IS the plain join).",
+      (s, d) => {
+        import s.implicits._
+        val urgent = Tables.table(s, d, "orders")
+          .filter($"o_orderpriority" === "1-URGENT")
+          .select($"o_orderkey".as("l_orderkey"), $"o_custkey")
+        Relational.saltedJoin(
+            Tables.table(s, d, "lineitem")
+              .select($"l_orderkey",
+                round($"l_quantity").cast("long").as("qty")),
+            urgent, "l_orderkey", saltBuckets = 8)
+          .groupBy(pmod($"o_custkey", lit(10L)).as("cust_bucket"))
+          .agg(count(lit(1)).as("n_items"), sum($"qty").as("sum_qty"))
+          .orderBy($"cust_bucket")
+      },
+      Some("""SELECT o_custkey % 10 AS cust_bucket,
+             |  count(*) AS n_items,
+             |  CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+             |    AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'
+             |GROUP BY o_custkey % 10 ORDER BY cust_bucket""".stripMargin)),
+
+    Q("o40_delta_detect",
+      "CDC snapshot diff (`Relational.deltaDetect`): two snapshots of " +
+        "orders (old = pre-1999, new = post-1996 with a deterministic " +
+        "price bump on keys ≡ 0 mod 7) full-outer joined on the key and " +
+        "every row classified insert / delete / update / unchanged — the " +
+        "change-data-capture derivation when no change feed exists.",
+      (s, d) => {
+        import s.implicits._
+        val cents = round($"o_totalprice" * 100).cast("long")
+        val old = Tables.table(s, d, "orders")
+          .filter($"o_orderdate" < lit("1999-01-01 00:00:00"))
+          .select($"o_orderkey", cents.as("cents"))
+        val neu = Tables.table(s, d, "orders")
+          .filter($"o_orderdate" >= lit("1996-01-01 00:00:00"))
+          .select($"o_orderkey",
+            (cents + when($"o_orderkey" % 7 === 0, 100L).otherwise(0L))
+              .as("cents"))
+        Relational.deltaDetect(old, neu, Seq("o_orderkey"), Seq("cents"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH old AS (
+             |  SELECT o_orderkey,
+             |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+             |  FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'),
+             |new AS (
+             |  SELECT o_orderkey,
+             |    CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             |      + CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END
+             |      AS cents
+             |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+             |SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+             |  old.cents AS old_cents, new.cents AS new_cents,
+             |  CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+             |    WHEN new.o_orderkey IS NULL THEN 'delete'
+             |    WHEN old.cents <> new.cents THEN 'update'
+             |    ELSE 'unchanged' END AS change_type
+             |FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    Q("o41_merge_upsert",
+      "Batch MERGE/upsert (`Relational.upsert`): an updates snapshot " +
+        "(every 5th order, price bumped) replaces matching base rows and " +
+        "appends the rest — anti-join + union, one shuffle on the key; " +
+        "the batch-rebuild form of a storage-level Delta/Iceberg MERGE.",
+      (s, d) => {
+        import s.implicits._
+        val cents = round($"o_totalprice" * 100).cast("long")
+        val base = Tables.table(s, d, "orders")
+          .filter($"o_orderdate" < lit("1999-01-01 00:00:00"))
+          .select($"o_orderkey", cents.as("cents"))
+        val updates = Tables.table(s, d, "orders")
+          .filter($"o_orderkey" % 5 === 0)
+          .select($"o_orderkey", (cents + 777L).as("cents"))
+        Relational.upsert(base, updates, Seq("o_orderkey"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey,
+             |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+             |  FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'),
+             |updates AS (
+             |  SELECT o_orderkey,
+             |    CAST(round(o_totalprice * 100, 0) AS BIGINT) + 777
+             |      AS cents
+             |  FROM orders WHERE o_orderkey % 5 = 0)
+             |SELECT * FROM updates
+             |UNION ALL
+             |SELECT * FROM base
+             |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    Q("agg_histogram",
+      "Fixed-width histogram: integer-cents bucketing (exact — no double " +
+        "division at bucket edges) of order totals, count + mass per " +
+        "bucket. Map-side partial aggregation; at scale this is the " +
+        "1-shuffle profile query run before choosing partition bounds.",
+      (s, d) => {
+        import s.implicits._
+        Tables.table(s, d, "orders")
+          .select((round($"o_totalprice" * 100).cast("long") / 5000000L)
+            .cast("long").as("bucket"),
+            round($"o_totalprice" * 100).cast("long").as("cents"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+          .orderBy($"bucket")
+      },
+      Some("""SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             |    // 5000000 AS bucket,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             |    AS BIGINT) AS sum_cents
+             |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    Q("w_event_transitions",
+      "Event-transition (Markov) counts: per user, each event paired with " +
+        "the NEXT event via lead() over (ts, event_id), then the " +
+        "from→to matrix counted — one window + one agg, both partitioned " +
+        "on the same key so the window's shuffle is reused.",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id")
+          .orderBy(unix_micros($"ts"), $"event_id")
+        Tables.events(s, d)
+          .select($"user_id", $"event_type", $"ts", $"event_id")
+          .withColumn("next_type", lead($"event_type", 1).over(w))
+          .filter($"next_type".isNotNull)
+          .groupBy($"event_type".as("from_type"),
+            $"next_type".as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"from_type", $"to_type")
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_ns(ts) // 1000, event_id) AS next_type
+             |  FROM events)
+             |SELECT event_type AS from_type, next_type AS to_type,
+             |  count(*) AS n
+             |FROM seq WHERE next_type IS NOT NULL
+             |GROUP BY event_type, next_type
+             |ORDER BY from_type, to_type""".stripMargin)),
+
+    Q("agg_bitmap_distinct",
+      "Bitmap-rollup distinct count: user ids packed into 64-bit words " +
+        "(`bit_or(1 << id%63)` per (group, id div 63); 63-bit words keep the shift in signed-64 range on every engine), then " +
+        "`sum(bit_count(word))` — EXACT distinct, mergeable across " +
+        "partitions and re-aggregable across rollup levels, the classic " +
+        "alternative to count(distinct)'s expand-shuffle at scale.",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy($"event_type", expr("user_id div 63").as("w"))
+          .agg(expr("bit_or(shiftleft(1L, CAST(user_id % 63 AS INT)))")
+            .as("word"))
+          .groupBy($"event_type")
+          .agg(sum(expr("bit_count(word)")).cast("long").as("n_users"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH words AS (
+             |  SELECT event_type, user_id // 63 AS w,
+             |    bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS word
+             |  FROM events GROUP BY event_type, user_id // 63)
+             |SELECT event_type,
+             |  CAST(sum(bit_count(word)) AS BIGINT) AS n_users
+             |FROM words GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("w_seq_pattern",
+      "Event-sequence pattern match (MATCH_RECOGNIZE-style): per user the " +
+        "time-ordered event-initial string (one agg — array_sort over " +
+        "(ts, id, initial) structs, no window pre-sort shuffle), then a " +
+        "regex over the path detects the click→…→view→…→purchase shape. " +
+        "The distributed form of sessionized funnel-pattern detection: " +
+        "path build and match are one shuffle on user_id.",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+            substring($"event_type", 1, 1).as("ini"))
+          .groupBy($"user_id")
+          .agg(array_sort(collect_list(struct($"ts_us", $"event_id",
+            $"ini"))).as("arr"))
+          .select($"user_id",
+            expr("array_join(transform(arr, x -> x.ini), '')").as("path"))
+          .withColumn("has_cvp", $"path".rlike("c.*v.*p"))
+          .select($"user_id", length($"path").cast("long").as("path_len"),
+            substring($"path", 1, 20).as("path_head"), $"has_cvp")
+          .orderBy($"user_id")
+      },
+      Some("""WITH paths AS (
+             |  SELECT user_id,
+             |    string_agg(substr(event_type, 1, 1), ''
+             |      ORDER BY epoch_ns(ts) // 1000, event_id) AS path
+             |  FROM events GROUP BY user_id)
+             |SELECT user_id, CAST(length(path) AS BIGINT) AS path_len,
+             |  substr(path, 1, 20) AS path_head,
+             |  regexp_matches(path, 'c.*v.*p') AS has_cvp
+             |FROM paths ORDER BY user_id""".stripMargin)),
+
+    Q("agg_bool_suite",
+      "Conditional/boolean aggregates: count_if, bool_and, bool_or per " +
+        "order priority — predicate pushdown into partial aggregation, " +
+        "the idiom that replaces three self-joins with one scan.",
+      (s, d) => {
+        import s.implicits._
+        Tables.table(s, d, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(
+            count_if($"o_totalprice" > 200000.0).as("n_big"),
+            bool_and($"o_totalprice" > 0.0).as("all_positive"),
+            bool_or($"o_orderstatus" === "F").as("any_final"),
+            count(lit(1)).as("n"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  count_if(o_totalprice > 200000.0) AS n_big,
+             |  bool_and(o_totalprice > 0.0) AS all_positive,
+             |  bool_or(o_orderstatus = 'F') AS any_final,
+             |  count(*) AS n
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 }

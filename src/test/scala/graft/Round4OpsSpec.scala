@@ -13,6 +13,36 @@ class Round4OpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("deltaDetect: insert/delete/update/unchanged incl. null-safe compare") {
+    val old = Seq((1L, Option(10L)), (2L, Option(20L)), (3L, None),
+      (4L, Option(40L))).toDF("k", "v")
+    val neu = Seq((2L, Option(20L)), (3L, Option(30L)), (4L, None),
+      (5L, Option(50L))).toDF("k", "v")
+    val out = Relational.deltaDetect(old, neu, Seq("k"), Seq("v"))
+      .select($"k", $"change_type").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "delete", 2L -> "unchanged", 3L -> "update",
+      4L -> "update", 5L -> "insert"))
+  }
+
+  test("upsert: updates replace matches, append the rest, base else kept") {
+    val base = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    val updates = Seq((2L, 99L), (9L, 90L)).toDF("k", "v")
+    val out = Relational.upsert(base, updates, Seq("k"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 10L, 2L -> 99L, 3L -> 30L, 9L -> 90L))
+  }
+
+  test("bitmap distinct (63-bit words) equals countDistinct") {
+    val df = spark.range(0, 5000)
+      .select(($"id" % 7).as("g"), (($"id" * 131) % 997).as("u"))
+    val bitmap = df.groupBy($"g", expr("u div 63").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(u % 63 AS INT)))").as("word"))
+      .groupBy($"g").agg(sum(expr("bit_count(word)")).as("n"))
+    val exact = df.groupBy($"g").agg(countDistinct($"u").as("n"))
+    assert(bitmap.as[(Long, Long)].collect().toMap ==
+      exact.as[(Long, Long)].collect().toMap)
+  }
+
   test("scd2: intervals chain per key, last row open-ended, ties total") {
     val df = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 20L, "c"),
       (2L, 5L, "d")).toDF("k", "ts", "v")

@@ -472,6 +472,121 @@ object Round4Queries {
              |  bool_or(o_orderstatus = 'F') AS any_final,
              |  count(*) AS n
              |FROM orders GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    Q("o43_right_outer",
+      "RIGHT OUTER join: every customer survives, orderless customers " +
+        "carry NULL order columns — closes the join-type matrix (inner / " +
+        "left / right / full / semi / anti / cross / as-of / range / " +
+        "fuzzy / salted / bloom-pruned). Same hash exchange as the inner " +
+        "join; only the row-retention rule differs.",
+      (s, d) => {
+        import s.implicits._
+        Tables.table(s, d, "orders")
+          .select($"o_custkey", $"o_orderkey")
+          .join(Tables.table(s, d, "customer")
+            .select($"c_custkey", $"c_name"),
+            $"o_custkey" === $"c_custkey", "right_outer")
+          .groupBy($"c_custkey", $"c_name")
+          .agg(count($"o_orderkey").as("n_orders"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+             |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_custkey, c_name
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("agg_equidepth_hist",
+      "Equi-depth histogram: discrete quartile bounds (percentile_disc — " +
+        "actual data values, so bucket edges are exact BIGINT compares, " +
+        "no interpolation ambiguity) cross-joined back as a 1-row " +
+        "broadcast, rows bucketed and counted. The two-pass profile query " +
+        "behind range-partition boundary selection.",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.table(s, d, "orders")
+          .select(round($"o_totalprice" * 100).cast("long").as("cents"))
+        val bounds = o.agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)")
+            .as("q1"),
+          expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY cents)")
+            .as("q2"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)")
+            .as("q3"))
+        o.crossJoin(bounds)
+          .select(when($"cents" <= $"q1", 0L).when($"cents" <= $"q2", 1L)
+            .when($"cents" <= $"q3", 2L).otherwise(3L).as("bucket"),
+            $"cents")
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"), min($"cents").as("min_cents"),
+            max($"cents").as("max_cents"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH o AS (
+             |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+             |  FROM orders),
+             |b AS (
+             |  SELECT quantile_disc(cents, 0.25) AS q1,
+             |    quantile_disc(cents, 0.50) AS q2,
+             |    quantile_disc(cents, 0.75) AS q3 FROM o)
+             |SELECT CAST(CASE WHEN cents <= q1 THEN 0
+             |    WHEN cents <= q2 THEN 1 WHEN cents <= q3 THEN 2
+             |    ELSE 3 END AS BIGINT) AS bucket,
+             |  count(*) AS n, min(cents) AS min_cents,
+             |  max(cents) AS max_cents
+             |FROM o, b GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    Q("stream_cdc_apply",
+      "Multi-micro-batch CDC apply: the events table split into 4 parquet " +
+        "shards, streamed with maxFilesPerTrigger=1 (4 real micro-batches), " +
+        "each batch's per-user latest row merged into a parquet target via " +
+        "foreachBatch + argmax-upsert. The merge is a (ts, id)-max CRDT — " +
+        "idempotent and batch-order-independent — so the final target " +
+        "equals the batch argmax exactly.",
+      (s, d) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-cdc-").toFile
+        tmp.deleteOnExit()
+        val src = s"${tmp.getAbsolutePath}/src"
+        val tgt = s"${tmp.getAbsolutePath}/tgt"
+        val ev = Tables.events(s, d)
+          .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+            $"event_type", round($"value" * 100).cast("long").as("cents"))
+        // 4 shards → 4 micro-batches (maxFilesPerTrigger=1 below)
+        ev.repartitionByRange(4, pmod($"event_id", lit(4L))).write.parquet(src)
+        val schema = ev.schema
+        def latest(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("user_id"))
+            .agg(max(struct(col("ts_us"), col("event_id"),
+              col("event_type"), col("cents"))).as("m"))
+            .select(col("user_id"), col("m.ts_us"), col("m.event_id"),
+              col("m.event_type"), col("m.cents"))
+        val scoped = graft.streaming.Streams.runForeachBatch(s) { sc =>
+          sc.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        } { (batch, _) =>
+          val sc = batch.sparkSession
+          val existing =
+            if (new java.io.File(tgt).exists) sc.read.parquet(tgt)
+            else sc.createDataFrame(
+              sc.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              batch.schema)
+          // materialize the merge BEFORE overwriting the dir it reads from
+          val merged = latest(existing.unionByName(batch)).localCheckpoint()
+          merged.write.mode("overwrite").parquet(tgt)
+        }
+        scoped.read.parquet(tgt)
+          .select($"user_id", $"ts_us", $"event_id", $"event_type",
+            $"cents")
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+             |  event_type,
+             |  CAST(round(value * 100, 0) AS BIGINT) AS cents
+             |FROM events
+             |QUALIFY row_number() OVER (PARTITION BY user_id
+             |  ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) = 1
+             |ORDER BY user_id""".stripMargin))
   )
 }

@@ -116,6 +116,46 @@ object Streams {
     runToMemoryMode(spark, name, "append", statePartitions,
       requireSingleBatch = true)(build)
 
+  /** Run a `foreachBatch` stream to completion against a static directory.
+    * Unlike [[runToMemory]] there is no sink table — `handle` receives
+    * each micro-batch (plus its id) and applies its own side effect
+    * (merge/upsert into a target). Same scoping rules: the stream is built
+    * on a CLONED session with `statePartitions` shuffle partitions and a
+    * tmpfs checkpoint. Returns the cloned session so callers can read
+    * what `handle` wrote with the same conf.
+    */
+  def runForeachBatch(session: SparkSession, statePartitions: Int = 4)
+                     (build: SparkSession => DataFrame)
+                     (handle: (DataFrame, Long) => Unit): SparkSession = {
+    val spark = session.newSession()
+    session.conf.getAll.foreach { case (k, v) =>
+      try spark.conf.set(k, v) catch { case _: Exception => () }
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val stream = build(spark)
+    val ckpt = {
+      val base = new java.io.File("/dev/shm")
+      val dir = if (base.isDirectory && base.canWrite)
+        java.nio.file.Files.createTempDirectory(base.toPath, "graft-ckpt-")
+      else java.nio.file.Files.createTempDirectory("graft-ckpt-")
+      dir.toFile.deleteOnExit()
+      dir.toString
+    }
+    try {
+      val q = stream.writeStream
+        .foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(ckpt))
+    }
+    spark
+  }
+
   private def runToMemoryMode(session: SparkSession, name: String,
                               mode: String, statePartitions: Int,
                               requireSingleBatch: Boolean)

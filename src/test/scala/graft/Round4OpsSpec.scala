@@ -43,6 +43,40 @@ class Round4OpsSpec extends AnyFunSuite {
       exact.as[(Long, Long)].collect().toMap)
   }
 
+  test("runForeachBatch: 4 shards × maxFilesPerTrigger=1 → 4 batches, " +
+    "argmax-upsert merge equals batch argmax") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fb-").toFile
+    tmp.deleteOnExit()
+    val src = s"${tmp.getAbsolutePath}/src"
+    val tgt = s"${tmp.getAbsolutePath}/tgt"
+    val ev = spark.range(0, 400).select(
+      ($"id" % 10).as("k"), $"id".as("ord"), ($"id" * 3).as("v"))
+    ev.repartitionByRange(4, pmod($"id", lit(4))).write.parquet(src)
+    var batches = 0
+    def latest(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"k").agg(max(struct($"ord", $"v")).as("m"))
+        .select($"k", $"m.ord", $"m.v")
+    val scoped = graft.streaming.Streams.runForeachBatch(spark) { sc =>
+      sc.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    } { (batch, _) =>
+      batches += 1
+      val sc = batch.sparkSession
+      val existing =
+        if (new java.io.File(tgt).exists) sc.read.parquet(tgt)
+        else sc.createDataFrame(
+          sc.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+      val merged = latest(existing.unionByName(batch)).localCheckpoint()
+      merged.write.mode("overwrite").parquet(tgt)
+    }
+    assert(batches == 4, s"expected 4 micro-batches, got $batches")
+    val got = scoped.read.parquet(tgt).as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    val want = latest(ev).as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == want)
+  }
+
   test("scd2: intervals chain per key, last row open-ended, ties total") {
     val df = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 20L, "c"),
       (2L, 5L, "d")).toDF("k", "ts", "v")

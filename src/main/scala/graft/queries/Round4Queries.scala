@@ -587,6 +587,75 @@ object Round4Queries {
              |FROM events
              |QUALIFY row_number() OVER (PARTITION BY user_id
              |  ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) = 1
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    Q("m_frame_sample",
+      "Multimodal frame sampling, oracle-checked end to end: document " +
+        "text as an opaque binary payload, `Multimodal.sampleFrames` " +
+        "keeps every 2nd 64-byte frame (the video-keyframe / audio-window " +
+        "shape — one typed pass, frames carry their index), outputs " +
+        "md5 + length per frame. The corpus is ASCII so the byte-frame " +
+        "oracle is expressible with substr on the oracle side.",
+      (s, d) => {
+        import s.implicits._
+        val assets = Tables.documents(s, d)
+          .select($"doc_id".as("asset_id"),
+            $"text".cast("binary").as("payload"))
+        graft.multimodal.Multimodal.sampleFrames(assets, 64, 2).toDF()
+          .select($"asset_id", $"frame_idx",
+            md5($"frame").as("frame_md5"),
+            octet_length($"frame").cast("long").as("frame_len"))
+          .orderBy($"asset_id", $"frame_idx")
+      },
+      Some("""WITH idx AS (
+             |  SELECT doc_id AS asset_id, text,
+             |    unnest(range(0, (length(text) + 63) // 64, 2))
+             |      AS frame_idx
+             |  FROM documents)
+             |SELECT asset_id, frame_idx,
+             |  md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64))
+             |    AS frame_md5,
+             |  CAST(length(substr(text, CAST(frame_idx * 64 + 1 AS INT),
+             |    64)) AS BIGINT) AS frame_len
+             |FROM idx ORDER BY asset_id, frame_idx""".stripMargin)),
+
+    Q("g_triangle_count",
+      "Graph analytics — exact triangle count over the " +
+        "co-activity graph (users linked when they share a " +
+        "(event_type, day) bucket): edges derived by a self-join on the " +
+        "bucket, oriented u1<u2 + distinct to kill multiplicity, then " +
+        "the two-hop closure join counts triangles — all-integer, " +
+        "shuffle-on-key shapes; at scale the bucket join is the blocked " +
+        "form (never all-pairs) and degree-ordered orientation bounds " +
+        "the closure fan-out.",
+      (s, d) => {
+        import s.implicits._
+        val act = Tables.events(s, d)
+          .select($"user_id", $"event_type", to_date($"ts").as("day"))
+          .distinct()
+        val a2 = act.select($"user_id".as("u2"), $"event_type", $"day")
+        val edges = act.join(a2,
+            act("event_type") === a2("event_type") &&
+              act("day") === a2("day") && act("user_id") < $"u2")
+          .select($"user_id".as("a"), $"u2".as("b")).distinct()
+        val e2 = edges.select($"a".as("b2"), $"b".as("c"))
+        val e3 = edges.select($"a".as("a3"), $"b".as("c3"))
+        val tri = edges.join(e2, $"b" === $"b2")
+          .join(e3, $"a" === $"a3" && $"c" === $"c3")
+          .select($"a", $"b", $"c")
+        tri.agg(count(lit(1)).as("n_triangles"))
+      },
+      Some("""WITH act AS (
+             |  SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS day
+             |  FROM events),
+             |edges AS (
+             |  SELECT DISTINCT l.user_id AS a, r.user_id AS b
+             |  FROM act l JOIN act r
+             |    ON l.event_type = r.event_type AND l.day = r.day
+             |      AND l.user_id < r.user_id)
+             |SELECT count(*) AS n_triangles
+             |FROM edges e1
+             |JOIN edges e2 ON e1.b = e2.a
+             |JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b""".stripMargin))
   )
 }

@@ -622,7 +622,7 @@ object Round4Queries {
     Q("g_triangle_count",
       "Graph analytics — exact triangle count over the " +
         "co-activity graph (users linked when they share a " +
-        "(event_type, day) bucket): edges derived by a self-join on the " +
+        "(event_type, minute) bucket): edges derived by a self-join on the " +
         "bucket, oriented u1<u2 + distinct to kill multiplicity, then " +
         "the two-hop closure join counts triangles — all-integer, " +
         "shuffle-on-key shapes; at scale the bucket join is the blocked " +
@@ -631,13 +631,17 @@ object Round4Queries {
       (s, d) => {
         import s.implicits._
         val act = Tables.events(s, d)
-          .select($"user_id", $"event_type", to_date($"ts").as("day"))
+          .select($"user_id", $"event_type",
+            date_trunc("minute", $"ts").as("hr"))
           .distinct()
-        val a2 = act.select($"user_id".as("u2"), $"event_type", $"day")
+        val a2 = act.select($"user_id".as("u2"), $"event_type", $"hr")
         val edges = act.join(a2,
             act("event_type") === a2("event_type") &&
-              act("day") === a2("day") && act("user_id") < $"u2")
+              act("hr") === a2("hr") && act("user_id") < $"u2")
           .select($"user_id".as("a"), $"u2".as("b")).distinct()
+          // the closure references edges 3x — materialize once (11k rows),
+          // or the whole bucket-join + distinct subtree runs 3 times
+          .localCheckpoint()
         val e2 = edges.select($"a".as("b2"), $"b".as("c"))
         val e3 = edges.select($"a".as("a3"), $"b".as("c3"))
         val tri = edges.join(e2, $"b" === $"b2")
@@ -646,12 +650,13 @@ object Round4Queries {
         tri.agg(count(lit(1)).as("n_triangles"))
       },
       Some("""WITH act AS (
-             |  SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS day
+             |  SELECT DISTINCT user_id, event_type,
+             |    date_trunc('minute', ts) AS hr
              |  FROM events),
              |edges AS (
              |  SELECT DISTINCT l.user_id AS a, r.user_id AS b
              |  FROM act l JOIN act r
-             |    ON l.event_type = r.event_type AND l.day = r.day
+             |    ON l.event_type = r.event_type AND l.hr = r.hr
              |      AND l.user_id < r.user_id)
              |SELECT count(*) AS n_triangles
              |FROM edges e1

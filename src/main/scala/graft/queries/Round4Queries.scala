@@ -661,6 +661,114 @@ object Round4Queries {
              |SELECT count(*) AS n_triangles
              |FROM edges e1
              |JOIN edges e2 ON e1.b = e2.a
-             |JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b""".stripMargin))
+             |JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b""".stripMargin)),
+
+    Q("o44_dq_audit",
+      "Data-quality audit suite (dbt-test style): key uniqueness, " +
+        "not-null, referential integrity (anti join), accepted values, " +
+        "and range checks — five independent violation counts unioned " +
+        "into one report. Each check is a scan+agg or anti join the " +
+        "optimizer runs in parallel; at scale this is the post-load " +
+        "gate before a partition is published.",
+      (s, d) => {
+        import s.implicits._
+        val orders = Tables.table(s, d, "orders")
+        val li = Tables.table(s, d, "lineitem")
+        def check(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_violations"))
+            .select(lit(name).as("check_name"), $"n_violations")
+        check("duplicate_orderkey",
+            orders.groupBy($"o_orderkey").agg(count(lit(1)).as("c"))
+              .filter($"c" > 1))
+          .unionByName(check("null_custkey",
+            orders.filter($"o_custkey".isNull)))
+          .unionByName(check("orphan_lineitem",
+            li.select($"l_orderkey").join(orders.select($"o_orderkey"),
+              $"l_orderkey" === $"o_orderkey", "left_anti")))
+          .unionByName(check("bad_priority",
+            orders.filter(!$"o_orderpriority".isin(
+              "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+              "5-LOW"))))
+          .unionByName(check("negative_price",
+            orders.filter($"o_totalprice" < 0.0)))
+          .orderBy($"check_name")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'duplicate_orderkey' AS check_name,
+             |    count(*) AS n_violations FROM (
+             |    SELECT o_orderkey FROM orders GROUP BY o_orderkey
+             |    HAVING count(*) > 1)
+             |  UNION ALL
+             |  SELECT 'null_custkey', count(*) FROM orders
+             |  WHERE o_custkey IS NULL
+             |  UNION ALL
+             |  SELECT 'orphan_lineitem', count(*) FROM lineitem
+             |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+             |  UNION ALL
+             |  SELECT 'bad_priority', count(*) FROM orders
+             |  WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH',
+             |    '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+             |  UNION ALL
+             |  SELECT 'negative_price', count(*) FROM orders
+             |  WHERE o_totalprice < 0.0)
+             |ORDER BY check_name""".stripMargin)),
+
+    Q("w_period_over_period",
+      "Period-over-period: monthly revenue with the previous month's " +
+        "value and exact integer-cents delta via lag() — the standard " +
+        "reporting window after one small aggregation; no division, so " +
+        "every column is engine-exact.",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"ym")
+        Tables.table(s, d, "orders")
+          .groupBy((year($"o_orderdate") * 100 + month($"o_orderdate"))
+            .cast("long").as("ym"))
+          .agg(sum(round($"o_totalprice" * 100).cast("long"))
+            .as("cents"))
+          .withColumn("prev_cents", lag($"cents", 1).over(w))
+          .withColumn("delta_cents", $"cents" - $"prev_cents")
+          .orderBy($"ym")
+      },
+      Some("""WITH m AS (
+             |  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+             |      AS BIGINT) AS ym,
+             |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1)
+             |SELECT ym, cents,
+             |  lag(cents) OVER (ORDER BY ym) AS prev_cents,
+             |  cents - lag(cents) OVER (ORDER BY ym) AS delta_cents
+             |FROM m ORDER BY ym""".stripMargin)),
+
+    Q("s2_schema_evolution",
+      "Schema-evolution read: two parquet batches with different " +
+        "schemas (the second adds a column) land in one directory; " +
+        "`mergeSchema` resolves the union schema and back-fills NULL — " +
+        "the file-level form of O-20's outer alignment, and what a " +
+        "long-lived 100 TB table does every time a producer adds a field.",
+      (s, d) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-evo-").toFile
+        tmp.deleteOnExit()
+        val dir = s"${tmp.getAbsolutePath}/t"
+        val cents = round($"o_totalprice" * 100).cast("long").as("cents")
+        val orders = Tables.table(s, d, "orders")
+        orders.filter($"o_orderkey" % 2 === 0)
+          .select($"o_orderkey", cents)
+          .write.mode("append").parquet(dir)
+        orders.filter($"o_orderkey" % 2 === 1)
+          .select($"o_orderkey", cents, $"o_orderpriority")
+          .write.mode("append").parquet(dir)
+        s.read.option("mergeSchema", "true").parquet(dir)
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+             |    AS o_orderpriority
+             |FROM orders ORDER BY o_orderkey""".stripMargin))
   )
 }

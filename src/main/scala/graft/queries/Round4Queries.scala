@@ -769,6 +769,82 @@ object Round4Queries {
              |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
              |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
              |    AS o_orderpriority
-             |FROM orders ORDER BY o_orderkey""".stripMargin))
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    Q("s3_tsv_roundtrip",
+      "TSV sink + scan round-trip (S-1/K-3, the reference's native " +
+        "format): orders written tab-separated with header, read back " +
+        "with an explicit schema (no inference job) — values survive " +
+        "exactly because every column is BIGINT/string on the wire.",
+      (s, d) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-tsv-").toFile
+        tmp.deleteOnExit()
+        val dir = s"${tmp.getAbsolutePath}/t"
+        Tables.table(s, d, "orders")
+          .select($"o_orderkey",
+            round($"o_totalprice" * 100).cast("long").as("cents"),
+            $"o_orderstatus", $"o_orderpriority")
+          .write.option("sep", "\t").option("header", "true").csv(dir)
+        s.read.option("sep", "\t").option("header", "true")
+          .schema("o_orderkey BIGINT, cents BIGINT, " +
+            "o_orderstatus STRING, o_orderpriority STRING")
+          .csv(dir)
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             |  o_orderstatus, o_orderpriority
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    Q("s4_jsonl_roundtrip",
+      "JSON-lines sink + scan round-trip (the ES-hit wire shape of " +
+        "S-10/F-14): nested struct rows written as json lines, read back " +
+        "with an explicit schema and the struct fields re-projected.",
+      (s, d) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-jsonl-").toFile
+        tmp.deleteOnExit()
+        val dir = s"${tmp.getAbsolutePath}/t"
+        Tables.table(s, d, "customer")
+          .select($"c_custkey",
+            struct($"c_name".as("name"), $"c_nationkey".as("nation"))
+              .as("meta"))
+          .write.json(dir)
+        s.read
+          .schema("c_custkey BIGINT, meta STRUCT<name: STRING, " +
+            "nation: BIGINT>")
+          .json(dir)
+          .select($"c_custkey", $"meta.name".as("name"),
+            $"meta.nation".as("nation"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name AS name, c_nationkey AS nation
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    Q("f26_regexp_extract_all",
+      "regexp_extract_all + lateral re-aggregation: every 4+-letter " +
+        "word starting with a vowel per document, exploded and counted " +
+        "per (doc, word) — the tokenizer-as-regex shape.",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id",
+            explode(expr(
+              "regexp_extract_all(text, '\\\\b[aeiou][a-z]{3,}', 0)"))
+              .as("word"))
+          .groupBy($"doc_id", $"word")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"doc_id", $"word")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, unnest(
+             |    regexp_extract_all(text, '\b[aeiou][a-z]{3,}')) AS word
+             |  FROM documents)
+             |SELECT doc_id, word, count(*) AS n
+             |FROM w GROUP BY doc_id, word
+             |ORDER BY doc_id, word""".stripMargin))
   )
 }

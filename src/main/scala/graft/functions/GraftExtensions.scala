@@ -24,7 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo("graft.functions." + name, null, name, usage, "")
+    new ExpressionInfo("graft.functions." + name, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
 
   private def intArg(e: Expression, fn: String): Int = {
     require(e.foldable, s"$fn: argument must be a literal integer")

@@ -845,6 +845,49 @@ object Round4Queries {
              |  FROM documents)
              |SELECT doc_id, word, count(*) AS n
              |FROM w GROUP BY doc_id, word
-             |ORDER BY doc_id, word""".stripMargin))
+             |ORDER BY doc_id, word""".stripMargin)),
+
+    Q("d_substring_spans",
+      "Repeated-span detection (exact substring dedup, the " +
+        "train-data-dedup op behind 'dedup repeated 50-token spans'): " +
+        "every positional 8-token shingle, distinct per doc, shingles " +
+        "occurring in >1 doc flagged, per-doc count of shared spans. " +
+        "Shuffle carries shingle strings once (at 100 TB: xxhash64 the " +
+        "shingle first so the exchange moves 8-byte keys, same plan).",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .select($"doc_id", split($"text", " ").as("toks"))
+        val sh = docs.select($"doc_id", explode(expr(
+            "transform(sequence(1, greatest(size(toks) - 7, 1)), " +
+              "i -> array_join(slice(toks, i, 8), ' '))")).as("shingle"))
+          .distinct()
+        val hot = sh.groupBy($"shingle").agg(count(lit(1)).as("c"))
+          .filter($"c" > 1).select($"shingle")
+        val shared = sh.join(hot, Seq("shingle"))
+          .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        docs.select($"doc_id").join(shared, Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"n", lit(0L)).as("n_shared_spans"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id,
+             |    array_to_string(toks[i:i+7], ' ') AS shingle
+             |  FROM t, unnest(range(1, greatest(len(toks) - 7, 1) + 1))
+             |    AS u(i)),
+             |hot AS (
+             |  SELECT shingle FROM sh GROUP BY shingle
+             |  HAVING count(*) > 1),
+             |shared AS (
+             |  SELECT doc_id, count(*) AS n FROM sh
+             |  JOIN hot USING (shingle) GROUP BY doc_id)
+             |SELECT t.doc_id,
+             |  CAST(COALESCE(shared.n, 0) AS BIGINT) AS n_shared_spans
+             |FROM t LEFT JOIN shared ON t.doc_id = shared.doc_id
+             |ORDER BY t.doc_id""".stripMargin))
   )
 }

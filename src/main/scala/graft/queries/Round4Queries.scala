@@ -888,6 +888,77 @@ object Round4Queries {
              |SELECT t.doc_id,
              |  CAST(COALESCE(shared.n, 0) AS BIGINT) AS n_shared_spans
              |FROM t LEFT JOIN shared ON t.doc_id = shared.doc_id
-             |ORDER BY t.doc_id""".stripMargin))
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    Q("g_pagerank",
+      "Graph analytics — PageRank, 3 iterations in EXACT integer " +
+        "arithmetic (ranks scaled ×1e6, truncating div for the " +
+        "contribution and damping steps) so every engine agrees " +
+        "bit-for-bit — the standard iterative-join shape: per round one " +
+        "shuffle on dst for the contribution sum, ranks co-partitioned " +
+        "with the (checkpointed) edge list; at scale the same loop runs " +
+        "with edge-set-width partitioning like the CC operator.",
+      (s, d) => {
+        import s.implicits._
+        val act = Tables.events(s, d)
+          .select($"user_id", $"event_type",
+            date_trunc("minute", $"ts").as("hr"))
+          .distinct()
+        val a2 = act.select($"user_id".as("u2"), $"event_type", $"hr")
+        val und = act.join(a2,
+            act("event_type") === a2("event_type") &&
+              act("hr") === a2("hr") && act("user_id") < $"u2")
+          .select($"user_id".as("a"), $"u2".as("b")).distinct()
+        val bi = und.select($"a".as("src"), $"b".as("dst"))
+          .unionByName(und.select($"b".as("src"), $"a".as("dst")))
+          .localCheckpoint()
+        val deg = bi.groupBy($"src").agg(count(lit(1)).as("deg"))
+          .localCheckpoint()
+        var rank = deg.select($"src".as("node"),
+          lit(1000000L).as("rank"))
+        for (_ <- 1 to 3) {
+          val contrib = rank.join(deg, rank("node") === deg("src"))
+            .select($"node", expr("rank div deg").as("c"))
+          val inc = bi.join(contrib, $"src" === $"node")
+            .groupBy($"dst").agg(sum($"c").as("inc"))
+          rank = deg.select($"src".as("node"))
+            .join(inc, $"node" === $"dst", "left")
+            .select($"node",
+              (lit(150000L) +
+                expr("(85 * coalesce(inc, 0L)) div 100")).as("rank"))
+        }
+        rank.select($"node".as("user_id"), $"rank").orderBy($"user_id")
+      },
+      Some {
+        def round(i: Int) =
+          s"""c$i AS (
+             |  SELECT bi.dst AS node, sum(r${i - 1}.rank // deg.deg) AS inc
+             |  FROM bi JOIN r${i - 1} ON bi.src = r${i - 1}.node
+             |  JOIN deg ON bi.src = deg.src GROUP BY bi.dst),
+             |r$i AS (
+             |  SELECT deg.src AS node,
+             |    150000 + (85 * COALESCE(c$i.inc, 0)) // 100 AS rank
+             |  FROM deg LEFT JOIN c$i ON deg.src = c$i.node)"""
+        s"""WITH act AS (
+           |  SELECT DISTINCT user_id, event_type,
+           |    date_trunc('minute', ts) AS hr
+           |  FROM events),
+           |und AS (
+           |  SELECT DISTINCT l.user_id AS a, r.user_id AS b
+           |  FROM act l JOIN act r
+           |    ON l.event_type = r.event_type AND l.hr = r.hr
+           |      AND l.user_id < r.user_id),
+           |bi AS (
+           |  SELECT a AS src, b AS dst FROM und
+           |  UNION ALL SELECT b, a FROM und),
+           |deg AS (SELECT src, count(*) AS deg FROM bi GROUP BY src),
+           |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank
+           |  FROM deg),
+           |${round(1)},
+           |${round(2)},
+           |${round(3)}
+           |SELECT node AS user_id, CAST(rank AS BIGINT) AS rank
+           |FROM r3 ORDER BY user_id""".stripMargin
+      })
   )
 }

@@ -39,6 +39,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  val tableGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(0, 12)
+    rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 99L)))
+  } yield rows.groupBy(_._1).map { case (k, vs) => (k, vs.head._2) }.toList
+
+  test("upsert idempotent; deltaDetect(a,b) mirrors deltaDetect(b,a)") {
+    val pairs = samples(Gen.zip(tableGen, tableGen), 6)
+    pairs.foreach { case (a, b) =>
+      val base = a.toDF("k", "v"); val upd = b.toDF("k", "v")
+      val once = Relational.upsert(base, upd, Seq("k"))
+        .as[(Long, Long)].collect().toMap
+      val twice = Relational.upsert(
+          Relational.upsert(base, upd, Seq("k")), upd, Seq("k"))
+        .as[(Long, Long)].collect().toMap
+      assert(once == twice, s"upsert not idempotent for $a / $b")
+      // forward/backward delta: inserts and deletes swap, updates and
+      // unchanged are invariant under direction
+      def classify(x: Seq[(Long, Long)], y: Seq[(Long, Long)]) =
+        Relational.deltaDetect(x.toDF("k", "v"), y.toDF("k", "v"),
+            Seq("k"), Seq("v"))
+          .select(col("k"), col("change_type"))
+          .as[(Long, String)].collect().toMap
+      val fwd = classify(a, b)
+      val bwd = classify(b, a)
+      assert(fwd.keySet == bwd.keySet)
+      fwd.foreach { case (k, ct) =>
+        val expected = ct match {
+          case "insert" => "delete"
+          case "delete" => "insert"
+          case other => other
+        }
+        assert(bwd(k) == expected, s"key $k: fwd=$ct bwd=${bwd(k)}")
+      }
+    }
+  }
+
   val wordsGen: Gen[List[String]] =
     Gen.listOfN(12, Gen.oneOf("cd45", "dapi", "ecad", "panck", "foo",
       "bar", "Anti-CD3", "ki67 antibody", "  CD45 "))

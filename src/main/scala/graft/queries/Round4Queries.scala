@@ -959,6 +959,113 @@ object Round4Queries {
            |${round(3)}
            |SELECT node AS user_id, CAST(rank AS BIGINT) AS rank
            |FROM r3 ORDER BY user_id""".stripMargin
-      })
+      }),
+
+    Q("o45_asof_snapshot",
+      "Point-in-time reconstruction over the SCD2 history (time travel " +
+        "without a table format): filter the o38 intervals to the one " +
+        "containing the as-of date — per key exactly the version active " +
+        "then; empty [d,d) tie intervals drop out by construction.",
+      (s, d) => {
+        import s.implicits._
+        val asOf = lit("1998-06-15 00:00:00")
+        Relational.scd2(
+            Tables.table(s, d, "orders").select($"o_custkey", $"o_orderkey",
+              round($"o_totalprice" * 100).cast("long").as("price_cents"),
+              $"o_orderdate"),
+            Seq("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+          .filter($"valid_from" <= asOf &&
+            ($"valid_to".isNull || $"valid_to" > asOf))
+          .select($"o_custkey", $"o_orderkey", $"price_cents",
+            $"valid_from")
+          .orderBy($"o_custkey")
+      },
+      Some("""WITH hist AS (
+             |  SELECT o_custkey, o_orderkey,
+             |    CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             |      AS price_cents,
+             |    o_orderdate AS valid_from,
+             |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS valid_to
+             |  FROM orders)
+             |SELECT o_custkey, o_orderkey, price_cents, valid_from
+             |FROM hist
+             |WHERE valid_from <= TIMESTAMP '1998-06-15'
+             |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '1998-06-15')
+             |ORDER BY o_custkey""".stripMargin)),
+
+    Q("agg_skew_kurtosis",
+      "Skewness + excess kurtosis, engine-portable like agg_corr: exact " +
+        "BIGINT power sums (q..q⁴ of the small-domain quantity — no " +
+        "overflow) in one partial-aggregated pass, then fixed-shape IEEE " +
+        "expressions using only +,-,*,/ and sqrt (every op correctly " +
+        "rounded — no pow(), whose libm varies across engines).",
+      (s, d) => {
+        import s.implicits._
+        val q = round($"l_quantity").cast("long")
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(q).as("s1"),
+            sum(q * q).as("s2"), sum(q * q * q).as("s3"),
+            sum(q * q * q * q).as("s4"))
+          .select($"l_returnflag", $"n",
+            {
+              val nd = $"n".cast("double")
+              val a = $"s1".cast("double"); val b = $"s2".cast("double")
+              val c = $"s3".cast("double"); val e = $"s4".cast("double")
+              val m2n = nd * b - a * a
+              val m3n = nd * nd * c - lit(3.0) * nd * a * b +
+                lit(2.0) * a * a * a
+              val m4n = nd * nd * nd * e -
+                lit(4.0) * nd * nd * a * c +
+                lit(6.0) * nd * a * a * b - lit(3.0) * a * a * a * a
+              struct(
+                (sqrt(nd) * m3n / (m2n * sqrt(m2n))).as("skewness"),
+                (nd * m4n / (m2n * m2n) - lit(3.0)).as("kurtosis"))
+            }.as("m"))
+          .select($"l_returnflag", $"n", $"m.skewness", $"m.kurtosis")
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH sums AS (
+             |  SELECT l_returnflag, count(*) AS n,
+             |    sum(CAST(round(l_quantity, 0) AS BIGINT)) AS s1,
+             |    sum(CAST(round(l_quantity, 0) AS BIGINT)
+             |      * CAST(round(l_quantity, 0) AS BIGINT)) AS s2,
+             |    sum(CAST(round(l_quantity, 0) AS BIGINT)
+             |      * CAST(round(l_quantity, 0) AS BIGINT)
+             |      * CAST(round(l_quantity, 0) AS BIGINT)) AS s3,
+             |    sum(CAST(round(l_quantity, 0) AS BIGINT)
+             |      * CAST(round(l_quantity, 0) AS BIGINT)
+             |      * CAST(round(l_quantity, 0) AS BIGINT)
+             |      * CAST(round(l_quantity, 0) AS BIGINT)) AS s4
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, n,
+             |  ((sqrt(CAST(n AS DOUBLE)) *
+             |    (((CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+             |        * CAST(s3 AS DOUBLE)
+             |      - ((3.0 * CAST(n AS DOUBLE)) * CAST(s1 AS DOUBLE))
+             |        * CAST(s2 AS DOUBLE))
+             |      + ((2.0 * CAST(s1 AS DOUBLE)) * CAST(s1 AS DOUBLE))
+             |        * CAST(s1 AS DOUBLE)))
+             |   / ((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+             |       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             |      * sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+             |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))))
+             |    AS skewness,
+             |  ((CAST(n AS DOUBLE) *
+             |    ((((CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+             |        * CAST(n AS DOUBLE)) * CAST(s4 AS DOUBLE)
+             |      - (((4.0 * CAST(n AS DOUBLE)) * CAST(n AS DOUBLE))
+             |        * CAST(s1 AS DOUBLE)) * CAST(s3 AS DOUBLE))
+             |     + (((6.0 * CAST(n AS DOUBLE)) * CAST(s1 AS DOUBLE))
+             |        * CAST(s1 AS DOUBLE)) * CAST(s2 AS DOUBLE)
+             |     - (((3.0 * CAST(s1 AS DOUBLE)) * CAST(s1 AS DOUBLE))
+             |        * CAST(s1 AS DOUBLE)) * CAST(s1 AS DOUBLE)))
+             |   / ((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+             |       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             |      * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+             |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+             |   - 3.0) AS kurtosis
+             |FROM sums ORDER BY l_returnflag""".stripMargin))
   )
 }

@@ -1066,6 +1066,122 @@ object Round4Queries {
              |      * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
              |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
              |   - 3.0) AS kurtosis
-             |FROM sums ORDER BY l_returnflag""".stripMargin))
+             |FROM sums ORDER BY l_returnflag""".stripMargin)),
+
+    Q("s5_orc_roundtrip",
+      "ORC sink + scan round-trip: the second columnar format (predicate " +
+        "pushdown verified in FormatsSpec) in the oracle sweep — " +
+        "BIGINT/string columns written and read back exactly, with a " +
+        "pushed filter on the read side.",
+      (s, d) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-orc-").toFile
+        tmp.deleteOnExit()
+        val dir = s"${tmp.getAbsolutePath}/t"
+        Tables.table(s, d, "customer")
+          .select($"c_custkey", $"c_name", $"c_nationkey")
+          .write.orc(dir)
+        s.read.orc(dir)
+          .filter($"c_nationkey" < 10)
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey
+             |FROM customer WHERE c_nationkey < 10
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("s6_partitioned_pruning",
+      "Hive-partitioned write + pruned read in the oracle sweep " +
+        "(PruningSpec asserts the numFiles metrics): events written " +
+        "partitioned by event_type, one partition read back by literal " +
+        "predicate — the scan lists ONE directory, the other four are " +
+        "never opened.",
+      (s, d) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-part-").toFile
+        tmp.deleteOnExit()
+        val dir = s"${tmp.getAbsolutePath}/t"
+        Tables.events(s, d)
+          .select($"event_id", $"user_id", $"event_type",
+            round($"value" * 100).cast("long").as("cents"))
+          .write.partitionBy("event_type").parquet(dir)
+        s.read.parquet(dir)
+          .filter($"event_type" === "purchase")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n,
+             |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             |    AS sum_cents
+             |FROM events WHERE event_type = 'purchase'
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    Q("w_cume_uniques",
+      "New-vs-cumulative uniques: each user's first-seen day (one " +
+        "key-partitioned min), new users per day, and the running total " +
+        "of distinct users ever seen — the standard growth query; " +
+        "cumulative window over the tiny per-day aggregate, exact ints.",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window.orderBy($"day")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        Tables.events(s, d)
+          .groupBy($"user_id").agg(min(to_date($"ts")).as("day"))
+          .groupBy($"day").agg(count(lit(1)).as("new_users"))
+          .withColumn("cume_users", sum($"new_users").over(w))
+          .orderBy($"day")
+      },
+      Some("""WITH firstday AS (
+             |  SELECT user_id, min(CAST(ts AS DATE)) AS day
+             |  FROM events GROUP BY user_id),
+             |daily AS (
+             |  SELECT day, count(*) AS new_users FROM firstday
+             |  GROUP BY day)
+             |SELECT day, new_users,
+             |  CAST(sum(new_users) OVER (ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS cume_users
+             |FROM daily ORDER BY day""".stripMargin)),
+
+    Q("o46_pivot_multi_agg",
+      "Pivot with MULTIPLE aggregates per pivot value (count + exact " +
+        "cents sum per order priority, one row per nation) — explicit " +
+        "pivot-value list keeps the schema static, no distinct-collect " +
+        "pre-job; the oracle is the FILTER-per-column expansion every " +
+        "engine without PIVOT uses.",
+      (s, d) => {
+        import s.implicits._
+        val cents = round($"o_totalprice" * 100).cast("long")
+        Tables.table(s, d, "orders")
+          .join(Tables.table(s, d, "customer"),
+            $"o_custkey" === $"c_custkey")
+          .select(($"c_nationkey" % 5).as("ngrp"),
+            $"o_orderpriority".substr(1, 1).as("pri"), cents.as("cents"))
+          .groupBy($"ngrp")
+          .pivot("pri", Seq("1", "2", "3"))
+          .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+          .orderBy($"ngrp")
+      },
+      Some("""SELECT c_nationkey % 5 AS ngrp,
+             |  count(*) FILTER (WHERE substr(o_orderpriority, 1, 1) = '1')
+             |    AS "1_n",
+             |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             |    FILTER (WHERE substr(o_orderpriority, 1, 1) = '1') AS BIGINT)
+             |    AS "1_cents",
+             |  count(*) FILTER (WHERE substr(o_orderpriority, 1, 1) = '2')
+             |    AS "2_n",
+             |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             |    FILTER (WHERE substr(o_orderpriority, 1, 1) = '2') AS BIGINT)
+             |    AS "2_cents",
+             |  count(*) FILTER (WHERE substr(o_orderpriority, 1, 1) = '3')
+             |    AS "3_n",
+             |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             |    FILTER (WHERE substr(o_orderpriority, 1, 1) = '3') AS BIGINT)
+             |    AS "3_cents"
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY ngrp""".stripMargin))
   )
 }

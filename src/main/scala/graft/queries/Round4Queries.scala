@@ -1182,6 +1182,44 @@ object Round4Queries {
              |    FILTER (WHERE substr(o_orderpriority, 1, 1) = '3') AS BIGINT)
              |    AS "3_cents"
              |FROM orders JOIN customer ON o_custkey = c_custkey
-             |GROUP BY 1 ORDER BY ngrp""".stripMargin))
+             |GROUP BY 1 ORDER BY ngrp""".stripMargin)),
+
+    Q("p_pack_sequences",
+      "Training-example packing: documents greedily packed into 2048-" +
+        "token context windows — whitespace token counts, running total " +
+        "in (doc_id) order, bin = (cumsum - tokens) div budget, per-bin " +
+        "doc count + token total + fill ratio in exact ints. The " +
+        "sequential scan is a window cumsum; at 100 TB packing runs " +
+        "per shard (partition the cumsum by a shard key) since bins " +
+        "never need to span shards.",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window.orderBy($"doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        Tables.documents(s, d)
+          .select($"doc_id",
+            size(split($"text", "\\s+")).cast("long").as("toks"))
+          .withColumn("cum", sum($"toks").over(w))
+          .select($"doc_id", $"toks",
+            expr("(cum - toks) div 2048").as("bin"))
+          .groupBy($"bin")
+          .agg(count(lit(1)).as("n_docs"), sum($"toks").as("sum_toks"))
+          .orderBy($"bin")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+             |      AS toks
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, toks,
+             |    (sum(toks) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      - toks) // 2048 AS bin
+             |  FROM t)
+             |SELECT bin, count(*) AS n_docs,
+             |  CAST(sum(toks) AS BIGINT) AS sum_toks
+             |FROM c GROUP BY bin ORDER BY bin""".stripMargin))
   )
 }

@@ -1220,6 +1220,126 @@ object Round4Queries {
              |  FROM t)
              |SELECT bin, count(*) AS n_docs,
              |  CAST(sum(toks) AS BIGINT) AS sum_toks
-             |FROM c GROUP BY bin ORDER BY bin""".stripMargin))
+             |FROM c GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    Q("agg_weighted_median",
+      "Weighted median (an op neither engine has natively): per return " +
+        "flag, the smallest quantity whose running weight (quantity-" +
+        "weighted by line count... here weight = extended price cents) " +
+        "reaches half the group total — one sort-window cumsum over the " +
+        "compacted (group, value, weight) aggregate, exact ints " +
+        "throughout.",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"l_returnflag").orderBy($"qty")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        val grouped = Tables.lineitem(s, d)
+          .select($"l_returnflag", round($"l_quantity").cast("long")
+            .as("qty"),
+            round($"l_extendedprice" * 100).cast("long").as("wt"))
+          .groupBy($"l_returnflag", $"qty")
+          .agg(sum($"wt").as("wt"))
+        val tot = grouped.groupBy($"l_returnflag")
+          .agg(sum($"wt").as("total_wt"))
+        grouped.withColumn("cum", sum($"wt").over(w))
+          .join(tot, Seq("l_returnflag"))
+          .filter($"cum" * 2 >= $"total_wt")
+          .groupBy($"l_returnflag")
+          .agg(min($"qty").as("weighted_median_qty"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH g AS (
+             |  SELECT l_returnflag, CAST(round(l_quantity, 0) AS BIGINT)
+             |      AS qty,
+             |    sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+             |      AS wt
+             |  FROM lineitem GROUP BY 1, 2),
+             |c AS (
+             |  SELECT l_returnflag, qty, wt,
+             |    sum(wt) OVER (PARTITION BY l_returnflag ORDER BY qty
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum,
+             |    sum(wt) OVER (PARTITION BY l_returnflag) AS total_wt
+             |  FROM g)
+             |SELECT l_returnflag, min(qty) AS weighted_median_qty
+             |FROM c WHERE cum * 2 >= total_wt
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("agg_mode",
+      "Deterministic mode: most frequent order priority per nation " +
+        "bucket, ties broken by the lexicographically LARGER value — " +
+        "count agg + one row_number window, never the engines' " +
+        "tie-arbitrary mode() builtins.",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"ngrp").orderBy($"c".desc, $"o_orderpriority".desc)
+        Tables.table(s, d, "orders")
+          .join(Tables.table(s, d, "customer"),
+            $"o_custkey" === $"c_custkey")
+          .groupBy(($"c_nationkey" % 5).as("ngrp"), $"o_orderpriority")
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"ngrp", $"o_orderpriority".as("mode_priority"),
+            $"c".as("n"))
+          .orderBy($"ngrp")
+      },
+      Some("""WITH g AS (
+             |  SELECT c_nationkey % 5 AS ngrp, o_orderpriority,
+             |    count(*) AS c
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY 1, 2),
+             |r AS (
+             |  SELECT ngrp, o_orderpriority, c,
+             |    row_number() OVER (PARTITION BY ngrp
+             |      ORDER BY c DESC, o_orderpriority DESC) AS rn
+             |  FROM g)
+             |SELECT ngrp, o_orderpriority AS mode_priority, c AS n
+             |FROM r WHERE rn = 1 ORDER BY ngrp""".stripMargin)),
+
+    Q("w_zscore",
+      "Per-group z-score standardization (the ML feature-prep " +
+        "transform): group mean/std from exact BIGINT sums joined back " +
+        "to every row, the standardized value computed by one fixed " +
+        "IEEE expression (+,-,*,/ and sqrt only) — bit-identical " +
+        "cross-engine, no running-moment accumulation order.",
+      (s, d) => {
+        import s.implicits._
+        val q = round($"l_quantity").cast("long")
+        val stats = Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(q).as("s1"),
+            sum(q * q).as("s2"))
+        Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+            q.as("qty"))
+          .join(stats, Seq("l_returnflag"))
+          .select($"l_orderkey", $"l_linenumber".cast("long")
+            .as("l_linenumber"),
+            (($"n".cast("double") * $"qty".cast("double") -
+              $"s1".cast("double")) /
+              sqrt($"n".cast("double") * $"s2".cast("double") -
+                $"s1".cast("double") * $"s1".cast("double")))
+              .as("zscore"))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""WITH stats AS (
+             |  SELECT l_returnflag, count(*) AS n,
+             |    sum(CAST(round(l_quantity, 0) AS BIGINT)) AS s1,
+             |    sum(CAST(round(l_quantity, 0) AS BIGINT)
+             |      * CAST(round(l_quantity, 0) AS BIGINT)) AS s2
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_orderkey, CAST(l_linenumber AS BIGINT)
+             |    AS l_linenumber,
+             |  ((CAST(n AS DOUBLE)
+             |      * CAST(CAST(round(l_quantity, 0) AS BIGINT) AS DOUBLE)
+             |    - CAST(s1 AS DOUBLE))
+             |   / sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+             |     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) AS zscore
+             |FROM lineitem JOIN stats USING (l_returnflag)
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin))
   )
 }

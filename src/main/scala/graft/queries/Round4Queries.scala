@@ -1340,6 +1340,87 @@ object Round4Queries {
              |   / sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
              |     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) AS zscore
              |FROM lineitem JOIN stats USING (l_returnflag)
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("f29_try_cast",
+      "try_cast error-handling semantics: garbage-tolerant casts yield " +
+        "NULL instead of failing the job (the ingestion-time counterpart " +
+        "of `Relational.strictCast`'s raise-on-garbage) — numeric, and " +
+        "numeric-with-junk-suffix inputs over derived strings.",
+      (s, d) => {
+        import s.implicits._
+        Tables.table(s, d, "orders")
+          .select($"o_orderkey",
+            concat($"o_orderkey".cast("string"),
+              when($"o_orderkey" % 3 === 0, lit("x")).otherwise(lit("")))
+              .as("s"))
+          .select($"o_orderkey",
+            expr("try_cast(s AS BIGINT)").as("as_int"),
+            expr("try_cast(s AS DOUBLE)").as("as_double"),
+            expr("try_cast(s AS BIGINT) IS NULL").as("rejected"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH t AS (
+             |  SELECT o_orderkey,
+             |    CAST(o_orderkey AS VARCHAR)
+             |      || CASE WHEN o_orderkey % 3 = 0 THEN 'x' ELSE '' END
+             |      AS s
+             |  FROM orders)
+             |SELECT o_orderkey, TRY_CAST(s AS BIGINT) AS as_int,
+             |  TRY_CAST(s AS DOUBLE) AS as_double,
+             |  TRY_CAST(s AS BIGINT) IS NULL AS rejected
+             |FROM t ORDER BY o_orderkey""".stripMargin)),
+
+    Q("f30_binary_codecs",
+      "Binary codec functions: utf8 bytes → base64 / hex / sha256 — " +
+        "the content-addressing toolkit (digests for dedup keys, " +
+        "base64 for JSON-safe payload transport); ASCII corpus keeps " +
+        "byte semantics engine-identical.",
+      (s, d) => {
+        import s.implicits._
+        Tables.table(s, d, "customer")
+          .select($"c_custkey",
+            base64($"c_name".cast("binary")).as("b64"),
+            lower(hex($"c_name".cast("binary"))).as("hexed"),
+            sha2($"c_name".cast("binary"), 256).as("sha"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  to_base64(CAST(c_name AS BLOB)) AS b64,
+             |  lower(hex(CAST(c_name AS BLOB))) AS hexed,
+             |  sha256(c_name) AS sha
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    Q("w_share_of_total",
+      "Share-of-total analytics: each priority's exact cents within its " +
+        "nation bucket plus its share of the bucket — group total via an " +
+        "unframed window over the small aggregate, one IEEE division for " +
+        "the ratio.",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"ngrp")
+        Tables.table(s, d, "orders")
+          .join(Tables.table(s, d, "customer"),
+            $"o_custkey" === $"c_custkey")
+          .groupBy(($"c_nationkey" % 5).as("ngrp"), $"o_orderpriority")
+          .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+          .withColumn("grp_cents", sum($"cents").over(w))
+          .select($"ngrp", $"o_orderpriority", $"cents",
+            ($"cents".cast("double") / $"grp_cents".cast("double"))
+              .as("share"))
+          .orderBy($"ngrp", $"o_orderpriority")
+      },
+      Some("""WITH g AS (
+             |  SELECT c_nationkey % 5 AS ngrp, o_orderpriority,
+             |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS cents
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY 1, 2)
+             |SELECT ngrp, o_orderpriority, cents,
+             |  (CAST(cents AS DOUBLE)
+             |   / CAST(sum(cents) OVER (PARTITION BY ngrp) AS DOUBLE))
+             |    AS share
+             |FROM g ORDER BY ngrp, o_orderpriority""".stripMargin))
   )
 }

@@ -1421,6 +1421,79 @@ object Round4Queries {
              |  (CAST(cents AS DOUBLE)
              |   / CAST(sum(cents) OVER (PARTITION BY ngrp) AS DOUBLE))
              |    AS share
-             |FROM g ORDER BY ngrp, o_orderpriority""".stripMargin))
+             |FROM g ORDER BY ngrp, o_orderpriority""".stripMargin)),
+
+    Q("o47_lateral_topn",
+      "SQL LATERAL join (correlated subquery in FROM, decorrelated by " +
+        "Catalyst): per nation the top-2 customers by account balance — " +
+        "the per-row-subquery surface; the engine rewrites it to the " +
+        "same WindowGroupLimit shape as the window form.",
+      (s, d) => {
+        Seq("nation", "customer").foreach { t =>
+          Tables.table(s, d, t).createOrReplaceTempView(s"v_$t")
+        }
+        s.sql("""
+          SELECT n.n_nationkey, n.n_name, t.c_custkey,
+            CAST(round(t.c_acctbal * 100) AS BIGINT) AS bal_cents
+          FROM v_nation n
+          JOIN LATERAL (
+            SELECT c_custkey, c_acctbal FROM v_customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+          ) t
+          ORDER BY n.n_nationkey, bal_cents DESC, t.c_custkey""")
+      },
+      Some("""SELECT n.n_nationkey, n.n_name, t.c_custkey,
+             |  CAST(round(t.c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+             |FROM nation n
+             |JOIN LATERAL (
+             |  SELECT c_custkey, c_acctbal FROM customer c
+             |  WHERE c.c_nationkey = n.n_nationkey
+             |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+             |) t ON true
+             |ORDER BY n.n_nationkey, bal_cents DESC, t.c_custkey"""
+        .stripMargin)),
+
+    Q("agg_gini",
+      "Gini coefficient per market segment over account-balance cents: " +
+        "rank-weighted sum formula G = 2·Σ(i·x)/(n·Σx) − (n+1)/n with " +
+        "the rank window ordered (cents, custkey) — Σ(i·x) is exact " +
+        "BIGINT (tie blocks contribute identically under any tie " +
+        "order), one fixed IEEE expression at the end.",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"c_mktsegment").orderBy($"cents", $"c_custkey")
+        Tables.table(s, d, "customer")
+          .select($"c_mktsegment", $"c_custkey",
+            round($"c_acctbal" * 100).cast("long").as("cents"))
+          .withColumn("i", row_number().over(w).cast("long"))
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("s"),
+            sum($"i" * $"cents").as("ix"))
+          .select($"c_mktsegment", $"n",
+            ((lit(2.0) * $"ix".cast("double")) /
+              ($"n".cast("double") * $"s".cast("double")) -
+              (($"n".cast("double") + lit(1.0)) / $"n".cast("double")))
+              .as("gini"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""WITH r AS (
+             |  SELECT c_mktsegment, c_custkey,
+             |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents,
+             |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+             |      ORDER BY CAST(round(c_acctbal * 100, 0) AS BIGINT),
+             |        c_custkey) AS BIGINT) AS i
+             |  FROM customer),
+             |g AS (
+             |  SELECT c_mktsegment, count(*) AS n, sum(cents) AS s,
+             |    sum(i * cents) AS ix
+             |  FROM r GROUP BY 1)
+             |SELECT c_mktsegment, n,
+             |  ((2.0 * CAST(ix AS DOUBLE))
+             |    / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+             |   - ((CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)))
+             |    AS gini
+             |FROM g ORDER BY c_mktsegment""".stripMargin))
   )
 }

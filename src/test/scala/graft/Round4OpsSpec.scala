@@ -77,6 +77,42 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("watermark drops late data deterministically across two batches") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds, window}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wm-").toFile
+    tmp.deleteOnExit()
+    val src = s"${tmp.getAbsolutePath}/src"
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "2")
+    def write(rows: Seq[Long]): Unit =
+      scoped.createDataFrame(rows.map(Tuple1(_))).toDF("sec")
+        .select(timestamp_seconds(col("sec")).as("ts"))
+        .coalesce(1).write.mode("append").parquet(src)
+    write(Seq(10L, 15L, 100L)) // batch 1: watermark advances to 90
+    val counts = scoped.readStream
+      .schema("ts TIMESTAMP").parquet(src)
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "10 seconds")).count()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-wm-ck-").toString
+    val q = counts.writeStream.format("memory").queryName("wm_drop")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      // batch 2: ts=12 lands in [10,20) which is < watermark → DROPPED;
+      // ts=200 advances the watermark so [100,110) closes and emits
+      write(Seq(12L, 200L))
+      q.processAllAvailable()
+      val got = scoped.table("wm_drop")
+        .selectExpr("unix_seconds(window.start)", "count")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // [10,20) emitted with count 2 (both on-time rows), NOT 3 — the
+      // late ts=12 from batch 2 was dropped by the watermark
+      assert(got(10L) == 2L, s"late row not dropped: $got")
+      assert(got(100L) == 1L, s"window [100,110) missing: $got")
+    } finally q.stop()
+  }
+
   test("scd2: intervals chain per key, last row open-ended, ties total") {
     val df = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 20L, "c"),
       (2L, 5L, "d")).toDF("k", "ts", "v")

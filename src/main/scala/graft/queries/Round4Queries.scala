@@ -1494,6 +1494,36 @@ object Round4Queries {
              |    / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
              |   - ((CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)))
              |    AS gini
-             |FROM g ORDER BY c_mktsegment""".stripMargin))
+             |FROM g ORDER BY c_mktsegment""".stripMargin)),
+
+    Q("o48_recursive_cte",
+      "Recursive CTE (WITH RECURSIVE, new SQL surface in Spark 4): " +
+        "transitive ancestry over the implicit halving hierarchy " +
+        "(parent(k) = k div 2) — per start key the full chain to the " +
+        "root with depth, the fixed-point iteration the engine runs as " +
+        "repeated joins; DuckDB executes the identical text.",
+      (s, d) => {
+        Tables.table(s, d, "nation").createOrReplaceTempView("v_nation")
+        s.sql("""
+          WITH RECURSIVE chain (start, node, depth) AS (
+            SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT),
+              CAST(0 AS BIGINT) FROM v_nation
+            UNION ALL
+            SELECT start, node DIV 2, depth + 1 FROM chain WHERE node > 0
+          )
+          SELECT CAST(start AS BIGINT) AS start,
+            CAST(node AS BIGINT) AS node,
+            CAST(depth AS BIGINT) AS depth
+          FROM chain ORDER BY start, depth""")
+      },
+      Some("""WITH RECURSIVE chain (start, node, depth) AS (
+             |  SELECT n_nationkey, n_nationkey, 0 FROM nation
+             |  UNION ALL
+             |  SELECT start, node // 2, depth + 1 FROM chain WHERE node > 0
+             |)
+             |SELECT CAST(start AS BIGINT) AS start,
+             |  CAST(node AS BIGINT) AS node,
+             |  CAST(depth AS BIGINT) AS depth
+             |FROM chain ORDER BY start, depth""".stripMargin))
   )
 }

@@ -1524,6 +1524,58 @@ object Round4Queries {
              |SELECT CAST(start AS BIGINT) AS start,
              |  CAST(node AS BIGINT) AS node,
              |  CAST(depth AS BIGINT) AS depth
-             |FROM chain ORDER BY start, depth""".stripMargin))
+             |FROM chain ORDER BY start, depth""".stripMargin)),
+
+    Q("f32_variant",
+      "VARIANT semi-structured type (Spark 4's native JSON path, " +
+        "binary-encoded + shredding-ready, vs F-8's string " +
+        "get_json_object): parse the props JSON once to VARIANT, typed " +
+        "variant_get extraction, aggregated per extracted key bucket.",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select($"event_id",
+            expr("variant_get(parse_json(props), '$.k', 'bigint')")
+              .as("k"))
+          .groupBy(($"k" % 10).as("kmod"))
+          .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"))
+          .orderBy($"kmod")
+      },
+      Some("""SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10
+             |    AS kmod,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+             |    AS BIGINT) AS sum_k
+             |FROM events GROUP BY 1 ORDER BY kmod""".stripMargin)),
+
+    Q("j15_nullsafe_join",
+      "Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL " +
+        "keys MATCH each other instead of vanishing — the semantics " +
+        "snapshot-diff and dedup joins need when the key itself is " +
+        "nullable; planned as a hash join on the null-safe key, not a " +
+        "cartesian.",
+      (s, d) => {
+        import s.implicits._
+        def side(name: String) = Tables.table(s, d, "orders")
+          .select($"o_orderkey",
+            when($"o_orderkey" % 11 === 0, lit(null))
+              .otherwise($"o_orderkey" % 97).as(name))
+        side("ka").as("l").join(side("kb").as("r"),
+            col("l.ka") <=> col("r.kb") &&
+              col("l.o_orderkey") === col("r.o_orderkey"))
+          .groupBy(coalesce(col("l.ka"), lit(-1L)).as("key_grp"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"key_grp")
+      },
+      Some("""WITH l AS (
+             |  SELECT o_orderkey, CASE WHEN o_orderkey % 11 = 0
+             |    THEN NULL ELSE o_orderkey % 97 END AS ka FROM orders),
+             |r AS (
+             |  SELECT o_orderkey, CASE WHEN o_orderkey % 11 = 0
+             |    THEN NULL ELSE o_orderkey % 97 END AS kb FROM orders)
+             |SELECT COALESCE(l.ka, -1) AS key_grp, count(*) AS n
+             |FROM l JOIN r ON l.ka IS NOT DISTINCT FROM r.kb
+             |  AND l.o_orderkey = r.o_orderkey
+             |GROUP BY 1 ORDER BY key_grp""".stripMargin))
   )
 }

@@ -1576,6 +1576,101 @@ object Round4Queries {
              |SELECT COALESCE(l.ka, -1) AS key_grp, count(*) AS n
              |FROM l JOIN r ON l.ka IS NOT DISTINCT FROM r.kb
              |  AND l.o_orderkey = r.o_orderkey
-             |GROUP BY 1 ORDER BY key_grp""".stripMargin))
+             |GROUP BY 1 ORDER BY key_grp""".stripMargin)),
+
+    Q("j16_asof_forward",
+      "FORWARD as-of join (next-touch attribution shape): each click " +
+        "paired with the EARLIEST purchase at-or-after it — the same " +
+        "merge-shape `Relational.asofJoin`, run on negated timestamps " +
+        "(forward as-of IS backward as-of under time reversal); right " +
+        "side pre-deduped per (user, instant) so the match is " +
+        "tie-free. Oracle: DuckDB's native forward ASOF (`l.ts <= " +
+        "r.ts`) — an independent algorithm.",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_type", $"event_id",
+            unix_micros($"ts").as("ts_us"))
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"event_id", $"ts_us",
+            (-$"ts_us").as("neg_ts"))
+        val purchases = ev.filter($"event_type" === "purchase")
+          .groupBy($"user_id", $"ts_us")
+          .agg(min($"event_id").as("p_event_id"))
+          .select($"user_id", $"ts_us".as("p_ts_us"),
+            (-$"ts_us").as("neg_ts"), $"p_event_id")
+        Relational.asofJoin(clicks, purchases, Seq("user_id"),
+            "neg_ts", "neg_ts", Seq("p_ts_us", "p_event_id"),
+            strict = false)
+          .select($"user_id", $"event_id", $"ts_us", $"p_ts_us",
+            $"p_event_id")
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, event_id,
+             |    epoch_ns(ts) // 1000 AS ts_us FROM events),
+             |clicks AS (
+             |  SELECT user_id, event_id, ts_us FROM ev
+             |  WHERE event_type = 'click'),
+             |purchases AS (
+             |  SELECT user_id, ts_us AS p_ts_us,
+             |    min(event_id) AS p_event_id
+             |  FROM ev WHERE event_type = 'purchase'
+             |  GROUP BY user_id, ts_us)
+             |SELECT c.user_id, c.event_id, c.ts_us, p.p_ts_us,
+             |  p.p_event_id
+             |FROM clicks c ASOF LEFT JOIN purchases p
+             |  ON c.user_id = p.user_id AND c.ts_us <= p.p_ts_us
+             |ORDER BY c.user_id, c.event_id""".stripMargin)),
+
+    Q("j17_asof_tolerance",
+      "As-of join with a staleness tolerance (merge_asof's `tolerance`): " +
+        "latest prior purchase per click, but matches older than 6 " +
+        "hours are nulled out — the matched right timestamp rides the " +
+        "atomic value struct, so the tolerance check is a plain filter " +
+        "after the join.",
+      (s, d) => {
+        import s.implicits._
+        val tolUs = 6L * 3600 * 1000000
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_type", $"event_id",
+            unix_micros($"ts").as("ts_us"))
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"event_id", $"ts_us")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .groupBy($"user_id", ($"ts_us").as("p_ts_us"))
+          .agg(max($"event_id").as("p_event_id"))
+        val joined = Relational.asofJoin(clicks, purchases,
+          Seq("user_id"), "ts_us", "p_ts_us",
+          Seq("p_ts_us", "p_event_id"), strict = false)
+        joined.select($"user_id", $"event_id", $"ts_us",
+            when($"ts_us" - $"p_ts_us" <= tolUs, $"p_ts_us")
+              .as("p_ts_us"),
+            when($"ts_us" - $"p_ts_us" <= tolUs, $"p_event_id")
+              .as("p_event_id"))
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, event_id,
+             |    epoch_ns(ts) // 1000 AS ts_us FROM events),
+             |clicks AS (
+             |  SELECT user_id, event_id, ts_us FROM ev
+             |  WHERE event_type = 'click'),
+             |purchases AS (
+             |  SELECT user_id, ts_us AS p_ts_us,
+             |    max(event_id) AS p_event_id
+             |  FROM ev WHERE event_type = 'purchase'
+             |  GROUP BY user_id, ts_us),
+             |j AS (
+             |  SELECT c.user_id, c.event_id, c.ts_us, p.p_ts_us,
+             |    p.p_event_id
+             |  FROM clicks c ASOF LEFT JOIN purchases p
+             |    ON c.user_id = p.user_id AND c.ts_us >= p.p_ts_us)
+             |SELECT user_id, event_id, ts_us,
+             |  CASE WHEN ts_us - p_ts_us <= 21600000000
+             |    THEN p_ts_us END AS p_ts_us,
+             |  CASE WHEN ts_us - p_ts_us <= 21600000000
+             |    THEN p_event_id END AS p_event_id
+             |FROM j ORDER BY user_id, event_id""".stripMargin))
   )
 }

@@ -1671,6 +1671,44 @@ object Round4Queries {
              |    THEN p_ts_us END AS p_ts_us,
              |  CASE WHEN ts_us - p_ts_us <= 21600000000
              |    THEN p_event_id END AS p_event_id
-             |FROM j ORDER BY user_id, event_id""".stripMargin))
+             |FROM j ORDER BY user_id, event_id""".stripMargin)),
+
+    Q("stream_sliding_window",
+      "SLIDING (overlapping) streaming windows — 10-minute windows " +
+        "every 5 minutes, so each event lands in exactly two window " +
+        "instances (vs stream_windowed_counts' tumbling): the state " +
+        "store carries both open instances per (window, type) key; " +
+        "oracle expands each event to its two window starts by " +
+        "arithmetic.",
+      (s, d) => {
+        import s.implicits._
+        val schema = Tables.eventsRaw(s, d).schema
+        graft.streaming.Streams.runToMemory(s,
+            s"stream_slide_${System.nanoTime()}") { scoped =>
+            val stream = Tables.normalizeEventsTs(
+              graft.streaming.Streams.fileStream(scoped, s"$d/events.*",
+                schema, maxFilesPerTrigger = Int.MaxValue))
+            stream
+              .withWatermark("ts", "1 minute")
+              .groupBy(window($"ts", "10 minutes", "5 minutes"),
+                $"event_type")
+              .agg(count(lit(1)).as("n"))
+          }
+          .select(unix_micros($"window.start").as("wstart_us"),
+            $"event_type", $"n")
+          .orderBy($"wstart_us", $"event_type")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type,
+             |    epoch_ns(ts) // 1000
+             |      - (epoch_ns(ts) // 1000) % 300000000 AS t5
+             |  FROM events),
+             |x AS (
+             |  SELECT event_type,
+             |    unnest([t5, t5 - 300000000]) AS wstart_us
+             |  FROM e)
+             |SELECT wstart_us, event_type, count(*) AS n
+             |FROM x GROUP BY 1, 2
+             |ORDER BY wstart_us, event_type""".stripMargin))
   )
 }

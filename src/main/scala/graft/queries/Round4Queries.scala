@@ -1709,6 +1709,87 @@ object Round4Queries {
              |  FROM e)
              |SELECT wstart_us, event_type, count(*) AS n
              |FROM x GROUP BY 1, 2
-             |ORDER BY wstart_us, event_type""".stripMargin))
+             |ORDER BY wstart_us, event_type""".stripMargin)),
+
+    Q("curate_pack_pipeline",
+      "The downstream tail of the curation pipeline (curate_corpus's " +
+        "sibling): quality gate → exact dedup (min doc per digest) → " +
+        "drop boilerplate-heavy docs (>10 corpus-shared 8-token spans, " +
+        "the d_substring_spans signal) → pack survivors into 2048-token " +
+        "training windows — four verified operators composed into one " +
+        "lazy plan with one digest shuffle, one shingle shuffle, and " +
+        "one packing window.",
+      (s, d) => {
+        import s.implicits._
+        val toks = size(split($"text", "\\s+")).cast("long")
+        val quality = Tables.documents(s, d)
+          .select($"doc_id", $"text", toks.as("toks"))
+          .filter($"toks" >= 20 && length($"text") >= 100)
+        val kept = quality
+          .groupBy(md5($"text").as("h"))
+          .agg(min_by(struct($"doc_id", $"text", $"toks"), $"doc_id")
+            .as("r"))
+          .select($"r.doc_id", $"r.text", $"r.toks")
+        val sh = kept.select($"doc_id", explode(expr(
+            "transform(sequence(1, greatest(size(split(text, '\\\\s+')) " +
+              "- 7, 1)), i -> array_join(slice(split(text, '\\\\s+'), " +
+              "i, 8), ' '))")).as("shingle"))
+          .distinct()
+        val hot = sh.groupBy($"shingle").agg(count(lit(1)).as("c"))
+          .filter($"c" > 1).select($"shingle")
+        val heavy = sh.join(hot, Seq("shingle"))
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+          .filter($"n_shared" > 10)
+          .select($"doc_id")
+        val clean = kept.join(heavy, Seq("doc_id"), "left_anti")
+        val w = org.apache.spark.sql.expressions.Window.orderBy($"doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        clean.withColumn("cum", sum($"toks").over(w))
+          .select($"doc_id", $"toks",
+            expr("(cum - toks) div 2048").as("bin"))
+          .groupBy($"bin")
+          .agg(count(lit(1)).as("n_docs"), sum($"toks").as("sum_toks"),
+            min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+          .orderBy($"bin")
+      },
+      Some("""WITH q AS (
+             |  SELECT doc_id, text,
+             |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+             |      AS toks
+             |  FROM documents
+             |  WHERE len(string_split_regex(text, '\s+')) >= 20
+             |    AND length(text) >= 100),
+             |kept AS (
+             |  SELECT doc_id, text, toks FROM (
+             |    SELECT doc_id, text, toks, row_number() OVER (
+             |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             |    FROM q) t WHERE rn = 1),
+             |sh AS (
+             |  SELECT DISTINCT doc_id,
+             |    array_to_string(
+             |      string_split_regex(text, '\s+')[i:i+7], ' ') AS shingle
+             |  FROM kept, unnest(range(1,
+             |    greatest(len(string_split_regex(text, '\s+')) - 7, 1)
+             |      + 1)) AS u(i)),
+             |hot AS (
+             |  SELECT shingle FROM sh GROUP BY shingle
+             |  HAVING count(*) > 1),
+             |heavy AS (
+             |  SELECT doc_id FROM sh JOIN hot USING (shingle)
+             |  GROUP BY doc_id HAVING count(*) > 10),
+             |clean AS (
+             |  SELECT k.doc_id, k.toks FROM kept k
+             |  WHERE k.doc_id NOT IN (SELECT doc_id FROM heavy)),
+             |c AS (
+             |  SELECT doc_id, toks,
+             |    (sum(toks) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      - toks) // 2048 AS bin
+             |  FROM clean)
+             |SELECT bin, count(*) AS n_docs,
+             |  CAST(sum(toks) AS BIGINT) AS sum_toks,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM c GROUP BY bin ORDER BY bin""".stripMargin))
   )
 }

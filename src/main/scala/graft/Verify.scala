@@ -14,22 +14,34 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_VERIFY_ONLY=name1,name2 re-dumps a subset into an
     // existing outDir (local iteration aid; the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    // Stale-dump guard: a full run starts from an EMPTY outDir so the
+    // compare can never hash a query dir left over from an earlier dump
+    // whose oracle SQL has since changed (observed as false hash-FAILs
+    // in CORRECTNESS_r04). Subset re-dumps keep the existing dir by
+    // design — they are an iteration aid, never driver evidence.
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(); ()
+    }
+    if (only.isEmpty) rmTree(new java.io.File(outDir))
+    new java.io.File(outDir).mkdirs()
+    val statuses = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .foreach { case (name, fn) =>
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         System.err.println(
           f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        (name, true)
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        (name, false)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -52,6 +64,13 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/query_names.json"),
       SparkEntry.queries.keys.toSeq.sorted
         .map(q).mkString("[", ",", "]"))
+    // Completion marker written LAST: records what this run actually
+    // dumped (and when), so a consumer can reject a dir whose marker is
+    // missing (crashed run) or whose per-query status is stale/partial.
+    Files.writeString(Paths.get(s"$outDir/run_stamp.json"),
+      s"""{"epoch_ms":${System.currentTimeMillis()},"full_run":${only.isEmpty},"dumped":""" +
+        statuses.map { case (n, ok) => s"${q(n)}: $ok" }
+          .mkString("{", ",", "}") + "}")
     spark.stop()
   }
 }

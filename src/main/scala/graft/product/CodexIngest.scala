@@ -30,34 +30,43 @@ object CodexIngest {
   def discover(spark: SparkSession, root: String): DataFrame =
     Sources.fileManifest(spark, root, kinds)
 
-  private def perDataset(spark: SparkSession, manifest: DataFrame,
-                         kind: String, read: String => DataFrame): DataFrame = {
-    val files = manifest.filter(col("kind") === kind)
-      .select("dataset", "path").collect()
-      .map(r => (r.getString(0), r.getString(1)))
-    require(files.nonEmpty,
+  private def paths(manifest: DataFrame, kind: String): Seq[String] = {
+    // metadata-only collect: file PATHS, bounded by the dataset count
+    val ps = manifest.filter(col("kind") === kind)
+      .select("path").collect().map(_.getString(0)).toSeq
+    require(ps.nonEmpty,
       s"no '$kind' inputs discovered — check the data directory layout")
-    files.map { case (ds, path) =>
-      read(path).withColumn("dataset", lit(ds))
-    }.reduceLeft(_.unionByName(_))
+    ps
   }
 
-  /** Read every per-dataset input under `root`. The driver-side loop here
-    * touches only file PATHS (metadata); each read is a lazy scan and the
-    * unions are shuffle-free, so the full plan stays distributed.
+  // dataset = parent directory name of the scanned file, recovered from
+  // input_file_name() so a single multi-path scan serves every dataset
+  private val parentDirAsDataset: org.apache.spark.sql.Column =
+    regexp_extract(input_file_name(), "/([^/]+)/[^/]*$", 1)
+
+  // x_long files live one level deeper ({ds}/x_long/part-*.parquet)
+  private val grandParentDirAsDataset: org.apache.spark.sql.Column =
+    regexp_extract(input_file_name(), "/([^/]+)/[^/]+/[^/]*$", 1)
+
+  /** Read every per-dataset input under `root` with ONE scan per file
+    * kind: multi-path reads keyed by `input_file_name()` for the
+    * schema-explicit formats, and the indexed-text scan for the two
+    * line-position-sensitive ones (MatrixMarket, labels). At the
+    * reference's own 10k-dataset cap each kind is still a single scan
+    * node with many splits — the logical plan size is O(1) in the
+    * dataset count, not O(datasets) union legs.
     */
   def readDatasetDirs(spark: SparkSession, root: String): DatasetInputs = {
     val mf = discover(spark, root)
     DatasetInputs(
-      xLong = perDataset(spark, mf, "x_long",
-        p => spark.read.parquet(p)),
-      centers = perDataset(spark, mf, "centers",
-        p => Sources.centersCsv(spark, p)),
-      edges = perDataset(spark, mf, "adjacency",
-        p => Sources.matrixMarket(spark, p)),
-      labels = perDataset(spark, mf, "labels",
-        p => Sources.labels(spark, p)),
-      antibodies = perDataset(spark, mf, "antibodies",
-        p => Sources.antibodiesTsv(spark, p)))
+      xLong = spark.read.parquet(paths(mf, "x_long"): _*)
+        .withColumn("dataset", grandParentDirAsDataset),
+      centers = Sources.centersCsv(spark, paths(mf, "centers"): _*)
+        .withColumn("dataset", parentDirAsDataset),
+      edges = Sources.matrixMarketAll(spark, paths(mf, "adjacency")),
+      labels = Sources.labelsAll(spark, paths(mf, "labels")),
+      antibodies = Sources.antibodiesTsv(spark,
+          paths(mf, "antibodies"): _*)
+        .withColumn("dataset", parentDirAsDataset))
   }
 }

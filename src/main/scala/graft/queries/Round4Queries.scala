@@ -13,6 +13,8 @@ import org.apache.spark.sql.functions._
   */
 object Round4Queries {
 
+  import Scratch.withTempDir
+
   def all: Seq[Q] = Seq(
 
     Q("o38_scd2_intervals",
@@ -539,47 +541,68 @@ object Round4Queries {
     Q("stream_cdc_apply",
       "Multi-micro-batch CDC apply: the events table split into 4 parquet " +
         "shards, streamed with maxFilesPerTrigger=1 (4 real micro-batches), " +
-        "each batch's per-user latest row merged into a parquet target via " +
-        "foreachBatch + argmax-upsert. The merge is a (ts, id)-max CRDT — " +
+        "each batch's per-user latest row merged into a user-bucket-" +
+        "partitioned parquet target via foreachBatch + dynamic partition " +
+        "overwrite — per-batch read AND rewrite cost is proportional to " +
+        "the buckets the batch touches, never O(target), so the pattern " +
+        "holds as the target grows. The merge is a (ts, id)-max CRDT — " +
         "idempotent and batch-order-independent — so the final target " +
         "equals the batch argmax exactly.",
       (s, d) => {
         import s.implicits._
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft-cdc-").toFile
-        tmp.deleteOnExit()
-        val src = s"${tmp.getAbsolutePath}/src"
-        val tgt = s"${tmp.getAbsolutePath}/tgt"
-        val ev = Tables.events(s, d)
-          .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
-            $"event_type", round($"value" * 100).cast("long").as("cents"))
-        // 4 shards → 4 micro-batches (maxFilesPerTrigger=1 below)
-        ev.repartitionByRange(4, pmod($"event_id", lit(4L))).write.parquet(src)
-        val schema = ev.schema
-        def latest(df: org.apache.spark.sql.DataFrame) =
-          df.groupBy(col("user_id"))
-            .agg(max(struct(col("ts_us"), col("event_id"),
-              col("event_type"), col("cents"))).as("m"))
-            .select(col("user_id"), col("m.ts_us"), col("m.event_id"),
-              col("m.event_type"), col("m.cents"))
-        val scoped = graft.streaming.Streams.runForeachBatch(s) { sc =>
-          sc.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1).parquet(src)
-        } { (batch, _) =>
-          val sc = batch.sparkSession
-          val existing =
-            if (new java.io.File(tgt).exists) sc.read.parquet(tgt)
-            else sc.createDataFrame(
-              sc.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              batch.schema)
-          // materialize the merge BEFORE overwriting the dir it reads from
-          val merged = latest(existing.unionByName(batch)).localCheckpoint()
-          merged.write.mode("overwrite").parquet(tgt)
+        withTempDir("graft-cdc-") { tmp =>
+          val src = s"${tmp.getAbsolutePath}/src"
+          val tgt = s"${tmp.getAbsolutePath}/tgt"
+          val ev = Tables.events(s, d)
+            .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+              $"event_type", round($"value" * 100).cast("long").as("cents"))
+          // 4 shards written EXPLICITLY, one file each → exactly 4
+          // micro-batches under maxFilesPerTrigger=1 by construction
+          // (no reliance on RangePartitioner sampling landing one
+          // partition per distinct shard value)
+          (0L until 4L).foreach { i =>
+            ev.filter(pmod($"event_id", lit(4L)) === i).coalesce(1)
+              .write.mode("append").parquet(src)
+          }
+          val schema = ev.schema
+          val bucketOf = pmod(col("user_id"), lit(16L)).cast("int")
+          def latest(df: org.apache.spark.sql.DataFrame) =
+            df.groupBy(col("user_id"))
+              .agg(max(struct(col("ts_us"), col("event_id"),
+                col("event_type"), col("cents"))).as("m"))
+              .select(col("user_id"), col("m.ts_us"), col("m.event_id"),
+                col("m.event_type"), col("m.cents"))
+          val scoped = graft.streaming.Streams.runForeachBatch(s) { sc =>
+            sc.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+          } { (batch, _) =>
+            val sc = batch.sparkSession
+            sc.conf.set("spark.sql.sources.partitionOverwriteMode",
+              "dynamic")
+            // buckets this batch touches: ≤ 16 values, metadata-sized
+            val touched = batch.select(bucketOf.as("bucket"))
+              .distinct().collect().map(_.getInt(0))
+            // partition-pruned read: only the touched bucket dirs open
+            val existing =
+              if (new java.io.File(tgt).exists)
+                sc.read.parquet(tgt)
+                  .filter(col("bucket").isin(touched.toSeq: _*))
+                  .drop("bucket")
+              else batch.limit(0)
+            // materialize the merge BEFORE overwriting the dirs it reads
+            val merged = latest(existing.unionByName(batch))
+              .withColumn("bucket", bucketOf)
+              .localCheckpoint()
+            // dynamic overwrite rewrites ONLY the buckets present in
+            // `merged` (= the touched set); untouched dirs are untouched
+            merged.write.mode("overwrite").partitionBy("bucket")
+              .parquet(tgt)
+          }
+          scoped.read.parquet(tgt)
+            .select($"user_id", $"ts_us", $"event_id", $"event_type",
+              $"cents")
+            .orderBy($"user_id")
         }
-        scoped.read.parquet(tgt)
-          .select($"user_id", $"ts_us", $"event_id", $"event_type",
-            $"cents")
-          .orderBy($"user_id")
       },
       Some("""SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
              |  event_type,
@@ -750,20 +773,19 @@ object Round4Queries {
         "long-lived 100 TB table does every time a producer adds a field.",
       (s, d) => {
         import s.implicits._
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft-evo-").toFile
-        tmp.deleteOnExit()
-        val dir = s"${tmp.getAbsolutePath}/t"
-        val cents = round($"o_totalprice" * 100).cast("long").as("cents")
-        val orders = Tables.table(s, d, "orders")
-        orders.filter($"o_orderkey" % 2 === 0)
-          .select($"o_orderkey", cents)
-          .write.mode("append").parquet(dir)
-        orders.filter($"o_orderkey" % 2 === 1)
-          .select($"o_orderkey", cents, $"o_orderpriority")
-          .write.mode("append").parquet(dir)
-        s.read.option("mergeSchema", "true").parquet(dir)
-          .orderBy($"o_orderkey")
+        withTempDir("graft-evo-") { tmp =>
+          val dir = s"${tmp.getAbsolutePath}/t"
+          val cents = round($"o_totalprice" * 100).cast("long").as("cents")
+          val orders = Tables.table(s, d, "orders")
+          orders.filter($"o_orderkey" % 2 === 0)
+            .select($"o_orderkey", cents)
+            .write.mode("append").parquet(dir)
+          orders.filter($"o_orderkey" % 2 === 1)
+            .select($"o_orderkey", cents, $"o_orderpriority")
+            .write.mode("append").parquet(dir)
+          s.read.option("mergeSchema", "true").parquet(dir)
+            .orderBy($"o_orderkey")
+        }
       },
       Some("""SELECT o_orderkey,
              |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
@@ -778,20 +800,19 @@ object Round4Queries {
         "exactly because every column is BIGINT/string on the wire.",
       (s, d) => {
         import s.implicits._
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft-tsv-").toFile
-        tmp.deleteOnExit()
-        val dir = s"${tmp.getAbsolutePath}/t"
-        Tables.table(s, d, "orders")
-          .select($"o_orderkey",
-            round($"o_totalprice" * 100).cast("long").as("cents"),
-            $"o_orderstatus", $"o_orderpriority")
-          .write.option("sep", "\t").option("header", "true").csv(dir)
-        s.read.option("sep", "\t").option("header", "true")
-          .schema("o_orderkey BIGINT, cents BIGINT, " +
-            "o_orderstatus STRING, o_orderpriority STRING")
-          .csv(dir)
-          .orderBy($"o_orderkey")
+        withTempDir("graft-tsv-") { tmp =>
+          val dir = s"${tmp.getAbsolutePath}/t"
+          Tables.table(s, d, "orders")
+            .select($"o_orderkey",
+              round($"o_totalprice" * 100).cast("long").as("cents"),
+              $"o_orderstatus", $"o_orderpriority")
+            .write.option("sep", "\t").option("header", "true").csv(dir)
+          s.read.option("sep", "\t").option("header", "true")
+            .schema("o_orderkey BIGINT, cents BIGINT, " +
+              "o_orderstatus STRING, o_orderpriority STRING")
+            .csv(dir)
+            .orderBy($"o_orderkey")
+        }
       },
       Some("""SELECT o_orderkey,
              |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
@@ -804,22 +825,21 @@ object Round4Queries {
         "with an explicit schema and the struct fields re-projected.",
       (s, d) => {
         import s.implicits._
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft-jsonl-").toFile
-        tmp.deleteOnExit()
-        val dir = s"${tmp.getAbsolutePath}/t"
-        Tables.table(s, d, "customer")
-          .select($"c_custkey",
-            struct($"c_name".as("name"), $"c_nationkey".as("nation"))
-              .as("meta"))
-          .write.json(dir)
-        s.read
-          .schema("c_custkey BIGINT, meta STRUCT<name: STRING, " +
-            "nation: BIGINT>")
-          .json(dir)
-          .select($"c_custkey", $"meta.name".as("name"),
-            $"meta.nation".as("nation"))
-          .orderBy($"c_custkey")
+        withTempDir("graft-jsonl-") { tmp =>
+          val dir = s"${tmp.getAbsolutePath}/t"
+          Tables.table(s, d, "customer")
+            .select($"c_custkey",
+              struct($"c_name".as("name"), $"c_nationkey".as("nation"))
+                .as("meta"))
+            .write.json(dir)
+          s.read
+            .schema("c_custkey BIGINT, meta STRUCT<name: STRING, " +
+              "nation: BIGINT>")
+            .json(dir)
+            .select($"c_custkey", $"meta.name".as("name"),
+              $"meta.nation".as("nation"))
+            .orderBy($"c_custkey")
+        }
       },
       Some("""SELECT c_custkey, c_name AS name, c_nationkey AS nation
              |FROM customer ORDER BY c_custkey""".stripMargin)),
@@ -1075,16 +1095,15 @@ object Round4Queries {
         "pushed filter on the read side.",
       (s, d) => {
         import s.implicits._
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft-orc-").toFile
-        tmp.deleteOnExit()
-        val dir = s"${tmp.getAbsolutePath}/t"
-        Tables.table(s, d, "customer")
-          .select($"c_custkey", $"c_name", $"c_nationkey")
-          .write.orc(dir)
-        s.read.orc(dir)
-          .filter($"c_nationkey" < 10)
-          .orderBy($"c_custkey")
+        withTempDir("graft-orc-") { tmp =>
+          val dir = s"${tmp.getAbsolutePath}/t"
+          Tables.table(s, d, "customer")
+            .select($"c_custkey", $"c_name", $"c_nationkey")
+            .write.orc(dir)
+          s.read.orc(dir)
+            .filter($"c_nationkey" < 10)
+            .orderBy($"c_custkey")
+        }
       },
       Some("""SELECT c_custkey, c_name, c_nationkey
              |FROM customer WHERE c_nationkey < 10
@@ -1098,19 +1117,18 @@ object Round4Queries {
         "never opened.",
       (s, d) => {
         import s.implicits._
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft-part-").toFile
-        tmp.deleteOnExit()
-        val dir = s"${tmp.getAbsolutePath}/t"
-        Tables.events(s, d)
-          .select($"event_id", $"user_id", $"event_type",
-            round($"value" * 100).cast("long").as("cents"))
-          .write.partitionBy("event_type").parquet(dir)
-        s.read.parquet(dir)
-          .filter($"event_type" === "purchase")
-          .groupBy($"user_id")
-          .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
-          .orderBy($"user_id")
+        withTempDir("graft-part-") { tmp =>
+          val dir = s"${tmp.getAbsolutePath}/t"
+          Tables.events(s, d)
+            .select($"event_id", $"user_id", $"event_type",
+              round($"value" * 100).cast("long").as("cents"))
+            .write.partitionBy("event_type").parquet(dir)
+          s.read.parquet(dir)
+            .filter($"event_type" === "purchase")
+            .groupBy($"user_id")
+            .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+            .orderBy($"user_id")
+        }
       },
       Some("""SELECT user_id, count(*) AS n,
              |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
@@ -1187,40 +1205,44 @@ object Round4Queries {
     Q("p_pack_sequences",
       "Training-example packing: documents greedily packed into 2048-" +
         "token context windows — whitespace token counts, running total " +
-        "in (doc_id) order, bin = (cumsum - tokens) div budget, per-bin " +
-        "doc count + token total + fill ratio in exact ints. The " +
-        "sequential scan is a window cumsum; at 100 TB packing runs " +
-        "per shard (partition the cumsum by a shard key) since bins " +
-        "never need to span shards.",
+        "in (doc_id) order WITHIN a deterministic shard (doc_id div " +
+        "256), bin = (cumsum - tokens) div budget, per-(shard, bin) doc " +
+        "count + token total in exact ints. Bins never need to span " +
+        "shards, so the cumsum window is hash-partitioned on shard — " +
+        "every task packs its own slice of the corpus and the plan has " +
+        "no SinglePartition exchange; shard count grows with the " +
+        "corpus, so the same plan holds at 100 TB.",
       (s, d) => {
         import s.implicits._
-        val w = org.apache.spark.sql.expressions.Window.orderBy($"doc_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"shard").orderBy($"doc_id")
           .rowsBetween(org.apache.spark.sql.expressions.Window
             .unboundedPreceding, 0)
         Tables.documents(s, d)
           .select($"doc_id",
             size(split($"text", "\\s+")).cast("long").as("toks"))
+          .withColumn("shard", expr("doc_id div 256"))
           .withColumn("cum", sum($"toks").over(w))
-          .select($"doc_id", $"toks",
+          .select($"shard", $"toks",
             expr("(cum - toks) div 2048").as("bin"))
-          .groupBy($"bin")
+          .groupBy($"shard", $"bin")
           .agg(count(lit(1)).as("n_docs"), sum($"toks").as("sum_toks"))
-          .orderBy($"bin")
+          .orderBy($"shard", $"bin")
       },
       Some("""WITH t AS (
-             |  SELECT doc_id,
+             |  SELECT doc_id, doc_id // 256 AS shard,
              |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
              |      AS toks
              |  FROM documents),
              |c AS (
-             |  SELECT doc_id, toks,
-             |    (sum(toks) OVER (ORDER BY doc_id
+             |  SELECT shard, toks,
+             |    (sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |      - toks) // 2048 AS bin
              |  FROM t)
-             |SELECT bin, count(*) AS n_docs,
+             |SELECT shard, bin, count(*) AS n_docs,
              |  CAST(sum(toks) AS BIGINT) AS sum_toks
-             |FROM c GROUP BY bin ORDER BY bin""".stripMargin)),
+             |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin)),
 
     Q("agg_weighted_median",
       "Weighted median (an op neither engine has natively): per return " +
@@ -1718,7 +1740,10 @@ object Round4Queries {
         "the d_substring_spans signal) → pack survivors into 2048-token " +
         "training windows — four verified operators composed into one " +
         "lazy plan with one digest shuffle, one shingle shuffle, and " +
-        "one packing window.",
+        "one packing window. The packing cumsum is partitioned by a " +
+        "deterministic shard key (doc_id div 256) — bins never span " +
+        "shards, so no SinglePartition window and the plan scales with " +
+        "the corpus.",
       (s, d) => {
         import s.implicits._
         val toks = size(split($"text", "\\s+")).cast("long")
@@ -1742,16 +1767,18 @@ object Round4Queries {
           .filter($"n_shared" > 10)
           .select($"doc_id")
         val clean = kept.join(heavy, Seq("doc_id"), "left_anti")
-        val w = org.apache.spark.sql.expressions.Window.orderBy($"doc_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"shard").orderBy($"doc_id")
           .rowsBetween(org.apache.spark.sql.expressions.Window
             .unboundedPreceding, 0)
-        clean.withColumn("cum", sum($"toks").over(w))
-          .select($"doc_id", $"toks",
+        clean.withColumn("shard", expr("doc_id div 256"))
+          .withColumn("cum", sum($"toks").over(w))
+          .select($"shard", $"doc_id", $"toks",
             expr("(cum - toks) div 2048").as("bin"))
-          .groupBy($"bin")
+          .groupBy($"shard", $"bin")
           .agg(count(lit(1)).as("n_docs"), sum($"toks").as("sum_toks"),
             min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
-          .orderBy($"bin")
+          .orderBy($"shard", $"bin")
       },
       Some("""WITH q AS (
              |  SELECT doc_id, text,
@@ -1779,17 +1806,18 @@ object Round4Queries {
              |  SELECT doc_id FROM sh JOIN hot USING (shingle)
              |  GROUP BY doc_id HAVING count(*) > 10),
              |clean AS (
-             |  SELECT k.doc_id, k.toks FROM kept k
+             |  SELECT k.doc_id, k.doc_id // 256 AS shard, k.toks
+             |  FROM kept k
              |  WHERE k.doc_id NOT IN (SELECT doc_id FROM heavy)),
              |c AS (
-             |  SELECT doc_id, toks,
-             |    (sum(toks) OVER (ORDER BY doc_id
+             |  SELECT shard, doc_id, toks,
+             |    (sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |      - toks) // 2048 AS bin
              |  FROM clean)
-             |SELECT bin, count(*) AS n_docs,
+             |SELECT shard, bin, count(*) AS n_docs,
              |  CAST(sum(toks) AS BIGINT) AS sum_toks,
              |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-             |FROM c GROUP BY bin ORDER BY bin""".stripMargin))
+             |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin))
   )
 }

@@ -1,0 +1,27 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+
+/** Round-trip scratch space shared by the sink/source round-trip queries:
+  * runs `body` against a fresh temp dir, eagerly materializes the
+  * resulting DataFrame (localCheckpoint) so the on-disk files are no
+  * longer referenced, then recursively deletes the dir. deleteOnExit
+  * cannot remove non-empty directories, so without this every bench /
+  * verify iteration of a round-trip query would leak its parquet/csv/
+  * checkpoint output for the life of the sweep.
+  */
+object Scratch {
+
+  def withTempDir(prefix: String)(body: java.io.File => DataFrame)
+      : DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toFile
+    try body(tmp).localCheckpoint()
+    finally rmTree(tmp)
+  }
+
+  def rmTree(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(rmTree)
+    f.delete(); ()
+  }
+}

@@ -30,17 +30,17 @@ object Sources {
     "antibody_name", "uniprot_accession_number", "rr_id", "channel_id"
   ).map(StructField(_, StringType, nullable = true)))
 
-  def antibodiesTsv(spark: SparkSession, path: String): DataFrame =
+  def antibodiesTsv(spark: SparkSession, paths: String*): DataFrame =
     spark.read.option("sep", "\t").option("header", "true")
-      .schema(antibodiesSchema).csv(path)
+      .schema(antibodiesSchema).csv(paths: _*)
 
   /** S-4 (`bin/concatenate.py:281`): cell-centers CSV `ID,x,y`. */
   val centersSchema: StructType = StructType(Seq(
     StructField("ID", LongType), StructField("x", DoubleType),
     StructField("y", DoubleType)))
 
-  def centersCsv(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("header", "true").schema(centersSchema).csv(path)
+  def centersCsv(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("header", "true").schema(centersSchema).csv(paths: _*)
 
   /** S-6 (`bin/concatenate.py:313`): MatrixMarket coordinate scan → edge
     * list. MatrixMarket is 1-based; line 1 is the `%%MatrixMarket` banner,
@@ -98,6 +98,69 @@ object Sources {
       .zipWithIndex()
       .map { case (l, i) => (i + 1L, l.toLong) }
       .toDF("idx", "cell_id")
+  }
+
+  /** Multi-file indexed text scan: ONE distributed read over many files →
+    * `(dataset, offset, line)` where `offset` is the BYTE offset of the
+    * line within its own file (TextInputFormat's record key, exact even
+    * when a file spans several splits) and `dataset` is the file's parent
+    * directory name. This is the single-scan replacement for a per-file
+    * read loop: 10k dataset files are one scan node with 10k splits, not
+    * 10k union legs in the logical plan.
+    */
+  def indexedText(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.{FileSplit, TextInputFormat}
+    require(paths.nonEmpty, "indexedText needs at least one input file")
+    spark.sparkContext.newAPIHadoopFile(
+        paths.mkString(","), classOf[TextInputFormat],
+        classOf[LongWritable], classOf[Text])
+      .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[LongWritable, Text]]
+      .mapPartitionsWithInputSplit { (split, iter) =>
+        val ds = split.asInstanceOf[FileSplit].getPath.getParent.getName
+        // Text/LongWritable instances are REUSED by the record reader —
+        // extract immediately, before the iterator advances
+        iter.map { case (off, line) => (ds, off.get, line.toString) }
+      }
+      .toDF("dataset", "offset", "line")
+  }
+
+  /** S-6 over MANY files in one scan: each file's first non-comment line
+    * (the `rows cols nnz` dims header) is dropped via a per-dataset
+    * min-offset broadcast join — one row per dataset, metadata-sized —
+    * and the remaining lines parse to `(dataset, row, col, value)` COO
+    * triples. Semantics per file are identical to [[matrixMarket]].
+    */
+  def matrixMarketAll(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val t = trim(col("line"))
+    val lines = indexedText(spark, paths)
+      .filter(t =!= "" && !t.startsWith("%"))
+    val dims = lines.groupBy(col("dataset"))
+      .agg(min(col("offset")).as("dims_off"))
+    val p = split(trim(col("line")), "\\s+")
+    lines.join(broadcast(dims), Seq("dataset"))
+      .filter(col("offset") =!= col("dims_off"))
+      .select(col("dataset"),
+        p.getItem(0).cast("long").as("row"),
+        p.getItem(1).cast("long").as("col"),
+        coalesce(p.getItem(2).cast("double"), lit(1.0)).as("value"))
+  }
+
+  /** S-7 over MANY files in one scan: per-file 1-based index among parsed
+    * (non-blank) rows, recovered as a row_number over byte offsets
+    * partitioned by dataset — the window is bounded by one dataset's cell
+    * count, exactly like the single-file reader. Output
+    * `(dataset, idx, cell_id)`.
+    */
+  def labelsAll(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dataset")).orderBy(col("offset"))
+    indexedText(spark, paths)
+      .select(col("dataset"), col("offset"), trim(col("line")).as("l"))
+      .filter(col("l") =!= "")
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .select(col("dataset"), col("idx"), col("l").cast("long").as("cell_id"))
   }
 
   /** S-11 (`bin/concatenate.py:106-151`): directory-discovery scan → file

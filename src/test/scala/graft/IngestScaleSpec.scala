@@ -69,6 +69,50 @@ class IngestScaleSpec extends AnyFunSuite {
     assert(edges == Set((1L, 2L, 1.0), (3L, 3L, 0.5)))
   }
 
+  test("single-scan ingest: 1000 datasets, O(1) plan size per kind") {
+    val root = Files.createTempDirectory("graft-ingest1k")
+    // one real parquet file cloned 1000× — writing 1000 parquet dirs via
+    // Spark would be 1000 jobs; identical bytes are fine for the scan
+    val stage = root.resolve("_stage")
+    Seq(("1", "CD45", 1.0, 0.5), ("2", "DAPI", 2.0, 1.0))
+      .toDF("original_obs_id", "channel", "total", "mean")
+      .coalesce(1).write.parquet(stage.toString)
+    val part = new java.io.File(stage.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    (1 to 1000).foreach { i =>
+      val ds = root.resolve(f"ds$i%04d")
+      Files.createDirectories(ds.resolve("x_long"))
+      Files.copy(part, ds.resolve("x_long/part-00000.parquet"))
+      Files.writeString(ds.resolve("reg1_cell_centers.csv"),
+        "ID,x,y\n1,1.0,2.0\n2,3.0,4.0\n")
+      Files.writeString(ds.resolve("reg1_AdjacencyMatrix.mtx"),
+        "%%MatrixMarket matrix coordinate real general\n2 2 1\n1 2 1.5\n")
+      Files.writeString(ds.resolve("reg1_AdjacencyMatrixRowColLabels.txt"),
+        "1\n2\n")
+      Files.writeString(ds.resolve("x_antibodies.tsv"),
+        "antibody_name\tuniprot_accession_number\trr_id\tchannel_id\n" +
+          "CD45\tP1\tAB\tc1\n")
+    }
+    val inputs = CodexIngest.readDatasetDirs(spark, root.toString)
+    // plan-size sanity: one multi-split scan per kind, zero union legs —
+    // the logical plan must not grow with the dataset count
+    import org.apache.spark.sql.catalyst.plans.logical.Union
+    Seq(inputs.xLong, inputs.centers, inputs.edges, inputs.labels,
+      inputs.antibodies).foreach { df =>
+      val plan = df.queryExecution.optimizedPlan
+      assert(plan.collect { case u: Union => u }.isEmpty,
+        s"union legs in ingest plan:\n$plan")
+    }
+    assert(inputs.xLong.select("dataset").distinct().count() == 1000)
+    assert(inputs.edges.count() == 1000)
+    // per-file line indexing survived the multi-file scan: every
+    // dataset's labels are exactly idx {1, 2}
+    assert(inputs.labels.count() == 2000)
+    assert(inputs.labels.groupBy("dataset")
+      .agg(max($"idx").as("m"), count(lit(1)).as("n"))
+      .filter($"m" =!= 2 || $"n" =!= 2).count() == 0)
+  }
+
   test("saltedJoin equals plain join on skewed data") {
     val left = spark.range(2000)
       .select(when($"id" < 1800, lit("hot")).otherwise(concat(lit("k"),

@@ -51,7 +51,13 @@ class Round4OpsSpec extends AnyFunSuite {
     val tgt = s"${tmp.getAbsolutePath}/tgt"
     val ev = spark.range(0, 400).select(
       ($"id" % 10).as("k"), $"id".as("ord"), ($"id" * 3).as("v"))
-    ev.repartitionByRange(4, pmod($"id", lit(4))).write.parquet(src)
+    // write the 4 shards explicitly (one file each) so the 4-batch
+    // precondition holds by construction, not by RangePartitioner
+    // sampling happening to land one partition per distinct value
+    (0L until 4L).foreach { i =>
+      ev.filter($"ord" % 4 === i).coalesce(1)
+        .write.mode("append").parquet(src)
+    }
     var batches = 0
     def latest(df: org.apache.spark.sql.DataFrame) =
       df.groupBy($"k").agg(max(struct($"ord", $"v")).as("m"))

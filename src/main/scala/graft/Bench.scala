@@ -29,16 +29,27 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    def timeOne(name: String, fn: (SparkSession, String)
+        => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false }
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
     val results = selected.map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name $dt%.2fs")
+        val (dt1, ok) = timeOne(name, fn)
+        // short queries are fixed-overhead-dominated and the ones whose
+        // recorded times drift 3× with host load — re-run once and keep
+        // the min. Long queries are work-dominated (noise is
+        // proportional, a rerun doubles real cost), so one pass stands.
+        val dt =
+          if (ok && dt1 < 10.0) math.min(dt1, timeOne(name, fn)._1)
+          else dt1
+        System.err.println(f"[bench] $name $dt%.2fs (first $dt1%.2fs)")
         (name, dt, ok)
     }
     // a crashed query reports -1, never its (tiny) elapsed time — a crash

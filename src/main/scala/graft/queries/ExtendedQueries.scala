@@ -467,20 +467,37 @@ object ExtendedQueries {
     Q("agg_approx_quantile",
       "Approximate-quantile sketch (KLL-style percentile_approx): p50/p90 " +
         "of value per event_type — mergeable sketch, one pass, bounded " +
-        "memory at any scale. Engine-specific sketch ⇒ rows-only check " +
-        "(like HLL; the exact-percentile query is the value-exact twin).",
+        "memory at any scale. The sketch value is engine-specific, so the " +
+        "query exports the sketch's own guarantee as an oracle-checkable " +
+        "RANK envelope: the fraction of values ≤ each estimate must sit " +
+        "within ±0.02 of the target quantile (accuracy 10000 ⇒ rank " +
+        "error ~1e-4; the slack absorbs value discreteness at tiny SF) — " +
+        "the oracle expects TRUE.",
       (s, d) => {
         import s.implicits._
-        Tables.events(s, d)
+        val ap = Tables.events(s, d)
           .groupBy($"event_type")
           .agg(percentile_approx($"value", array(lit(0.5), lit(0.9)),
-            lit(10000)).as("p50_p90"))
-          .select($"event_type",
-            $"p50_p90".getItem(0).as("p50"),
-            $"p50_p90".getItem(1).as("p90"))
+            lit(10000)).as("p"))
+          .select($"event_type", $"p".getItem(0).as("a50"),
+            $"p".getItem(1).as("a90"))
+        Tables.events(s, d)
+          .join(broadcast(ap), Seq("event_type"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            (sum(when($"value" <= $"a50", 1L).otherwise(0L))
+              / count(lit(1))).as("r50"),
+            (sum(when($"value" <= $"a90", 1L).otherwise(0L))
+              / count(lit(1))).as("r90"))
+          .select($"event_type", $"n",
+            ($"r50" >= 0.48 && $"r50" <= 0.52).as("p50_rank_ok"),
+            ($"r90" >= 0.88 && $"r90" <= 0.92).as("p90_rank_ok"))
           .orderBy($"event_type")
       },
-      None),
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+             |FROM events GROUP BY 1
+             |ORDER BY event_type""".stripMargin)),
 
     Q("o35_bag_setops",
       "Bag (multiset) set ops: INTERSECT ALL / EXCEPT ALL keep " +

@@ -1,0 +1,260 @@
+package graft.queries
+
+import graft.Tables
+import graft.product.{CodexIngest, CodexProduct}
+import org.apache.spark.sql.functions._
+
+/** Round-5 additions: the end-to-end CODEX product lifecycle under the
+  * oracle gate — the reference's whole `concatenate.py:main` composition
+  * (`bin/concatenate.py:345-468`) exercised file-level through every
+  * bundle component, with exact per-dataset metric sums the DuckDB
+  * oracle reproduces arithmetically.
+  */
+object Round5Queries {
+
+  import Scratch.withTempDir
+
+  def all: Seq[Q] = Seq(
+
+    Q("codex_product_e2e",
+      "END-TO-END CODEX product lifecycle (bin/concatenate.py:345-468): " +
+        "a reference-layout data directory — per-dataset x_long parquet, " +
+        "cell-centers CSV, MatrixMarket adjacency, label file, " +
+        "antibodies TSV — is materialized deterministically from " +
+        "region/nation (datasets = regions, cells = nations), ingested " +
+        "through the single-scan readers (CodexIngest.readDatasetDirs), " +
+        "and run through the FULL CodexProduct.build composition: O-3 " +
+        "leaf filter (r4 is non-leaf; its files exist but must be " +
+        "excluded), F-1 'Anti-… antibody' strip, O-7 var universe " +
+        "filter (Channel:<n>:<n> dropped), J-1 obs⋈manifest donor join, " +
+        "O-5 centers semi-join, J-4 varm first-match annotation, and " +
+        "the S-6/S-7 + O-6 + J-5 + O-22 label→dense-index→block-offset→" +
+        "edge-remap chain. Output: one row per leaf dataset with exact " +
+        "metric sums over every bundle component (obs, x_long, centers, " +
+        "edges, varm, uns) that the oracle derives in closed form.",
+      (s, d) => {
+        import s.implicits._
+        withTempDir("graft-e2e-") { tmp =>
+          val root = tmp.getAbsolutePath
+          val nat = Tables.table(s, d, "nation")
+            .select($"n_nationkey".cast("long").as("c"),
+              $"n_regionkey".cast("long").as("k"))
+          // per-dataset x_long parquet: 3 channels per cell — one raw
+          // name exercising the F-1 strip, one clean, one
+          // unidentifiable (dropped by the O-7 var filter)
+          (0L to 4L).foreach { k =>
+            nat.filter($"k" === k)
+              .select($"c", explode(array(
+                struct(lit("Anti-CD45 antibody").as("channel"),
+                  ($"c" * 10 + 1).cast("double").as("total"),
+                  ($"c" + 0.5).as("mean")),
+                struct(lit("DAPI").as("channel"),
+                  ($"c" * 10 + 2).cast("double").as("total"),
+                  ($"c" + 0.25).as("mean")),
+                struct(lit("Channel:1:1").as("channel"),
+                  lit(1.0).as("total"), lit(1.0).as("mean")))).as("e"))
+              .select($"c".cast("string").as("original_obs_id"),
+                $"e.channel", $"e.total", $"e.mean")
+              .write.parquet(s"$root/r$k/x_long")
+          }
+          // the text-file fixtures are per-dataset config-sized files in
+          // the reference layout; nation is the fixed 25-row TPC-H
+          // table, so this collect is metadata-sized at every SF
+          val byK = nat.collect().map(r => (r.getLong(0), r.getLong(1)))
+            .groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+          byK.foreach { case (k, cs) =>
+            def w(name: String, content: String): Unit =
+              java.nio.file.Files.writeString(
+                java.nio.file.Paths.get(s"$root/r$k/$name"), content)
+            w("reg1_cell_centers.csv", "ID,x,y\n" + cs.map(c =>
+              s"$c,${c + 0.5},${k + 0.25}").mkString("", "\n", "\n"))
+            w("reg1_AdjacencyMatrixRowColLabels.txt",
+              cs.mkString("", "\n", "\n"))
+            w("reg1_AdjacencyMatrix.mtx",
+              "%%MatrixMarket matrix coordinate real general\n" +
+                "5 5 3\n1 2 1.0\n2 3 2.0\n5 5 0.5\n")
+            w("x_antibodies.tsv",
+              "antibody_name\tuniprot_accession_number\trr_id\t" +
+                s"channel_id\nAnti-CD45 antibody\tP$k\tAB_$k\tch1\n")
+          }
+          val manifest = Tables.table(s, d, "region").select(
+            concat(lit("r"), $"r_regionkey").as("uuid"),
+            concat(lit("HBM"), $"r_regionkey").as("hubmap_id"),
+            lit(null).cast("string").as("immediate_ancestor_ids"),
+            when($"r_regionkey" === 4, lit("x"))
+              .otherwise(lit(null).cast("string"))
+              .as("immediate_descendant_ids"),
+            ($"r_regionkey" + 40).cast("string").as("age"),
+            when($"r_regionkey" % 2 === 0, lit("F")).otherwise(lit("M"))
+              .as("sex"),
+            lit(null).cast("string").as("height"),
+            lit(null).cast("string").as("weight"),
+            lit(null).cast("string").as("bmi"),
+            lit(null).cast("string").as("cause_of_death"),
+            lit(null).cast("string").as("race"))
+          val bundle = CodexProduct.build(s, manifest,
+            CodexIngest.readDatasetDirs(s, root),
+            "Kidney", "prod-e2e", "2026-01-01 00:00:00")
+          def dsOf = substring_index($"cell_id", "-", 1).as("dataset")
+          val obsSum = bundle.obs.groupBy($"dataset")
+            .agg(count(lit(1)).as("n_obs"), sum($"age").as("sum_age"))
+          val xSum = bundle.xLong.select(dsOf, $"total")
+            .groupBy($"dataset")
+            .agg(count(lit(1)).as("n_x"), sum($"total").as("sum_total"))
+          val cSum = bundle.obsmCenters.select(dsOf, $"x")
+            .groupBy($"dataset")
+            .agg(count(lit(1)).as("n_centers"), sum($"x").as("sum_cx"))
+          // every leaf dataset keeps exactly 5 labels by construction →
+          // the global index block of leaf li is [5·li+1, 5·li+5]
+          val eSum = bundle.obspEdges
+            .select(concat(lit("r"), expr("(src - 1) div 5"))
+              .as("dataset"), $"src", $"dst", $"weight")
+            .groupBy($"dataset")
+            .agg(count(lit(1)).as("n_edges"), sum($"src").as("sum_src"),
+              sum($"dst").as("sum_dst"), sum($"weight").as("sum_w"))
+          obsSum.join(xSum, Seq("dataset")).join(cSum, Seq("dataset"))
+            .join(eSum, Seq("dataset"))
+            .crossJoin(bundle.varm.agg(count(lit(1)).as("n_varm")))
+            .crossJoin(bundle.uns.select($"total_cell_count"))
+            .orderBy($"dataset")
+        }
+      },
+      Some("""WITH leaves AS (
+             |  SELECT CAST(r_regionkey AS BIGINT) AS k FROM region
+             |  WHERE r_regionkey <> 4),
+             |cells AS (
+             |  SELECT l.k AS k, CAST(n_nationkey AS BIGINT) AS c
+             |  FROM leaves l JOIN nation ON n_regionkey = l.k),
+             |per AS (
+             |  SELECT k, count(*) AS n, sum(c) AS sc,
+             |    sum(c + 0.5) AS sum_cx
+             |  FROM cells GROUP BY k)
+             |SELECT 'r' || CAST(k AS VARCHAR) AS dataset,
+             |  CAST(n AS BIGINT) AS n_obs,
+             |  CAST(n * (40.0 + k) AS DOUBLE) AS sum_age,
+             |  CAST(2 * n AS BIGINT) AS n_x,
+             |  CAST(20.0 * sc + 3.0 * n AS DOUBLE) AS sum_total,
+             |  CAST(n AS BIGINT) AS n_centers,
+             |  CAST(sum_cx AS DOUBLE) AS sum_cx,
+             |  CAST(3 AS BIGINT) AS n_edges,
+             |  CAST(8 + 15 * k AS BIGINT) AS sum_src,
+             |  CAST(10 + 15 * k AS BIGINT) AS sum_dst,
+             |  CAST(3.5 AS DOUBLE) AS sum_w,
+             |  (SELECT CAST(count(*) + 1 AS BIGINT) FROM region)
+             |    AS n_varm,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM cells)
+             |    AS total_cell_count
+             |FROM per ORDER BY dataset""".stripMargin)),
+
+    Q("curate_domain_cap",
+      "Per-domain quota capping — the curation rule that stops one " +
+        "giant crawl domain from dominating a training mix: keep at " +
+        "most 50 docs per source (deterministic doc_id order), report " +
+        "per-source total/kept/dropped and the kept id range. One " +
+        "window partitioned by source; at 100 TB a pathological domain " +
+        "would use the per-key TakeOrderedAndProject form (o47) instead " +
+        "of ranking its full partition — noted, same semantics.",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"doc_id")
+        Tables.documents(s, d)
+          .withColumn("rn", row_number().over(w))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when($"rn" <= 50, 1L).otherwise(0L)).as("n_kept"),
+            sum(when($"rn" > 50, 1L).otherwise(0L)).as("n_dropped"),
+            min(when($"rn" <= 50, $"doc_id")).as("first_kept"),
+            max(when($"rn" <= 50, $"doc_id")).as("last_kept"))
+          .orderBy($"source")
+      },
+      Some("""WITH r AS (
+             |  SELECT source, doc_id, row_number() OVER (
+             |    PARTITION BY source ORDER BY doc_id) AS rn
+             |  FROM documents)
+             |SELECT source, count(*) AS n_total,
+             |  CAST(count(*) FILTER (WHERE rn <= 50) AS BIGINT)
+             |    AS n_kept,
+             |  CAST(count(*) FILTER (WHERE rn > 50) AS BIGINT)
+             |    AS n_dropped,
+             |  min(doc_id) FILTER (WHERE rn <= 50) AS first_kept,
+             |  max(doc_id) FILTER (WHERE rn <= 50) AS last_kept
+             |FROM r GROUP BY source ORDER BY source""".stripMargin)),
+
+    Q("curate_decontaminate",
+      "Train/eval decontamination — flag training documents sharing any " +
+        "8-token shingle with the held-out eval set (docs with doc_id % " +
+        "97 = 0 stand in for the benchmark): eval shingles are distinct-" +
+        "projected and BROADCAST (real eval sets are tiny next to the " +
+        "corpus), so the contamination probe is a map-side hash join " +
+        "riding the training-side shingle scan — no corpus-wide shuffle " +
+        "beyond the per-doc distinct.",
+      (s, d) => {
+        import s.implicits._
+        val sh = Tables.documents(s, d)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(1, greatest(size(split(text, " +
+              "'\\\\s+')) - 7, 1)), i -> array_join(slice(split(text, " +
+              "'\\\\s+'), i, 8), ' '))")).as("shingle"))
+          .distinct()
+        val evalSh = sh.filter($"doc_id" % 97 === 0)
+          .select($"shingle").distinct()
+        val contaminated = sh.filter($"doc_id" % 97 =!= 0)
+          .join(broadcast(evalSh), Seq("shingle"))
+          .select($"doc_id").distinct()
+          .withColumn("contaminated", lit(true))
+        Tables.documents(s, d)
+          .filter($"doc_id" % 97 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"contaminated", lit(false)).as("contaminated"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH sh AS (
+             |  SELECT DISTINCT doc_id,
+             |    array_to_string(
+             |      string_split_regex(text, '\s+')[i:i+7], ' ') AS shingle
+             |  FROM documents, unnest(range(1,
+             |    greatest(len(string_split_regex(text, '\s+')) - 7, 1)
+             |      + 1)) AS u(i)),
+             |ev AS (
+             |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+             |cont AS (
+             |  SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (shingle)
+             |  WHERE s.doc_id % 97 <> 0)
+             |SELECT doc_id,
+             |  doc_id IN (SELECT doc_id FROM cont) AS contaminated
+             |FROM documents WHERE doc_id % 97 <> 0
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q("curate_lang_balance",
+      "Language-balanced quota sampling — cap each language at its 100 " +
+        "highest-value docs (n_chars desc, doc_id tiebreak) so one " +
+        "dominant language cannot swamp the mix: per-language " +
+        "rank-and-filter, then kept-count / char-mass / cutoff per " +
+        "language. The rank window partitions by lang (bounded " +
+        "cardinality), so every partition ranks in parallel.",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"n_chars".desc, $"doc_id")
+        Tables.documents(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 100)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_kept"),
+            sum($"n_chars").as("sum_chars"),
+            min($"n_chars").as("min_chars"))
+          .orderBy($"lang")
+      },
+      Some("""WITH r AS (
+             |  SELECT lang, n_chars, row_number() OVER (
+             |    PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+             |  FROM documents)
+             |SELECT lang, count(*) AS n_kept,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  min(n_chars) AS min_chars
+             |FROM r WHERE rn <= 100
+             |GROUP BY lang ORDER BY lang""".stripMargin))
+  )
+}

@@ -771,18 +771,33 @@ object StarQueries {
 
     Q("agg_approx_distinct",
       "Scale-path sketch aggregation: approx_count_distinct (HLL++) — the " +
-        "100 TB substitute for exact distinct counts; sketch values are " +
-        "engine-specific → rows-only (exactness asserted in ScalaTest " +
-        "within HLL error bounds).",
+        "100 TB substitute for exact distinct counts. The sketch estimate " +
+        "is engine-specific, so the query exports an ERROR ENVELOPE the " +
+        "oracle can check exactly: the exact distinct counts plus a " +
+        "boolean per sketch asserting |estimate − exact| ≤ 10% · exact " +
+        "(2× the default 5% rsd) — the oracle expects TRUE.",
       (s, d) => {
         import s.implicits._
         Tables.lineitem(s, d)
           .groupBy($"l_returnflag")
-          .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
-            approx_count_distinct($"l_orderkey").as("approx_orders"))
+          .agg(approx_count_distinct($"l_partkey").as("ap"),
+            countDistinct($"l_partkey").as("exact_parts"),
+            approx_count_distinct($"l_orderkey").as("ao"),
+            countDistinct($"l_orderkey").as("exact_orders"))
+          .select($"l_returnflag", $"exact_parts", $"exact_orders",
+            (abs($"ap" - $"exact_parts") <= $"exact_parts" * 0.10)
+              .as("parts_within_10pct"),
+            (abs($"ao" - $"exact_orders") <= $"exact_orders" * 0.10)
+              .as("orders_within_10pct"))
           .orderBy($"l_returnflag")
       },
-      None),
+      Some("""SELECT l_returnflag,
+             |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+             |  TRUE AS parts_within_10pct,
+             |  TRUE AS orders_within_10pct
+             |FROM lineitem GROUP BY 1
+             |ORDER BY l_returnflag""".stripMargin)),
 
     Q("q3_top_orders",
       "Headline 3-way join: broadcast dim ⋈ fact ⋈ fact with grouped " +

@@ -1,0 +1,204 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Minimal clean-room HDF5 reader for the subset the reference's
+  * `out.hdf5` stores use (S-5, `bin/concatenate.py:239-264`): pandas
+  * `HDFStore` fixed-format files written by PyTables — superblock
+  * version 0, old-style (symbol-table) groups, version-1 object headers,
+  * and CONTIGUOUS little-endian datasets of float64 / int64 /
+  * fixed-length strings. Implemented from the public HDF5 file-format
+  * specification; no external HDF5 library exists in this runtime.
+  *
+  * Out of scope (raises with a clear message): chunked/compressed
+  * layouts (pandas `complevel>0`), new-style groups, non-LE types. The
+  * reference pipeline writes plain fixed-format stores, which are
+  * contiguous.
+  *
+  * The whole file is held as one byte array: `out.hdf5` is per-dataset
+  * (one imaging run), so it is bounded by a single dataset's
+  * cells × channels matrix — the distributed axis is ACROSS files
+  * (see `Hdf5Ingest`), never within one.
+  */
+final class Hdf5Reader(bytes: Array[Byte]) {
+
+  private val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+  private def u16(p: Int): Int = buf.getShort(p) & 0xffff
+  private def u32(p: Int): Long = buf.getInt(p) & 0xffffffffL
+  private def u64(p: Int): Long = buf.getLong(p)
+  private val Undef = -1L // 0xFFFFFFFFFFFFFFFF
+
+  require(bytes.length > 96 &&
+    (0 until 8).forall(i => bytes(i) == Hdf5Reader.Signature(i)),
+    "not an HDF5 file (signature mismatch)")
+  require(bytes(8) == 0, s"unsupported superblock version ${bytes(8)}")
+  require(bytes(13) == 8 && bytes(14) == 8,
+    "unsupported offset/length size (only 8 supported)")
+
+  /** Root group's object header address (from the superblock's root
+    * symbol table entry at offset 24+32 = byte 56: link name offset then
+    * object header address). */
+  private val rootHeaderAddr: Long = u64(56 + 8)
+
+  // ---- object header (version 1) ----
+
+  private case class Msg(msgType: Int, dataPos: Int, dataSize: Int)
+
+  private def readMessages(headerAddr: Long): Seq[Msg] = {
+    val p0 = headerAddr.toInt
+    require(bytes(p0) == 1, s"unsupported object header version ${bytes(p0)}")
+    val nMsgs = u16(p0 + 2)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Msg]
+    // (blockPos, blockEnd) work list; the v1 prefix is 12 bytes + 4 pad
+    var blocks = List((p0 + 16, p0 + 16 + u32(p0 + 8).toInt))
+    while (blocks.nonEmpty && out.size < nMsgs) {
+      var (p, end) = blocks.head
+      blocks = blocks.tail
+      while (p + 8 <= end && out.size < nMsgs) {
+        val t = u16(p); val sz = u16(p + 2)
+        if (t == 0x0010) { // continuation: offset(8) + length(8)
+          blocks = (u64(p + 8).toInt, (u64(p + 8) + u64(p + 16)).toInt) ::
+            blocks
+        }
+        out += Msg(t, p + 8, sz)
+        p += 8 + sz
+      }
+    }
+    out.toSeq
+  }
+
+  // ---- old-style (symbol table) groups ----
+
+  /** Child name → object header address, or None if `headerAddr` is not
+    * a group. */
+  def groupChildren(headerAddr: Long): Option[Map[String, Long]] = {
+    val stMsg = readMessages(headerAddr).find(_.msgType == 0x0011)
+    stMsg.map { m =>
+      val btreeAddr = u64(m.dataPos)
+      val heapAddr = u64(m.dataPos + 8)
+      val heapData = localHeapData(heapAddr)
+      val out = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      walkBtree(btreeAddr, heapData, out)
+      out.toMap
+    }
+  }
+
+  private def localHeapData(heapAddr: Long): Long = {
+    val p = heapAddr.toInt
+    require(bytes(p) == 'H' && bytes(p + 1) == 'E' && bytes(p + 2) == 'A' &&
+      bytes(p + 3) == 'P', "bad local heap signature")
+    u64(p + 24) // data segment address
+  }
+
+  private def walkBtree(addr: Long, heapData: Long,
+                        out: scala.collection.mutable.Map[String, Long])
+      : Unit = {
+    val p = addr.toInt
+    require(bytes(p) == 'T' && bytes(p + 1) == 'R' && bytes(p + 2) == 'E' &&
+      bytes(p + 3) == 'E', "bad b-tree signature")
+    val level = bytes(p + 5) & 0xff
+    val entries = u16(p + 6)
+    // after signature(4) type(1) level(1) entries(2) left(8) right(8):
+    // key0(8) child0(8) key1(8) child1(8) ...
+    var cp = p + 24 + 8
+    (0 until entries).foreach { _ =>
+      val child = u64(cp)
+      if (level > 0) walkBtree(child, heapData, out)
+      else readSnod(child, heapData, out)
+      cp += 16
+    }
+  }
+
+  private def readSnod(addr: Long, heapData: Long,
+                       out: scala.collection.mutable.Map[String, Long])
+      : Unit = {
+    val p = addr.toInt
+    require(bytes(p) == 'S' && bytes(p + 1) == 'N' && bytes(p + 2) == 'O' &&
+      bytes(p + 3) == 'D', "bad symbol node signature")
+    val n = u16(p + 6)
+    (0 until n).foreach { i =>
+      val ep = p + 8 + i * 40 // symbol table entries are 40 bytes
+      val nameOff = u64(ep)
+      val headerAddr = u64(ep + 8)
+      out(cString((heapData + nameOff).toInt)) = headerAddr
+    }
+  }
+
+  private def cString(p: Int): String = {
+    var e = p
+    while (bytes(e) != 0) e += 1
+    new String(bytes, p, e - p, "UTF-8")
+  }
+
+  /** Resolve a /-separated store key ("total/channel/.../reg1") to an
+    * object header address, None if any component is missing. */
+  def resolve(path: String): Option[Long] = {
+    val parts = path.split("/").filter(_.nonEmpty)
+    parts.foldLeft(Option(rootHeaderAddr)) { (acc, name) =>
+      acc.flatMap(a => groupChildren(a).flatMap(_.get(name)))
+    }
+  }
+
+  def exists(path: String): Boolean = resolve(path).isDefined
+
+  // ---- datasets ----
+
+  /** (dims, dtypeClass, elemSize, dataOffset) of a contiguous dataset. */
+  private def datasetInfo(headerAddr: Long): (Seq[Long], Int, Int, Long) = {
+    val msgs = readMessages(headerAddr)
+    val space = msgs.find(_.msgType == 0x0001)
+      .getOrElse(sys.error("dataset has no dataspace message"))
+    val rank = bytes(space.dataPos + 1) & 0xff
+    // dataspace v1: version(1) rank(1) flags(1) reserved(5) then dims
+    val dims = (0 until rank).map(i => u64(space.dataPos + 8 + 8 * i))
+    val dt = msgs.find(_.msgType == 0x0003)
+      .getOrElse(sys.error("dataset has no datatype message"))
+    val dtClass = bytes(dt.dataPos) & 0x0f
+    val elemSize = u32(dt.dataPos + 4).toInt
+    val layout = msgs.find(_.msgType == 0x0008)
+      .getOrElse(sys.error("dataset has no layout message"))
+    require(bytes(layout.dataPos) == 3,
+      s"unsupported layout version ${bytes(layout.dataPos)}")
+    val layoutClass = bytes(layout.dataPos + 1) & 0xff
+    require(layoutClass == 1,
+      "only CONTIGUOUS dataset layout is supported (pandas fixed-format " +
+        "stores without complevel); got class " + layoutClass)
+    (dims, dtClass, elemSize, u64(layout.dataPos + 2))
+  }
+
+  /** 2-D float64 dataset → row-major Array of rows. */
+  def readDoubleMatrix(headerAddr: Long): Array[Array[Double]] = {
+    val (dims, cls, sz, off) = datasetInfo(headerAddr)
+    require(dims.length == 2 && cls == 1 && sz == 8,
+      s"expected 2-D float64, got dims=$dims class=$cls size=$sz")
+    val (r, c) = (dims(0).toInt, dims(1).toInt)
+    Array.tabulate(r, c)((i, j) => buf.getDouble((off + (i.toLong * c + j) * 8).toInt))
+  }
+
+  /** 1-D dataset of fixed-length strings (null-padded) or int64 — both
+    * returned as strings, matching how the reference treats the pandas
+    * index (`adata.obs.index` values become original_obs_id strings). */
+  def readStringVector(headerAddr: Long): Seq[String] = {
+    val (dims, cls, sz, off) = datasetInfo(headerAddr)
+    require(dims.length == 1, s"expected 1-D vector, got dims=$dims")
+    val n = dims(0).toInt
+    cls match {
+      case 3 => // fixed-length string
+        (0 until n).map { i =>
+          val p = (off + i.toLong * sz).toInt
+          var e = p
+          while (e < p + sz && bytes(e) != 0) e += 1
+          new String(bytes, p, e - p, "UTF-8")
+        }
+      case 0 => // fixed-point (int64 index)
+        require(sz == 8, s"expected int64 index, got size $sz")
+        (0 until n).map(i => u64((off + i.toLong * 8).toInt).toString)
+      case other => sys.error(s"unsupported vector datatype class $other")
+    }
+  }
+}
+
+object Hdf5Reader {
+  val Signature: Array[Byte] =
+    Array(0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n')
+}

@@ -1,0 +1,122 @@
+package graft
+
+import graft.product.{CodexProduct, Hdf5Ingest}
+import graft.product.CodexProduct.DatasetInputs
+import graft.sources.Hdf5Reader
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path}
+
+/** S-5 converter coverage: the pure-JVM HDF5 reader over pandas-fixed-
+  * format-shaped stores, BOTH store-key conventions of
+  * `bin/concatenate.py:240-241` (stitched reg1 and reg001 fallback), the
+  * distributed across-files conversion, and the converted output feeding
+  * the product pipeline.
+  */
+class Hdf5IngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  import Hdf5Fixture._
+
+  val key1Path = Seq("channel", "cell", "expressions.ome.tiff",
+    "stitched", "reg1")
+  val key2Path = Seq("channel", "cell", "expr.ome.tiff", "reg001")
+
+  /** One out.hdf5: total + meanAll trees under the given key layout. */
+  def store(path: Seq[String], channels: Seq[String], obs: Seq[Long],
+            total: Array[Double], mean: Array[Double]): Array[Byte] =
+    write(Group(Seq(
+      "total" -> nest(path, pandasLeaf(channels, obs, total)),
+      "meanAll" -> nest(path, pandasLeaf(channels, obs, mean)))))
+
+  test("reader: groups navigate, matrices/vectors round-trip exactly") {
+    val bytes = store(key1Path, Seq("CD45", "DAPI"), Seq(0L, 1L),
+      Array(1.0, 2.0, 3.0, 4.0), Array(0.5, 1.0, 1.5, 2.0))
+    val r = new Hdf5Reader(bytes)
+    val totalKey = "total/channel/cell/expressions.ome.tiff/stitched/reg1"
+    assert(r.exists(totalKey) && !r.exists("total/zzz"))
+    val leaf = r.resolve(s"$totalKey/block0_values").get
+    assert(r.readDoubleMatrix(leaf).map(_.toSeq).toSeq ==
+      Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))
+    assert(r.readStringVector(r.resolve(s"$totalKey/axis0").get) ==
+      Seq("CD45", "DAPI"))
+    assert(r.readStringVector(r.resolve(s"$totalKey/axis1").get) ==
+      Seq("0", "1"))
+  }
+
+  test("parseStore: stitched reg1 key convention") {
+    val rows = Hdf5Ingest.parseStore(store(key1Path, Seq("CD45", "DAPI"),
+      Seq(0L, 1L), Array(1.0, 2.0, 3.0, 4.0),
+      Array(0.5, 1.0, 1.5, 2.0))).toSet
+    assert(rows == Set(
+      ("0", "CD45", 1.0, 0.5), ("0", "DAPI", 2.0, 1.0),
+      ("1", "CD45", 3.0, 1.5), ("1", "DAPI", 4.0, 2.0)))
+  }
+
+  test("parseStore: reg001 fallback key convention") {
+    val rows = Hdf5Ingest.parseStore(store(key2Path, Seq("ECAD"),
+      Seq(7L), Array(9.0), Array(4.5))).toSet
+    assert(rows == Set(("7", "ECAD", 9.0, 4.5)))
+  }
+
+  test("parseStore: neither key convention → clear contract error") {
+    val bytes = write(Group(Seq("total" ->
+      nest(Seq("other"), pandasLeaf(Seq("X"), Seq(0L), Array(1.0))))))
+    val e = intercept[RuntimeException](Hdf5Ingest.parseStore(bytes))
+    assert(e.getMessage.contains("store key convention"))
+  }
+
+  def makeRoot(): Path = {
+    val root = Files.createTempDirectory("graft-h5")
+    Files.createDirectories(root.resolve("ds1"))
+    Files.createDirectories(root.resolve("ds2"))
+    Files.write(root.resolve("ds1/out.hdf5"),
+      store(key1Path, Seq("CD45", "DAPI"), Seq(0L, 1L),
+        Array(1.0, 2.0, 3.0, 4.0), Array(0.5, 1.0, 1.5, 2.0)))
+    Files.write(root.resolve("ds2/out.hdf5"),
+      store(key2Path, Seq("CD45"), Seq(5L), Array(7.0), Array(3.5)))
+    root
+  }
+
+  test("convert: mixed-convention fleet → one long DataFrame") {
+    val got = Hdf5Ingest.convert(spark, makeRoot().toString)
+      .as[(String, String, String, Double, Double)].collect().toSet
+    assert(got == Set(
+      ("ds1", "0", "CD45", 1.0, 0.5), ("ds1", "0", "DAPI", 2.0, 1.0),
+      ("ds1", "1", "CD45", 3.0, 1.5), ("ds1", "1", "DAPI", 4.0, 2.0),
+      ("ds2", "5", "CD45", 7.0, 3.5)))
+  }
+
+  test("converted x_long feeds the product pipeline end to end") {
+    val xLong = Hdf5Ingest.convert(spark, makeRoot().toString)
+    val manifest = Seq(
+      ("ds1", "HBM1", "p", null, "50", "F", null, null, null, null, null),
+      ("ds2", "HBM2", "p", null, "60", "M", null, null, null, null, null))
+      .toDF("uuid", "hubmap_id", "immediate_ancestor_ids",
+        "immediate_descendant_ids", "age", "sex", "height", "weight",
+        "bmi", "cause_of_death", "race")
+    val centers = Seq(("ds1", 0L, 1.0, 2.0), ("ds1", 1L, 3.0, 4.0),
+      ("ds2", 5L, 5.0, 6.0)).toDF("dataset", "ID", "x", "y")
+    val labels = Seq(("ds1", 1L, 0L), ("ds1", 2L, 1L), ("ds2", 1L, 5L))
+      .toDF("dataset", "idx", "cell_id")
+    val edges = Seq(("ds1", 1L, 2L, 1.0), ("ds2", 1L, 1L, 0.5))
+      .toDF("dataset", "row", "col", "value")
+    val antibodies = Seq(("ds1", "CD45", "P08575", "AB_1", "c1"))
+      .toDF("dataset", "antibody_name", "uniprot_accession_number",
+        "rr_id", "channel_id")
+    val bundle = CodexProduct.build(spark, manifest,
+      DatasetInputs(xLong, centers, edges, labels, antibodies),
+      "Kidney", "prod-h5", "2026-01-01 00:00:00")
+    assert(bundle.obs.select("cell_id").as[String].collect().toSet ==
+      Set("ds1-0", "ds1-1", "ds2-5"))
+    assert(bundle.xLong.filter($"cell_id" === "ds1-1" &&
+      $"channel" === "DAPI").select("total").as[Double]
+      .collect().head == 4.0)
+    // global edges: ds1 (0,1)→(1,2); ds2 single cell offset 2 →(3,3)
+    assert(bundle.obspEdges.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ==
+      Set((1L, 2L, 1.0), (3L, 3L, 0.5)))
+  }
+}

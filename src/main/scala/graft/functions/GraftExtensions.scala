@@ -69,7 +69,13 @@ object GraftFunctions {
     (FunctionIdentifier("lsh_bucket"),
       info("HyperplaneBucket", "lsh_bucket(a, nPlanes) - LSH bucket id"),
       arity(2, "lsh_bucket(a, nPlanes)")(args =>
-        HyperplaneBucket(args(0), intArg(args(1), "lsh_bucket")))))
+        HyperplaneBucket(args(0), intArg(args(1), "lsh_bucket")))),
+    (FunctionIdentifier("vec_sq8"),
+      info("Sq8Quantize", "vec_sq8(a) - symmetric int8 quantization codes"),
+      arity(1, "vec_sq8(a)")(args => Sq8Quantize(args(0)))),
+    (FunctionIdentifier("vec_i8_dot"),
+      info("Int8Dot", "vec_i8_dot(a, b) - exact integer code dot product"),
+      arity(2, "vec_i8_dot(a, b)")(args => Int8Dot(args(0), args(1)))))
 
   /** Register the functions into an already-built session's registry (the
     * same mechanism `injectFunction` uses at session build time).

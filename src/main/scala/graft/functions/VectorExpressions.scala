@@ -79,6 +79,43 @@ object VectorKernels {
     if (den == 0.0) 0.0 else d / den
   }
 
+  /** Symmetric int8 scalar quantization: code_i = floor(x_i · 127/maxabs
+    * + 0.5). Pure deterministic double arithmetic (float widened first),
+    * so any IEEE-754 engine reproduces the codes bit-exactly — the
+    * property that lets the quantized ANN tier be oracle-verified.
+    * All-zero vectors quantize to all-zero codes.
+    */
+  def sq8(a: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(if (isFloat) a.getFloat(i).toDouble else a.getDouble(i))
+      if (v > m) m = v
+      i += 1
+    }
+    val scale = if (m == 0.0) 0.0 else 127.0 / m
+    val out = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      out(i) = math.floor(v * scale + 0.5).toInt
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** Exact integer dot product of two int code vectors — order-
+    * independent (integer addition is associative), hence engine-
+    * independent. */
+  def i8dot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getInt(i).toLong * b.getInt(i); i += 1 }
+    acc
+  }
+
   /** Random-hyperplane LSH bucket: bit p = sign of Σ_i x_i·s(i,p), with
     * s(i,p) = ±1 from splitmix64 parity — recomputable on any executor,
     * no stored planes.
@@ -218,6 +255,63 @@ case class HyperplaneBucket(child: Expression, nPlanes: Int)
     copy(c)
 }
 
+/** sq8(a) → array<int> int8 codes; NULL on null elements. */
+case class Sq8Quantize(child: Expression)
+    extends UnaryExpression with VectorExpr {
+  override def dataType: DataType = ArrayType(IntegerType, false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = checkVec(child)
+  override def nullSafeEval(a: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    if (VectorKernels.anyNull(aa)) null
+    else VectorKernels.sq8(aa, isFloat(child))
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      if (graft.functions.VectorKernels.anyNull($a)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VectorKernels.sq8($a,
+          ${isFloat(child)});
+      }""")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(c)
+}
+
+/** i8_dot(codes_a, codes_b) → long exact integer dot product. */
+case class Int8Dot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<int> arguments, got " +
+        Seq(left, right).map(_.dataType.simpleString).mkString(", "))
+  }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]; val bb = b.asInstanceOf[ArrayData]
+    if (VectorKernels.anyNull(aa) || VectorKernels.anyNull(bb)) null
+    else VectorKernels.i8dot(aa, bb)
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if (graft.functions.VectorKernels.anyNull($a) ||
+          graft.functions.VectorKernels.anyNull($b)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VectorKernels.i8dot($a, $b);
+      }""")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** Column-API entry points for the vector expressions. */
 object vector {
   private def ex(c: Column) = GraftColumnBridge.expression(c)
@@ -228,4 +322,8 @@ object vector {
   def vec_l2(a: Column): Column = GraftColumnBridge.column(L2Norm(ex(a)))
   def lsh_bucket(a: Column, nPlanes: Int): Column =
     GraftColumnBridge.column(HyperplaneBucket(ex(a), nPlanes))
+  def vec_sq8(a: Column): Column =
+    GraftColumnBridge.column(Sq8Quantize(ex(a)))
+  def vec_i8_dot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(Int8Dot(ex(a), ex(b)))
 }

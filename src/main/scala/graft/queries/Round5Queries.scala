@@ -146,6 +146,51 @@ object Round5Queries {
              |    AS total_cell_count
              |FROM per ORDER BY dataset""".stripMargin)),
 
+    Q("e_knn_sq8",
+      "Similarity: scalar-quantized (int8) ANN top-k — the memory-" +
+        "bandwidth tier between brute force and LSH: vectors quantize " +
+        "once at scan time (symmetric per-vector 127/maxabs scale, " +
+        "codegen'd vec_sq8), candidates score by EXACT integer code " +
+        "dot products (vec_i8_dot) — 4× less data through the join, " +
+        "integer ALU, and a bit-reproducible ranking, so this " +
+        "approximate tier is fully oracle-checked (quantization is " +
+        "deterministic IEEE double arithmetic DuckDB replays exactly; " +
+        "integer sums are order-independent).",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        graft.similarity.Knn.sq8TopK(emb, emb.filter($"vec_id" < 10),
+            "vec_id", "embedding", k = 5)
+          .select($"query_id", $"neighbor_id",
+            $"rank".cast("long").as("rank"), $"qdot")
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH c AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x ->
+             |      CAST(floor(CAST(x AS DOUBLE) *
+             |        (CASE WHEN m = 0 THEN 0 ELSE 127.0 / m END)
+             |        + 0.5) AS BIGINT)) AS codes
+             |  FROM (
+             |    SELECT vec_id, embedding,
+             |      list_max(list_transform(embedding,
+             |        x -> abs(CAST(x AS DOUBLE)))) AS m
+             |    FROM embeddings)),
+             |p AS (
+             |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             |    CAST(list_sum(list_transform(
+             |      range(1, len(q.codes) + 1),
+             |      i -> q.codes[i] * n.codes[i])) AS BIGINT) AS qdot
+             |  FROM c q JOIN c n
+             |    ON q.vec_id < 10 AND n.vec_id <> q.vec_id)
+             |SELECT query_id, neighbor_id,
+             |  row_number() OVER (PARTITION BY query_id
+             |    ORDER BY qdot DESC, neighbor_id) AS rank,
+             |  qdot
+             |FROM p
+             |QUALIFY rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
     Q("curate_domain_cap",
       "Per-domain quota capping — the curation rule that stops one " +
         "giant crawl domain from dominating a training mix: keep at " +

@@ -107,6 +107,33 @@ object Knn {
         round(col("cosine_raw"), 6).as("cosine"))
   }
 
+  /** Scalar-quantized (int8) ANN top-k — the memory-bandwidth tier: each
+    * vector is quantized ONCE at scan time to int8 codes (symmetric
+    * per-vector scale, `vec_sq8`), and candidate scoring is the EXACT
+    * integer dot product of code vectors (`vec_i8_dot`). 4× less data
+    * through the scoring join than float32, integer ALU instead of FP,
+    * and — because integer addition is associative — a ranking that is
+    * bit-reproducible on any engine, so the whole approximate tier
+    * stays under the oracle gate. At rest the codes column is what
+    * ships/persists; the float column is only needed for an optional
+    * exact re-rank of the short candidate list.
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      vec_sq8(col(vecCol)).as("q_codes")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      vec_sq8(col(vecCol)).as("c_codes"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("qdot", vec_i8_dot(col("q_codes"), col("c_codes")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("qdot"))
+  }
+
   /** Bucketed ANN top-k with multi-probe: each query probes its own bucket
     * plus (radius-1) every bucket one sign-flip away — the standard recall
     * lever that costs `nPlanes` extra probes per QUERY (the small side)

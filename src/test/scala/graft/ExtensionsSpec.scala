@@ -24,6 +24,13 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
     assert(r.getLong(3) >= 0 && r.getLong(3) < 16)
+    // quantized tier: codes of (1,2,3)/maxabs=3 → (42,85,127); self-dot
+    val r2 = spark.sql(
+      "SELECT vec_sq8(a) AS codes, " +
+        "vec_i8_dot(vec_sq8(a), vec_sq8(a)) AS qq FROM ext_vec")
+      .collect().head
+    assert(r2.getSeq[Int](0) == Seq(42, 85, 127))
+    assert(r2.getLong(1) == 42L * 42 + 85L * 85 + 127L * 127)
   }
 
   test("lsh_bucket via SQL requires a literal plane count") {

@@ -46,6 +46,38 @@ class Hdf5IngestSpec extends AnyFunSuite {
       Seq("0", "1"))
   }
 
+  test("reader/writer property round-trip: random shapes, names, values") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[T](g: Gen[T], seed: Long): T =
+      g.pureApply(Gen.Parameters.default, Seed(seed))
+    val gen = for {
+      rows <- Gen.choose(1, 17)
+      cols <- Gen.choose(1, 9)
+      names <- Gen.listOfN(cols,
+        Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString))
+        .map(_.zipWithIndex.map { case (n, i) => s"${n}_$i" }) // unique
+      values <- Gen.listOfN(rows * cols,
+        Gen.chooseNum(-1e6, 1e6).map(v => math.rint(v) / 4))
+      depth <- Gen.choose(1, 5)
+      path <- Gen.listOfN(depth,
+        Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString))
+        .map(_.zipWithIndex.map { case (n, i) => s"${n}_$i" })
+    } yield (rows, cols, names, values.toArray, path)
+    (1 to 25).foreach { seed =>
+      val (rows, cols, names, values, path) = sample(gen, seed.toLong)
+      val bytes = write(Group(Seq("g" ->
+        nest(path, pandasLeaf(names, (0L until rows.toLong), values)))))
+      val r = new Hdf5Reader(bytes)
+      val leafPath = ("g" +: path).mkString("/")
+      assert(r.exists(leafPath), s"seed $seed: path missing")
+      assert(r.readStringVector(
+        r.resolve(s"$leafPath/axis0").get) == names, s"seed $seed")
+      val m = r.readDoubleMatrix(r.resolve(s"$leafPath/block0_values").get)
+      assert(m.flatten.toSeq == values.toSeq, s"seed $seed")
+    }
+  }
+
   test("parseStore: stitched reg1 key convention") {
     val rows = Hdf5Ingest.parseStore(store(key1Path, Seq("CD45", "DAPI"),
       Seq(0L, 1L), Array(1.0, 2.0, 3.0, 4.0),

@@ -25,6 +25,36 @@ class KnnSpec extends AnyFunSuite {
       == 0.0)
   }
 
+  test("vec_sq8: codes span ±127, maxabs element hits 127, zeros stay 0") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)), // maxabs 1.0 → codes (64, -127, 32)
+      (2L, Seq(0.0f, 0.0f, 0.0f))    // all-zero → all-zero codes
+    ).toDF("id", "v")
+    val got = df.orderBy($"id").select(vec_sq8($"v")).collect()
+      .map(_.getSeq[Int](0).toSeq)
+    assert(got(0) == Seq(64, -127, 32))
+    assert(got(1) == Seq(0, 0, 0))
+  }
+
+  test("vec_i8_dot: exact integer dot of code vectors") {
+    val df = Seq((Seq(127, -3, 2), Seq(1, 10, -2))).toDF("a", "b")
+    assert(df.select(vec_i8_dot($"a", $"b")).as[Long].collect().head ==
+      127L - 30L - 4L)
+  }
+
+  test("sq8 top-k recall vs brute force ≥ 0.7 on sf0.001 embeddings") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val queries = emb.filter($"vec_id" < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Knn.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", 10))
+    val sq8 = pairs(Knn.sq8TopK(emb, queries, "vec_id", "embedding", 10))
+    val recall = (brute intersect sq8).size.toDouble / brute.size
+    assert(recall >= 0.7, s"sq8 recall $recall")
+  }
+
   test("brute-force top-1 finds the planted nearest neighbor") {
     val q = Array.tabulate(8)(_.toFloat + 1)
     val near = q.map(_ * 2.0f) // same direction → cosine 1

@@ -191,6 +191,75 @@ object Round5Queries {
              |QUALIFY rank <= 5
              |ORDER BY query_id, rank""".stripMargin)),
 
+    Q("stream_knn_enrich",
+      "Streaming × similarity composition: the event stream enriched " +
+        "with its nearest catalog embedding — each event maps to its " +
+        "user's vector (stream-static broadcast join on pmod(user_id, " +
+        "500)), and the nearest of 16 catalog vectors is an ARGMAX " +
+        "PROJECTION over broadcast int8-code literals (greatest over " +
+        "scored structs — a pure map, no per-event shuffle and no " +
+        "per-event aggregation state); the only streaming aggregation " +
+        "is the per-centroid rollup. Scoring is the exact integer " +
+        "quantized dot product, so the oracle replays it verbatim.",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.vector._
+        // 16 catalog code vectors: metadata-sized, inlined as literals
+        val catalog: Seq[(Long, Seq[Int])] = Tables.embeddings(s, d)
+          .filter($"vec_id" < 16)
+          .select($"vec_id", vec_sq8($"embedding"))
+          .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Int](1)))
+        val schema = Tables.eventsRaw(s, d).schema
+        graft.streaming.Streams.runToMemory(s,
+            s"stream_knn_${System.nanoTime()}") { scoped =>
+          val stream = Tables.normalizeEventsTs(
+            graft.streaming.Streams.fileStream(scoped, s"$d/events.*",
+              schema, maxFilesPerTrigger = Int.MaxValue))
+          val codesAll = Tables.embeddings(scoped, d)
+            .select($"vec_id", vec_sq8($"embedding").as("codes"))
+          val scored = catalog.map { case (cid, codes) =>
+            struct(vec_i8_dot($"codes", typedLit(codes)).as("d"),
+              lit(-cid).as("nc"))
+          }
+          stream
+            .join(broadcast(codesAll),
+              pmod($"user_id", lit(500L)) === $"vec_id")
+            .withColumn("best", greatest(scored: _*))
+            .select((-$"best.nc").as("centroid"),
+              round($"value" * 100).cast("long").as("cents"))
+            .groupBy($"centroid")
+            .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+        }.orderBy($"centroid")
+      },
+      Some("""WITH c AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x ->
+             |      CAST(floor(CAST(x AS DOUBLE) *
+             |        (CASE WHEN m = 0 THEN 0 ELSE 127.0 / m END)
+             |        + 0.5) AS BIGINT)) AS codes
+             |  FROM (
+             |    SELECT vec_id, embedding,
+             |      list_max(list_transform(embedding,
+             |        x -> abs(CAST(x AS DOUBLE)))) AS m
+             |    FROM embeddings)),
+             |s AS (
+             |  SELECT e.event_id,
+             |    CAST(round(e.value * 100, 0) AS BIGINT) AS cents,
+             |    cat.vec_id AS centroid,
+             |    CAST(list_sum(list_transform(
+             |      range(1, len(q.codes) + 1),
+             |      i -> q.codes[i] * cat.codes[i])) AS BIGINT) AS d
+             |  FROM events e
+             |  JOIN c q ON q.vec_id = e.user_id % 500
+             |  JOIN c cat ON cat.vec_id < 16),
+             |b AS (
+             |  SELECT event_id, cents, centroid FROM s
+             |  QUALIFY row_number() OVER (PARTITION BY event_id
+             |    ORDER BY d DESC, centroid) = 1)
+             |SELECT centroid, count(*) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM b GROUP BY centroid ORDER BY centroid""".stripMargin)),
+
     Q("curate_domain_cap",
       "Per-domain quota capping — the curation rule that stops one " +
         "giant crawl domain from dominating a training mix: keep at " +
@@ -271,6 +340,51 @@ object Round5Queries {
              |  doc_id IN (SELECT doc_id FROM cont) AS contaminated
              |FROM documents WHERE doc_id % 97 <> 0
              |ORDER BY doc_id""".stripMargin)),
+
+    Q("curate_mixture_weight",
+      "Training-mixture weighting with UPSAMPLING — the sampler that " +
+        "builds an epoch mix from per-slice weights (en ×2.5, other " +
+        "languages ×0.5): weight w expands a doc into floor(w) full " +
+        "epoch copies plus one fractional epoch kept when the doc's " +
+        "deterministic md5-[0,1000) draw (salted by epoch) falls under " +
+        "frac(w)·1000. Pure scan-side generate+filter — no RNG state, " +
+        "reproducible on any engine at any parallelism; the only " +
+        "shuffle is the final per-language rollup.",
+      (s, d) => {
+        import s.implicits._
+        val w = when($"lang" === "en", 2.5).otherwise(0.5)
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang", w.as("w"))
+          .select($"doc_id", $"lang", $"w",
+            explode(sequence(lit(1), ceil($"w").cast("int"))).as("epoch"))
+          .filter($"epoch" <= floor($"w") ||
+            conv(substring(md5(concat_ws("-", $"doc_id", $"epoch")),
+              1, 15), 16, 10).cast("long") % 1000 <
+              round(($"w" - floor($"w")) * 1000))
+          .groupBy($"lang")
+          .agg(countDistinct($"doc_id").as("n_docs"),
+            count(lit(1)).as("n_examples"))
+          .orderBy($"lang")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN lang = 'en' THEN 2.5 ELSE 0.5 END AS w
+             |  FROM documents),
+             |e AS (
+             |  SELECT doc_id, lang, w,
+             |    unnest(range(1, CAST(ceil(w) AS BIGINT) + 1)) AS epoch
+             |  FROM d),
+             |k AS (
+             |  SELECT * FROM e
+             |  WHERE epoch <= floor(w)
+             |    OR CAST(concat('0x', substr(md5(
+             |        CAST(doc_id AS VARCHAR) || '-' ||
+             |        CAST(epoch AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+             |      < round((w - floor(w)) * 1000))
+             |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT)
+             |    AS n_docs,
+             |  count(*) AS n_examples
+             |FROM k GROUP BY lang ORDER BY lang""".stripMargin)),
 
     Q("curate_lang_balance",
       "Language-balanced quota sampling — cap each language at its 100 " +

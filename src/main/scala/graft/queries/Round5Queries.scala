@@ -191,6 +191,95 @@ object Round5Queries {
              |QUALIFY rank <= 5
              |ORDER BY query_id, rank""".stripMargin)),
 
+    Q("t_ngram_novelty",
+      "Novelty/diversity scoring — the inverse of boilerplate " +
+        "detection: per document, how many of its distinct bigrams " +
+        "appear NOWHERE else in the corpus (document frequency 1). " +
+        "Exact integer counts + integer-division percentage, one " +
+        "bigram-keyed shuffle shared by the document-frequency " +
+        "aggregate and the join back.",
+      (s, d) => {
+        import s.implicits._
+        val sh = Tables.documents(s, d)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(1, greatest(size(split(text, " +
+              "'\\\\s+')) - 1, 1)), i -> array_join(slice(split(text, " +
+              "'\\\\s+'), i, 2), ' '))")).as("bg"))
+          .distinct()
+        val dfreq = sh.groupBy($"bg").agg(count(lit(1)).as("df"))
+        sh.join(dfreq, Seq("bg"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(when($"df" === 1, 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty_pct", expr("n_novel * 100 div n_bigrams"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH sh AS (
+             |  SELECT DISTINCT doc_id,
+             |    array_to_string(
+             |      string_split_regex(text, '\s+')[i:i+1], ' ') AS bg
+             |  FROM documents, unnest(range(1,
+             |    greatest(len(string_split_regex(text, '\s+')) - 1, 1)
+             |      + 1)) AS u(i)),
+             |df AS (SELECT bg, count(*) AS df FROM sh GROUP BY bg)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  CAST(count(*) FILTER (WHERE df = 1) AS BIGINT) AS n_novel,
+             |  CAST(count(*) FILTER (WHERE df = 1) * 100 // count(*)
+             |    AS BIGINT) AS novelty_pct
+             |FROM sh JOIN df USING (bg)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("stream_codex_ingest",
+      "The flagship domain on the streaming path (the scale-path story " +
+        "Streams.scala promises): x_long-shaped dataset shards land as " +
+        "parquet files — 5 datasets derived from nation, ONE FILE EACH, " +
+        "maxFilesPerTrigger=1 → 5 real micro-batches — and the per-" +
+        "(dataset, channel) product stats update incrementally; the " +
+        "completed stream equals the batch aggregate exactly. New CODEX " +
+        "datasets arriving continuously update the product without " +
+        "recomputing the world.",
+      (s, d) => {
+        import s.implicits._
+        withTempDir("graft-scodex-") { tmp =>
+          val src = s"${tmp.getAbsolutePath}/src"
+          val nat = Tables.table(s, d, "nation")
+            .select($"n_nationkey".cast("long").as("c"),
+              $"n_regionkey".cast("long").as("k"))
+          (0L to 4L).foreach { k =>
+            nat.filter($"k" === k)
+              .select(concat(lit("r"), lit(k)).as("dataset"),
+                $"c".cast("string").as("original_obs_id"),
+                explode(array(
+                  struct(lit("CD45").as("channel"),
+                    ($"c" * 10 + 1).as("cents")),
+                  struct(lit("DAPI").as("channel"),
+                    ($"c" * 10 + 2).as("cents")))).as("e"))
+              .select($"dataset", $"original_obs_id", $"e.channel",
+                $"e.cents")
+              .coalesce(1).write.mode("append").parquet(src)
+          }
+          val schema = s.read.parquet(src).schema
+          graft.streaming.Streams.runToMemory(s,
+              s"stream_codex_${System.nanoTime()}") { scoped =>
+            scoped.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .groupBy(col("dataset"), col("channel"))
+              .agg(count(lit(1)).as("n_obs"),
+                sum(col("cents")).as("sum_cents"))
+          }.orderBy($"dataset", $"channel")
+        }
+      },
+      Some("""WITH cells AS (
+             |  SELECT CAST(n_regionkey AS BIGINT) AS k,
+             |    CAST(n_nationkey AS BIGINT) AS c
+             |  FROM nation)
+             |SELECT 'r' || CAST(k AS VARCHAR) AS dataset, ch AS channel,
+             |  count(*) AS n_obs,
+             |  CAST(sum(CASE ch WHEN 'CD45' THEN c * 10 + 1
+             |    ELSE c * 10 + 2 END) AS BIGINT) AS sum_cents
+             |FROM cells, unnest(['CD45', 'DAPI']) AS u(ch)
+             |GROUP BY 1, 2 ORDER BY dataset, channel""".stripMargin)),
+
     Q("stream_knn_enrich",
       "Streaming × similarity composition: the event stream enriched " +
         "with its nearest catalog embedding — each event maps to its " +

@@ -499,22 +499,35 @@ object Round4Queries {
              |ORDER BY c_custkey""".stripMargin)),
 
     Q("agg_equidepth_hist",
-      "Equi-depth histogram: discrete quartile bounds (percentile_disc — " +
-        "actual data values, so bucket edges are exact BIGINT compares, " +
-        "no interpolation ambiguity) cross-joined back as a 1-row " +
-        "broadcast, rows bucketed and counted. The two-pass profile query " +
-        "behind range-partition boundary selection.",
+      "Equi-depth histogram: discrete quartile bounds — actual data " +
+        "values, exact BIGINT compares, no interpolation ambiguity — " +
+        "cross-joined back as a 1-row broadcast, rows bucketed and " +
+        "counted. The two-pass profile query behind range-partition " +
+        "boundary selection. NOT percentile_disc: Spark's exact " +
+        "percentile buffers every row value in one aggregation buffer " +
+        "(a 100 TB OOM); here the table first compacts to (value, " +
+        "count) via a hash aggregate (bounded by the VALUE DOMAIN, not " +
+        "the row count), then a domain-sized cumsum window + integer " +
+        "cross-multiplied cume_dist thresholds (cum·4 ≥ N ⇔ " +
+        "cume_dist ≥ 0.25) reproduce PERCENTILE_DISC semantics " +
+        "exactly in distributable pieces. (Domain still huge? add one " +
+        "coarse range-count pass to locate the quartile buckets, then " +
+        "refine inside them — same exact semantics, two small scans.)",
       (s, d) => {
         import s.implicits._
         val o = Tables.table(s, d, "orders")
           .select(round($"o_totalprice" * 100).cast("long").as("cents"))
-        val bounds = o.agg(
-          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)")
-            .as("q1"),
-          expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY cents)")
-            .as("q2"),
-          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)")
-            .as("q3"))
+        val wCum = org.apache.spark.sql.expressions.Window
+          .orderBy($"cents")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        val bounds = o.groupBy($"cents").agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum($"cnt").over(wCum))
+          .crossJoin(broadcast(o.agg(count(lit(1)).as("n"))))
+          .agg(
+            min(when($"cum" * 4 >= $"n", $"cents")).as("q1"),
+            min(when($"cum" * 2 >= $"n", $"cents")).as("q2"),
+            min(when($"cum" * 4 >= $"n" * 3, $"cents")).as("q3"))
         o.crossJoin(bounds)
           .select(when($"cents" <= $"q1", 0L).when($"cents" <= $"q2", 1L)
             .when($"cents" <= $"q3", 2L).otherwise(3L).as("bucket"),

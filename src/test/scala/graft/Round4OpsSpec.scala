@@ -83,6 +83,41 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming restart from checkpoint resumes exactly-once") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ck-").toFile
+    val src = s"${tmp.getAbsolutePath}/src"
+    val ckpt = s"${tmp.getAbsolutePath}/ckpt"
+    val tgt = s"${tmp.getAbsolutePath}/tgt"
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "2")
+    def writeFile(lo: Long, hi: Long): Unit =
+      scoped.range(lo, hi).coalesce(1).write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val q = scoped.readStream.schema("id BIGINT")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream.format("parquet")
+        .option("path", tgt).option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writeFile(0, 10); writeFile(10, 20)
+    runOnce()
+    assert(spark.read.parquet(tgt).count() == 20)
+    // "crash" happened here: the query object is gone, only the
+    // checkpoint survives. New files land, the query restarts from the
+    // SAME checkpoint — the offset log must skip the two consumed
+    // files and the file-sink manifest must not double-commit.
+    writeFile(20, 30); writeFile(30, 40)
+    runOnce()
+    val ids = spark.read.parquet(tgt).as[Long].collect().sorted
+    assert(ids.length == 40, s"expected exactly-once 40 rows, got ${ids.length}")
+    assert(ids.toSeq == (0L until 40L))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(tmp)
+  }
+
   test("watermark drops late data deterministically across two batches") {
     import org.apache.spark.sql.functions.{col, timestamp_seconds, window}
     val tmp = java.nio.file.Files.createTempDirectory("graft-wm-").toFile

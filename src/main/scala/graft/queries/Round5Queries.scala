@@ -195,9 +195,11 @@ object Round5Queries {
       "Novelty/diversity scoring — the inverse of boilerplate " +
         "detection: per document, how many of its distinct bigrams " +
         "appear NOWHERE else in the corpus (document frequency 1). " +
-        "Exact integer counts + integer-division percentage, one " +
-        "bigram-keyed shuffle shared by the document-frequency " +
-        "aggregate and the join back.",
+        "Exact integer counts + integer-division percentage. The " +
+        "document frequency is an unordered count window PARTITIONed " +
+        "by bigram — one bigram exchange serves both the df and its " +
+        "attachment to every (doc, bigram) row, where a groupBy+join " +
+        "would shuffle the bigram table twice.",
       (s, d) => {
         import s.implicits._
         val sh = Tables.documents(s, d)
@@ -206,8 +208,8 @@ object Round5Queries {
               "'\\\\s+')) - 1, 1)), i -> array_join(slice(split(text, " +
               "'\\\\s+'), i, 2), ' '))")).as("bg"))
           .distinct()
-        val dfreq = sh.groupBy($"bg").agg(count(lit(1)).as("df"))
-        sh.join(dfreq, Seq("bg"))
+        sh.withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"bg")))
           .groupBy($"doc_id")
           .agg(count(lit(1)).as("n_bigrams"),
             sum(when($"df" === 1, 1L).otherwise(0L)).as("n_novel"))

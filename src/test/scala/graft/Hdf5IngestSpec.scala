@@ -93,6 +93,21 @@ class Hdf5IngestSpec extends AnyFunSuite {
     assert(rows == Set(("7", "ECAD", 9.0, 4.5)))
   }
 
+  test("reader rejects malformed input with clear errors, never garbage") {
+    val good = store(key1Path, Seq("X"), Seq(0L), Array(1.0), Array(0.5))
+    // bad signature
+    val badSig = good.clone(); badSig(0) = 'Z'
+    assert(intercept[IllegalArgumentException](new Hdf5Reader(badSig))
+      .getMessage.contains("signature"))
+    // unsupported superblock version
+    val badVer = good.clone(); badVer(8) = 3
+    assert(intercept[IllegalArgumentException](new Hdf5Reader(badVer))
+      .getMessage.contains("superblock version"))
+    // truncated to less than a superblock
+    assert(intercept[IllegalArgumentException](
+      new Hdf5Reader(good.take(40))).getMessage.contains("signature"))
+  }
+
   test("parseStore: neither key convention → clear contract error") {
     val bytes = write(Group(Seq("total" ->
       nest(Seq("other"), pandasLeaf(Seq("X"), Seq(0L), Array(1.0))))))

@@ -191,6 +191,73 @@ object Round5Queries {
              |QUALIFY rank <= 5
              |ORDER BY query_id, rank""".stripMargin)),
 
+    Q("o52_column_profile",
+      "ANALYZE-style column profiling — the stats-collection pass a " +
+        "cost-based optimizer (or a data catalog) runs per table: ONE " +
+        "scan computing count / null-count / exact NDV / min / max for " +
+        "four columns at once (Catalyst plans the multi-column " +
+        "count-distinct as a single Expand + two-level aggregate), then " +
+        "an explode pivots the profile to one row per column. At 100 TB " +
+        "the exact NDVs swap for approx_count_distinct — same " +
+        "single-scan shape, bounded sketch memory.",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_shipdate", $"l_returnflag",
+            round($"l_quantity").cast("long").as("qty"))
+        def stats(c: String) = Seq(
+          sum(col(c).isNull.cast("long")).as(s"nl_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c"))
+        val cols = Seq("l_orderkey", "l_shipdate", "l_returnflag", "qty")
+        val aggs = count(lit(1)).as("n") +: cols.flatMap(stats)
+        li.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(cols.map { c =>
+            struct(lit(c).as("column"), $"n",
+              col(s"nl_$c").as("n_null"), col(s"nd_$c").as("n_distinct"),
+              col(s"mn_$c").as("min_s"), col(s"mx_$c").as("max_s"))
+          }: _*)).as("p"))
+          .select($"p.*")
+          .orderBy($"column")
+      },
+      Some("""WITH t AS (
+             |  SELECT l_orderkey, l_shipdate, l_returnflag,
+             |    CAST(round(l_quantity, 0) AS BIGINT) AS qty
+             |  FROM lineitem),
+             |p AS (
+             |  SELECT 'l_orderkey' AS col, count(*) AS n,
+             |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0
+             |      END) AS BIGINT) AS n_null,
+             |    CAST(count(DISTINCT l_orderkey) AS BIGINT)
+             |      AS n_distinct,
+             |    CAST(min(l_orderkey) AS VARCHAR) AS min_s,
+             |    CAST(max(l_orderkey) AS VARCHAR) AS max_s
+             |  FROM t
+             |  UNION ALL
+             |  SELECT 'l_shipdate', count(*),
+             |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0
+             |      END) AS BIGINT),
+             |    CAST(count(DISTINCT l_shipdate) AS BIGINT),
+             |    min(l_shipdate), max(l_shipdate)
+             |  FROM t
+             |  UNION ALL
+             |  SELECT 'l_returnflag', count(*),
+             |    CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0
+             |      END) AS BIGINT),
+             |    CAST(count(DISTINCT l_returnflag) AS BIGINT),
+             |    min(l_returnflag), max(l_returnflag)
+             |  FROM t
+             |  UNION ALL
+             |  SELECT 'qty', count(*),
+             |    CAST(sum(CASE WHEN qty IS NULL THEN 1 ELSE 0
+             |      END) AS BIGINT),
+             |    CAST(count(DISTINCT qty) AS BIGINT),
+             |    CAST(min(qty) AS VARCHAR), CAST(max(qty) AS VARCHAR)
+             |  FROM t)
+             |SELECT col AS "column", n, n_null, n_distinct, min_s, max_s
+             |FROM p ORDER BY "column"""".stripMargin)),
+
     Q("t_ngram_novelty",
       "Novelty/diversity scoring — the inverse of boilerplate " +
         "detection: per document, how many of its distinct bigrams " +

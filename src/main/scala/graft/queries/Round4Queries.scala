@@ -469,7 +469,7 @@ object Round4Queries {
           .orderBy($"o_orderpriority")
       },
       Some("""SELECT o_orderpriority,
-             |  count_if(o_totalprice > 200000.0) AS n_big,
+             |  CAST(count_if(o_totalprice > 200000.0) AS BIGINT) AS n_big,
              |  bool_and(o_totalprice > 0.0) AS all_positive,
              |  bool_or(o_orderstatus = 'F') AS any_final,
              |  count(*) AS n
@@ -510,24 +510,60 @@ object Round4Queries {
         "the row count), then a domain-sized cumsum window + integer " +
         "cross-multiplied cume_dist thresholds (cum·4 ≥ N ⇔ " +
         "cume_dist ≥ 0.25) reproduce PERCENTILE_DISC semantics " +
-        "exactly in distributable pieces. (Domain still huge? add one " +
-        "coarse range-count pass to locate the quartile buckets, then " +
-        "refine inside them — same exact semantics, two small scans.)",
+        "exactly in distributable pieces. Two-pass bucket refinement " +
+        "(r6): pass 1 range-counts 1024 coarse buckets (hash agg, " +
+        "bounded by BUCKET count; cumulated via a broadcast triangular " +
+        "join so no SinglePartition exchange appears anywhere); pass 2 " +
+        "refines ONLY inside the ≤3 buckets that straddle a quartile " +
+        "threshold, with the cumsum window partitioned per-quartile — " +
+        "each window holds ~domain/1024 values, never the full domain. " +
+        "Same PERCENTILE_DISC semantics, provably: the global cumsum at " +
+        "any value = preceding-bucket offset + within-bucket cumsum.",
       (s, d) => {
         import s.implicits._
+        val B = 1024
         val o = Tables.table(s, d, "orders")
           .select(round($"o_totalprice" * 100).cast("long").as("cents"))
-        val wCum = org.apache.spark.sql.expressions.Window
-          .orderBy($"cents")
+        val stats = o.agg(min($"cents").as("mn"), max($"cents").as("mx"),
+          count(lit(1)).as("n"))
+        // monotone integer bucketing of the value domain (div, not
+        // double division — exact at any magnitude)
+        val ob = o.crossJoin(broadcast(stats))
+          .withColumn("cb",
+            expr(s"(cents - mn) * $B div (mx - mn + 1)"))
+        val coarse = ob.groupBy($"cb", $"n").agg(count(lit(1)).as("cnt"))
+        // coarse cumsum: triangular broadcast join over ≤B rows
+        // (≤B² = 1M pairs, metadata-sized) — no global-sort exchange
+        val coarseCum = coarse.as("a")
+          .join(broadcast(coarse.as("b")), col("b.cb") <= col("a.cb"))
+          .groupBy(col("a.cb").as("cb"), col("a.n").as("n"))
+          .agg(sum(col("b.cnt")).as("ccum"))
+        // per quartile q (thresholds cum*4 >= n*q): the coarse bucket
+        // holding the quartile value, plus the cum offset entering it
+        val qb = coarseCum
+          .crossJoin(broadcast(Seq(1L, 2L, 3L).toDF("mult")))
+          .groupBy($"mult", $"n")
+          .agg(min(when($"ccum" * 4 >= $"n" * $"mult", $"cb")).as("qcb"),
+            coalesce(max(when($"ccum" * 4 < $"n" * $"mult", $"ccum")),
+              lit(0L)).as("off"))
+        // refine inside the straddling buckets only: window partitioned
+        // per quartile, each holding one coarse bucket's value domain
+        val wIn = org.apache.spark.sql.expressions.Window
+          .partitionBy($"mult").orderBy($"cents")
           .rowsBetween(org.apache.spark.sql.expressions.Window
             .unboundedPreceding, 0)
-        val bounds = o.groupBy($"cents").agg(count(lit(1)).as("cnt"))
-          .withColumn("cum", sum($"cnt").over(wCum))
-          .crossJoin(broadcast(o.agg(count(lit(1)).as("n"))))
+        val bounds = ob.select($"cents", $"cb")
+          .join(broadcast(qb), $"cb" === $"qcb")
+          .groupBy($"mult", $"n", $"off", $"cents")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", $"off" + sum($"cnt").over(wIn))
           .agg(
-            min(when($"cum" * 4 >= $"n", $"cents")).as("q1"),
-            min(when($"cum" * 2 >= $"n", $"cents")).as("q2"),
-            min(when($"cum" * 4 >= $"n" * 3, $"cents")).as("q3"))
+            min(when($"mult" === 1 && $"cum" * 4 >= $"n", $"cents"))
+              .as("q1"),
+            min(when($"mult" === 2 && $"cum" * 4 >= $"n" * 2, $"cents"))
+              .as("q2"),
+            min(when($"mult" === 3 && $"cum" * 4 >= $"n" * 3, $"cents"))
+              .as("q3"))
         o.crossJoin(bounds)
           .select(when($"cents" <= $"q1", 0L).when($"cents" <= $"q2", 1L)
             .when($"cents" <= $"q3", 2L).otherwise(3L).as("bucket"),
@@ -1249,9 +1285,9 @@ object Round4Queries {
              |  FROM documents),
              |c AS (
              |  SELECT shard, toks,
-             |    (sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+             |    CAST((sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |      - toks) // 2048 AS bin
+             |      - toks) // 2048 AS BIGINT) AS bin
              |  FROM t)
              |SELECT shard, bin, count(*) AS n_docs,
              |  CAST(sum(toks) AS BIGINT) AS sum_toks
@@ -1824,9 +1860,9 @@ object Round4Queries {
              |  WHERE k.doc_id NOT IN (SELECT doc_id FROM heavy)),
              |c AS (
              |  SELECT shard, doc_id, toks,
-             |    (sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+             |    CAST((sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |      - toks) // 2048 AS bin
+             |      - toks) // 2048 AS BIGINT) AS bin
              |  FROM clean)
              |SELECT shard, bin, count(*) AS n_docs,
              |  CAST(sum(toks) AS BIGINT) AS sum_toks,

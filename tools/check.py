@@ -49,6 +49,17 @@ def main(outdir, sfdir):
         expected = seen_dirs | set(oracle)
     for name in sorted(expected - seen_dirs):
         results[name] = "MISSING_OUTPUT (query failed before writing)"
+    # Type-lint EVERY registered oracle (not just dumped dirs) so an
+    # uncast HUGEINT column is caught even on a subset re-dump.
+    for name in sorted(oracle):
+        try:
+            types = [str(t).upper()
+                     for t in con.sql(oracle[name]).types]
+        except Exception:
+            continue  # execution errors surface per-dir below
+        if any("HUGEINT" in t for t in types):
+            results.setdefault(
+                name, f"ORACLE_HUGEINT {types} — CAST to BIGINT")
     for qdir in sorted(glob.glob(f"{outdir}/*/")):
         name = qdir.rstrip("/").split("/")[-1]
         files = glob.glob(f"{qdir}/*.parquet")
@@ -65,9 +76,20 @@ def main(outdir, sfdir):
         try:
             o_rel = con.sql(oracle[name])
             o_cols = list(o_rel.columns)
+            o_types = [str(t).upper() for t in o_rel.types]
             o_rows = o_rel.fetchall()
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {e}"
+            continue
+        # The driver's hash compare is type-aware: DuckDB HUGEINT (int128,
+        # the default widening of sum()/count_if()) can never equal a Spark
+        # BIGINT even when repr()-identical. Flag it here so the skew can't
+        # hide behind repr canonicalization again (r4/r5 recurring red).
+        huge = [f"{c}:{t}" for c, t in zip(o_cols, o_types)
+                if "HUGEINT" in t]
+        if huge:
+            results[name] = (
+                f"ORACLE_HUGEINT {huge} — CAST these to BIGINT in oracleSql")
             continue
         sc, sr = canon(s_rows, s_cols)
         oc, or_ = canon(o_rows, o_cols)

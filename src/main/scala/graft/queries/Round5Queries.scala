@@ -422,22 +422,32 @@ object Round5Queries {
       "Per-domain quota capping — the curation rule that stops one " +
         "giant crawl domain from dominating a training mix: keep at " +
         "most 50 docs per source (deterministic doc_id order), report " +
-        "per-source total/kept/dropped and the kept id range. One " +
-        "window partitioned by source; at 100 TB a pathological domain " +
-        "would use the per-key TakeOrderedAndProject form (o47) instead " +
-        "of ranking its full partition — noted, same semantics.",
+        "per-source total/kept/dropped and the kept id range. r6: the " +
+        "rank runs as rank-limit pushdown (WindowGroupLimit) — the " +
+        "`filter(rn <= 50)` directly over row_number lets Catalyst keep " +
+        "only 50+ε rows PER KEY PER MAP PARTITION before the shuffle, " +
+        "so a pathological domain never materializes its full partition " +
+        "in one task (the o47 per-key TakeOrdered form). Totals come " +
+        "from a plain hash agg; both sides shuffle on source, so the " +
+        "final join is co-partitioned.",
       (s, d) => {
         import s.implicits._
+        val docs = Tables.documents(s, d)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"source").orderBy($"doc_id")
-        Tables.documents(s, d)
+        val totals = docs.groupBy($"source")
+          .agg(count(lit(1)).as("n_total"))
+        val kept = docs.select($"source", $"doc_id")
           .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 50)
           .groupBy($"source")
-          .agg(count(lit(1)).as("n_total"),
-            sum(when($"rn" <= 50, 1L).otherwise(0L)).as("n_kept"),
-            sum(when($"rn" > 50, 1L).otherwise(0L)).as("n_dropped"),
-            min(when($"rn" <= 50, $"doc_id")).as("first_kept"),
-            max(when($"rn" <= 50, $"doc_id")).as("last_kept"))
+          .agg(count(lit(1)).as("n_kept"),
+            min($"doc_id").as("first_kept"),
+            max($"doc_id").as("last_kept"))
+        totals.join(kept, Seq("source"))
+          .select($"source", $"n_total", $"n_kept",
+            ($"n_total" - $"n_kept").as("n_dropped"),
+            $"first_kept", $"last_kept")
           .orderBy($"source")
       },
       Some("""WITH r AS (

@@ -34,7 +34,10 @@ object Round5Queries {
         "edges, varm, uns) that the oracle derives in closed form.",
       (s, d) => {
         import s.implicits._
-        withTempDir("graft-e2e-") { tmp =>
+        // reference-layout fixture fleet (5 datasets × 5 files): built
+        // ONCE per JVM per SF dir — bench/verify re-invocations measure
+        // the pipeline, not fixture I/O
+        val rootDir = Scratch.cachedDir(s"codex-e2e:$d") { tmp =>
           val root = tmp.getAbsolutePath
           val nat = Tables.table(s, d, "nation")
             .select($"n_nationkey".cast("long").as("c"),
@@ -77,7 +80,9 @@ object Round5Queries {
               "antibody_name\tuniprot_accession_number\trr_id\t" +
                 s"channel_id\nAnti-CD45 antibody\tP$k\tAB_$k\tch1\n")
           }
-          val manifest = Tables.table(s, d, "region").select(
+        }
+        val root = rootDir.getAbsolutePath
+        val manifest = Tables.table(s, d, "region").select(
             concat(lit("r"), $"r_regionkey").as("uuid"),
             concat(lit("HBM"), $"r_regionkey").as("hubmap_id"),
             lit(null).cast("string").as("immediate_ancestor_ids"),
@@ -92,32 +97,31 @@ object Round5Queries {
             lit(null).cast("string").as("bmi"),
             lit(null).cast("string").as("cause_of_death"),
             lit(null).cast("string").as("race"))
-          val bundle = CodexProduct.build(s, manifest,
-            CodexIngest.readDatasetDirs(s, root),
-            "Kidney", "prod-e2e", "2026-01-01 00:00:00")
-          def dsOf = substring_index($"cell_id", "-", 1).as("dataset")
-          val obsSum = bundle.obs.groupBy($"dataset")
-            .agg(count(lit(1)).as("n_obs"), sum($"age").as("sum_age"))
-          val xSum = bundle.xLong.select(dsOf, $"total")
-            .groupBy($"dataset")
-            .agg(count(lit(1)).as("n_x"), sum($"total").as("sum_total"))
-          val cSum = bundle.obsmCenters.select(dsOf, $"x")
-            .groupBy($"dataset")
-            .agg(count(lit(1)).as("n_centers"), sum($"x").as("sum_cx"))
-          // every leaf dataset keeps exactly 5 labels by construction →
-          // the global index block of leaf li is [5·li+1, 5·li+5]
-          val eSum = bundle.obspEdges
-            .select(concat(lit("r"), expr("(src - 1) div 5"))
-              .as("dataset"), $"src", $"dst", $"weight")
-            .groupBy($"dataset")
-            .agg(count(lit(1)).as("n_edges"), sum($"src").as("sum_src"),
-              sum($"dst").as("sum_dst"), sum($"weight").as("sum_w"))
-          obsSum.join(xSum, Seq("dataset")).join(cSum, Seq("dataset"))
-            .join(eSum, Seq("dataset"))
-            .crossJoin(bundle.varm.agg(count(lit(1)).as("n_varm")))
-            .crossJoin(bundle.uns.select($"total_cell_count"))
-            .orderBy($"dataset")
-        }
+        val bundle = CodexProduct.build(s, manifest,
+          CodexIngest.readDatasetDirs(s, root),
+          "Kidney", "prod-e2e", "2026-01-01 00:00:00")
+        def dsOf = substring_index($"cell_id", "-", 1).as("dataset")
+        val obsSum = bundle.obs.groupBy($"dataset")
+          .agg(count(lit(1)).as("n_obs"), sum($"age").as("sum_age"))
+        val xSum = bundle.xLong.select(dsOf, $"total")
+          .groupBy($"dataset")
+          .agg(count(lit(1)).as("n_x"), sum($"total").as("sum_total"))
+        val cSum = bundle.obsmCenters.select(dsOf, $"x")
+          .groupBy($"dataset")
+          .agg(count(lit(1)).as("n_centers"), sum($"x").as("sum_cx"))
+        // every leaf dataset keeps exactly 5 labels by construction →
+        // the global index block of leaf li is [5·li+1, 5·li+5]
+        val eSum = bundle.obspEdges
+          .select(concat(lit("r"), expr("(src - 1) div 5"))
+            .as("dataset"), $"src", $"dst", $"weight")
+          .groupBy($"dataset")
+          .agg(count(lit(1)).as("n_edges"), sum($"src").as("sum_src"),
+            sum($"dst").as("sum_dst"), sum($"weight").as("sum_w"))
+        obsSum.join(xSum, Seq("dataset")).join(cSum, Seq("dataset"))
+          .join(eSum, Seq("dataset"))
+          .crossJoin(bundle.varm.agg(count(lit(1)).as("n_varm")))
+          .crossJoin(bundle.uns.select($"total_cell_count"))
+          .orderBy($"dataset")
       },
       Some("""WITH leaves AS (
              |  SELECT CAST(r_regionkey AS BIGINT) AS k FROM region

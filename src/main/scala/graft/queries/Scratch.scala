@@ -19,6 +19,23 @@ object Scratch {
     finally rmTree(tmp)
   }
 
+  /** Build-once-per-JVM fixture dir (keyed, e.g., by SF dir): repeated
+    * bench/verify invocations of a fixture-heavy query pay the build
+    * cost once, not per run. The dir lives for the JVM and is removed
+    * by a shutdown hook; a failed build is not cached.
+    */
+  private val cachedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  def cachedDir(key: String)(build: java.io.File => Unit): java.io.File =
+    cachedDirs.computeIfAbsent(key, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-fix-").toFile
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(tmp)))
+      try build(tmp)
+      catch { case e: Throwable => rmTree(tmp); throw e }
+      tmp
+    })
+
   def rmTree(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(rmTree)

@@ -273,7 +273,8 @@ object CodexProduct {
 
   /** K-1 sink: the engine-native product layout — one partitioned parquet
     * directory per component table plus the K-2 metadata JSON
-    * (`bin/concatenate.py:154-177,454-468`).
+    * (`bin/concatenate.py:154-177,454-468`) and the reference's native
+    * single-file artifact `{tissue}_raw.h5mu` (`writeH5mu`).
     */
   def write(bundle: Bundle, outDir: String): Unit = {
     bundle.obs.write.mode("overwrite").parquet(s"$outDir/obs")
@@ -284,5 +285,117 @@ object CodexProduct {
     bundle.varm.write.mode("overwrite").parquet(s"$outDir/varm")
     bundle.obspEdges.write.mode("overwrite").parquet(s"$outDir/obsp_edges")
     bundle.uns.coalesce(1).write.mode("overwrite").json(s"$outDir/uns")
+    writeH5mu(bundle, outDir)
+  }
+
+  import graft.sources.Hdf5Writer
+  import Hdf5Writer.{DoubleMatrix, DoubleVector, Group, LongVector,
+    Node, StringVector}
+
+  /** Bundle columns → name-keyed HDF5 vector nodes by Spark dtype
+    * (double → float64 with NaN for null, long → int64, anything else →
+    * fixed-length strings with "" for null — the pandas object-column
+    * convention the reference's stores use).
+    */
+  private def columnNodes(rows: Array[org.apache.spark.sql.Row],
+                          schema: org.apache.spark.sql.types.StructType,
+                          skip: Set[String]): Seq[(String, Node)] = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    schema.fields.zipWithIndex
+      .filterNot { case (f, _) => skip.contains(f.name) }
+      .map { case (f, i) =>
+        f.dataType match {
+          case DoubleType => f.name -> DoubleVector(rows.map(r =>
+            if (r.isNullAt(i)) Double.NaN else r.getDouble(i)))
+          case LongType => f.name -> LongVector(rows.toSeq.map(r =>
+            if (r.isNullAt(i)) 0L else r.getLong(i)))
+          case _ => f.name -> StringVector(rows.toSeq.map(r =>
+            if (r.isNullAt(i)) "" else r.get(i).toString))
+        }
+      }.toSeq
+  }
+
+  /** The reference's PRIMARY output artifact: `{tissue}_raw.h5mu`
+    * (`bin/concatenate.py:346,454-456` — `MuData({f"{uuid}_raw": adata})
+    * .write(...)`), emitted with the clean-room `Hdf5Writer` in the same
+    * structural subset `Hdf5Reader`/the S-5 ingest consume: the mod
+    * group carries dense X (total) and the `mean_expression` layer
+    * (absent cell×channel entries NaN, the pandas outer-concat fill),
+    * obs/var with `_index`, spatial centers as `obsm/X_spatial`,
+    * long-form antibody annotations under `varm/antibodies`, the O-22
+    * global-index adjacency as COO triplets under `obsp/adjacency`, the
+    * uns scalars, and the top-level `uns/epic_type = analyses` EPIC tag.
+    *
+    * Driver-side by design: an `.h5mu` is a single sequential file, so
+    * this sink is bounded by ONE product's cells × channels matrix —
+    * exactly the reference's own in-RAM AnnData model
+    * (`bin/concatenate.py:420-456`); the distributed axis is across
+    * products, never within one. All other components stay distributed
+    * in the parquet bundle.
+    */
+  def writeH5mu(bundle: Bundle, outDir: String): Unit = {
+    val unsRow = bundle.uns.collect()(0)
+    val unsSchema = bundle.uns.schema
+    val uuid = unsRow.getString(unsSchema.fieldIndex("uuid"))
+    val tissue = unsRow.getString(unsSchema.fieldIndex("tissue"))
+    val vars = bundle.varDf.orderBy(col("channel")).collect()
+      .map(_.getString(0))
+    val varIdx = vars.zipWithIndex.toMap
+    val obsRows = bundle.obs.orderBy(col("cell_id")).collect()
+    val obsSchema = bundle.obs.schema
+    val cellAt = obsSchema.fieldIndex("cell_id")
+    val obsIds = obsRows.map(_.getString(cellAt))
+    val obsIdx = obsIds.zipWithIndex.toMap
+    val (nObs, nVar) = (obsIds.length, vars.length)
+    val x = Array.fill(nObs * nVar)(Double.NaN)
+    val meanL = Array.fill(nObs * nVar)(Double.NaN)
+    bundle.xLong.select("cell_id", "channel", "total", "mean").collect()
+      .foreach { r =>
+        (obsIdx.get(r.getString(0)), varIdx.get(r.getString(1))) match {
+          case (Some(i), Some(j)) =>
+            if (!r.isNullAt(2)) x(i * nVar + j) = r.getDouble(2)
+            if (!r.isNullAt(3)) meanL(i * nVar + j) = r.getDouble(3)
+          case _ => ()
+        }
+      }
+    val centers = Array.fill(nObs * 2)(Double.NaN)
+    bundle.obsmCenters.select("cell_id", "x", "y").collect().foreach { r =>
+      obsIdx.get(r.getString(0)).foreach { i =>
+        if (!r.isNullAt(1)) centers(i * 2) = r.getDouble(1)
+        if (!r.isNullAt(2)) centers(i * 2 + 1) = r.getDouble(2)
+      }
+    }
+    val varmRows = bundle.varm
+      .orderBy(col("channel"), col("dataset"), col("channel_id"))
+      .collect()
+    val edgeRows = bundle.obspEdges
+      .select(col("src"), col("dst"), col("weight"))
+      .orderBy(col("src"), col("dst")).collect()
+    val root = Group(Seq(
+      "mod" -> Group(Seq(s"${uuid}_raw" -> Group(Seq(
+        "X" -> DoubleMatrix(nObs, nVar, x),
+        "layers" -> Group(Seq(
+          "mean_expression" -> DoubleMatrix(nObs, nVar, meanL))),
+        "obs" -> Group(("_index" -> StringVector(obsIds.toSeq)) +:
+          columnNodes(obsRows, obsSchema, Set("cell_id"))),
+        "var" -> Group(Seq("_index" -> StringVector(vars.toSeq))),
+        "obsm" -> Group(Seq(
+          "X_spatial" -> DoubleMatrix(nObs, 2, centers))),
+        "varm" -> Group(Seq("antibodies" ->
+          Group(columnNodes(varmRows, bundle.varm.schema, Set.empty)))),
+        "obsp" -> Group(Seq("adjacency" -> Group(Seq(
+          "src" -> LongVector(edgeRows.toSeq.map(_.getLong(0))),
+          "dst" -> LongVector(edgeRows.toSeq.map(_.getLong(1))),
+          "weight" -> DoubleVector(edgeRows.map(_.getDouble(2))))))),
+        "uns" -> Group(columnNodes(Array(unsRow), unsSchema, Set.empty) :+
+          ("protocol" -> (StringVector(Seq(
+            "https://github.com/hubmapconsortium/codex-data-products"))
+            : Node))))))),
+      "uns" -> Group(Seq(
+        "epic_type" -> StringVector(Seq("analyses"))))))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outDir, s"${tissue}_raw.h5mu"),
+      Hdf5Writer.write(root))
+    ()
   }
 }

@@ -175,6 +175,22 @@ final class Hdf5Reader(bytes: Array[Byte]) {
     Array.tabulate(r, c)((i, j) => buf.getDouble((off + (i.toLong * c + j) * 8).toInt))
   }
 
+  /** 1-D float64 dataset (h5mu COO weights, layer vectors). */
+  def readDoubleVector(headerAddr: Long): Array[Double] = {
+    val (dims, cls, sz, off) = datasetInfo(headerAddr)
+    require(dims.length == 1 && cls == 1 && sz == 8,
+      s"expected 1-D float64, got dims=$dims class=$cls size=$sz")
+    Array.tabulate(dims(0).toInt)(i => buf.getDouble((off + i.toLong * 8).toInt))
+  }
+
+  /** 1-D int64 dataset (h5mu COO indices, integer uns scalars). */
+  def readLongVector(headerAddr: Long): Array[Long] = {
+    val (dims, cls, sz, off) = datasetInfo(headerAddr)
+    require(dims.length == 1 && cls == 0 && sz == 8,
+      s"expected 1-D int64, got dims=$dims class=$cls size=$sz")
+    Array.tabulate(dims(0).toInt)(i => u64((off + i.toLong * 8).toInt))
+  }
+
   /** 1-D dataset of fixed-length strings (null-padded) or int64 — both
     * returned as strings, matching how the reference treats the pandas
     * index (`adata.obs.index` values become original_obs_id strings). */

@@ -1,14 +1,17 @@
-package graft
+package graft.sources
 
-/** Test-side minimal HDF5 WRITER producing the same structural subset
-  * the reference's pandas `out.hdf5` stores use and `Hdf5Reader`
-  * consumes: superblock v0, old-style symbol-table groups (v1 b-tree +
-  * local heap + SNOD), v1 object headers, contiguous little-endian
-  * float64 / int64 / fixed-length-string datasets. Written from the
-  * public HDF5 file-format specification — no HDF5 library exists in
-  * this runtime, so fixtures must be composed byte by byte.
+/** Minimal HDF5 WRITER producing the same structural subset the
+  * reference's pandas `out.hdf5` stores use and `Hdf5Reader` consumes:
+  * superblock v0, old-style symbol-table groups (v1 b-tree + local heap
+  * + SNOD), v1 object headers, contiguous little-endian float64 /
+  * int64 / fixed-length-string datasets. Written from the public HDF5
+  * file-format specification — no HDF5 library exists in this runtime.
+  *
+  * Serves two roles: test fixtures for the S-5 ingest path, and the
+  * K-1 `.h5mu` last-mile sink (`CodexProduct.writeH5mu`,
+  * `bin/concatenate.py:346,456`).
   */
-object Hdf5Fixture {
+object Hdf5Writer {
 
   sealed trait Node
   final case class Group(children: Seq[(String, Node)]) extends Node
@@ -16,6 +19,7 @@ object Hdf5Fixture {
                                 values: Array[Double]) extends Node
   final case class StringVector(values: Seq[String]) extends Node
   final case class LongVector(values: Seq[Long]) extends Node
+  final case class DoubleVector(values: Array[Double]) extends Node
 
   /** Nested group chain ending in `leaf`: nest(Seq("a","b"), x) = /a/b=x */
   def nest(path: Seq[String], leaf: Node): Node =
@@ -60,7 +64,7 @@ object Hdf5Fixture {
     buf.alloc(96) // superblock + root symbol table entry, filled last
     val rootAddr = writeNode(buf, root)
     // superblock v0
-    buf.putBytes(0, graft.sources.Hdf5Reader.Signature)
+    buf.putBytes(0, Hdf5Reader.Signature)
     // versions all 0; offset/length sizes 8; leaf/internal k; flags 0
     buf.put8(13, 8); buf.put8(14, 8)
     buf.putU16(16, 4); buf.putU16(18, 16)
@@ -88,6 +92,17 @@ object Hdf5Fixture {
         0x0001 -> dataspace(Seq(r.toLong, c.toLong)),
         0x0003 -> dt,
         0x0008 -> layoutContiguous(data.toLong, 8L * v.length)))
+    case DoubleVector(v) =>
+      val data = buf.alloc(8 * v.length)
+      v.zipWithIndex.foreach { case (d, i) =>
+        buf.putU64(data + 8 * i, java.lang.Double.doubleToLongBits(d))
+      }
+      val dt = Array[Byte](0x11, 0x20, 0x3f, 0x00, 8, 0, 0, 0,
+        0, 0, 64, 0, 52, 11, 0, 52, -1, 3, 0, 0)
+      writeHeader(buf, Seq(
+        0x0001 -> dataspace(Seq(v.length.toLong)),
+        0x0003 -> dt,
+        0x0008 -> layoutContiguous(data.toLong, 8L * v.length)))
     case LongVector(v) =>
       val data = buf.alloc(8 * v.length)
       v.zipWithIndex.foreach { case (l, i) => buf.putU64(data + 8 * i, l) }
@@ -99,7 +114,8 @@ object Hdf5Fixture {
         0x0003 -> dt,
         0x0008 -> layoutContiguous(data.toLong, 8L * v.length)))
     case StringVector(v) =>
-      val elem = v.map(_.getBytes("UTF-8").length).max + 1
+      val elem =
+        (if (v.isEmpty) 0 else v.map(_.getBytes("UTF-8").length).max) + 1
       val data = buf.alloc(elem * v.length)
       v.zipWithIndex.foreach { case (s, i) =>
         buf.putBytes(data + elem * i, s.getBytes("UTF-8"))

@@ -141,6 +141,53 @@ class CodexPipelineSpec extends AnyFunSuite {
     assert(uns.select("uuid").as[String].collect().head == "prod-1")
   }
 
+  test("K-1 h5mu sink: native artifact round-trips through Hdf5Reader") {
+    val out = java.nio.file.Files.createTempDirectory("graft-h5mu")
+    CodexProduct.writeH5mu(bundle, out.toString)
+    val bytes = java.nio.file.Files.readAllBytes(
+      out.resolve("Kidney_raw.h5mu"))
+    val h5 = new graft.sources.Hdf5Reader(bytes)
+    val m = "mod/prod-1_raw"
+    // obs/var indices: sorted cell_id / channel order
+    assert(h5.readStringVector(h5.resolve(s"$m/obs/_index").get) ==
+      Seq("ds1-1", "ds1-2", "ds2-1", "ds2-3"))
+    assert(h5.readStringVector(h5.resolve(s"$m/var/_index").get) ==
+      Seq("CD45", "DAPI", "ECAD"))
+    // X = total, layers/mean_expression = mean; absent entries NaN
+    val x = h5.readDoubleMatrix(h5.resolve(s"$m/X").get)
+    assert(x.length == 4 && x(0).length == 3)
+    assert(x(0)(0) == 5.0 && x(0)(1) == 1.0 && x(0)(2).isNaN)
+    assert(x(3)(0) == 8.0 && x(3)(1).isNaN && x(3)(2) == 4.0)
+    val mean = h5.readDoubleMatrix(
+      h5.resolve(s"$m/layers/mean_expression").get)
+    assert(mean(0)(0) == 2.5 && mean(2)(2) == 1.5)
+    // obs columns ride as typed vectors (double age with NaN null)
+    val age = h5.readDoubleVector(h5.resolve(s"$m/obs/age").get)
+    assert(age(0) == 61.0 && age(2).isNaN)
+    // spatial centers aligned to obs order
+    val sp = h5.readDoubleMatrix(h5.resolve(s"$m/obsm/X_spatial").get)
+    assert(sp(0).toSeq == Seq(10.0, 11.0) && sp(3).toSeq == Seq(40.0, 41.0))
+    // adjacency COO in O-22 global indices
+    assert(h5.readLongVector(h5.resolve(s"$m/obsp/adjacency/src").get)
+      .toSeq == Seq(1L, 3L))
+    assert(h5.readLongVector(h5.resolve(s"$m/obsp/adjacency/dst").get)
+      .toSeq == Seq(2L, 4L))
+    assert(h5.readDoubleVector(h5.resolve(s"$m/obsp/adjacency/weight").get)
+      .toSeq == Seq(1.0, 2.0))
+    // varm long-form annotations present for both CD45 datasets
+    assert(h5.readStringVector(
+      h5.resolve(s"$m/varm/antibodies/channel").get)
+      .count(_ == "CD45") == 2)
+    // uns scalars + EPIC tags (concatenate.py:451-456)
+    assert(h5.readStringVector(h5.resolve(s"$m/uns/tissue").get) ==
+      Seq("Kidney"))
+    assert(h5.readLongVector(
+      h5.resolve(s"$m/uns/total_cell_count").get).toSeq == Seq(4L))
+    assert(h5.readStringVector(h5.resolve("uns/epic_type").get) ==
+      Seq("analyses"))
+    graft.queries.Scratch.rmTree(out.toFile)
+  }
+
   test("F-1 analyte strip + channel normalization") {
     val df = Seq("Anti-CD45", "E-CAD antibody", "panCK").toDF("channel")
     val aliases = Seq(("e-cad", "ECAD")).toDF("alias_lower", "canonical")

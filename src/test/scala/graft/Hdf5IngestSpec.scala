@@ -18,7 +18,7 @@ class Hdf5IngestSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  import Hdf5Fixture._
+  import graft.sources.Hdf5Writer._
 
   val key1Path = Seq("channel", "cell", "expressions.ome.tiff",
     "stitched", "reg1")

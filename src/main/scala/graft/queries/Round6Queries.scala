@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-6 additions: scale-infrastructure operators — deterministic
+  * dataset splitting for training pipelines and bucketed co-located
+  * joins (the zero-exchange join strategy a 100 TB star schema would be
+  * laid out for).
+  */
+object Round6Queries {
+
+  def all: Seq[Q] = Seq(
+
+    Q("curate_split_assign",
+      "Deterministic train/val/test split assignment — the curation op " +
+        "that fixes dataset membership for reproducible training runs: " +
+        "a multiplicative integer hash of doc_id (Knuth 2654435761, " +
+        "reduced mod 1000003 first so the product stays in int64 at any " +
+        "corpus size) buckets each document 80/10/10, independent of " +
+        "row order, partitioning, and engine. Pure map + one hash " +
+        "aggregate — no shuffle beyond the final per-(split, lang) " +
+        "combine, so the plan is scan-bound at any scale. The oracle " +
+        "replays the identical integer arithmetic.",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang", $"n_chars",
+            (($"doc_id" % 1000003L) * 2654435761L % 100L).as("h"))
+          .withColumn("split",
+            when($"h" < 80, "train").when($"h" < 90, "val")
+              .otherwise("test"))
+          .groupBy($"split", $"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_chars").as("sum_chars"),
+            min($"doc_id").as("first_doc"),
+            max($"doc_id").as("last_doc"))
+          .orderBy($"split", $"lang")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, lang, n_chars,
+             |    ((doc_id % 1000003) * 2654435761) % 100 AS h
+             |  FROM documents),
+             |s AS (
+             |  SELECT CASE WHEN h < 80 THEN 'train'
+             |    WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+             |    lang, n_chars, doc_id
+             |  FROM a)
+             |SELECT split, lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM s GROUP BY split, lang
+             |ORDER BY split, lang""".stripMargin)),
+
+    Q("j_bucketed_colocated",
+      "Bucketed co-located join — the layout-level answer to the " +
+        "fact⋈dim shuffle at 100 TB: orders and customer are written " +
+        "ONCE per JVM as 16-bucket tables hashed on the join key " +
+        "(write.bucketBy + sortBy, the engine-native equivalent of a " +
+        "pre-partitioned lake layout); the sort-merge join then reads " +
+        "bucket i against bucket i with ZERO Exchange on either side " +
+        "(BucketingSpec pins the no-shuffle plan). The merge hint " +
+        "disables the dim broadcast deliberately — at warehouse scale " +
+        "the dim is too big to broadcast and co-location is the only " +
+        "exchange-free strategy; bucket counts must match, which the " +
+        "single writer guarantees.",
+      (s, d) => {
+        import s.implicits._
+        val suffix = math.abs(d.hashCode).toString
+        val (ot, ct) = (s"orders_b_$suffix", s"customer_b_$suffix")
+        // external bucketed tables under a JVM-lifetime scratch dir
+        // (NOT ./spark-warehouse), laid out once per SF per JVM
+        Scratch.cachedDir(s"bucketed:$d") { tmp =>
+          val p = tmp.getAbsolutePath
+          Tables.table(s, d, "orders")
+            .select($"o_custkey", $"o_totalprice")
+            .write.mode("overwrite").bucketBy(16, "o_custkey")
+            .sortBy("o_custkey").option("path", s"$p/orders")
+            .saveAsTable(ot)
+          Tables.table(s, d, "customer")
+            .select($"c_custkey", $"c_mktsegment")
+            .write.mode("overwrite").bucketBy(16, "c_custkey")
+            .sortBy("c_custkey").option("path", s"$p/customer")
+            .saveAsTable(ct)
+        }
+        s.table(ot).hint("merge")
+          .join(s.table(ct).hint("merge"),
+            $"o_custkey" === $"c_custkey")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round($"o_totalprice" * 100).cast("long"))
+              .as("sum_cents"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             |    AS BIGINT) AS sum_cents
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+  )
+}

@@ -52,6 +52,43 @@ object Round6Queries {
              |FROM s GROUP BY split, lang
              |ORDER BY split, lang""".stripMargin)),
 
+    Q("agg_heavy_hitters",
+      "Count-min-sketch heavy hitters — the mergeable, fixed-size " +
+        "frequency sketch that replaces exact per-key counts when the " +
+        "key domain no longer fits memory at 100 TB: one pass builds a " +
+        "2000×5 counter grid (eps 1e-3, conf 0.99, fixed seed) merged " +
+        "associatively across partitions; point queries answer from " +
+        "the sketch alone. Following the sketch-oracle pattern " +
+        "(agg_approx_distinct): exact per-source counts are exported " +
+        "for the hash gate plus a per-key boolean asserting the CMS " +
+        "one-sided guarantee est ≥ exact ∧ est − exact ≤ 5%·N, which " +
+        "the oracle expects TRUE. The sketch (few KB) and the 20-row " +
+        "exact table are the only driver-side values.",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val skBytes = docs
+          .agg(expr("count_min_sketch(source, 0.001d, 0.99d, 42)")
+            .as("sk"))
+          .head.getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(skBytes))
+        val exact = docs.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs")).collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        val totalN = exact.map(_._2).sum
+        val bound = math.max(1L, (0.05 * totalN).toLong)
+        exact.toSeq.map { case (src, n) =>
+          val est = cms.estimateCount(src)
+          (src, n, est >= n && est - n <= bound)
+        }.toDF("source", "n_docs", "cms_within_bound")
+          .orderBy($"source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  TRUE AS cms_within_bound
+             |FROM documents GROUP BY source
+             |ORDER BY source""".stripMargin)),
+
     Q("j_bucketed_colocated",
       "Bucketed co-located join — the layout-level answer to the " +
         "fact⋈dim shuffle at 100 TB: orders and customer are written " +

@@ -243,6 +243,27 @@ object OracleGen {
        |FROM documents d LEFT JOIN deg ON d.doc_id = deg.id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Incremental dedup (`d_incremental_dedup`): new-batch docs
+    * (doc_id % 10 = 0) probed against the index side's band buckets;
+    * per new doc, the count of distinct index docs sharing any bucket.
+    */
+  def incrementalDedupSql(shingleN: Int, bands: Int,
+                          rowsPerBand: Int): String =
+    s"""WITH ${minhashBucketsCte(shingleN, bands, rowsPerBand)},
+       |nw AS (SELECT * FROM mh_buckets WHERE doc_id % 10 = 0),
+       |ix AS (SELECT * FROM mh_buckets WHERE doc_id % 10 <> 0),
+       |m AS (
+       |  SELECT DISTINCT n.doc_id AS doc_id, i.doc_id AS idx_id
+       |  FROM nw n JOIN ix i
+       |    ON n.band = i.band AND n.band_hash = i.band_hash),
+       |deg AS (SELECT doc_id, count(*) AS c FROM m GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(deg.c, 0) AS BIGINT) AS n_index_matches
+       |FROM (SELECT DISTINCT doc_id FROM documents
+       |      WHERE doc_id % 10 = 0) d
+       |LEFT JOIN deg USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Verified MinHash duplicates (`d_minhash_verify`): portable candidates
     * re-checked with exact n-gram Jaccard ≥ threshold, round 4 (division of
     * identical small-int sizes — bit-exact cross-engine).

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.dedup.Dedup
 import org.apache.spark.sql.functions._
 
 /** Round-6 additions: scale-infrastructure operators — deterministic
@@ -51,6 +52,38 @@ object Round6Queries {
              |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
              |FROM s GROUP BY split, lang
              |ORDER BY split, lang""".stripMargin)),
+
+    Q("d_incremental_dedup",
+      "Incremental dedup — the production shape of corpus dedup at " +
+        "100 TB: a NEW batch (doc_id % 10 = 0 stands in for today's " +
+        "crawl) probes the existing corpus's MinHash band index instead " +
+        "of re-pairing the whole corpus. Both sides reduce to fixed-" +
+        "width (id, band, band_hash) bucket rows before the equi-join " +
+        "on (band, band_hash) — the batch join cost is " +
+        "O(batch × bucket-occupancy), independent of corpus size, and " +
+        "in production the index side is a STORED band table appended " +
+        "per batch, never recomputed. Output: per new doc, how many " +
+        "distinct index docs share any band bucket (0 = novel).",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val buckets = Dedup.minhashBucketsPortable(
+          docs, "doc_id", "text", shingleN = 5, bands = 8, rowsPerBand = 2)
+        val newB = buckets.filter($"id" % 10 === 0)
+        val idxB = buckets.filter($"id" % 10 =!= 0)
+        val matches = newB.as("n")
+          .join(idxB.as("i"),
+            $"n.band" === $"i.band" && $"n.band_hash" === $"i.band_hash")
+          .select($"n.id".as("doc_id"), $"i.id".as("idx_id"))
+          .distinct()
+          .groupBy($"doc_id").agg(count(lit(1)).as("c"))
+        docs.select($"doc_id").filter($"doc_id" % 10 === 0).distinct()
+          .join(matches, Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"c", lit(0L)).as("n_index_matches"))
+          .orderBy($"doc_id")
+      },
+      Some(OracleGen.incrementalDedupSql(5, 8, 2))),
 
     Q("agg_heavy_hitters",
       "Count-min-sketch heavy hitters — the mergeable, fixed-size " +

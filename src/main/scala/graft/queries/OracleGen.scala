@@ -264,6 +264,27 @@ object OracleGen {
        |LEFT JOIN deg USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Streaming incremental dedup (`stream_incremental_dedup`): same
+    * probe as [[incrementalDedupSql]] but counting band COLLISIONS
+    * (no DISTINCT — the streaming side avoids a second stateful op).
+    */
+  def streamIncrementalDedupSql(shingleN: Int, bands: Int,
+                                rowsPerBand: Int): String =
+    s"""WITH ${minhashBucketsCte(shingleN, bands, rowsPerBand)},
+       |nw AS (SELECT * FROM mh_buckets WHERE doc_id % 10 = 0),
+       |ix AS (SELECT * FROM mh_buckets WHERE doc_id % 10 <> 0),
+       |deg AS (
+       |  SELECT n.doc_id, count(*) AS c
+       |  FROM nw n JOIN ix i
+       |    ON n.band = i.band AND n.band_hash = i.band_hash
+       |  GROUP BY n.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(deg.c, 0) AS BIGINT) AS n_band_collisions
+       |FROM (SELECT DISTINCT doc_id FROM documents
+       |      WHERE doc_id % 10 = 0) d
+       |LEFT JOIN deg USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Verified MinHash duplicates (`d_minhash_verify`): portable candidates
     * re-checked with exact n-gram Jaccard ≥ threshold, round 4 (division of
     * identical small-int sizes — bit-exact cross-engine).

@@ -85,6 +85,49 @@ object Round6Queries {
       },
       Some(OracleGen.incrementalDedupSql(5, 8, 2))),
 
+    Q("stream_incremental_dedup",
+      "STREAMING incremental dedup — d_incremental_dedup as the live " +
+        "pipeline it exists to be: new documents arrive as a stream, " +
+        "map statelessly to their 8 MinHash band buckets (the same " +
+        "fused signature+banding pass, mapPartitions on the stream), " +
+        "and probe the STATIC corpus band index with a broadcast " +
+        "stream-static left join — per-arrival cost is 8 hash probes, " +
+        "no corpus access, no per-event shuffle; the only stateful op " +
+        "is the per-doc collision rollup. (At corpus scales beyond " +
+        "broadcast the index side becomes a shuffled stream-static " +
+        "join on (band, band_hash) — same plan shape, still " +
+        "batch-proportional.) Collision counts (not distinct-doc " +
+        "counts — no second stateful op needed) are deterministic, so " +
+        "the oracle replays them exactly; 0 collisions = novel.",
+      (s, d) => {
+        import s.implicits._
+        val schema = Tables.documents(s, d).schema
+        graft.streaming.Streams.runToMemory(s,
+            s"stream_incdedup_${System.nanoTime()}") { scoped =>
+          val stream = graft.streaming.Streams.fileStream(scoped,
+              s"$d/documents.*", schema,
+              maxFilesPerTrigger = Int.MaxValue)
+            .filter($"doc_id" % 10 === 0)
+          val streamBuckets = Dedup.minhashBucketsPortable(
+            stream, "doc_id", "text",
+            shingleN = 5, bands = 8, rowsPerBand = 2)
+          val idx = Dedup.minhashBucketsPortable(
+              Tables.documents(scoped, d).filter($"doc_id" % 10 =!= 0),
+              "doc_id", "text",
+              shingleN = 5, bands = 8, rowsPerBand = 2)
+            .select($"band".as("i_band"), $"band_hash".as("i_hash"),
+              $"id".as("idx_id"))
+          streamBuckets
+            .join(broadcast(idx),
+              $"band" === $"i_band" && $"band_hash" === $"i_hash",
+              "left_outer")
+            .groupBy($"id".as("doc_id"))
+            .agg(sum(when($"idx_id".isNotNull, 1L).otherwise(0L))
+              .as("n_band_collisions"))
+        }.orderBy($"doc_id")
+      },
+      Some(OracleGen.streamIncrementalDedupSql(5, 8, 2))),
+
     Q("agg_heavy_hitters",
       "Count-min-sketch heavy hitters — the mergeable, fixed-size " +
         "frequency sketch that replaces exact per-key counts when the " +

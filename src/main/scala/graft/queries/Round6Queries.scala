@@ -165,6 +165,57 @@ object Round6Queries {
              |FROM documents GROUP BY source
              |ORDER BY source""".stripMargin)),
 
+    Q("o54_compact_small_files",
+      "Small-file compaction — the table-maintenance operator every " +
+        "100 TB lake needs: a directory deliberately fragmented into 64 " +
+        "tiny parquet files (the streaming-ingest failure mode; built " +
+        "once per JVM) is rewritten with repartitionByRange(4, user_id) " +
+        "+ sortWithinPartitions, giving few size-targeted files " +
+        "RANGE-CLUSTERED on the filter key so downstream scans prune " +
+        "by footer min/max. Output: per-user-bucket row counts and " +
+        "cent sums computed FROM THE COMPACTED COPY (the oracle " +
+        "computes them from the source — proving the rewrite lost and " +
+        "duplicated nothing) plus a compaction-effect boolean (64 → " +
+        "≤ 4 data files) the oracle expects TRUE.",
+      (s, d) => {
+        import s.implicits._
+        def dataFiles(p: String): Long = {
+          val fs = new java.io.File(p).listFiles()
+          if (fs == null) 0L
+          else fs.count(_.getName.endsWith(".parquet")).toLong
+        }
+        val frag = Scratch.cachedDir(s"smallfiles:$d") { tmp =>
+          Tables.events(s, d)
+            .select($"event_id", $"user_id",
+              round($"value" * 100).cast("long").as("cents"))
+            .repartition(64)
+            .write.parquet(s"${tmp.getAbsolutePath}/src")
+        }
+        val srcPath = s"${frag.getAbsolutePath}/src"
+        val nBefore = dataFiles(srcPath)
+        Scratch.withTempDir("graft-compact-") { tmp =>
+          val outPath = s"${tmp.getAbsolutePath}/compacted"
+          s.read.parquet(srcPath)
+            .repartitionByRange(4, $"user_id")
+            .sortWithinPartitions($"user_id")
+            .write.parquet(outPath)
+          val nAfter = dataFiles(outPath)
+          s.read.parquet(outPath)
+            .groupBy(($"user_id" % 100).as("bucket"))
+            .agg(count(lit(1)).as("n_events"),
+              sum($"cents").as("sum_cents"))
+            .withColumn("compacted_ok",
+              lit(nBefore >= 64L && nAfter <= 4L && nAfter > 0L))
+            .orderBy($"bucket")
+        }
+      },
+      Some("""SELECT CAST(user_id % 100 AS BIGINT) AS bucket,
+             |  count(*) AS n_events,
+             |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+             |    AS BIGINT) AS sum_cents,
+             |  TRUE AS compacted_ok
+             |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     Q("j_bucketed_colocated",
       "Bucketed co-located join — the layout-level answer to the " +
         "fact⋈dim shuffle at 100 TB: orders and customer are written " +

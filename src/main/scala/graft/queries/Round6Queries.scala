@@ -2,6 +2,8 @@ package graft.queries
 
 import graft.Tables
 import graft.dedup.Dedup
+import graft.ops.Relational
+import graft.sources.Sources
 import org.apache.spark.sql.functions._
 
 /** Round-6 additions: scale-infrastructure operators — deterministic
@@ -52,6 +54,155 @@ object Round6Queries {
              |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
              |FROM s GROUP BY split, lang
              |ORDER BY split, lang""".stripMargin)),
+
+    Q("s8_organ_lookup",
+      "S-8 under the oracle gate: the reference's organ-types YAML " +
+        "lookup (config-file-sized by nature) parsed by the clean-room " +
+        "line parser, broadcast, and joined against the dataset table. " +
+        "The YAML text is derived from region (code RG<k>, description " +
+        "'<name> organ'), so the oracle reproduces the mapping " +
+        "relationally. Config parse is driver-side by design — the " +
+        "lookup is KBs; the JOIN side is the distributed axis.",
+      (s, d) => {
+        import s.implicits._
+        val regs = Tables.table(s, d, "region")
+          .select($"r_regionkey".cast("long").as("k"), $"r_name")
+          .collect().sortBy(_.getLong(0))
+        val yaml = regs.map(r =>
+          s"""RG${r.getLong(0)}:\n  description: "${r.getString(1)} organ"""")
+          .mkString("\n")
+        val mapDf = Sources.organLookup(yaml).toSeq.toDF("code", "organ")
+        Tables.table(s, d, "region")
+          .select(concat(lit("RG"), $"r_regionkey").as("code"),
+            $"r_regionkey".cast("long").as("k"))
+          .join(broadcast(mapDf), Seq("code"))
+          .select($"k", $"organ")
+          .orderBy($"k")
+      },
+      Some("""SELECT CAST(r_regionkey AS BIGINT) AS k,
+             |  r_name || ' organ' AS organ
+             |FROM region ORDER BY k""".stripMargin)),
+
+    Q("j2_strict_lookup",
+      "J-2 under the oracle gate: the `.item()` scalar-lookup contract " +
+        "— unique-key lookup rides a broadcast with per-key counts; an " +
+        "ambiguous key raises via codegen'd raise_error (negative case " +
+        "spec'd in RelationalSpec); missing keys stay NULL (region 4 " +
+        "filtered from the lookup side here, so its nations surface " +
+        "the null path).",
+      (s, d) => {
+        import s.implicits._
+        val lookup = Tables.table(s, d, "region")
+          .filter($"r_regionkey" < 4)
+          .select($"r_regionkey".cast("long").as("k"), $"r_name")
+        val left = Tables.table(s, d, "nation")
+          .select($"n_nationkey".cast("long").as("n"),
+            $"n_regionkey".cast("long").as("k"))
+        Relational.strictLookup(left, lookup, "k", "r_name")
+          .select($"n", $"r_name").orderBy($"n")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n, r.r_name
+             |FROM nation LEFT JOIN
+             |  (SELECT r_regionkey, r_name FROM region
+             |   WHERE r_regionkey < 4) r
+             |  ON n_regionkey = r.r_regionkey
+             |ORDER BY n""".stripMargin)),
+
+    Q("f9_nan_normalize",
+      "F-9 under the oracle gate: NaN ≠ NULL in IEEE doubles, and the " +
+        "reference's pandas stack conflates them — this is the explicit " +
+        "normalize: a NaN-bearing computed column (NaN injected where " +
+        "sqrt's domain would be violated) is mapped NaN→NULL " +
+        "(nanvl-style), and the rollup separates n_nan (pre-normalize " +
+        "isnan) from n_null_after (post-normalize). min/max of the " +
+        "valid sqrt values are single correctly-rounded IEEE picks — " +
+        "bit-identical cross-engine with no summation-order hazard.",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.events(s, d)
+          .select($"event_type",
+            when($"value" < 50.0, lit(Double.NaN))
+              .otherwise(sqrt($"value" - 50.0)).as("r"))
+          .withColumn("r_norm", when(isnan($"r"),
+            lit(null).cast("double")).otherwise($"r"))
+        e.groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(isnan($"r"), 1L).otherwise(0L)).as("n_nan"),
+            sum(when($"r_norm".isNull, 1L).otherwise(0L))
+              .as("n_null_after"),
+            min($"r_norm").as("min_r"), max($"r_norm").as("max_r"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type,
+             |    CASE WHEN value < 50.0 THEN 'NaN'::DOUBLE
+             |      ELSE sqrt(value - 50.0) END AS r
+             |  FROM events),
+             |n AS (
+             |  SELECT event_type, r,
+             |    CASE WHEN isnan(r) THEN NULL ELSE r END AS r_norm
+             |  FROM e)
+             |SELECT event_type, count(*) AS n,
+             |  CAST(count(*) FILTER (WHERE isnan(r)) AS BIGINT)
+             |    AS n_nan,
+             |  CAST(count(*) FILTER (WHERE r_norm IS NULL) AS BIGINT)
+             |    AS n_null_after,
+             |  min(r_norm) AS min_r, max(r_norm) AS max_r
+             |FROM n GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("f10_uuid_props",
+      "F-10 under the oracle gate: uuid() is nondeterministic by " +
+        "nature, so the gate checks its CONTRACT, not its values — one " +
+        "v4-formatted uuid per row (regex), all distinct (the " +
+        "reference keys products by these), stable count. Booleans the " +
+        "oracle expects TRUE; distributed generation, single-row " +
+        "rollup.",
+      (s, d) => {
+        import s.implicits._
+        val u = Tables.table(s, d, "nation")
+          .select($"n_nationkey", expr("uuid()").as("u"))
+        u.agg(count(lit(1)).as("n"),
+            (count(lit(1)) === countDistinct($"u")).as("all_distinct"),
+            (sum(when($"u".rlike(
+              "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"),
+              1L).otherwise(0L)) === count(lit(1))).as("all_v4"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+             |  TRUE AS all_distinct, TRUE AS all_v4
+             |FROM nation""".stripMargin)),
+
+    Q("s12_empty_dir_guard",
+      "S-11/S-12 under the oracle gate: directory discovery over a " +
+        "reference-layout tree (built once per JVM) where one dataset " +
+        "dir is missing a required file kind — the manifest groups by " +
+        "dataset and keeps only datasets carrying EVERY required kind " +
+        "(the reference's skip-incomplete-dataset guard). d3 ships " +
+        "only kind 'a', so it must vanish; the fixture is constant by " +
+        "construction, so the oracle is a VALUES table.",
+      (s, d) => {
+        import s.implicits._
+        val root = Scratch.cachedDir("s12-fixture") { tmp =>
+          (0 to 3).foreach { i =>
+            val dir = new java.io.File(tmp, s"d$i"); dir.mkdirs()
+            java.nio.file.Files.writeString(
+              dir.toPath.resolve("a.txt"), s"a$i\n")
+            if (i < 3)
+              java.nio.file.Files.writeString(
+                dir.toPath.resolve("b.txt"), s"b$i\n")
+            ()
+          }
+        }.getAbsolutePath
+        val manifest = Sources.fileManifest(s, root,
+          Map("a" -> "*/a.txt", "b" -> "*/b.txt"))
+        manifest.groupBy($"dataset")
+          .agg(countDistinct($"kind").as("n_kinds"))
+          .filter($"n_kinds" === 2)
+          .orderBy($"dataset")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('d0', CAST(2 AS BIGINT)), ('d1', CAST(2 AS BIGINT)),
+             |  ('d2', CAST(2 AS BIGINT))) t(dataset, n_kinds)
+             |ORDER BY dataset""".stripMargin)),
 
     Q("d_incremental_dedup",
       "Incremental dedup — the production shape of corpus dedup at " +

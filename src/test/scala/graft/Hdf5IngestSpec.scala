@@ -78,6 +78,35 @@ class Hdf5IngestSpec extends AnyFunSuite {
     }
   }
 
+  test("writer: 1-D double/long vectors round-trip (h5mu COO nodes)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[T](g: Gen[T], seed: Long): T =
+      g.pureApply(Gen.Parameters.default, Seed(seed))
+    val gen = for {
+      n <- Gen.choose(0, 33)
+      ds <- Gen.listOfN(n, Gen.oneOf(
+        Gen.chooseNum(-1e12, 1e12),
+        Gen.const(Double.NaN), Gen.const(0.0),
+        Gen.const(Double.MinPositiveValue)))
+      ls <- Gen.listOfN(n, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    } yield (ds.toArray, ls)
+    (1 to 25).foreach { seed =>
+      val (ds, ls) = sample(gen, seed.toLong)
+      val bytes = write(Group(Seq(
+        "w" -> DoubleVector(ds), "i" -> LongVector(ls))))
+      val r = new Hdf5Reader(bytes)
+      val gotD = r.readDoubleVector(r.resolve("w").get)
+      // NaN-safe bit-level compare (== would fail on NaN slots)
+      assert(gotD.length == ds.length &&
+        gotD.zip(ds).forall { case (a, b) =>
+          java.lang.Double.doubleToLongBits(a) ==
+            java.lang.Double.doubleToLongBits(b) }, s"seed $seed")
+      assert(r.readLongVector(r.resolve("i").get).toSeq == ls,
+        s"seed $seed")
+    }
+  }
+
   test("parseStore: stitched reg1 key convention") {
     val rows = Hdf5Ingest.parseStore(store(key1Path, Seq("CD45", "DAPI"),
       Seq(0L, 1L), Array(1.0, 2.0, 3.0, 4.0),

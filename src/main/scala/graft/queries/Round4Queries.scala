@@ -1804,10 +1804,13 @@ object Round4Queries {
           .agg(min_by(struct($"doc_id", $"text", $"toks"), $"doc_id")
             .as("r"))
           .select($"r.doc_id", $"r.text", $"r.toks")
-        val sh = kept.select($"doc_id", explode(expr(
-            "transform(sequence(1, greatest(size(split(text, '\\\\s+')) " +
-              "- 7, 1)), i -> array_join(slice(split(text, '\\\\s+'), " +
-              "i, 8), ' '))")).as("shingle"))
+        // tokenize once per doc (projected before the lambda — an
+        // inline split re-evaluates per shingle slice)
+        val sh = kept
+          .select($"doc_id", split($"text", "\\s+").as("tk"))
+          .select($"doc_id", explode(expr(
+            "transform(sequence(1, greatest(size(tk) - 7, 1)), " +
+              "i -> array_join(slice(tk, i, 8), ' '))")).as("shingle"))
           .distinct()
         val hot = sh.groupBy($"shingle").agg(count(lit(1)).as("c"))
           .filter($"c" > 1).select($"shingle")

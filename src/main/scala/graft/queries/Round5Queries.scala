@@ -368,11 +368,13 @@ object Round5Queries {
         "would shuffle the bigram table twice.",
       (s, d) => {
         import s.implicits._
+        // tokenize ONCE per document (projected before the lambda —
+        // an inline split would be re-evaluated per bigram slice)
         val sh = Tables.documents(s, d)
+          .select($"doc_id", split($"text", "\\s+").as("toks"))
           .select($"doc_id", explode(expr(
-            "transform(sequence(1, greatest(size(split(text, " +
-              "'\\\\s+')) - 1, 1)), i -> array_join(slice(split(text, " +
-              "'\\\\s+'), i, 2), ' '))")).as("bg"))
+            "transform(sequence(1, greatest(size(toks) - 1, 1)), " +
+              "i -> array_join(slice(toks, i, 2), ' '))")).as("bg"))
           .distinct()
         sh.withColumn("df", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy($"bg")))
@@ -573,10 +575,10 @@ object Round5Queries {
       (s, d) => {
         import s.implicits._
         val sh = Tables.documents(s, d)
+          .select($"doc_id", split($"text", "\\s+").as("tk"))
           .select($"doc_id", explode(expr(
-            "transform(sequence(1, greatest(size(split(text, " +
-              "'\\\\s+')) - 7, 1)), i -> array_join(slice(split(text, " +
-              "'\\\\s+'), i, 8), ' '))")).as("shingle"))
+            "transform(sequence(1, greatest(size(tk) - 7, 1)), " +
+              "i -> array_join(slice(tk, i, 8), ' '))")).as("shingle"))
           .distinct()
         val evalSh = sh.filter($"doc_id" % 97 === 0)
           .select($"shingle").distinct()

@@ -316,6 +316,48 @@ object Round6Queries {
              |FROM documents GROUP BY source
              |ORDER BY source""".stripMargin)),
 
+    Q("j12_dpp_join",
+      "Dynamic partition pruning under the oracle gate: the fact side " +
+        "(events hive-partitioned on pmod(user_id, 16), laid out once " +
+        "per JVM) is joined on the PARTITION column with a dim filtered " +
+        "to 3 of 16 buckets — Catalyst turns the dim-side broadcast " +
+        "into a runtime partition filter, so the fact scan opens only " +
+        "the 3 matching bucket directories (13/16 of the table is " +
+        "never read; PruningSpec asserts the file-count metric). At " +
+        "100 TB this is the difference between scanning a table and " +
+        "scanning a slice whose size the DIM decides at runtime.",
+      (s, d) => {
+        import s.implicits._
+        val root = Scratch.cachedDir(s"dpp:$d") { tmp =>
+          Tables.events(s, d)
+            .select($"event_id", $"user_id",
+              round($"value" * 100).cast("long").as("cents"),
+              pmod($"user_id", lit(16L)).as("bucket"))
+            .write.partitionBy("bucket")
+            .parquet(s"${tmp.getAbsolutePath}/events")
+          // dim on parquet, NOT a local relation: a constant-folded
+          // in-memory dim loses its Filter node and DPP's selective-
+          // predicate test never fires
+          (0L until 16L).map(b => (b, if (b < 3) "hot" else "cold"))
+            .toDF("bucket", "temp")
+            .coalesce(1)
+            .write.parquet(s"${tmp.getAbsolutePath}/dim")
+        }.getAbsolutePath
+        val fact = s.read.parquet(s"$root/events")
+        val dim = s.read.parquet(s"$root/dim")
+        fact.join(broadcast(dim.filter($"temp" === "hot")), Seq("bucket"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_events"),
+            sum($"cents").as("sum_cents"))
+          .orderBy($"bucket")
+      },
+      Some("""SELECT CAST(user_id % 16 AS BIGINT) AS bucket,
+             |  count(*) AS n_events,
+             |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+             |    AS BIGINT) AS sum_cents
+             |FROM events WHERE user_id % 16 < 3
+             |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     Q("o54_compact_small_files",
       "Small-file compaction — the table-maintenance operator every " +
         "100 TB lake needs: a directory deliberately fragmented into 64 " +

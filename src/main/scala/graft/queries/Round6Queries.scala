@@ -6,10 +6,14 @@ import graft.ops.Relational
 import graft.sources.Sources
 import org.apache.spark.sql.functions._
 
-/** Round-6 additions: scale-infrastructure operators — deterministic
-  * dataset splitting for training pipelines and bucketed co-located
-  * joins (the zero-exchange join strategy a 100 TB star schema would be
-  * laid out for).
+/** Round-6 additions: scale-infrastructure operators. Layout tier:
+  * bucketed co-located joins (zero-exchange SMJ), dynamic partition
+  * pruning, small-file compaction. Training-pipeline tier:
+  * deterministic train/val/test splits, incremental batch-vs-index
+  * dedup (batch + streaming), count-min heavy hitters. Plus the
+  * formerly spec-only reference ops (YAML lookup, `.item()` lookup,
+  * NaN normalize, uuid contract, empty-dir guard) driven through the
+  * oracle gate.
   */
 object Round6Queries {
 

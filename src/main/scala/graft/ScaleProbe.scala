@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev evidence tool: measure how the heavy operators SCALE, not just
+  * how fast they are at one size. Builds a K×-scaled copy of the
+  * documents/embeddings tables (doc ids offset per copy; text/embedding
+  * perturbed deterministically per copy so the K× corpus is K× real
+  * work, not K× exact duplicates), symlinks the remaining tables, and
+  * times selected queries at 1× and K× in the same JVM (steady state,
+  * min of 2). Near-linear ratios are the 100 TB evidence SCALE.md
+  * quotes; a super-linear ratio is a scale bug to fix.
+  *
+  * Usage: sbt "runMain graft.ScaleProbe [K] [sfDir]"
+  */
+object ScaleProbe {
+  val probes: Seq[String] = Seq(
+    "curate_split_assign", "d_exact_dedup", "d_minhash_lsh",
+    "d_simhash", "t_tfidf_top", "t_ngram_novelty",
+    "d_incremental_dedup", "agg_heavy_hitters", "e_knn_brute",
+    "e_knn_sq8", "curate_pack_pipeline")
+
+  def main(args: Array[String]): Unit = {
+    val k = if (args.nonEmpty) args(0).toInt else 8
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val scaled = java.nio.file.Files
+      .createTempDirectory(s"graft-scale${k}x-").toFile
+    sys.addShutdownHook(graft.queries.Scratch.rmTree(scaled))
+    val docs = Tables.documents(spark, sfDir)
+    val maxDoc = docs.agg(max($"doc_id")).head.getLong(0) + 1
+    val copies = spark.range(0, k.toLong).toDF("copy")
+    // per-copy id offset; text perturbed with a copy tag so cross-copy
+    // rows are near-dups of each other only at the shingle tail, and
+    // exact-dup/bucket structure stays realistic instead of K² blowup
+    docs.crossJoin(broadcast(copies))
+      .select(($"doc_id" + $"copy" * maxDoc).as("doc_id"),
+        concat($"text", lit(" copytag"), $"copy").as("text"),
+        $"lang", $"source", $"n_chars")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$scaled/documents.parquet")
+    val emb = Tables.embeddings(spark, sfDir)
+    val maxVec = emb.agg(max($"vec_id")).head.getLong(0) + 1
+    emb.crossJoin(broadcast(copies))
+      .select(($"vec_id" + $"copy" * maxVec).as("vec_id"),
+        // rotate one component deterministically per copy
+        expr("transform(embedding, (x, i) -> " +
+          "CAST(x + CAST(copy AS FLOAT) * CAST(0.001 AS FLOAT) * " +
+          "CAST(CASE WHEN i = 0 THEN 1 ELSE 0 END AS FLOAT) AS FLOAT))")
+          .as("embedding"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$scaled/embeddings.parquet")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events").foreach { t =>
+      java.nio.file.Files.createSymbolicLink(
+        new java.io.File(scaled, s"$t.parquet").toPath,
+        java.nio.file.Paths.get(s"$sfDir/$t.parquet"))
+    }
+
+    def time(name: String, dir: String): Double = {
+      def once: Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once, once)
+    }
+    println(f"${"query"}%-24s ${"1x"}%8s ${k + "x"}%8s ratio")
+    probes.foreach { q =>
+      try {
+        val t1 = time(q, sfDir)
+        val tk = time(q, scaled.getAbsolutePath)
+        println(f"$q%-24s $t1%8.2f $tk%8.2f ${tk / t1}%5.1fx")
+      } catch {
+        case e: Exception =>
+          println(s"$q FAILED: ${e.getMessage.take(120)}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -320,6 +320,79 @@ object Round6Queries {
              |FROM documents GROUP BY source
              |ORDER BY source""".stripMargin)),
 
+    Q("p_epoch_shuffle",
+      "Deterministic epoch shuffle — training-order randomization " +
+        "without RNG state: each document's epoch position is the rank " +
+        "of md5('epoch42:' || doc_id), so the permutation is identical " +
+        "on any engine, any cluster size, any retry, and a new epoch " +
+        "is just a new seed prefix. Plan-wise the top-20 probe is " +
+        "TakeOrderedAndProject (per-partition heaps — no global sort " +
+        "to pick a window of the permutation), which is exactly how a " +
+        "trainer pages an epoch at 100 TB: rank ranges, not " +
+        "materialized shuffles.",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id",
+            md5(concat(lit("epoch42:"), $"doc_id".cast("string")))
+              .as("rk"))
+          .orderBy($"rk").limit(20)
+          .withColumn("position", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy($"rk"))
+            .cast("long"))
+          .select($"position", $"doc_id", $"rk")
+      },
+      Some("""SELECT CAST(row_number() OVER (ORDER BY rk) AS BIGINT)
+             |  AS position, doc_id, rk
+             |FROM (
+             |  SELECT doc_id,
+             |    md5('epoch42:' || CAST(doc_id AS VARCHAR)) AS rk
+             |  FROM documents ORDER BY rk LIMIT 20) t
+             |ORDER BY position""".stripMargin)),
+
+    Q("p_negative_sample",
+      "Contrastive negative sampling — for every anchor doc (doc_id % " +
+        "97 = 0, the probe set), 4 pseudo-random negatives drawn by " +
+        "pure integer arithmetic (anchor*31 + j*2654435761 mod corpus " +
+        "span), self-excluded, then inner-joined back to documents to " +
+        "keep only ids that exist — the join is the engine's work " +
+        "(anchor×4 rows against the corpus on doc_id); the arithmetic " +
+        "makes the draw reproducible on any engine with no RNG state " +
+        "or broadcast sample table. Output: per anchor, its negative " +
+        "count and id checksum.",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val span = docs.agg(max($"doc_id").as("mx"))
+        val cand = docs.filter($"doc_id" % 97 === 0)
+          .select($"doc_id".as("anchor"))
+          .crossJoin(broadcast(span))
+          .select($"anchor", explode(expr(
+            "transform(sequence(1, 4), j -> " +
+              "(anchor * 31 + j * 2654435761) % (mx + 1))"))
+            .as("neg_id"))
+          .filter($"neg_id" =!= $"anchor")
+        cand.join(docs.select($"doc_id".as("neg_id")), Seq("neg_id"))
+          .groupBy($"anchor")
+          .agg(count(lit(1)).as("n_neg"), sum($"neg_id").as("neg_sum"))
+          .orderBy($"anchor")
+      },
+      Some("""WITH mxt AS (SELECT max(doc_id) AS mx FROM documents),
+             |cand AS (
+             |  SELECT d.doc_id AS anchor,
+             |    (d.doc_id * 31 + j.j * 2654435761) % (mxt.mx + 1)
+             |      AS neg_id
+             |  FROM documents d, mxt,
+             |    (SELECT unnest(range(1, 5)) AS j) j
+             |  WHERE d.doc_id % 97 = 0),
+             |kept AS (
+             |  SELECT c.anchor, c.neg_id FROM cand c
+             |  JOIN documents e ON e.doc_id = c.neg_id
+             |  WHERE c.neg_id <> c.anchor)
+             |SELECT anchor, count(*) AS n_neg,
+             |  CAST(sum(neg_id) AS BIGINT) AS neg_sum
+             |FROM kept GROUP BY anchor ORDER BY anchor""".stripMargin)),
+
     Q("j12_dpp_join",
       "Dynamic partition pruning under the oracle gate: the fact side " +
         "(events hive-partitioned on pmod(user_id, 16), laid out once " +

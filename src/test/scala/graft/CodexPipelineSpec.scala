@@ -188,6 +188,28 @@ class CodexPipelineSpec extends AnyFunSuite {
     graft.queries.Scratch.rmTree(out.toFile)
   }
 
+  test("h5mu sink: empty-edge and missing-center edges write cleanly") {
+    val noEdges = CodexProduct.build(spark, manifest,
+      DatasetInputs(xLong,
+        centers.filter($"dataset" === "ds1"), // ds2 cells lack centers
+        edges.filter(lit(false)),             // zero edges survive
+        labels, antibodies),
+      tissue = "Kidney", productUuid = "prod-2",
+      creationTime = "2026-01-01 00:00:00")
+    val out = java.nio.file.Files.createTempDirectory("graft-h5mu2")
+    CodexProduct.writeH5mu(noEdges, out.toString)
+    val h5 = new graft.sources.Hdf5Reader(
+      java.nio.file.Files.readAllBytes(out.resolve("Kidney_raw.h5mu")))
+    val m = "mod/prod-2_raw"
+    assert(h5.readLongVector(
+      h5.resolve(s"$m/obsp/adjacency/src").get).isEmpty)
+    assert(h5.readDoubleVector(
+      h5.resolve(s"$m/obsp/adjacency/weight").get).isEmpty)
+    val sp = h5.readDoubleMatrix(h5.resolve(s"$m/obsm/X_spatial").get)
+    assert(sp(0)(0) == 10.0 && sp(2)(0).isNaN) // ds2-1 center missing
+    graft.queries.Scratch.rmTree(out.toFile)
+  }
+
   test("F-1 analyte strip + channel normalization") {
     val df = Seq("Anti-CD45", "E-CAD antibody", "panCK").toDF("channel")
     val aliases = Seq(("e-cad", "ECAD")).toDF("alias_lower", "canonical")

@@ -38,7 +38,7 @@ object ScaleProbe {
       .createTempDirectory(s"graft-scale${k}x-").toFile
     sys.addShutdownHook(graft.queries.Scratch.rmTree(scaled))
     val docs = Tables.documents(spark, sfDir)
-    val maxDoc = docs.agg(max($"doc_id")).head.getLong(0) + 1
+    val maxDoc = docs.agg(max($"doc_id")).head().getLong(0) + 1
     val copies = spark.range(0, k.toLong).toDF("copy")
     // per-copy id offset; text perturbed with a copy tag so cross-copy
     // rows are near-dups of each other only at the shingle tail, and
@@ -50,7 +50,7 @@ object ScaleProbe {
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$scaled/documents.parquet")
     val emb = Tables.embeddings(spark, sfDir)
-    val maxVec = emb.agg(max($"vec_id")).head.getLong(0) + 1
+    val maxVec = emb.agg(max($"vec_id")).head().getLong(0) + 1
     emb.crossJoin(broadcast(copies))
       .select(($"vec_id" + $"copy" * maxVec).as("vec_id"),
         // rotate one component deterministically per copy
@@ -75,7 +75,7 @@ object ScaleProbe {
       }
       math.min(once, once)
     }
-    println(f"${"query"}%-24s ${"1x"}%8s ${k + "x"}%8s ratio")
+    println(f"${"query"}%-24s ${"1x"}%8s ${s"${k}x"}%8s ratio")
     probes.foreach { q =>
       try {
         val t1 = time(q, sfDir)

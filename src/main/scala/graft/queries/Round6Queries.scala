@@ -301,7 +301,7 @@ object Round6Queries {
         val skBytes = docs
           .agg(expr("count_min_sketch(source, 0.001d, 0.99d, 42)")
             .as("sk"))
-          .head.getAs[Array[Byte]](0)
+          .head().getAs[Array[Byte]](0)
         val cms = org.apache.spark.util.sketch.CountMinSketch
           .readFrom(new java.io.ByteArrayInputStream(skBytes))
         val exact = docs.groupBy($"source")

@@ -19,7 +19,8 @@ object ScaleProbe {
     "curate_split_assign", "d_exact_dedup", "d_minhash_lsh",
     "d_simhash", "t_tfidf_top", "t_ngram_novelty",
     "d_incremental_dedup", "agg_heavy_hitters", "e_knn_brute",
-    "e_knn_sq8", "curate_pack_pipeline")
+    "e_knn_sq8", "curate_pack_pipeline", "p_epoch_shuffle",
+    "p_negative_sample")
 
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 8

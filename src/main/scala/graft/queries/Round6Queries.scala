@@ -257,12 +257,21 @@ object Round6Queries {
       (s, d) => {
         import s.implicits._
         val schema = Tables.documents(s, d).schema
+        // the new batch arrives as 4 REAL micro-batches (one-file
+        // shards under maxFilesPerTrigger=1), so the per-arrival probe
+        // and the complete-mode rollup are exercised across
+        // increments, not a single catch-up batch
+        val shards = Scratch.cachedDir(s"incdedup-shards:$d") { tmp =>
+          val nw = Tables.documents(s, d).filter($"doc_id" % 10 === 0)
+          (0L until 4L).foreach { i =>
+            nw.filter(pmod($"doc_id", lit(40L)) === i * 10L).coalesce(1)
+              .write.mode("append").parquet(tmp.getAbsolutePath)
+          }
+        }.getAbsolutePath
         graft.streaming.Streams.runToMemory(s,
             s"stream_incdedup_${System.nanoTime()}") { scoped =>
           val stream = graft.streaming.Streams.fileStream(scoped,
-              s"$d/documents.*", schema,
-              maxFilesPerTrigger = Int.MaxValue)
-            .filter($"doc_id" % 10 === 0)
+            shards, schema, maxFilesPerTrigger = 1)
           val streamBuckets = Dedup.minhashBucketsPortable(
             stream, "doc_id", "text",
             shingleN = 5, bands = 8, rowsPerBand = 2)

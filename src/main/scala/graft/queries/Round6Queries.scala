@@ -336,9 +336,10 @@ object Round6Queries {
         "on any engine, any cluster size, any retry, and a new epoch " +
         "is just a new seed prefix. Plan-wise the top-20 probe is " +
         "TakeOrderedAndProject (per-partition heaps — no global sort " +
-        "to pick a window of the permutation), which is exactly how a " +
-        "trainer pages an epoch at 100 TB: rank ranges, not " +
-        "materialized shuffles.",
+        "to pick a window of the permutation; the position window runs " +
+        "over the ≤k SURVIVING rows, bounded by the limit, never the " +
+        "data), which is exactly how a trainer pages an epoch at " +
+        "100 TB: rank ranges, not materialized shuffles.",
       (s, d) => {
         import s.implicits._
         Tables.documents(s, d)

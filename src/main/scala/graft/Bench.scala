@@ -43,29 +43,47 @@ object Bench {
       case (name, fn) =>
         val (dt1, ok) = timeOne(name, fn)
         // short queries are fixed-overhead-dominated and the ones whose
-        // recorded times drift 3× with host load — re-run once and keep
-        // the min. Long queries are work-dominated (noise is
-        // proportional, a rerun doubles real cost), so one pass stands.
-        val dt =
-          if (ok && dt1 < 10.0) math.min(dt1, timeOne(name, fn)._1)
-          else dt1
-        System.err.println(f"[bench] $name $dt%.2fs (first $dt1%.2fs)")
-        (name, dt, ok)
+        // recorded times drift 3× with host load — re-run and keep the
+        // min (3 runs under 3 s, 2 runs under 10 s). Long queries are
+        // work-dominated (noise is proportional, a rerun doubles real
+        // cost), so one pass stands.
+        val reruns =
+          if (!ok) 0 else if (dt1 < 3.0) 2 else if (dt1 < 10.0) 1 else 0
+        val runs = dt1 +: Seq.fill(reruns)(timeOne(name, fn)._1)
+        val dt = runs.min
+        System.err.println(
+          f"[bench] $name $dt%.2fs (runs ${runs.map(r => f"$r%.2f").mkString("/")})")
+        (name, dt, ok, runs)
     }
     // a crashed query reports -1, never its (tiny) elapsed time — a crash
     // must not read as a fast run, and the failed list makes it explicit
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, v, true, _) => v }.sum
+    // COMPLETE per-query record (min + every run, so round-over-round
+    // deltas AND variance are auditable for all queries, not just the
+    // slowest) goes to a file — stdout is capped at ~2000 chars by the
+    // harness and cannot carry 170 entries.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "BENCH_FULL.json")
+    val fullEntries = results.sortBy { case (_, v, ok, _) =>
+        (if (ok) -v else 1e18) }
+      .map { case (k, v, ok, runs) =>
+        val rs = runs.map(r => f"$r%.3f").mkString("[", ",", "]")
+        "\"" + k + "\":" + (if (ok) f"""{"sec":$v%.3f,"runs":$rs}"""
+          else s"""{"sec":-1,"runs":$rs}""")
+      }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","queries":${fullEntries.mkString("{", ",\n", "}")}}""" + "\n")
     // The harness captures only the LAST ~2000 chars of stdout; a JSON
     // line longer than that loses its head and never parses. Emit the
     // queries map slowest-first, truncated to a hard budget (the slowest
     // queries are the informative ones), and note how many were omitted.
-    // The complete per-query listing is on stderr above.
-    val entries = results.sortBy { case (_, v, ok) => if (ok) -v else 1e18 }
-      .map { case (k, v, ok) =>
+    // The complete per-query listing is in BENCH_FULL.json above.
+    val entries = results.sortBy { case (_, v, ok, _) => if (ok) -v else 1e18 }
+      .map { case (k, v, ok, _) =>
         "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1") }
-    val fixed = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","queries":{},"omitted":000}"""
+    val fixed = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","full":"$fullPath","queries":{},"omitted":000}"""
     val budget = 1700 - fixed.length
     val kept = new scala.collection.mutable.ArrayBuffer[String]
     var used = 0
@@ -73,7 +91,7 @@ object Bench {
       if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
     }
     val omitted = entries.size - kept.size
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","queries":${kept.mkString("{", ",", "}")},"omitted":$omitted}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","full":"$fullPath","queries":${kept.mkString("{", ",", "}")},"omitted":$omitted}""")
     spark.stop()
   }
 }

@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   * quotes; a super-linear ratio is a scale bug to fix.
   *
   * Usage: sbt "runMain graft.ScaleProbe [K] [sfDir]"
+  *        sbt "runMain graft.ScaleProbe guard [sfDir]"
+  *
+  * Every run writes `scale_probe_<K>x.json` (per-query 1×/K× seconds +
+  * ratio). GUARD mode re-measures at 8× and FAILS (throws, red log
+  * line) if any probe's ratio exceeds 2× its committed baseline in
+  * `SCALE_RATIOS.json` — the regression tripwire that makes the 100 TB
+  * scaling evidence self-enforcing instead of a one-round snapshot
+  * (a reintroduced quadratic like the r5 t_ngram_novelty shingle
+  * re-evaluation would trip it).
   */
 object ScaleProbe {
   val probes: Seq[String] = Seq(
@@ -23,7 +32,8 @@ object ScaleProbe {
     "p_negative_sample")
 
   def main(args: Array[String]): Unit = {
-    val k = if (args.nonEmpty) args(0).toInt else 8
+    val guard = args.headOption.contains("guard")
+    val k = if (guard || args.isEmpty) 8 else args(0).toInt
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -77,16 +87,45 @@ object ScaleProbe {
       math.min(once, once)
     }
     println(f"${"query"}%-24s ${"1x"}%8s ${s"${k}x"}%8s ratio")
-    probes.foreach { q =>
+    val measured = probes.flatMap { q =>
       try {
         val t1 = time(q, sfDir)
         val tk = time(q, scaled.getAbsolutePath)
         println(f"$q%-24s $t1%8.2f $tk%8.2f ${tk / t1}%5.1fx")
+        Some((q, t1, tk))
       } catch {
         case e: Exception =>
           println(s"$q FAILED: ${e.getMessage.take(120)}")
+          None
       }
     }
+    val json = measured.map { case (q, t1, tk) =>
+      f""""$q":{"t1":$t1%.3f,"tk":$tk%.3f,"ratio":${tk / t1}%.3f}"""
+    }.mkString("{\"k\":" + k + ",\"sf\":\"" + sfDir + "\",\"queries\":{",
+      ",\n", "}}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"scale_probe_${k}x.json"), json + "\n")
     spark.stop()
+    if (guard) {
+      val basePath = java.nio.file.Paths.get("SCALE_RATIOS.json")
+      require(java.nio.file.Files.exists(basePath),
+        "SCALE_RATIOS.json baseline missing — run ScaleProbe 8 and " +
+          "commit scale_probe_8x.json as SCALE_RATIOS.json")
+      val base = java.nio.file.Files.readString(basePath)
+      val ratioRe = """"([^"]+)":\{"t1":[^,]+,"tk":[^,]+,"ratio":([0-9.]+)\}""".r
+      val baseRatios = ratioRe.findAllMatchIn(base)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val regressions = measured.flatMap { case (q, t1, tk) =>
+        baseRatios.get(q).collect {
+          // tolerance 2×: host-load noise swings ratios well under 2×
+          // on overhead-bound probes; a quadratic blows straight past
+          case b if tk / t1 > 2.0 * math.max(b, 1.0) =>
+            f"$q: ratio ${tk / t1}%.2f vs baseline $b%.2f (>2x)"
+        }
+      }
+      if (regressions.nonEmpty)
+        sys.error("SCALE GUARD FAILED\n" + regressions.mkString("\n"))
+      println(s"SCALE GUARD OK (${measured.size} probes vs baseline)")
+    }
   }
 }

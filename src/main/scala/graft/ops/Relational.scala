@@ -338,4 +338,65 @@ object Relational {
     }.reduce(_ && _)
     probe.filter(keep).join(build, col(probeKey) === col(buildKey))
   }
+
+  /** The 100 TB tier of [[bloomPrunedJoin]]: the fixed 64 Kbit literal
+    * bitmap saturates around ~10^4 build keys (past that every probe row
+    * passes and the prune is a no-op), so this variant sizes the filter
+    * from the BUILD SIDE ITSELF — Spark's native `BloomFilter` sketch is
+    * built with a distributed `treeAggregate` (`df.stat.bloomFilter`,
+    * mergeable partials, driver sees only the final sketch bytes — never
+    * key rows), and the probe side filters through the codegen-planned
+    * `BloomFilterMightContain` Catalyst expression (the same predicate
+    * Spark's own `InjectRuntimeFilter` injects, here available for
+    * computed build frames and non-join-adjacent probe exchanges).
+    * False positives are removed by the exact join, so the result equals
+    * the plain join by construction at ANY build-side cardinality; the
+    * `expectedKeys` knob (defaults to one build-side count() job)
+    * controls the sketch's size/FPR trade.
+    */
+  def bloomPrunedJoinAuto(probe: DataFrame, build: DataFrame,
+                          probeKey: String, buildKey: String,
+                          fpp: Double = 0.01,
+                          expectedKeys: Long = -1L): DataFrame = {
+    val bytes = buildBloom(build, buildKey, fpp, expectedKeys)
+    probe.filter(bloomMightContain(bytes, col(probeKey)))
+      .join(build, col(probeKey) === col(buildKey))
+  }
+
+  /** Serialized Spark-native BloomFilter over `build`'s `key` column,
+    * built by the Catalyst `BloomFilterAggregate` (the same mergeable
+    * partial-aggregate Spark's runtime filters use — the sketch must be
+    * built over xxhash64(key) because `BloomFilterMightContain` probes
+    * with xxhash64(key); `df.stat.bloomFilter` inserts RAW keys under a
+    * different hash family and would false-negative on every probe).
+    * Bits sized from the key estimate: m = ⌈−n·ln(fpp)/ln²2⌉.
+    */
+  def buildBloom(build: DataFrame, key: String, fpp: Double = 0.01,
+                 expectedKeys: Long = -1L): Array[Byte] = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.
+      BloomFilterAggregate
+    val n = if (expectedKeys > 0) expectedKeys
+      else math.max(64L, build.count())
+    val numBits = math.max(64L,
+      math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(GraftColumnBridge.expression(col(key)))),
+      Literal(n), Literal(numBits)).toAggregateExpression()
+    build.select(GraftColumnBridge.column(agg)).head()
+      .getAs[Array[Byte]](0)
+  }
+
+  /** Codegen-friendly membership predicate over a serialized native
+    * BloomFilter (the deserialized sketch is cached per task by the
+    * expression itself). */
+  def bloomMightContain(bloomBytes: Array[Byte], key: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{
+      BloomFilterMightContain, Literal, XxHash64}
+    GraftColumnBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      new XxHash64(Seq(GraftColumnBridge.expression(key)))))
+  }
 }

@@ -21,7 +21,7 @@ object Round5Queries {
     * the pipeline, not fixture I/O. Shared by `codex_product_e2e` and
     * `codex_h5mu_e2e`.
     */
-  private def e2eFixtureRoot(s: SparkSession, d: String): String =
+  private[queries] def e2eFixtureRoot(s: SparkSession, d: String): String =
     Scratch.cachedDir(s"codex-e2e:$d") { tmp =>
       import s.implicits._
       val root = tmp.getAbsolutePath
@@ -70,7 +70,7 @@ object Round5Queries {
       }
     }.getAbsolutePath
 
-  private def e2eManifest(s: SparkSession, d: String): DataFrame = {
+  private[queries] def e2eManifest(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.table(s, d, "region").select(
       concat(lit("r"), $"r_regionkey").as("uuid"),

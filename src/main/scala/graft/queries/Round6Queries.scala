@@ -261,13 +261,7 @@ object Round6Queries {
         // shards under maxFilesPerTrigger=1), so the per-arrival probe
         // and the complete-mode rollup are exercised across
         // increments, not a single catch-up batch
-        val shards = Scratch.cachedDir(s"incdedup-shards:$d") { tmp =>
-          val nw = Tables.documents(s, d).filter($"doc_id" % 10 === 0)
-          (0L until 4L).foreach { i =>
-            nw.filter(pmod($"doc_id", lit(40L)) === i * 10L).coalesce(1)
-              .write.mode("append").parquet(tmp.getAbsolutePath)
-          }
-        }.getAbsolutePath
+        val shards = Round7Queries.incDedupShards(s, d)
         graft.streaming.Streams.runToMemory(s,
             s"stream_incdedup_${System.nanoTime()}") { scoped =>
           val stream = graft.streaming.Streams.fileStream(scoped,
@@ -510,7 +504,13 @@ object Round6Queries {
         "single writer guarantees.",
       (s, d) => {
         import s.implicits._
-        val suffix = math.abs(d.hashCode).toString
+        // collision-free identifier-safe suffix: md5 hex of the FULL SF
+        // path (hashCode could collide across SF dirs in one JVM and
+        // abs(Int.MinValue) is negative — either would alias two SFs'
+        // bucketed tables while cachedDir skips the rebuild)
+        val suffix = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).take(8)
+          .map(b => f"$b%02x").mkString
         val (ot, ct) = (s"orders_b_$suffix", s"customer_b_$suffix")
         // external bucketed tables under a JVM-lifetime scratch dir
         // (NOT ./spark-warehouse), laid out once per SF per JVM

@@ -1,0 +1,219 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.ops.Relational
+import graft.product.{CodexIngest, CodexProduct}
+import org.apache.spark.sql.functions._
+
+/** Round-7 additions: evidence-integrity and scale-hardening seams from
+  * the r6 verdict — the ACROSS-PRODUCTS distributed axis of the h5mu
+  * sink demonstrated (N tissues → N parallel pipeline builds → N
+  * artifacts in one job), the beyond-broadcast shuffled stream-static
+  * incremental dedup, the build-side-sized native Bloom prune, and the
+  * IVF recall-knob sweep at larger nCells/nProbe.
+  */
+object Round7Queries {
+
+  /** One-file-per-micro-batch shards of the "new" document batch,
+    * shared with Round6's `stream_incremental_dedup` (same cache key →
+    * built once per JVM per SF). */
+  private[queries] def incDedupShards(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import s.implicits._
+    Scratch.cachedDir(s"incdedup-shards:$d") { tmp =>
+      val nw = Tables.documents(s, d).filter($"doc_id" % 10 === 0)
+      (0L until 4L).foreach { i =>
+        nw.filter(pmod($"doc_id", lit(40L)) === i * 10L).coalesce(1)
+          .write.mode("append").parquet(tmp.getAbsolutePath)
+      }
+    }.getAbsolutePath
+  }
+
+  def all: Seq[Q] = Seq(
+
+    Q("codex_multi_tissue",
+      "The ACROSS-PRODUCTS distributed axis of the h5mu sink " +
+        "(pipeline.cwl:32-47 — one concatenate.py invocation per " +
+        "tissue): TWO tissue products are built from the same " +
+        "reference-layout fixture fleet IN PARALLEL inside one job " +
+        "(concurrent Spark action threads — the local-mode stand-in " +
+        "for one-driver-per-product on a cluster), each through the " +
+        "full CodexProduct.build composition with its own per-tissue " +
+        "manifest (T0 owns datasets r0/r1, T1 owns r2/r3), each " +
+        "written as its own {tissue}_raw.h5mu by the clean-room " +
+        "writer. Both artifacts are then RE-READ byte-level and " +
+        "rolled up per tissue — obs count, var universe, dense X and " +
+        "mean-layer sums, spatial-x sum, COO adjacency sums in " +
+        "per-tissue block indices, uns total — which the oracle " +
+        "derives in closed form from region/nation. The mudata root " +
+        "encoding attribute is asserted in-query, so the format " +
+        "contract rides the correctness gate too.",
+      (s, d) => {
+        import s.implicits._
+        val artRoot = Scratch.cachedDir(s"codex-multi:$d") { tmp =>
+          val inputs = CodexIngest.readDatasetDirs(
+            s, Round5Queries.e2eFixtureRoot(s, d))
+          val manifest = Round5Queries.e2eManifest(s, d)
+          val tissues = Seq("T0" -> Seq("r0", "r1"), "T1" -> Seq("r2", "r3"))
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration._
+          val builds = tissues.map { case (t, dss) => Future {
+            val man = manifest.filter($"uuid".isin(dss: _*))
+            val bundle = CodexProduct.build(s, man, inputs,
+              t, s"prod-$t", "2026-01-01 00:00:00")
+            val dir = new java.io.File(tmp, t); dir.mkdirs()
+            CodexProduct.writeH5mu(bundle, dir.getAbsolutePath)
+          }}
+          Await.result(Future.sequence(builds), 10.minutes); ()
+        }.getAbsolutePath
+        val rows = Seq("T0", "T1").map { t =>
+          val bytes = java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(artRoot, t, s"${t}_raw.h5mu"))
+          val h5 = new graft.sources.Hdf5Reader(bytes)
+          require(h5.readAttributes(h5.resolve("").get)
+            .get("encoding-type").contains("MuData"),
+            s"$t artifact missing the mudata root encoding attribute")
+          val m = s"mod/prod-${t}_raw"
+          def at(p: String): Long =
+            h5.resolve(p).getOrElse(sys.error(s"$t h5mu missing $p"))
+          val nObs = h5.readStringVector(at(s"$m/obs/_index")).size
+          val nVar = h5.readStringVector(at(s"$m/var/_index")).size
+          val x = h5.readDoubleMatrix(at(s"$m/X"))
+          val mean = h5.readDoubleMatrix(at(s"$m/layers/mean_expression"))
+          val sp = h5.readDoubleMatrix(at(s"$m/obsm/X_spatial"))
+          val src = h5.readLongVector(at(s"$m/obsp/adjacency/src"))
+          val dst = h5.readLongVector(at(s"$m/obsp/adjacency/dst"))
+          val tcc = h5.readLongVector(at(s"$m/uns/total_cell_count"))(0)
+          (t, nObs.toLong, nVar.toLong,
+            x.map(_.sum).sum, mean.map(_.sum).sum, sp.map(_(0)).sum,
+            src.length.toLong, src.sum, dst.sum, tcc)
+        }
+        rows.toDF("tissue", "n_obs", "n_var", "sum_x_total", "sum_mean",
+          "sum_sp_x", "n_edges", "sum_src", "sum_dst", "total_cell_count")
+          .orderBy($"tissue")
+      },
+      Some("""WITH cells AS (
+             |  SELECT CAST(n_regionkey AS BIGINT) // 2 AS t,
+             |         CAST(n_nationkey AS BIGINT) AS c
+             |  FROM nation WHERE n_regionkey < 4),
+             |per AS (
+             |  SELECT t, count(*) AS n, sum(c) AS sc
+             |  FROM cells GROUP BY t)
+             |SELECT 'T' || CAST(t AS VARCHAR) AS tissue,
+             |  CAST(n AS BIGINT) AS n_obs,
+             |  CAST(2 AS BIGINT) AS n_var,
+             |  CAST(20.0 * sc + 3.0 * n AS DOUBLE) AS sum_x_total,
+             |  CAST(2.0 * sc + 0.75 * n AS DOUBLE) AS sum_mean,
+             |  CAST(sc + 0.5 * n AS DOUBLE) AS sum_sp_x,
+             |  CAST(6 AS BIGINT) AS n_edges,
+             |  CAST(31 AS BIGINT) AS sum_src,
+             |  CAST(35 AS BIGINT) AS sum_dst,
+             |  CAST(n AS BIGINT) AS total_cell_count
+             |FROM per ORDER BY tissue""".stripMargin)),
+
+    Q("stream_incremental_dedup_shuffled",
+      "Beyond-broadcast incremental dedup — the corpus band index at " +
+        "100 TB no longer fits a broadcast, so the stream-static probe " +
+        "becomes a SHUFFLED stream-static join on (band, band_hash): " +
+        "each micro-batch's bucket rows exchange-partition by the join " +
+        "key and meet only the matching static partitions — per-batch " +
+        "cost stays ∝ batch × bucket occupancy, state stays one rollup. " +
+        "Broadcast is disabled on the run's SCOPED session " +
+        "(autoBroadcastJoinThreshold=-1), and the executed micro-batch " +
+        "plan is asserted in-query to contain a non-broadcast join, so " +
+        "the plan shape IS part of the gated result. Same 4 real " +
+        "micro-batches and same oracle as stream_incremental_dedup — " +
+        "identical answers from both plan shapes is the point.",
+      (s, d) => {
+        import s.implicits._
+        val schema = Tables.documents(s, d).schema
+        val shards = incDedupShards(s, d)
+        val qname = s"stream_incdedup_shuf_${System.nanoTime()}"
+        val out = graft.streaming.Streams.runToMemory(s, qname) { scoped =>
+          import scoped.implicits._
+          scoped.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val stream = graft.streaming.Streams.fileStream(scoped,
+            shards, schema, maxFilesPerTrigger = 1)
+          val streamBuckets = Dedup.minhashBucketsPortable(
+            stream, "doc_id", "text",
+            shingleN = 5, bands = 8, rowsPerBand = 2)
+          val idx = Dedup.minhashBucketsPortable(
+              Tables.documents(scoped, d).filter($"doc_id" % 10 =!= 0),
+              "doc_id", "text",
+              shingleN = 5, bands = 8, rowsPerBand = 2)
+            .select($"band".as("i_band"), $"band_hash".as("i_hash"),
+              $"id".as("idx_id"))
+          streamBuckets
+            .join(idx,
+              $"band" === $"i_band" && $"band_hash" === $"i_hash",
+              "left_outer")
+            .groupBy($"id".as("doc_id"))
+            .agg(sum(when($"idx_id".isNotNull, 1L).otherwise(0L))
+              .as("n_band_collisions"))
+        }
+        val plan = graft.streaming.Streams.lastPlan(qname).getOrElse("")
+        require(!plan.contains("BroadcastHashJoin") &&
+          (plan.contains("SortMergeJoin") ||
+            plan.contains("ShuffledHashJoin")),
+          "expected a shuffled (non-broadcast) stream-static join, got:\n" +
+            plan.take(4000))
+        out.orderBy($"doc_id")
+      },
+      Some(OracleGen.streamIncrementalDedupSql(5, 8, 2))),
+
+    Q("j_bloom_prune_native",
+      "Build-side-sized Bloom join pruning — the 100 TB tier of " +
+        "j17_bloom_prune: the sketch is built by Spark's native " +
+        "BloomFilter treeAggregate over the build side (mergeable " +
+        "partials; the driver sees sketch BYTES, never key rows — the " +
+        "fixed 64 Kbit literal bitmap saturates past ~10^4 keys), and " +
+        "the probe side filters through the codegen-planned " +
+        "BloomFilterMightContain expression BEFORE its exchange. False " +
+        "positives die in the exact join, so the result equals the " +
+        "plain join at any cardinality — which is exactly what the " +
+        "oracle checks.",
+      (s, d) => {
+        import s.implicits._
+        val build = Tables.table(s, d, "orders")
+          .filter($"o_orderpriority" === "1-URGENT")
+          .select($"o_orderkey")
+        val probe = Tables.table(s, d, "lineitem")
+          .select($"l_orderkey", $"l_returnflag", $"l_quantity")
+        Relational.bloomPrunedJoinAuto(probe, build,
+            "l_orderkey", "o_orderkey", fpp = 0.01)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  sum(l_quantity) AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("e_knn_ivf_probe",
+      "IVF recall knobs at bench scale — e_knn_ivf's pinned " +
+        "nCells=16/nProbe=3 exercised at nCells=64/nProbe=8: 4× finer " +
+        "cells cut per-probe candidate counts while 8 probes buy the " +
+        "recall back, and the whole sweep stays under the exact oracle " +
+        "gate (cell assignment and ranks reproduce bit-for-bit in " +
+        "DuckDB). Per-cell candidate counts are logged to stderr — the " +
+        "occupancy histogram is the probe-cost evidence.",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val out = graft.similarity.Knn.ivfTopK(emb,
+            emb.filter($"vec_id" < 10),
+            "vec_id", "embedding", k = 5, nCells = 64, nProbe = 8,
+            logOccupancy = true)
+          .select($"query_id", $"neighbor_id",
+            $"rank".cast("long").as("rank"))
+          .orderBy($"query_id", $"rank")
+        out
+      },
+      Some(OracleGen.knnIvfSql(dim = 64, nCells = 64, nProbe = 8, k = 5,
+        maxQueryId = 10)))
+  )
+}

@@ -62,7 +62,7 @@ object Knn {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16,
-              nProbe: Int = 2): DataFrame = {
+              nProbe: Int = 2, logOccupancy: Boolean = false): DataFrame = {
     // deterministic centroid sample: smallest md5(id-as-string) wins — a
     // cheap, seedless, reproducible spread (kmeans init would go here) that
     // any md5-capable engine reproduces, making the whole operator
@@ -89,6 +89,14 @@ object Knn {
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("cell",
         greatest(cellScores(col("c_vec")): _*).getField("cid"))
+    if (logOccupancy) {
+      // probe-cost evidence: per-cell candidate counts (≤nCells rows)
+      val occ = c.groupBy(col("cell")).count().orderBy(col("cell"))
+        .collect()
+      System.err.println(s"[ivf] nCells=${centroids.length} " +
+        s"nProbe=$nProbe occupancy: " +
+        occ.map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(" "))
+    }
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("__probe",

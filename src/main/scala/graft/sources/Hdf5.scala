@@ -141,6 +141,43 @@ final class Hdf5Reader(bytes: Array[Byte]) {
 
   def exists(path: String): Boolean = resolve(path).isDefined
 
+  // ---- attributes (v1 attribute messages, type 0x000C) ----
+
+  /** Attributes on an object header: scalar strings → String, 1-D
+    * fixed-length string arrays → Seq[String]. Other attribute shapes
+    * (none are written by this engine) are skipped. */
+  def readAttributes(headerAddr: Long): Map[String, Any] = {
+    readMessages(headerAddr).filter(_.msgType == 0x000C).flatMap { m =>
+      val p = m.dataPos
+      if (bytes(p) != 1) None // only v1 attribute messages
+      else {
+        def pad8(n: Int): Int = (n + 7) / 8 * 8
+        val nameSize = u16(p + 2)
+        val dtSize = u16(p + 4)
+        val dsSize = u16(p + 6)
+        val namePos = p + 8
+        val dtPos = namePos + pad8(nameSize)
+        val dsPos = dtPos + pad8(dtSize)
+        val dataPos = dsPos + pad8(dsSize)
+        val name = cString(namePos)
+        val dtClass = bytes(dtPos) & 0x0f
+        val elemSize = u32(dtPos + 4).toInt
+        val rank = bytes(dsPos + 1) & 0xff
+        def str(at: Int): String = {
+          var e = at
+          while (e < at + elemSize && bytes(e) != 0) e += 1
+          new String(bytes, at, e - at, "UTF-8")
+        }
+        if (dtClass != 3) None
+        else if (rank == 0) Some(name -> str(dataPos))
+        else if (rank == 1) {
+          val n = u64(dsPos + 8).toInt
+          Some(name -> (0 until n).map(i => str(dataPos + i * elemSize)))
+        } else None
+      }
+    }.toMap
+  }
+
   // ---- datasets ----
 
   /** (dims, dtypeClass, elemSize, dataOffset) of a contiguous dataset. */

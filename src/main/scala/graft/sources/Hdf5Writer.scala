@@ -4,8 +4,18 @@ package graft.sources
   * reference's pandas `out.hdf5` stores use and `Hdf5Reader` consumes:
   * superblock v0, old-style symbol-table groups (v1 b-tree + local heap
   * + SNOD), v1 object headers, contiguous little-endian float64 /
-  * int64 / fixed-length-string datasets. Written from the public HDF5
-  * file-format specification — no HDF5 library exists in this runtime.
+  * int64 / fixed-length-string datasets, and v1 ATTRIBUTE messages
+  * (scalar strings and 1-D string arrays — the anndata/mudata
+  * `encoding-type`/`encoding-version`/`column-order` convention).
+  * Written from the public HDF5 file-format specification — no HDF5
+  * library exists in this runtime.
+  *
+  * Dataset payloads can be supplied eagerly (arrays) or as ITERATORS
+  * (`*Stream` nodes): a stream node writes elements straight into the
+  * output buffer as they are pulled, so the writer never holds a second
+  * copy of a large matrix — the driver-memory bound of a sink like
+  * `CodexProduct.writeH5mu` is the produced file itself, not
+  * file + arrays + Rows.
   *
   * Serves two roles: test fixtures for the S-5 ingest path, and the
   * K-1 `.h5mu` last-mile sink (`CodexProduct.writeH5mu`,
@@ -20,6 +30,23 @@ object Hdf5Writer {
   final case class StringVector(values: Seq[String]) extends Node
   final case class LongVector(values: Seq[Long]) extends Node
   final case class DoubleVector(values: Array[Double]) extends Node
+  /** Iterator-fed variants: `values()` must yield exactly rows×cols (or
+    * n) elements; bytes are appended to the file buffer as pulled. */
+  final case class DoubleMatrixStream(rows: Int, cols: Int,
+      values: () => Iterator[Double]) extends Node
+  final case class DoubleVectorStream(n: Int,
+      values: () => Iterator[Double]) extends Node
+  final case class LongVectorStream(n: Int,
+      values: () => Iterator[Long]) extends Node
+
+  /** HDF5 attributes on any node (v1 attribute messages in the object
+    * header). Strings are fixed-length null-terminated — the same
+    * structural subset the datasets use. */
+  sealed trait Attr
+  final case class StrAttr(v: String) extends Attr
+  final case class StrArrayAttr(v: Seq[String]) extends Attr
+  final case class Attributed(node: Node, attrs: Seq[(String, Attr)])
+      extends Node
 
   /** Nested group chain ending in `leaf`: nest(Seq("a","b"), x) = /a/b=x */
   def nest(path: Seq[String], leaf: Node): Node =
@@ -59,10 +86,16 @@ object Hdf5Writer {
     def result: Array[Byte] = java.util.Arrays.copyOf(arr, pos)
   }
 
-  def write(root: Group): Array[Byte] = {
+  def write(root: Group): Array[Byte] = writeAttributed(root, Nil)
+
+  /** Root group with attributes (the mudata root carries
+    * encoding-type/encoding-version). */
+  def writeAttributed(root: Group,
+                      rootAttrs: Seq[(String, Attr)]): Array[Byte] = {
     val buf = new Buf
     buf.alloc(96) // superblock + root symbol table entry, filled last
-    val rootAddr = writeNode(buf, root)
+    val rootAddr = writeNode(buf,
+      if (rootAttrs.isEmpty) root else Attributed(root, rootAttrs))
     // superblock v0
     buf.putBytes(0, Hdf5Reader.Signature)
     // versions all 0; offset/length sizes 8; leaf/internal k; flags 0
@@ -77,62 +110,87 @@ object Hdf5Writer {
     buf.result
   }
 
-  private def writeNode(buf: Buf, node: Node): Long = node match {
-    case g: Group => writeGroup(buf, g)
-    case DoubleMatrix(r, c, v) =>
-      require(v.length == r * c, "row-major values length mismatch")
-      val data = buf.alloc(8 * v.length)
-      v.zipWithIndex.foreach { case (d, i) =>
-        buf.putU64(data + 8 * i, java.lang.Double.doubleToLongBits(d))
-      }
-      // datatype class 1 (float), v1; IEEE-754 LE double property block
-      val dt = Array[Byte](0x11, 0x20, 0x3f, 0x00, 8, 0, 0, 0,
-        0, 0, 64, 0, 52, 11, 0, 52, -1, 3, 0, 0)
-      writeHeader(buf, Seq(
-        0x0001 -> dataspace(Seq(r.toLong, c.toLong)),
-        0x0003 -> dt,
-        0x0008 -> layoutContiguous(data.toLong, 8L * v.length)))
-    case DoubleVector(v) =>
-      val data = buf.alloc(8 * v.length)
-      v.zipWithIndex.foreach { case (d, i) =>
-        buf.putU64(data + 8 * i, java.lang.Double.doubleToLongBits(d))
-      }
-      val dt = Array[Byte](0x11, 0x20, 0x3f, 0x00, 8, 0, 0, 0,
-        0, 0, 64, 0, 52, 11, 0, 52, -1, 3, 0, 0)
-      writeHeader(buf, Seq(
-        0x0001 -> dataspace(Seq(v.length.toLong)),
-        0x0003 -> dt,
-        0x0008 -> layoutContiguous(data.toLong, 8L * v.length)))
-    case LongVector(v) =>
-      val data = buf.alloc(8 * v.length)
-      v.zipWithIndex.foreach { case (l, i) => buf.putU64(data + 8 * i, l) }
-      // datatype class 0 (fixed-point), v1, signed LE, 64-bit
-      val dt = Array[Byte](0x10, 0x08, 0x00, 0x00, 8, 0, 0, 0,
-        0, 0, 64, 0)
-      writeHeader(buf, Seq(
-        0x0001 -> dataspace(Seq(v.length.toLong)),
-        0x0003 -> dt,
-        0x0008 -> layoutContiguous(data.toLong, 8L * v.length)))
-    case StringVector(v) =>
-      val elem =
-        (if (v.isEmpty) 0 else v.map(_.getBytes("UTF-8").length).max) + 1
-      val data = buf.alloc(elem * v.length)
-      v.zipWithIndex.foreach { case (s, i) =>
-        buf.putBytes(data + elem * i, s.getBytes("UTF-8"))
-      }
-      // datatype class 3 (string), v1, null-terminated ASCII
-      val dt = Array[Byte](0x13, 0x00, 0x00, 0x00) ++ {
-        val sz = new Array[Byte](4)
-        (0 until 4).foreach(i => sz(i) = (elem >> (8 * i)).toByte)
-        sz
-      }
-      writeHeader(buf, Seq(
-        0x0001 -> dataspace(Seq(v.length.toLong)),
-        0x0003 -> dt,
-        0x0008 -> layoutContiguous(data.toLong, elem.toLong * v.length)))
+  // IEEE-754 LE double (class 1) and signed LE int64 (class 0) datatype
+  // message bodies, shared by datasets and attributes
+  private val dtDouble = Array[Byte](0x11, 0x20, 0x3f, 0x00, 8, 0, 0, 0,
+    0, 0, 64, 0, 52, 11, 0, 52, -1, 3, 0, 0)
+  private val dtLong = Array[Byte](0x10, 0x08, 0x00, 0x00, 8, 0, 0, 0,
+    0, 0, 64, 0)
+  // datatype class 3 (string), v1, null-terminated ASCII, `elem` bytes
+  private def dtString(elem: Int): Array[Byte] =
+    Array[Byte](0x13, 0x00, 0x00, 0x00) ++ {
+      val sz = new Array[Byte](4)
+      (0 until 4).foreach(i => sz(i) = (elem >> (8 * i)).toByte)
+      sz
+    }
+
+  private def writeNode(buf: Buf, node: Node): Long = {
+    val (inner, attrs) = node match {
+      case Attributed(n, as) => (n, as)
+      case n => (n, Nil)
+    }
+    val msgs = inner match {
+      case g: Group => groupMessages(buf, g)
+      case DoubleMatrix(r, c, v) =>
+        require(v.length == r * c, "row-major values length mismatch")
+        doubleDataset(buf, Seq(r.toLong, c.toLong), v.iterator)
+      case DoubleMatrixStream(r, c, it) =>
+        doubleDataset(buf, Seq(r.toLong, c.toLong), it())
+      case DoubleVector(v) =>
+        doubleDataset(buf, Seq(v.length.toLong), v.iterator)
+      case DoubleVectorStream(n, it) =>
+        doubleDataset(buf, Seq(n.toLong), it())
+      case LongVector(v) =>
+        longDataset(buf, v.length, v.iterator)
+      case LongVectorStream(n, it) =>
+        longDataset(buf, n, it())
+      case StringVector(v) =>
+        val elem =
+          (if (v.isEmpty) 0 else v.map(_.getBytes("UTF-8").length).max) + 1
+        val data = buf.alloc(elem * v.length)
+        v.zipWithIndex.foreach { case (s, i) =>
+          buf.putBytes(data + elem * i, s.getBytes("UTF-8"))
+        }
+        Seq(
+          0x0001 -> dataspace(Seq(v.length.toLong)),
+          0x0003 -> dtString(elem),
+          0x0008 -> layoutContiguous(data.toLong, elem.toLong * v.length))
+      case a: Attributed =>
+        sys.error(s"nested Attributed is not supported: $a")
+    }
+    writeHeader(buf, msgs ++ attrs.map { case (n, a) =>
+      0x000C -> attrMessage(n, a) })
   }
 
-  private def writeGroup(buf: Buf, g: Group): Long = {
+  /** Contiguous float64 dataset appended element-by-element from the
+    * iterator — the chunked-append path: no caller-side array. */
+  private def doubleDataset(buf: Buf, dims: Seq[Long],
+                            it: Iterator[Double])
+      : Seq[(Int, Array[Byte])] = {
+    val n = dims.product
+    require(n <= Int.MaxValue / 8, s"dataset too large for one file: $dims")
+    val data = buf.alloc(8 * n.toInt)
+    var i = 0
+    while (it.hasNext) {
+      buf.putU64(data + 8 * i,
+        java.lang.Double.doubleToLongBits(it.next())); i += 1
+    }
+    require(i == n, s"iterator yielded $i values for dims $dims")
+    Seq(0x0001 -> dataspace(dims), 0x0003 -> dtDouble,
+      0x0008 -> layoutContiguous(data.toLong, 8L * n))
+  }
+
+  private def longDataset(buf: Buf, n: Int, it: Iterator[Long])
+      : Seq[(Int, Array[Byte])] = {
+    val data = buf.alloc(8 * n)
+    var i = 0
+    while (it.hasNext) { buf.putU64(data + 8 * i, it.next()); i += 1 }
+    require(i == n, s"iterator yielded $i values for length $n")
+    Seq(0x0001 -> dataspace(Seq(n.toLong)), 0x0003 -> dtLong,
+      0x0008 -> layoutContiguous(data.toLong, 8L * n))
+  }
+
+  private def groupMessages(buf: Buf, g: Group): Seq[(Int, Array[Byte])] = {
     val children = g.children.map { case (n, c) => (n, writeNode(buf, c)) }
       .sortBy(_._1)
     // local heap: names null-terminated, first at data offset 8
@@ -174,7 +232,40 @@ object Hdf5Writer {
       stMsg(i) = (btree.toLong >> (8 * i)).toByte
       stMsg(8 + i) = (heap.toLong >> (8 * i)).toByte
     }
-    writeHeader(buf, Seq(0x0011 -> stMsg))
+    Seq(0x0011 -> stMsg)
+  }
+
+  private def pad8(a: Array[Byte]): Array[Byte] =
+    a ++ new Array[Byte]((8 - a.length % 8) % 8)
+
+  /** v1 attribute message: name + datatype + dataspace (each padded to
+    * 8) + raw data. Scalar string → rank-0 dataspace; string array →
+    * rank-1 over fixed-length elements. */
+  private def attrMessage(name: String, a: Attr): Array[Byte] = {
+    val nameB = name.getBytes("UTF-8") :+ 0.toByte
+    val (dt, ds, data) = a match {
+      case StrAttr(v) =>
+        val vb = v.getBytes("UTF-8") :+ 0.toByte
+        (dtString(vb.length), dataspace(Seq.empty), vb)
+      case StrArrayAttr(vs) =>
+        val elem =
+          (if (vs.isEmpty) 0 else vs.map(_.getBytes("UTF-8").length).max) + 1
+        val arr = new Array[Byte](elem * vs.size)
+        vs.zipWithIndex.foreach { case (s, i) =>
+          val b = s.getBytes("UTF-8")
+          System.arraycopy(b, 0, arr, elem * i, b.length)
+        }
+        (dtString(elem), dataspace(Seq(vs.size.toLong)), arr)
+    }
+    val head = new Array[Byte](8)
+    head(0) = 1 // version 1
+    head(2) = (nameB.length & 0xff).toByte
+    head(3) = ((nameB.length >> 8) & 0xff).toByte
+    head(4) = (dt.length & 0xff).toByte
+    head(5) = ((dt.length >> 8) & 0xff).toByte
+    head(6) = (ds.length & 0xff).toByte
+    head(7) = ((ds.length >> 8) & 0xff).toByte
+    head ++ pad8(nameB) ++ pad8(dt) ++ pad8(ds) ++ data
   }
 
   private def dataspace(dims: Seq[Long]): Array[Byte] = {
@@ -197,9 +288,7 @@ object Hdf5Writer {
   }
 
   private def writeHeader(buf: Buf, msgs: Seq[(Int, Array[Byte])]): Long = {
-    val padded = msgs.map { case (t, d) =>
-      (t, d ++ new Array[Byte]((8 - d.length % 8) % 8))
-    }
+    val padded = msgs.map { case (t, d) => (t, pad8(d)) }
     val bodySize = padded.map(8 + _._2.length).sum
     val p = buf.alloc(16 + bodySize)
     buf.put8(p, 1) // object header version 1

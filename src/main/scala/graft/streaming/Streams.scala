@@ -19,6 +19,13 @@ case class SessionState(lastTs: Long, sessions: Long, events: Long)
   */
 object Streams {
 
+  /** Last executed micro-batch plan per memory-sink query name (see
+    * runToMemoryMode's capture) — spec evidence for stream-static join
+    * shapes. */
+  private val lastPlans =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def lastPlan(name: String): Option[String] = Option(lastPlans.get(name))
+
   /** File-arrival stream over a parquet directory. `maxFilesPerTrigger`
     * bounds per-batch work — the knob that keeps batch latency flat as the
     * directory grows to millions of files.
@@ -195,7 +202,15 @@ object Streams {
         .format("memory").queryName(name).outputMode(mode)
         .option("checkpointLocation", ckpt)
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally {
+        // capture the final micro-batch's executed plan BEFORE stop():
+        // stream-static join shape (broadcast vs shuffled) is a plan
+        // property specs assert on via lastPlan(name)
+        try lastPlans.put(name,
+          org.apache.spark.sql.GraftStreamBridge.lastExecutedPlan(q))
+        catch { case _: Throwable => () }
+        q.stop()
+      }
       if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
         q.recentProgress.foreach(p => System.err.println(
           s"[stream] batch=${p.batchId} rows=${p.numInputRows} " +

@@ -42,7 +42,13 @@ class BucketingSpec extends AnyFunSuite {
       .option("path", s"$tmp/dims4").saveAsTable("dims_bspec4")
     val j2 = spark.table("facts_bspec").hint("merge")
       .join(spark.table("dims_bspec4").hint("merge"), Seq("k"))
-    assert(executed(j2).contains("Exchange"))
-    graft.queries.Scratch.rmTree(tmp.toFile)
+    try assert(executed(j2).contains("Exchange"))
+    finally {
+      // drop before deleting the backing dirs: dangling catalog entries
+      // in the shared TestSpark session would pollute later suites
+      Seq("facts_bspec", "dims_bspec", "dims_bspec4")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.queries.Scratch.rmTree(tmp.toFile)
+    }
   }
 }

@@ -1,0 +1,43 @@
+package graft
+
+import graft.ops.Relational
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 operator hardening: the build-side-sized native Bloom prune
+  * at a cardinality (10^6 keys) where the legacy 64 Kbit literal bitmap
+  * is fully saturated, and the streaming plan-capture hook.
+  */
+class Round7OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("native bloom prune holds FPR and prunes at 10^6 build keys") {
+    val nBuild = 1000000L
+    val build = spark.range(nBuild).toDF("bk")
+    val probe = spark.range(2L * nBuild).toDF("pk")
+    val bytes = Relational.buildBloom(build, "bk", fpp = 0.01)
+    // sketch is sketch-sized: ~1.2 MB for 1e6 keys @ 1% fpp, not key-rows
+    assert(bytes.length < 2 * 1200 * 1024,
+      s"bloom bytes unexpectedly large: ${bytes.length}")
+    val survivors = probe
+      .filter(Relational.bloomMightContain(bytes, col("pk"))).count()
+    // no false negatives: every one of the 1e6 true members survives
+    assert(survivors >= nBuild, s"false negatives: $survivors < $nBuild")
+    val fpRate = (survivors - nBuild).toDouble / nBuild
+    assert(fpRate < 0.03, s"false-positive rate $fpRate above 3×fpp")
+    // the prune is REAL at this cardinality: >97% of non-members die
+    // before the exchange (the 64 Kbit legacy bitmap would pass ~100%)
+    assert(2 * nBuild - survivors > (0.97 * nBuild).toLong)
+  }
+
+  test("bloomPrunedJoinAuto equals the plain join exactly") {
+    val build = spark.range(0, 3000, 7).toDF("bk") // sparse keys
+    val probe = spark.range(10000).toDF("pk")
+    val got = Relational.bloomPrunedJoinAuto(probe, build, "pk", "bk")
+      .select($"pk").orderBy($"pk").as[Long].collect().toSeq
+    val want = probe.join(build, $"pk" === $"bk")
+      .select($"pk").orderBy($"pk").as[Long].collect().toSeq
+    assert(got == want)
+  }
+}

@@ -193,6 +193,117 @@ object Round7Queries {
              |WHERE o_orderpriority = '1-URGENT'
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    Q("d_incremental_index_append",
+      "The STORED band index, closed-loop: d_incremental_dedup's scale " +
+        "story says the index side is a persisted band table APPENDED " +
+        "per batch, never recomputed — this query runs that lifecycle. " +
+        "The corpus's MinHash band buckets are written ONCE as a " +
+        "parquet table PARTITIONED BY band (probes prune to touched " +
+        "band partitions; appends touch only arriving partitions); " +
+        "day-1's batch (doc_id % 20 = 0) is appended as new files " +
+        "without rewriting the corpus index; day-2's batch " +
+        "(doc_id % 20 = 10) then probes the UPDATED on-disk index, so " +
+        "its collision counts include day-1 arrivals — cross-batch " +
+        "dedup without any recompute. The oracle replays the union " +
+        "index relationally.",
+      (s, d) => {
+        import s.implicits._
+        val root = Scratch.cachedDir(s"bandindex:$d") { tmp =>
+          val docs = Tables.documents(s, d)
+          val p = s"${tmp.getAbsolutePath}/band_index"
+          Dedup.minhashBucketsPortable(
+              docs.filter($"doc_id" % 10 =!= 0), "doc_id", "text",
+              shingleN = 5, bands = 8, rowsPerBand = 2)
+            .write.partitionBy("band").parquet(p)
+          Dedup.minhashBucketsPortable(
+              docs.filter($"doc_id" % 20 === 0), "doc_id", "text",
+              shingleN = 5, bands = 8, rowsPerBand = 2)
+            .write.mode("append").partitionBy("band").parquet(p)
+        }.getAbsolutePath
+        val idx = s.read.parquet(s"$root/band_index")
+          .select($"id".as("idx_id"), $"band", $"band_hash")
+        val day2 = Tables.documents(s, d).filter($"doc_id" % 20 === 10)
+        val matches = Dedup.minhashBucketsPortable(day2, "doc_id",
+            "text", shingleN = 5, bands = 8, rowsPerBand = 2)
+          .join(idx, Seq("band", "band_hash"))
+          .select($"id".as("doc_id"), $"idx_id").distinct()
+          .groupBy($"doc_id").agg(count(lit(1)).as("c"))
+        day2.select($"doc_id").distinct()
+          .join(matches, Seq("doc_id"), "left")
+          .select($"doc_id", coalesce($"c", lit(0L)).as("n_index_matches"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH ${OracleGen.minhashBucketsCte(5, 8, 2)},
+              |ix AS (SELECT * FROM mh_buckets
+              |       WHERE doc_id % 10 <> 0 OR doc_id % 20 = 0),
+              |b2 AS (SELECT * FROM mh_buckets WHERE doc_id % 20 = 10),
+              |m AS (
+              |  SELECT DISTINCT b.doc_id AS doc_id, i.doc_id AS idx_id
+              |  FROM b2 b JOIN ix i
+              |    ON b.band = i.band AND b.band_hash = i.band_hash),
+              |cnt AS (SELECT doc_id, count(*) AS c FROM m GROUP BY doc_id)
+              |SELECT d.doc_id,
+              |  CAST(coalesce(c, 0) AS BIGINT) AS n_index_matches
+              |FROM (SELECT DISTINCT doc_id FROM documents
+              |      WHERE doc_id % 20 = 10) d
+              |LEFT JOIN cnt USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    Q("e_knn_sq8_rerank",
+      "Two-stage ANN serving: int8 candidate generation (exact integer " +
+        "code dots over the whole corpus — 4× less data through the " +
+        "wide join) followed by exact float cosine RE-RANK of the ≤20-" +
+        "per-query candidate list, fetched by a candidate-id join back " +
+        "to the corpus so full-precision vectors never ride the wide " +
+        "join. The production retrieval pattern, end-to-end " +
+        "deterministic, oracle-exact (quantization, integer dots, and " +
+        "the cosine expansion all replay bit-identically in DuckDB).",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        graft.similarity.Knn.sq8RerankTopK(emb,
+            emb.filter($"vec_id" < 10), "vec_id", "embedding",
+            k = 5, candidates = 20)
+          .select($"query_id", $"neighbor_id",
+            $"rank".cast("long").as("rank"), $"cosine")
+          .orderBy($"query_id", $"rank")
+      },
+      Some(s"""WITH c AS (
+              |  SELECT vec_id,
+              |    list_transform(embedding, x ->
+              |      CAST(floor(CAST(x AS DOUBLE) *
+              |        (CASE WHEN m = 0 THEN 0 ELSE 127.0 / m END)
+              |        + 0.5) AS BIGINT)) AS codes
+              |  FROM (
+              |    SELECT vec_id, embedding,
+              |      list_max(list_transform(embedding,
+              |        x -> abs(CAST(x AS DOUBLE)))) AS m
+              |    FROM embeddings)),
+              |p AS (
+              |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+              |    CAST(list_sum(list_transform(
+              |      range(1, len(q.codes) + 1),
+              |      i -> q.codes[i] * n.codes[i])) AS BIGINT) AS qdot
+              |  FROM c q JOIN c n
+              |    ON q.vec_id < 10 AND n.vec_id <> q.vec_id),
+              |cand AS (
+              |  SELECT query_id, neighbor_id,
+              |    row_number() OVER (PARTITION BY query_id
+              |      ORDER BY qdot DESC, neighbor_id) AS crank
+              |  FROM p QUALIFY crank <= 20),
+              |rr AS (
+              |  SELECT cand.query_id, cand.neighbor_id,
+              |    ${OracleGen.cosExpr("q", "e", 64)} AS cos
+              |  FROM cand
+              |  JOIN embeddings q ON q.vec_id = cand.query_id
+              |  JOIN embeddings e ON e.vec_id = cand.neighbor_id)
+              |SELECT query_id, neighbor_id,
+              |  CAST(row_number() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+              |  round(cos, 6) AS cosine
+              |FROM rr
+              |QUALIFY rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)),
+
     Q("e_knn_ivf_probe",
       "IVF recall knobs at bench scale — e_knn_ivf's pinned " +
         "nCells=16/nProbe=3 exercised at nCells=64/nProbe=8: 4× finer " +

@@ -142,6 +142,45 @@ object Knn {
         col("qdot"))
   }
 
+  /** Two-stage ANN serving shape: int8 CANDIDATE GENERATION then exact
+    * float RE-RANK of the short list — the standard production retrieval
+    * pattern. Stage 1 is [[sq8TopK]]'s integer-dot scoring over code
+    * vectors only (4× less data through the corpus-wide join, bit-
+    * reproducible candidate set); stage 2 joins the ≤`candidates`-per-
+    * query id list BACK to the corpus to fetch float vectors — full-
+    * precision cosines are computed for candidates only, so the float
+    * column never rides the wide join. Both stages are deterministic,
+    * so the composition stays under the exact oracle gate.
+    */
+  def sq8RerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, candidates: Int): DataFrame = {
+    require(candidates >= k, "candidate list must be at least k")
+    val q8 = broadcast(queries.select(col(idCol).as("query_id"),
+      vec_sq8(col(vecCol)).as("q_codes")))
+    val c8 = corpus.select(col(idCol).as("neighbor_id"),
+      vec_sq8(col(vecCol)).as("c_codes"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("neighbor_id"))
+    val cand = c8.join(q8, col("query_id") =!= col("neighbor_id"))
+      .withColumn("qdot", vec_i8_dot(col("q_codes"), col("c_codes")))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_raw").desc, col("neighbor_id"))
+    cand
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("c_vec")), Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .withColumn("cosine_raw", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine_raw"), 6).as("cosine"))
+  }
+
   /** Bucketed ANN top-k with multi-probe: each query probes its own bucket
     * plus (radius-1) every bucket one sign-flip away — the standard recall
     * lever that costs `nPlanes` extra probes per QUERY (the small side)

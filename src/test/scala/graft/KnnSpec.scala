@@ -83,6 +83,28 @@ class KnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("sq8 rerank with corpus-wide candidates equals brute force") {
+    // candidates = |corpus| makes stage 1 a no-op filter, so the exact
+    // re-rank must reproduce the brute-force ranking verbatim
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val queries = emb.filter($"vec_id" < 5)
+    val n = emb.count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id", $"rank")
+        .orderBy($"query_id", $"rank")
+        .as[(Long, Long, Int)].collect().toSeq
+    val brute = rows(Knn.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", 5))
+    val rerank = rows(Knn.sq8RerankTopK(emb, queries, "vec_id",
+      "embedding", k = 5, candidates = n))
+    assert(rerank == brute)
+    // and a tight candidate list still recalls most of the true top-k
+    val tight = rows(Knn.sq8RerankTopK(emb, queries, "vec_id",
+      "embedding", k = 5, candidates = 20)).map(t => (t._1, t._2)).toSet
+    val bSet = brute.map(t => (t._1, t._2)).toSet
+    assert((bSet & tight).size.toDouble / bSet.size >= 0.7)
+  }
+
   test("null array elements propagate NULL, never read as 0.0") {
     val df = Seq(
       (1L, Seq[java.lang.Float](1.0f, null, 3.0f), Seq[java.lang.Float](1.0f, 1.0f, 1.0f)),

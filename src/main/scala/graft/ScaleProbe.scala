@@ -29,7 +29,8 @@ object ScaleProbe {
     "d_simhash", "t_tfidf_top", "t_ngram_novelty",
     "d_incremental_dedup", "agg_heavy_hitters", "e_knn_brute",
     "e_knn_sq8", "curate_pack_pipeline", "p_epoch_shuffle",
-    "p_negative_sample")
+    "p_negative_sample", "d_incremental_index_append",
+    "e_knn_sq8_rerank")
 
   def main(args: Array[String]): Unit = {
     val guard = args.headOption.contains("guard")

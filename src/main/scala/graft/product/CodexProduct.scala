@@ -462,9 +462,12 @@ object CodexProduct {
     // recomputing the sorted scan costs one extra job; holding a
     // second driver-side matrix would cost the memory bound.
     def matrixStream(valueCol: String): () => Iterator[Double] = () => {
+      // value as a sort tiebreaker: a (cell, channel) duplicate would
+      // otherwise leave which row streams first nondeterministic —
+      // with it, gapFill's first-wins is a stable choice (the min)
       val entries = bundle.xLong
         .select(col("cell_id"), col("channel"), col(valueCol))
-        .orderBy(col("cell_id"), col("channel"))
+        .orderBy(col("cell_id"), col("channel"), col(valueCol))
         .toLocalIterator().asScala
         .flatMap { r =>
           (obsIdx.get(r.getString(0)), varIdx.get(r.getString(1))) match {

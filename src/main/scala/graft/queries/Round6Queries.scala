@@ -250,8 +250,9 @@ object Round6Queries {
         "no corpus access, no per-event shuffle; the only stateful op " +
         "is the per-doc collision rollup. (At corpus scales beyond " +
         "broadcast the index side becomes a shuffled stream-static " +
-        "join on (band, band_hash) — same plan shape, still " +
-        "batch-proportional.) Collision counts (not distinct-doc " +
+        "join on (band, band_hash) — demonstrated plan-asserted as " +
+        "stream_incremental_dedup_shuffled.) Collision counts (not " +
+        "distinct-doc " +
         "counts — no second stateful op needed) are deterministic, so " +
         "the oracle replays them exactly; 0 collisions = novel.",
       (s, d) => {

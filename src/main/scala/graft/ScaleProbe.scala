@@ -112,21 +112,34 @@ object ScaleProbe {
       require(java.nio.file.Files.exists(basePath),
         "SCALE_RATIOS.json baseline missing — run ScaleProbe 8 and " +
           "commit scale_probe_8x.json as SCALE_RATIOS.json")
-      val base = java.nio.file.Files.readString(basePath)
-      val ratioRe = """"([^"]+)":\{"t1":[^,]+,"tk":[^,]+,"ratio":([0-9.]+)\}""".r
-      val baseRatios = ratioRe.findAllMatchIn(base)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      val regressions = measured.flatMap { case (q, t1, tk) =>
-        baseRatios.get(q).collect {
-          // tolerance 2×: host-load noise swings ratios well under 2×
-          // on overhead-bound probes; a quadratic blows straight past
-          case b if tk / t1 > 2.0 * math.max(b, 1.0) =>
-            f"$q: ratio ${tk / t1}%.2f vs baseline $b%.2f (>2x)"
-        }
-      }
+      val regressions =
+        checkGuard(java.nio.file.Files.readString(basePath), measured)
       if (regressions.nonEmpty)
         sys.error("SCALE GUARD FAILED\n" + regressions.mkString("\n"))
       println(s"SCALE GUARD OK (${measured.size} probes vs baseline)")
+    }
+  }
+
+  /** Pure guard comparison (unit-tested): measured (query, t1, tK)
+    * triples vs the committed baseline JSON. A probe regresses when its
+    * ratio exceeds 2× its baseline ratio (floored at 1.0 so a
+    * sub-linear baseline is not an impossible bar); probes absent from
+    * the baseline are skipped (they enter it on the next refresh).
+    * Tolerance rationale: host-load noise swings overhead-bound probe
+    * ratios well under 2×; a reintroduced quadratic blows straight
+    * past it at 8×.
+    */
+  def checkGuard(baselineJson: String,
+                 measured: Seq[(String, Double, Double)]): Seq[String] = {
+    val ratioRe =
+      """"([^"]+)":\{"t1":[^,]+,"tk":[^,]+,"ratio":([0-9.]+)\}""".r
+    val baseRatios = ratioRe.findAllMatchIn(baselineJson)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    measured.flatMap { case (q, t1, tk) =>
+      baseRatios.get(q).collect {
+        case b if tk / t1 > 2.0 * math.max(b, 1.0) =>
+          f"$q: ratio ${tk / t1}%.2f vs baseline $b%.2f (>2x)"
+      }
     }
   }
 }

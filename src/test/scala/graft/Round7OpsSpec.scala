@@ -31,6 +31,29 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(2 * nBuild - survivors > (0.97 * nBuild).toLong)
   }
 
+  test("scale guard trips on >2x ratio regression, tolerates noise") {
+    // baseline in the exact format ScaleProbe writes (committed as
+    // SCALE_RATIOS.json)
+    val base =
+      """{"k":8,"sf":"/x","queries":{"a":{"t1":0.300,"tk":0.600,"ratio":2.000},
+        |"b":{"t1":0.500,"tk":0.400,"ratio":0.800}}}""".stripMargin
+    // a: 2.0 baseline → trips only above 4.0
+    assert(ScaleProbe.checkGuard(base, Seq(("a", 0.3, 1.1))).isEmpty)
+    assert(ScaleProbe.checkGuard(base, Seq(("a", 0.3, 1.3))).nonEmpty)
+    // b: sub-linear baseline floored at 1.0 → trips only above 2.0
+    assert(ScaleProbe.checkGuard(base, Seq(("b", 0.5, 0.9))).isEmpty)
+    assert(ScaleProbe.checkGuard(base, Seq(("b", 0.5, 1.1))).nonEmpty)
+    // probes not in the baseline are skipped, not errors
+    assert(ScaleProbe.checkGuard(base, Seq(("new_q", 0.1, 9.9))).isEmpty)
+    // the real committed baseline parses and covers the probe list
+    val committed = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("SCALE_RATIOS.json"))
+    val parsed = """"([a-z0-9_]+)":\{"t1"""".r
+      .findAllMatchIn(committed).map(_.group(1)).toSet
+    assert(ScaleProbe.probes.toSet.subsetOf(parsed),
+      s"baseline missing probes: ${ScaleProbe.probes.toSet -- parsed}")
+  }
+
   test("bloomPrunedJoinAuto equals the plain join exactly") {
     val build = spark.range(0, 3000, 7).toDF("bk") // sparse keys
     val probe = spark.range(10000).toDF("pk")

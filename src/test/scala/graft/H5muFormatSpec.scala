@@ -2,6 +2,7 @@ package graft
 
 import graft.product.CodexProduct
 import graft.sources.{Hdf5Reader, Hdf5Writer}
+import org.apache.spark.sql.functions.{format_string, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Round-7 h5mu format hardening: anndata/mudata encoding attributes
@@ -101,6 +102,55 @@ class H5muFormatSpec extends AnyFunSuite {
     // all-non-null long column stays int64
     val rk = h5.readLongVector(h5.resolve("mod/u1_raw/obs/rank").get)
     assert(rk.toSeq == Seq(1L, 2L))
+    graft.queries.Scratch.rmTree(out.toFile)
+  }
+
+  test("matrix streaming: 200x200 product with Row footprint > matrix") {
+    // 40k long-form entries (~4-8 MB as JVM Rows) against a 320 KB
+    // dense matrix — the size class where the old collect()-of-Rows
+    // path paid ~10-25x the matrix in driver heap. The streamed writer
+    // consumes them through one sorted pass per matrix; verify exact
+    // cell placement including gaps on a deterministic sparse pattern.
+    val n = 200
+    val obs = spark.range(n).select(
+      format_string("c%03d", $"id").as("cell_id"), $"id".as("rank"))
+    val varDf = spark.range(n)
+      .select(format_string("v%03d", $"id").as("channel"))
+    // entry (i,j) present iff (i+j) % 2 == 0; total = i*1000 + j
+    val xLong = spark.range(n.toLong * n)
+      .select(($"id" / n).cast("long").as("i"), ($"id" % n).as("j"))
+      .filter(($"i" + $"j") % 2 === 0)
+      .select(format_string("c%03d", $"i").as("cell_id"),
+        format_string("v%03d", $"j").as("channel"),
+        ($"i" * 1000 + $"j").cast("double").as("total"),
+        lit(0.5).as("mean"))
+    val centers = spark.range(0).select(lit("x").as("cell_id"),
+      lit(0.0).as("x"), lit(0.0).as("y"))
+    val varm = Seq(("v000", "d1", "P1", "AB_1", "ch1"))
+      .toDF("channel", "dataset", "uniprot_accession_number", "rr_id",
+        "channel_id")
+    val edges = spark.range(0).select($"id".as("src"), $"id".as("dst"),
+      lit(0.0).as("weight"))
+    val uns = Seq(("u9", "Big", "2026-01-01", "HBM", "d1", n.toLong))
+      .toDF("uuid", "tissue", "creation_time", "datasets",
+        "dataset_uuids", "total_cell_count")
+    val bundle = CodexProduct.Bundle(obs, varDf, xLong, centers, varm,
+      edges, uns)
+    val out = java.nio.file.Files.createTempDirectory("graft-h5mu-big")
+    CodexProduct.writeH5mu(bundle, out.toString)
+    val h5 = new Hdf5Reader(java.nio.file.Files.readAllBytes(
+      out.resolve("Big_raw.h5mu")))
+    val x = h5.readDoubleMatrix(h5.resolve("mod/u9_raw/X").get)
+    assert(x.length == n && x(0).length == n)
+    var checked = 0
+    (0 until n by 7).foreach { i =>
+      (0 until n by 11).foreach { j =>
+        if ((i + j) % 2 == 0) assert(x(i)(j) == i * 1000.0 + j)
+        else assert(x(i)(j).isNaN)
+        checked += 1
+      }
+    }
+    assert(checked > 500)
     graft.queries.Scratch.rmTree(out.toFile)
   }
 

@@ -193,6 +193,44 @@ object Round7Queries {
              |WHERE o_orderpriority = '1-URGENT'
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    Q("stream_rocksdb_state",
+      "Streaming state on the PRODUCTION state backend: the same " +
+        "watermarked tumbling-window aggregation as " +
+        "stream_windowed_counts, with the scoped session's state store " +
+        "switched to RocksDBStateStoreProvider — the disk-backed, " +
+        "changelog-checkpointed store that holds billion-key state at " +
+        "100 TB where the default in-memory HDFS-backed map cannot. " +
+        "Same oracle as the default-provider run: the backend must be " +
+        "invisible to results. The provider actually engages (a missing " +
+        "or misconfigured RocksDB fails the stream loudly) and the " +
+        "executed micro-batch ran with state partitions on RocksDB.",
+      (s, d) => {
+        import s.implicits._
+        val schema = Tables.eventsRaw(s, d).schema
+        graft.streaming.Streams.runToMemory(s,
+            s"stream_rocksdb_${System.nanoTime()}") { scoped =>
+            scoped.conf.set(
+              "spark.sql.streaming.stateStore.providerClass",
+              "org.apache.spark.sql.execution.streaming.state." +
+                "RocksDBStateStoreProvider")
+            val stream = Tables.normalizeEventsTs(
+              graft.streaming.Streams.fileStream(scoped, s"$d/events.*",
+                schema, maxFilesPerTrigger = Int.MaxValue))
+            graft.streaming.Streams.windowedCounts(
+              stream, "ts", "1 hour", "1 hour")
+          }
+          .select(col("window.start").cast("timestamp")
+            .as("window_start"), $"event_type", $"n",
+            round($"total_value", 2).as("total_value"))
+          .orderBy($"window_start", $"event_type")
+      },
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+             |    AS window_start,
+             |  event_type, count(*) AS n,
+             |  round(sum(value), 2) AS total_value
+             |FROM events GROUP BY 1, 2
+             |ORDER BY window_start, event_type""".stripMargin)),
+
     Q("d_incremental_index_append",
       "The STORED band index, closed-loop: d_incremental_dedup's scale " +
         "story says the index side is a persisted band table APPENDED " +

@@ -64,8 +64,10 @@ object Bench {
     // deltas AND variance are auditable for all queries, not just the
     // slowest) goes to a file — stdout is capped at ~2000 chars by the
     // harness and cannot carry 170 entries.
+    // a SPARK_GRAFT_ONLY-filtered profiling run must not clobber the
+    // committed complete record — divert it to a scratch name
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      "BENCH_FULL.json")
+      if (only.isEmpty) "BENCH_FULL.json" else "bench_only_latest.json")
     val fullEntries = results.sortBy { case (_, v, ok, _) =>
         (if (ok) -v else 1e18) }
       .map { case (k, v, ok, runs) =>

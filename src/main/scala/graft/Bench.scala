@@ -41,16 +41,21 @@ object Bench {
     }
     val results = selected.map {
       case (name, fn) =>
-        val (dt1, ok) = timeOne(name, fn)
+        val (dt1, ok1) = timeOne(name, fn)
         // short queries are fixed-overhead-dominated and the ones whose
         // recorded times drift 3× with host load — re-run and keep the
         // min (3 runs under 3 s, 2 runs under 10 s). Long queries are
         // work-dominated (noise is proportional, a rerun doubles real
         // cost), so one pass stands.
         val reruns =
-          if (!ok) 0 else if (dt1 < 3.0) 2 else if (dt1 < 10.0) 1 else 0
-        val runs = dt1 +: Seq.fill(reruns)(timeOne(name, fn)._1)
-        val dt = runs.min
+          if (!ok1) 0 else if (dt1 < 3.0) 2 else if (dt1 < 10.0) 1 else 0
+        val later = Seq.fill(reruns)(timeOne(name, fn))
+        // EVERY run must succeed: a crashed rerun's tiny elapsed time
+        // must neither become the recorded min nor hide behind a green
+        // first run — intermittent failure is failure
+        val ok = ok1 && later.forall(_._2)
+        val runs = dt1 +: later.map(_._1)
+        val dt = (dt1 +: later.collect { case (t, true) => t }).min
         System.err.println(
           f"[bench] $name $dt%.2fs (runs ${runs.map(r => f"$r%.2f").mkString("/")})")
         (name, dt, ok, runs)

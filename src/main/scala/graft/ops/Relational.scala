@@ -351,8 +351,12 @@ object Relational {
     * computed build frames and non-join-adjacent probe exchanges).
     * False positives are removed by the exact join, so the result equals
     * the plain join by construction at ANY build-side cardinality; the
-    * `expectedKeys` knob (defaults to one build-side count() job)
-    * controls the sketch's size/FPR trade.
+    * `expectedKeys` knob controls the sketch's size/FPR trade — omitted,
+    * the sketch is sized by a fixed 2^24-bit budget in a SINGLE pass
+    * over the build side (no count() pre-job: on the computed build
+    * frames this operator exists for, a second evaluation is the
+    * expensive part; past ~10^6 keys the fpp degrades gracefully — the
+    * prune weakens, correctness never does).
     */
   def bloomPrunedJoinAuto(probe: DataFrame, build: DataFrame,
                           probeKey: String, buildKey: String,
@@ -369,7 +373,11 @@ object Relational {
     * built over xxhash64(key) because `BloomFilterMightContain` probes
     * with xxhash64(key); `df.stat.bloomFilter` inserts RAW keys under a
     * different hash family and would false-negative on every probe).
-    * Bits sized from the key estimate: m = ⌈−n·ln(fpp)/ln²2⌉.
+    * With `expectedKeys` the bits are sized exactly
+    * (m = ⌈−n·ln(fpp)/ln²2⌉); without it NO counting pre-job runs —
+    * the sketch takes a fixed 2^24-bit (2 MB) budget, ~3·10^-4 fpp at
+    * 10^6 keys, degrading gracefully beyond — so the build side is
+    * evaluated exactly ONCE here either way.
     */
   def buildBloom(build: DataFrame, key: String, fpp: Double = 0.01,
                  expectedKeys: Long = -1L): Array[Byte] = {
@@ -377,10 +385,14 @@ object Relational {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.
       BloomFilterAggregate
-    val n = if (expectedKeys > 0) expectedKeys
-      else math.max(64L, build.count())
-    val numBits = math.max(64L,
-      math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val (n, numBits) =
+      if (expectedKeys > 0)
+        (expectedKeys, math.max(64L, math.ceil(-expectedKeys *
+          math.log(fpp) / (math.log(2) * math.log(2))).toLong))
+      else {
+        val bits = 1L << 24
+        (bits / 14, bits) // n estimate tunes k ≈ ln2·m/n for ~1% fpp
+      }
     val agg = new BloomFilterAggregate(
       new XxHash64(Seq(GraftColumnBridge.expression(col(key)))),
       Literal(n), Literal(numBits)).toAggregateExpression()

@@ -424,8 +424,10 @@ object CodexProduct {
     * this sink is bounded by ONE product's cells × channels matrix —
     * exactly the reference's own in-RAM AnnData model
     * (`bin/concatenate.py:420-456`); the distributed axis is across
-    * products, never within one (`writeH5muPerTissue` demonstrates it).
-    * All other components stay distributed in the parquet bundle.
+    * products, never within one (the `codex_multi_tissue` query in
+    * `queries/Round7Queries.scala` demonstrates it: N per-tissue builds
+    * in parallel, one artifact each). All other components stay
+    * distributed in the parquet bundle.
     *
     * Driver MEMORY is bounded by the produced file, not by Row
     * materializations: the two dense matrices stream through sorted
@@ -462,17 +464,21 @@ object CodexProduct {
     // recomputing the sorted scan costs one extra job; holding a
     // second driver-side matrix would cost the memory bound.
     def matrixStream(valueCol: String): () => Iterator[Double] = () => {
-      // value as a sort tiebreaker: a (cell, channel) duplicate would
-      // otherwise leave which row streams first nondeterministic —
-      // with it, gapFill's first-wins is a stable choice (the min)
+      // BOTH value columns ride the sort keys (in fixed order), so a
+      // (cell, channel) duplicate resolves to the SAME winning row in
+      // the X pass and the mean pass — the two matrices never pair a
+      // total and a mean that exist in no single input row, and
+      // first-wins is a stable (min-by-(total, mean)) choice
+      val vAt = if (valueCol == "total") 2 else 3
       val entries = bundle.xLong
-        .select(col("cell_id"), col("channel"), col(valueCol))
-        .orderBy(col("cell_id"), col("channel"), col(valueCol))
+        .select(col("cell_id"), col("channel"), col("total"), col("mean"))
+        .orderBy(col("cell_id"), col("channel"), col("total"),
+          col("mean"))
         .toLocalIterator().asScala
         .flatMap { r =>
           (obsIdx.get(r.getString(0)), varIdx.get(r.getString(1))) match {
-            case (Some(i), Some(j)) if !r.isNullAt(2) =>
-              Iterator.single((i.toLong * nVar + j, r.getDouble(2)))
+            case (Some(i), Some(j)) if !r.isNullAt(vAt) =>
+              Iterator.single((i.toLong * nVar + j, r.getDouble(vAt)))
             case _ => Iterator.empty
           }
         }

@@ -201,14 +201,15 @@ object Round7Queries {
         "changelog-checkpointed store that holds billion-key state at " +
         "100 TB where the default in-memory HDFS-backed map cannot. " +
         "Same oracle as the default-provider run: the backend must be " +
-        "invisible to results. The provider actually engages (a missing " +
-        "or misconfigured RocksDB fails the stream loudly) and the " +
-        "executed micro-batch ran with state partitions on RocksDB.",
+        "invisible to results. Engagement is ASSERTED in-query from the " +
+        "streaming progress (RocksDB's custom state metrics must appear " +
+        "— a silently ignored conf key falling back to the default " +
+        "provider fails the run, it cannot pass vacuously).",
       (s, d) => {
         import s.implicits._
         val schema = Tables.eventsRaw(s, d).schema
-        graft.streaming.Streams.runToMemory(s,
-            s"stream_rocksdb_${System.nanoTime()}") { scoped =>
+        val qname = s"stream_rocksdb_${System.nanoTime()}"
+        val out = graft.streaming.Streams.runToMemory(s, qname) { scoped =>
             scoped.conf.set(
               "spark.sql.streaming.stateStore.providerClass",
               "org.apache.spark.sql.execution.streaming.state." +
@@ -219,6 +220,12 @@ object Round7Queries {
             graft.streaming.Streams.windowedCounts(
               stream, "ts", "1 hour", "1 hour")
           }
+        val progress =
+          graft.streaming.Streams.lastProgressJson(qname).getOrElse("")
+        require(progress.toLowerCase.contains("rocksdb"),
+          "expected RocksDB state-store metrics in streaming progress " +
+            "(provider did not engage); got:\n" + progress.take(2000))
+        out
           .select(col("window.start").cast("timestamp")
             .as("window_start"), $"event_type", $"n",
             round($"total_value", 2).as("total_value"))

@@ -24,6 +24,9 @@ import org.apache.spark.sql.functions._
   */
 object Knn {
 
+  private val occupancyLogged =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def dot(a: Column, b: Column): Column = vec_dot(a, b)
   def l2norm(a: Column): Column = vec_l2(a)
   def cosine(a: Column, b: Column): Column = vec_cosine(a, b)
@@ -90,12 +93,20 @@ object Knn {
       .withColumn("cell",
         greatest(cellScores(col("c_vec")): _*).getField("cid"))
     if (logOccupancy) {
-      // probe-cost evidence: per-cell candidate counts (≤nCells rows)
-      val occ = c.groupBy(col("cell")).count().orderBy(col("cell"))
-        .collect()
-      System.err.println(s"[ivf] nCells=${centroids.length} " +
-        s"nProbe=$nProbe occupancy: " +
-        occ.map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(" "))
+      // probe-cost evidence: per-cell candidate counts (≤nCells rows).
+      // ONCE per (corpus plan, params) per JVM — this is an eager
+      // diagnostic job, and repeated bench runs / plan dumps of the
+      // same query must not re-pay a corpus scan for a histogram that
+      // cannot have changed
+      val memoKey =
+        s"$nCells:$nProbe:${corpus.queryExecution.logical.semanticHash()}"
+      if (occupancyLogged.add(memoKey)) {
+        val occ = c.groupBy(col("cell")).count().orderBy(col("cell"))
+          .collect()
+        System.err.println(s"[ivf] nCells=${centroids.length} " +
+          s"nProbe=$nProbe occupancy: " +
+          occ.map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(" "))
+      }
     }
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))

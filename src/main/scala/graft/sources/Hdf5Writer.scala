@@ -289,6 +289,16 @@ object Hdf5Writer {
 
   private def writeHeader(buf: Buf, msgs: Seq[(Int, Array[Byte])]): Long = {
     val padded = msgs.map { case (t, d) => (t, pad8(d)) }
+    // v1 header message sizes are u16 — an oversized message (e.g. a
+    // >64 KB attribute payload, which unlike dataset data lives INSIDE
+    // the header) must fail loudly, never truncate mod 65536 into a
+    // silently corrupt file
+    padded.foreach { case (t, d) =>
+      require(d.length <= 0xFFFF,
+        f"header message type 0x$t%04x is ${d.length} bytes — exceeds " +
+          "the v1 u16 size field (attributes this large are not " +
+          "representable; move the payload to a dataset)")
+    }
     val bodySize = padded.map(8 + _._2.length).sum
     val p = buf.alloc(16 + bodySize)
     buf.put8(p, 1) // object header version 1

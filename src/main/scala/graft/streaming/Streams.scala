@@ -19,12 +19,20 @@ case class SessionState(lastTs: Long, sessions: Long, events: Long)
   */
 object Streams {
 
-  /** Last executed micro-batch plan per memory-sink query name (see
-    * runToMemoryMode's capture) — spec evidence for stream-static join
-    * shapes. */
+  /** Last executed micro-batch plan / last progress JSON per memory-sink
+    * query name (see runToMemoryMode's capture) — in-query evidence for
+    * stream-static join shapes and state-store backends. REMOVE-on-read:
+    * names are nanoTime-unique, so an entry is read at most once and
+    * anything left behind would accumulate for the JVM lifetime.
+    */
   private val lastPlans =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  def lastPlan(name: String): Option[String] = Option(lastPlans.get(name))
+  private val lastProgresses =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def lastPlan(name: String): Option[String] =
+    Option(lastPlans.remove(name))
+  def lastProgressJson(name: String): Option[String] =
+    Option(lastProgresses.remove(name))
 
   /** File-arrival stream over a parquet directory. `maxFilesPerTrigger`
     * bounds per-batch work — the knob that keeps batch latency flat as the
@@ -203,12 +211,17 @@ object Streams {
         .option("checkpointLocation", ckpt)
         .start()
       try q.processAllAvailable() finally {
-        // capture the final micro-batch's executed plan BEFORE stop():
-        // stream-static join shape (broadcast vs shuffled) is a plan
-        // property specs assert on via lastPlan(name)
-        try lastPlans.put(name,
-          org.apache.spark.sql.GraftStreamBridge.lastExecutedPlan(q))
-        catch { case _: Throwable => () }
+        // capture the final micro-batch's executed plan and progress
+        // BEFORE stop(): stream-static join shape (broadcast vs
+        // shuffled) is a plan property and the state-store backend is a
+        // progress property — queries assert on them via
+        // lastPlan(name) / lastProgressJson(name)
+        try {
+          lastPlans.put(name,
+            org.apache.spark.sql.GraftStreamBridge.lastExecutedPlan(q))
+          Option(q.lastProgress)
+            .foreach(p => lastProgresses.put(name, p.json))
+        } catch { case _: Throwable => () }
         q.stop()
       }
       if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))

@@ -30,7 +30,7 @@ object ScaleProbe {
     "d_incremental_dedup", "agg_heavy_hitters", "e_knn_brute",
     "e_knn_sq8", "curate_pack_pipeline", "p_epoch_shuffle",
     "p_negative_sample", "d_incremental_index_append",
-    "e_knn_sq8_rerank")
+    "e_knn_sq8_rerank", "e_kmeans_lloyd")
 
   def main(args: Array[String]): Unit = {
     val guard = args.headOption.contains("guard")

@@ -15,6 +15,59 @@ import org.apache.spark.sql.functions._
   */
 object Round7Queries {
 
+  /** Generated DuckDB oracle for e_kmeans_lloyd: replays init,
+    * both argmax-cosine assignment rounds (same tie-break: highest
+    * sim, then highest cluster id), and the 6-dp-rounded float-cast
+    * centroid update, with the cosine expansion bit-identical to the
+    * codegen'd kernel (same shape as OracleGen.cosExpr, parameterized
+    * over the array field).
+    */
+  private[queries] def kmeansLloydSql(k: Int, dim: Int): String = {
+    def dotT(a: String, b: String) = (1 to dim)
+      .map(i => s"(CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE))")
+      .mkString("+")
+    def cos(a: String, b: String) = {
+      val d = dotT(a, b); val na = dotT(a, a); val nb = dotT(b, b)
+      s"(CASE WHEN sqrt($na)*sqrt($nb) = 0 THEN 0.0 " +
+        s"ELSE ($d)/(sqrt($na)*sqrt($nb)) END)"
+    }
+    s"""WITH cent0 AS (
+       |  SELECT row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl,
+       |    embedding AS cvec
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k)),
+       |a1 AS (
+       |  SELECT vec_id, embedding, cl FROM (
+       |    SELECT e.vec_id, e.embedding, c.cl,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos("e.embedding", "c.cvec")} DESC,
+       |          c.cl DESC) AS rn
+       |    FROM embeddings e CROSS JOIN cent0 c) WHERE rn = 1),
+       |upd AS (
+       |  SELECT cl, i.i AS dim,
+       |    CAST(round(avg(CAST(embedding[i.i + 1] AS DOUBLE)), 6)
+       |      AS FLOAT) AS v
+       |  FROM a1 CROSS JOIN (SELECT unnest(range($dim)) AS i) i
+       |  GROUP BY cl, i.i),
+       |cent1 AS (SELECT cl, list(v ORDER BY dim) AS cvec
+       |          FROM upd GROUP BY cl),
+       |a2 AS (
+       |  SELECT vec_id, cl FROM (
+       |    SELECT e.vec_id, c.cl,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos("e.embedding", "c.cvec")} DESC,
+       |          c.cl DESC) AS rn
+       |    FROM embeddings e CROSS JOIN cent1 c) WHERE rn = 1),
+       |n1 AS (SELECT cl, count(*) AS n_iter1 FROM a1 GROUP BY cl),
+       |n2 AS (SELECT cl, count(*) AS n_iter2 FROM a2 GROUP BY cl)
+       |SELECT COALESCE(n1.cl, n2.cl) AS cluster,
+       |  CAST(COALESCE(n_iter1, 0) AS BIGINT) AS n_iter1,
+       |  CAST(COALESCE(n_iter2, 0) AS BIGINT) AS n_iter2
+       |FROM n1 FULL JOIN n2 ON n1.cl = n2.cl
+       |ORDER BY cluster""".stripMargin
+  }
+
   /** One-file-per-micro-batch shards of the "new" document batch,
     * shared with Round6's `stream_incremental_dedup` (same cache key →
     * built once per JVM per SF). */
@@ -293,6 +346,75 @@ object Round7Queries {
               |      WHERE doc_id % 20 = 10) d
               |LEFT JOIN cnt USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    Q("e_knn_ivf_at_rest",
+      "IVF with the corpus AT REST — ivfTopK's docstring promises " +
+        "'at rest the corpus is written partitioned by cell so probes " +
+        "prune partitions'; this query runs that layout. The corpus is " +
+        "written ONCE partitioned by its IVF cell assignment (same " +
+        "md5-ordered deterministic centroids as e_knn_ivf); each query " +
+        "probes its nProbe nearest cells as a PARTITION-PRUNED scan — " +
+        "the isin filter on the partition column opens only the probed " +
+        "cell directories, asserted in-query from the executed plan's " +
+        "PartitionFilters. Scoring and ranks are identical to the " +
+        "in-flight variant, so the SAME generated oracle gates both: " +
+        "layout must be invisible to results.",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        // deterministic centroids (identical to Knn.ivfTopK's sample)
+        val centroids = emb
+          .select($"vec_id".cast("long").as("cid"),
+            $"embedding".cast("array<float>").as("cvec"))
+          .orderBy(md5($"cid".cast("string")), $"cid")
+          .limit(16).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        def cellScores(vec: org.apache.spark.sql.Column) =
+          centroids.toSeq.map { case (cid, cvec) =>
+            struct(graft.similarity.Knn.cosine(vec, typedLit(cvec))
+              .as("sim"), lit(cid).as("cid"))
+          }
+        val root = Scratch.cachedDir(s"ivf-at-rest:$d") { tmp =>
+          emb.select($"vec_id", $"embedding",
+              greatest(cellScores($"embedding"): _*).getField("cid")
+                .as("cell"))
+            .write.partitionBy("cell")
+            .parquet(s"${tmp.getAbsolutePath}/corpus")
+        }.getAbsolutePath
+        val q = emb.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), $"embedding".as("q_vec"))
+          .withColumn("__probe", explode(slice(sort_array(
+            array(cellScores($"q_vec"): _*), asc = false), 1, 3)))
+          .withColumn("cell", $"__probe.cid").drop("__probe")
+        // probed cells are metadata-sized (nQueries × nProbe)
+        val probeCells = q.select($"cell").distinct()
+          .as[Long].collect().toSeq
+        val corpus = s.read.parquet(s"$root/corpus")
+          .filter($"cell".isin(probeCells: _*))
+          .select($"vec_id".as("neighbor_id"),
+            $"embedding".as("c_vec"), $"cell")
+        val scored = corpus.join(broadcast(q), Seq("cell"))
+          .filter($"query_id" =!= $"neighbor_id")
+          .withColumn("cosine_raw",
+            graft.similarity.Knn.cosine($"q_vec", $"c_vec"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"query_id")
+          .orderBy($"cosine_raw".desc, $"neighbor_id")
+        val out = scored.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 5)
+          .select($"query_id", $"neighbor_id",
+            $"rank".cast("long").as("rank"))
+          .orderBy($"query_id", $"rank")
+        val plan = out.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        require(plan.contains("PartitionFilters: [") &&
+          plan.contains("cell#"),
+          "expected a partition-pruned corpus scan; got:\n" +
+            plan.take(3000))
+        out
+      },
+      Some(OracleGen.knnIvfSql(dim = 64, nCells = 16, nProbe = 3, k = 5,
+        maxQueryId = 10))),
+
     Q("e_knn_sq8_rerank",
       "Two-stage ANN serving: int8 candidate generation (exact integer " +
         "code dots over the whole corpus — 4× less data through the " +
@@ -348,6 +470,65 @@ object Round7Queries {
               |FROM rr
               |QUALIFY rank <= 5
               |ORDER BY query_id, rank""".stripMargin)),
+
+    Q("e_kmeans_lloyd",
+      "Embedding k-means (Lloyd), 2 iterations, k=8 — the clustering " +
+        "op a training pipeline uses for diversity sampling and " +
+        "cluster-level dedup, built from the same deterministic pieces " +
+        "as the IVF tier so the WHOLE iteration is oracle-exact: " +
+        "md5-ordered init (no RNG), argmax-cosine assignment as a " +
+        "codegen'd greatest() over centroid literals (a pure map — no " +
+        "join, no shuffle beyond the update agg), centroid update as " +
+        "posexplode + per-(cluster, dim) partial-aggregated avg " +
+        "ROUNDED to 6 dp (kills last-ulp summation-order divergence, " +
+        "so both engines re-assign from bit-identical centroids), " +
+        "collected as 8×64 metadata rows and re-literalized for the " +
+        "next pass. Iterations scale as one corpus scan + one " +
+        "fixed-size agg each; k×dim traffic is centroid-sized. Output: " +
+        "per-cluster membership counts after each iteration.",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val k = 8
+        val cent0: Seq[(Long, Array[Float])] = emb
+          .select($"vec_id".cast("long").as("cid"),
+            $"embedding".cast("array<float>").as("cvec"))
+          .orderBy(md5($"cid".cast("string")), $"cid")
+          .limit(k).collect().zipWithIndex
+          .map { case (r, i) => (i.toLong, r.getSeq[Float](1).toArray) }
+          .toSeq
+        def scores(cents: Seq[(Long, Array[Float])]) = cents.map {
+          case (cl, cvec) =>
+            struct(graft.similarity.Knn.cosine($"embedding",
+              typedLit(cvec)).as("sim"), lit(cl).as("cid"))
+        }
+        def assign(cents: Seq[(Long, Array[Float])]) = emb
+          .select($"vec_id", $"embedding",
+            greatest(scores(cents): _*).getField("cid").as("cl"))
+        val a1 = assign(cent0)
+        // update: per-(cluster, dim) mean, 6-dp rounded, float-cast —
+        // 8×64 rows to the driver, nothing data-sized
+        val cent1: Seq[(Long, Array[Float])] = a1
+          .select($"cl", posexplode($"embedding").as(Seq("dim", "v")))
+          .groupBy($"cl", $"dim")
+          .agg(round(avg($"v".cast("double")), 6).as("m"))
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (cl, rows) =>
+            val vec = new Array[Float](64)
+            rows.foreach(r => vec(r.getInt(1)) = r.getDouble(2).toFloat)
+            (cl, vec)
+          }.toSeq.sortBy(_._1)
+        val n1 = a1.groupBy($"cl").agg(count(lit(1)).as("n_iter1"))
+        val n2 = assign(cent1).groupBy($"cl")
+          .agg(count(lit(1)).as("n_iter2"))
+        n1.join(n2, Seq("cl"), "full_outer")
+          .select($"cl".as("cluster"),
+            coalesce($"n_iter1", lit(0L)).as("n_iter1"),
+            coalesce($"n_iter2", lit(0L)).as("n_iter2"))
+          .orderBy($"cluster")
+      },
+      Some(Round7Queries.kmeansLloydSql(k = 8, dim = 64))),
 
     Q("e_knn_ivf_probe",
       "IVF recall knobs at bench scale — e_knn_ivf's pinned " +

@@ -471,6 +471,76 @@ object Round7Queries {
               |QUALIFY rank <= 5
               |ORDER BY query_id, rank""".stripMargin)),
 
+    Q("curate_canonical_select",
+      "The dedup ACTION: near-dup clusters (the d_dup_clusters " +
+        "pointer-jumping connected components over Jaccard-candidate " +
+        "edges) reduced to ONE canonical document each — keep the " +
+        "highest-quality member (longest n_chars, doc_id as the " +
+        "deterministic tiebreak), drop the rest. This is what a corpus " +
+        "pipeline actually does with duplicate clusters; the kept/" +
+        "dropped accounting is the curation audit trail. Per-cluster " +
+        "argmax rides one WindowGroupLimit-eligible window over the " +
+        "cluster assignment; the oracle replays components with an " +
+        "independent algorithm (recursive CTE) and the same argmax.",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).filter($"doc_id" < 100)
+          .select($"doc_id", $"source", $"n_chars",
+            array_distinct(split($"text", " ")).as("toks"))
+        val a = docs.as("a"); val b = docs.as("b")
+        val edges = a.join(b, col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .filter(lit(10) * size(array_intersect(col("a.toks"),
+            col("b.toks"))) >=
+            lit(3) * size(array_union(col("a.toks"), col("b.toks"))))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        val clusters = Dedup
+          .duplicateClusters(docs.select($"doc_id"), edges, "doc_id")
+          .withColumnRenamed("id", "doc_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"cluster_id")
+          .orderBy($"n_chars".desc, $"doc_id")
+        clusters.join(docs.select($"doc_id", $"n_chars"), Seq("doc_id"))
+          .withColumn("rk", row_number().over(w))
+          .groupBy($"cluster_id")
+          .agg(max(when($"rk" === 1, $"doc_id")).as("kept_doc"),
+            max(when($"rk" === 1, $"n_chars")).as("kept_chars"),
+            count(lit(1)).as("n_members"),
+            (count(lit(1)) - 1).as("n_dropped"))
+          .orderBy($"cluster_id")
+      },
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT doc_id, source, n_chars,
+             |    list_distinct(string_split(text, ' ')) AS toks
+             |  FROM documents WHERE doc_id < 100),
+             |e AS (SELECT a.doc_id AS a, b.doc_id AS b
+             |  FROM t a JOIN t b
+             |  ON a.source = b.source AND a.doc_id < b.doc_id
+             |  AND 10 * len(list_intersect(a.toks, b.toks)) >=
+             |      3 * len(list_distinct(list_concat(a.toks, b.toks)))),
+             |ee AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+             |reach AS (
+             |  SELECT doc_id AS id, doc_id AS lab FROM t
+             |  UNION
+             |  SELECT ee.b, reach.lab FROM reach
+             |  JOIN ee ON ee.a = reach.id),
+             |cl AS (
+             |  SELECT id AS doc_id, CAST(min(lab) AS BIGINT)
+             |    AS cluster_id
+             |  FROM reach GROUP BY id),
+             |rk AS (
+             |  SELECT cl.cluster_id, cl.doc_id, t.n_chars,
+             |    row_number() OVER (PARTITION BY cl.cluster_id
+             |      ORDER BY t.n_chars DESC, cl.doc_id) AS rk
+             |  FROM cl JOIN t ON t.doc_id = cl.doc_id)
+             |SELECT cluster_id,
+             |  max(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc,
+             |  max(CASE WHEN rk = 1 THEN n_chars END) AS kept_chars,
+             |  count(*) AS n_members,
+             |  CAST(count(*) - 1 AS BIGINT) AS n_dropped
+             |FROM rk GROUP BY cluster_id
+             |ORDER BY cluster_id""".stripMargin)),
+
     Q("e_kmeans_lloyd",
       "Embedding k-means (Lloyd), 2 iterations, k=8 — the clustering " +
         "op a training pipeline uses for diversity sampling and " +

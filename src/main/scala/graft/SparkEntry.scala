@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{ExtendedQueries, PipelineQueries, Q, Round4Queries, Round5Queries, Round6Queries, Round7Queries, StarQueries}
+import graft.queries.{ExtendedQueries, PipelineQueries, Q, Round4Queries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, StarQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -16,7 +16,7 @@ object SparkEntry {
   def registry: Seq[Q] = {
     val all = StarQueries.all ++ PipelineQueries.all ++
       ExtendedQueries.all ++ Round4Queries.all ++ Round5Queries.all ++
-      Round6Queries.all ++ Round7Queries.all
+      Round6Queries.all ++ Round7Queries.all ++ Round8Queries.all
     val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(",")}")
     all

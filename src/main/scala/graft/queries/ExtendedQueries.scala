@@ -58,19 +58,48 @@ object ExtendedQueries {
             lag($"event_id", 1).over(w).as("prev_ev"),
             lead($"event_id", 1).over(w).as("next_ev"),
             first($"event_id").over(w).as("first_ev"))
-          .orderBy($"event_id")
+          // Digest (r8): every rank value is key-weighted so a rank
+          // assigned to the wrong row flips its bucket's signature;
+          // pct_rank/cume are exact dyadic doubles fixed at 1e-9
+          // (DuckDB and Spark both round half away from zero).
+          .groupBy(($"user_id" % 8).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum($"quartile" * ($"event_id" % 97)).cast("long")
+              .as("sig_quart"),
+            sum(Digest.numSig($"pct_rank", 1000000000L)).as("sig_pct"),
+            sum(Digest.numSig($"cume", 1000000000L)).as("sig_cume"),
+            count($"prev_ev").as("n_prev"),
+            sum($"prev_ev").cast("long").as("sum_prev"),
+            sum($"next_ev").cast("long").as("sum_next"),
+            sum($"first_ev" * ($"event_id" % 97)).cast("long")
+              .as("sig_first"))
+          .orderBy($"bucket")
       },
-      Some("""SELECT event_id, user_id,
-             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-             |  percent_rank() OVER w AS pct_rank,
-             |  cume_dist() OVER w AS cume,
-             |  lag(event_id, 1) OVER w AS prev_ev,
-             |  lead(event_id, 1) OVER w AS next_ev,
-             |  first_value(event_id) OVER w AS first_ev
-             |FROM events
-             |WINDOW w AS (PARTITION BY user_id
-             |  ORDER BY epoch_ns(ts) // 1000, event_id)
-             |ORDER BY event_id""".stripMargin)),
+      Some("""WITH r AS (
+             |  SELECT event_id, user_id,
+             |    CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |    percent_rank() OVER w AS pct_rank,
+             |    cume_dist() OVER w AS cume,
+             |    lag(event_id, 1) OVER w AS prev_ev,
+             |    lead(event_id, 1) OVER w AS next_ev,
+             |    first_value(event_id) OVER w AS first_ev
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY epoch_ns(ts) // 1000, event_id))
+             |SELECT CAST(user_id % 8 AS BIGINT) AS bucket,
+             |  count(*) AS n,
+             |  CAST(sum(quartile * (event_id % 97)) AS BIGINT)
+             |    AS sig_quart,
+             |  CAST(sum(CAST(round(pct_rank * 1000000000, 0) AS BIGINT))
+             |    AS BIGINT) AS sig_pct,
+             |  CAST(sum(CAST(round(cume * 1000000000, 0) AS BIGINT))
+             |    AS BIGINT) AS sig_cume,
+             |  count(prev_ev) AS n_prev,
+             |  CAST(sum(prev_ev) AS BIGINT) AS sum_prev,
+             |  CAST(sum(next_ev) AS BIGINT) AS sum_next,
+             |  CAST(sum(first_ev * (event_id % 97)) AS BIGINT)
+             |    AS sig_first
+             |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     Q("f16_array_ops",
       "Array-function surface: distinct/sort/slice/join, membership, " +
@@ -447,22 +476,43 @@ object ExtendedQueries {
             count(lit(1)).over(wRange).cast("long").as("hr_n"),
             last(nullif($"event_type", lit("view")), ignoreNulls = true)
               .over(wRows).as("last_nonview"))
-          .orderBy($"event_id")
+          // Digest (r8): key-weighted frame sums — a RANGE frame that
+          // includes/excludes one tie wrongly shifts sig_frame.
+          .groupBy(($"user_id" % 8).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum($"hr_cents").cast("long").as("sum_cents"),
+            sum($"hr_n").cast("long").as("sum_n"),
+            sum($"hr_cents" * ($"event_id" % 97)).cast("long")
+              .as("sig_frame"),
+            count($"last_nonview").as("n_lnv"),
+            sum(Digest.strSig($"last_nonview") % 100000L *
+              ($"event_id" % 97)).cast("long").as("sig_lnv"))
+          .orderBy($"bucket")
       },
-      Some("""SELECT event_id, user_id,
-             |  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER wr
-             |    AS BIGINT) AS hr_cents,
-             |  CAST(COUNT(*) OVER wr AS BIGINT) AS hr_n,
-             |  last_value(nullif(event_type, 'view') IGNORE NULLS)
-             |    OVER wo AS last_nonview
-             |FROM events
-             |WINDOW wr AS (PARTITION BY user_id
-             |    ORDER BY epoch_ns(ts) // 1000
-             |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
-             |  wo AS (PARTITION BY user_id
-             |    ORDER BY epoch_ns(ts) // 1000, event_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |ORDER BY event_id""".stripMargin)),
+      Some(s"""WITH w AS (
+             |  SELECT event_id, user_id,
+             |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER wr
+             |      AS BIGINT) AS hr_cents,
+             |    CAST(COUNT(*) OVER wr AS BIGINT) AS hr_n,
+             |    last_value(nullif(event_type, 'view') IGNORE NULLS)
+             |      OVER wo AS last_nonview
+             |  FROM events
+             |  WINDOW wr AS (PARTITION BY user_id
+             |      ORDER BY epoch_ns(ts) // 1000
+             |      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+             |    wo AS (PARTITION BY user_id
+             |      ORDER BY epoch_ns(ts) // 1000, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT CAST(user_id % 8 AS BIGINT) AS bucket,
+             |  count(*) AS n,
+             |  CAST(sum(hr_cents) AS BIGINT) AS sum_cents,
+             |  CAST(sum(hr_n) AS BIGINT) AS sum_n,
+             |  CAST(sum(hr_cents * (event_id % 97)) AS BIGINT)
+             |    AS sig_frame,
+             |  count(last_nonview) AS n_lnv,
+             |  CAST(sum(${Digest.strSigSql("last_nonview")} % 100000
+             |    * (event_id % 97)) AS BIGINT) AS sig_lnv
+             |FROM w GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     Q("agg_approx_quantile",
       "Approximate-quantile sketch (KLL-style percentile_approx): p50/p90 " +
@@ -515,7 +565,16 @@ object ExtendedQueries {
           .groupBy($"o_custkey").agg(count(lit(1)).as("n_except"))
         inter.join(exc, Seq("o_custkey"), "full_outer")
           .na.fill(0L, Seq("n_inter", "n_except"))
-          .orderBy($"o_custkey")
+          // Digest (r8): per-key multiplicities are key-weighted — one
+          // wrong bag count moves mass inside exactly one bucket.
+          .groupBy(($"o_custkey" % 8).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum($"o_custkey").cast("long").as("sum_key"),
+            sum($"n_inter").cast("long").as("sum_inter"),
+            sum($"n_except").cast("long").as("sum_except"),
+            sum(($"o_custkey" % 97) * ($"n_inter" * 1000 + $"n_except"))
+              .cast("long").as("sig_bag"))
+          .orderBy($"bucket")
       },
       Some("""WITH i AS (
              |  SELECT o_custkey, count(*) AS n_inter FROM (
@@ -530,12 +589,20 @@ object ExtendedQueries {
              |    EXCEPT ALL
              |    SELECT o_custkey FROM orders
              |    WHERE o_orderpriority = '1-URGENT')
-             |  GROUP BY o_custkey)
-             |SELECT coalesce(i.o_custkey, e.o_custkey) AS o_custkey,
-             |  coalesce(i.n_inter, 0) AS n_inter,
-             |  coalesce(e.n_except, 0) AS n_except
-             |FROM i FULL OUTER JOIN e ON i.o_custkey = e.o_custkey
-             |ORDER BY o_custkey""".stripMargin)),
+             |  GROUP BY o_custkey),
+             |bag AS (
+             |  SELECT coalesce(i.o_custkey, e.o_custkey) AS o_custkey,
+             |    coalesce(i.n_inter, 0) AS n_inter,
+             |    coalesce(e.n_except, 0) AS n_except
+             |  FROM i FULL OUTER JOIN e ON i.o_custkey = e.o_custkey)
+             |SELECT CAST(o_custkey % 8 AS BIGINT) AS bucket,
+             |  count(*) AS n,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_key,
+             |  CAST(sum(n_inter) AS BIGINT) AS sum_inter,
+             |  CAST(sum(n_except) AS BIGINT) AS sum_except,
+             |  CAST(sum((o_custkey % 97) * (n_inter * 1000 + n_except))
+             |    AS BIGINT) AS sig_bag
+             |FROM bag GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     Q("f22_null_suite",
       "Null-handling functions: nullif / coalesce / null-safe equality " +
@@ -551,15 +618,39 @@ object ExtendedQueries {
             ($"o_orderstatus" <=> "O").as("is_open_nsafe"),
             when(nullif($"o_orderstatus", lit("O")).isNull, "open-route")
               .otherwise("other-route").as("nvl2_route"))
-          .orderBy($"o_orderkey")
+          // Digest (r8): the null count pins nullif, the string
+          // signatures pin every produced value, the bool sum pins the
+          // null-safe comparison — per key bucket.
+          .groupBy(($"o_orderkey" % 8).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            count($"status_nz").as("n_nz"),
+            sum(Digest.strSig($"status_nz")).as("sig_nz"),
+            sum(Digest.strSig($"status_fill")).as("sig_fill"),
+            sum($"is_open_nsafe".cast("long")).cast("long").as("n_open"),
+            sum(Digest.strSig($"nvl2_route")).as("sig_route"))
+          .orderBy($"bucket")
       },
-      Some("""SELECT o_orderkey,
-             |  nullif(o_orderstatus, 'O') AS status_nz,
-             |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_fill,
-             |  o_orderstatus IS NOT DISTINCT FROM 'O' AS is_open_nsafe,
-             |  CASE WHEN nullif(o_orderstatus, 'O') IS NULL
-             |    THEN 'open-route' ELSE 'other-route' END AS nvl2_route
-             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+      Some(s"""WITH t AS (
+             |  SELECT o_orderkey,
+             |    nullif(o_orderstatus, 'O') AS status_nz,
+             |    coalesce(nullif(o_orderstatus, 'O'), 'open')
+             |      AS status_fill,
+             |    o_orderstatus IS NOT DISTINCT FROM 'O' AS is_open_nsafe,
+             |    CASE WHEN nullif(o_orderstatus, 'O') IS NULL
+             |      THEN 'open-route' ELSE 'other-route' END AS nvl2_route
+             |  FROM orders)
+             |SELECT CAST(o_orderkey % 8 AS BIGINT) AS bucket,
+             |  count(*) AS n,
+             |  count(status_nz) AS n_nz,
+             |  CAST(sum(${Digest.strSigSql("status_nz")}) AS BIGINT)
+             |    AS sig_nz,
+             |  CAST(sum(${Digest.strSigSql("status_fill")}) AS BIGINT)
+             |    AS sig_fill,
+             |  CAST(sum(CASE WHEN is_open_nsafe THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_open,
+             |  CAST(sum(${Digest.strSigSql("nvl2_route")}) AS BIGINT)
+             |    AS sig_route
+             |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     Q("d_simhash_hamming",
       "Dedup: SimHash → Hamming candidate pairs — bit_count(xor) over the " +
@@ -634,13 +725,36 @@ object ExtendedQueries {
             size(m).cast("long").as("n_keys"),
             array_join(map_keys(m), ",").as("keys"),
             element_at(cfg, "retries").as("retries"))
-          .orderBy($"event_id")
+          // Digest (r8): lookups are key-weighted string signatures;
+          // constants (n_keys/keys/retries) collapse to exact sums.
+          .groupBy(($"event_id" % 8).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(Digest.strSig($"type_val") % 100000L *
+              ($"event_id" % 97)).cast("long").as("sig_type"),
+            sum(Digest.strSig($"uid_val")).as("sig_uid"),
+            sum($"n_keys").cast("long").as("sum_keys"),
+            sum(Digest.strSig($"keys")).as("sig_keynames"),
+            sum(Digest.strSig($"retries")).as("sig_retries"))
+          .orderBy($"bucket")
       },
-      Some("""SELECT event_id, event_type AS type_val,
-             |  CAST(user_id AS VARCHAR) AS uid_val,
-             |  CAST(2 AS BIGINT) AS n_keys, 't,u' AS keys,
-             |  '3' AS retries
-             |FROM events ORDER BY event_id""".stripMargin)),
+      Some(s"""WITH t AS (
+             |  SELECT event_id, event_type AS type_val,
+             |    CAST(user_id AS VARCHAR) AS uid_val,
+             |    CAST(2 AS BIGINT) AS n_keys, 't,u' AS keys,
+             |    '3' AS retries
+             |  FROM events)
+             |SELECT CAST(event_id % 8 AS BIGINT) AS bucket,
+             |  count(*) AS n,
+             |  CAST(sum(${Digest.strSigSql("type_val")} % 100000
+             |    * (event_id % 97)) AS BIGINT) AS sig_type,
+             |  CAST(sum(${Digest.strSigSql("uid_val")}) AS BIGINT)
+             |    AS sig_uid,
+             |  CAST(sum(n_keys) AS BIGINT) AS sum_keys,
+             |  CAST(sum(${Digest.strSigSql("keys")}) AS BIGINT)
+             |    AS sig_keynames,
+             |  CAST(sum(${Digest.strSigSql("retries")}) AS BIGINT)
+             |    AS sig_retries
+             |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     Q("f21_hof",
       "Higher-order-function surface: transform/filter/aggregate lambdas " +

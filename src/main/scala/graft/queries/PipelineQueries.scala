@@ -547,17 +547,32 @@ object PipelineQueries {
           .select($"event_id", $"user_id",
             sum(cents).over(w).as("rolling_cents"),
             count(lit(1)).over(w).as("n_window"))
-          .orderBy($"event_id")
+          // Digest (r8): sum(event_id × rolling_cents) pins every row's
+          // frame result to ITS row — a frame shifted by one row changes
+          // the weighted sum even when the plain sum survives.
+          .groupBy(($"user_id" % 8).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum($"rolling_cents").cast("long").as("sum_cents"),
+            sum($"n_window").cast("long").as("sum_nw"),
+            sum($"event_id" * $"rolling_cents").cast("long")
+              .as("sig_frame"))
+          .orderBy($"bucket")
       },
-      Some("""SELECT event_id, user_id,
-             |  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER w
-             |    AS BIGINT) AS rolling_cents,
-             |  CAST(COUNT(*) OVER w AS BIGINT) AS n_window
-             |FROM events
-             |WINDOW w AS (PARTITION BY user_id
-             |  ORDER BY epoch_ns(ts) // 1000, event_id
-             |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
-             |ORDER BY event_id""".stripMargin)),
+      Some("""WITH w AS (
+             |  SELECT event_id, user_id,
+             |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER w
+             |      AS BIGINT) AS rolling_cents,
+             |    CAST(COUNT(*) OVER w AS BIGINT) AS n_window
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY epoch_ns(ts) // 1000, event_id
+             |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+             |SELECT CAST(user_id % 8 AS BIGINT) AS bucket,
+             |  count(*) AS n,
+             |  CAST(sum(rolling_cents) AS BIGINT) AS sum_cents,
+             |  CAST(sum(n_window) AS BIGINT) AS sum_nw,
+             |  CAST(sum(event_id * rolling_cents) AS BIGINT) AS sig_frame
+             |FROM w GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     Q("d_dup_clusters",
       "Dedup post-pass: duplicate clusters = connected components over " +

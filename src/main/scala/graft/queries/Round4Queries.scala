@@ -31,17 +31,46 @@ object Round4Queries {
             Seq("o_custkey"), col("o_orderdate"), col("o_orderkey"))
           .select($"o_custkey", $"o_orderkey", $"price_cents",
             $"valid_from", $"valid_to", $"is_current")
-          .orderBy($"o_custkey", $"valid_from", $"o_orderkey")
+          // Digest (r8): interval endpoints are pinned per-row by
+          // key-weighted epoch sums — a lead() off by one row changes
+          // sig_from/sig_to; n_current pins the open-interval tail.
+          .groupBy(($"o_custkey" % 16).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum($"o_orderkey").cast("long").as("sum_key"),
+            sum($"price_cents").cast("long").as("sum_cents"),
+            sum($"is_current".cast("long")).cast("long").as("n_current"),
+            // NTZ → LTZ cast is a pure reinterpretation under the UTC
+            // session TZ, matching DuckDB's epoch of a naive timestamp
+            sum((unix_millis($"valid_from".cast("timestamp")) /
+              lit(1000L)).cast("long") *
+              ($"o_orderkey" % 97)).cast("long").as("sig_from"),
+            count($"valid_to").as("n_to"),
+            sum((unix_millis($"valid_to".cast("timestamp")) /
+              lit(1000L)).cast("long") *
+              ($"o_orderkey" % 97)).cast("long").as("sig_to"))
+          .orderBy($"bucket")
       },
-      Some("""SELECT o_custkey, o_orderkey,
-             |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
-             |  o_orderdate AS valid_from,
-             |  lead(o_orderdate) OVER w AS valid_to,
-             |  lead(o_orderdate) OVER w IS NULL AS is_current
-             |FROM orders
-             |WINDOW w AS (PARTITION BY o_custkey
-             |  ORDER BY o_orderdate, o_orderkey)
-             |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin)),
+      Some("""WITH scd AS (
+             |  SELECT o_custkey, o_orderkey,
+             |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+             |    o_orderdate AS valid_from,
+             |    lead(o_orderdate) OVER w AS valid_to,
+             |    lead(o_orderdate) OVER w IS NULL AS is_current
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey))
+             |SELECT CAST(o_custkey % 16 AS BIGINT) AS bucket,
+             |  count(*) AS n,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+             |  CAST(sum(CASE WHEN is_current THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_current,
+             |  CAST(sum((epoch_ms(valid_from) // 1000) * (o_orderkey % 97))
+             |    AS BIGINT) AS sig_from,
+             |  count(valid_to) AS n_to,
+             |  CAST(sum((epoch_ms(valid_to) // 1000) * (o_orderkey % 97))
+             |    AS BIGINT) AS sig_to
+             |FROM scd GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     Q("agg_cohort_retention",
       "Cohort retention: customers bucketed by first-order month, counted " +
@@ -145,7 +174,19 @@ object Round4Queries {
                 unix_micros($"ts").as("ts_us")),
             "user_id", to_date(col("ts")), col("ts_us"), col("cents"),
             col("event_id"))
-          .orderBy($"user_id", $"day")
+          // Digest (r8): interp at each spine day is pinned by a
+          // day-offset-weighted fixed-point sum — filling the wrong day
+          // or interpolating the wrong slope flips sig_interp.
+          .groupBy(($"user_id" % 8).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            count($"obs_cents").as("n_obs"),
+            sum($"obs_cents").cast("long").as("sum_obs"),
+            count($"locf_cents").as("n_locf"),
+            sum($"locf_cents").cast("long").as("sum_locf"),
+            sum(Digest.numSig($"interp", 10000L) *
+              pmod(datediff($"day", lit("1970-01-01")), lit(1000L)))
+              .cast("long").as("sig_interp"))
+          .orderBy($"bucket")
       },
       Some("""WITH daily AS (
              |  SELECT user_id, day, obs_cents FROM (
@@ -175,6 +216,7 @@ object Round4Queries {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
              |    wn AS (PARTITION BY s.user_id ORDER BY s.day
              |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |, res AS (
              |SELECT user_id, day, obs_cents, prev_cents AS locf_cents,
              |  round(CASE
              |    WHEN obs_cents IS NOT NULL THEN CAST(obs_cents AS DOUBLE)
@@ -185,7 +227,17 @@ object Round4Queries {
              |        * (CAST(day - prev_day AS DOUBLE)
              |           / CAST(next_day - prev_day AS DOUBLE))
              |    END, 4) AS interp
-             |FROM filled ORDER BY user_id, day""".stripMargin)),
+             |FROM filled)
+             |SELECT CAST(user_id % 8 AS BIGINT) AS bucket,
+             |  count(*) AS n,
+             |  count(obs_cents) AS n_obs,
+             |  CAST(sum(obs_cents) AS BIGINT) AS sum_obs,
+             |  count(locf_cents) AS n_locf,
+             |  CAST(sum(locf_cents) AS BIGINT) AS sum_locf,
+             |  CAST(sum(CAST(round(interp * 10000, 0) AS BIGINT) *
+             |    ((day - DATE '1970-01-01') % 1000)) AS BIGINT)
+             |    AS sig_interp
+             |FROM res GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     Q("o39_zorder_cluster",
       "Z-order clustering (`ZOrder.interleave`): Morton-interleave the " +
@@ -292,7 +344,17 @@ object Round4Queries {
             (cents + when($"o_orderkey" % 7 === 0, 100L).otherwise(0L))
               .as("cents"))
         Relational.deltaDetect(old, neu, Seq("o_orderkey"), Seq("cents"))
-          .orderBy($"o_orderkey")
+          // Digest (r8): grouping by change_type pins every row's
+          // classification — a misclassified key moves its sum_key mass
+          // between groups; the cents sums pin both snapshot values.
+          .groupBy($"change_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"o_orderkey").cast("long").as("sum_key"),
+            count($"old_cents").as("n_old"),
+            sum($"old_cents").cast("long").as("sum_old"),
+            count($"new_cents").as("n_new"),
+            sum($"new_cents").cast("long").as("sum_new"))
+          .orderBy($"change_type")
       },
       Some("""WITH old AS (
              |  SELECT o_orderkey,
@@ -303,15 +365,23 @@ object Round4Queries {
              |    CAST(round(o_totalprice * 100, 0) AS BIGINT)
              |      + CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END
              |      AS cents
-             |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01')
-             |SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
-             |  old.cents AS old_cents, new.cents AS new_cents,
-             |  CASE WHEN old.o_orderkey IS NULL THEN 'insert'
-             |    WHEN new.o_orderkey IS NULL THEN 'delete'
-             |    WHEN old.cents <> new.cents THEN 'update'
-             |    ELSE 'unchanged' END AS change_type
-             |FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
-             |ORDER BY o_orderkey""".stripMargin)),
+             |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'),
+             |delta AS (
+             |  SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+             |    old.cents AS old_cents, new.cents AS new_cents,
+             |    CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+             |      WHEN new.o_orderkey IS NULL THEN 'delete'
+             |      WHEN old.cents <> new.cents THEN 'update'
+             |      ELSE 'unchanged' END AS change_type
+             |  FROM old FULL OUTER JOIN new
+             |    ON old.o_orderkey = new.o_orderkey)
+             |SELECT change_type, count(*) AS n,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  count(old_cents) AS n_old,
+             |  CAST(sum(old_cents) AS BIGINT) AS sum_old,
+             |  count(new_cents) AS n_new,
+             |  CAST(sum(new_cents) AS BIGINT) AS sum_new
+             |FROM delta GROUP BY change_type ORDER BY change_type""".stripMargin)),
 
     Q("o41_merge_upsert",
       "Batch MERGE/upsert (`Relational.upsert`): an updates snapshot " +
@@ -328,7 +398,16 @@ object Round4Queries {
           .filter($"o_orderkey" % 5 === 0)
           .select($"o_orderkey", (cents + 777L).as("cents"))
         Relational.upsert(base, updates, Seq("o_orderkey"))
-          .orderBy($"o_orderkey")
+          // Digest (r8): key-weighted cents sum pins each surviving
+          // row's (key, cents) pair — an un-replaced base row or a
+          // doubly-kept key flips sig_kc in its bucket.
+          .groupBy(($"o_orderkey" % 16).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum($"o_orderkey").cast("long").as("sum_key"),
+            sum($"cents").cast("long").as("sum_cents"),
+            sum(($"o_orderkey" % 1000) * $"cents").cast("long")
+              .as("sig_kc"))
+          .orderBy($"bucket")
       },
       Some("""WITH base AS (
              |  SELECT o_orderkey,
@@ -338,12 +417,18 @@ object Round4Queries {
              |  SELECT o_orderkey,
              |    CAST(round(o_totalprice * 100, 0) AS BIGINT) + 777
              |      AS cents
-             |  FROM orders WHERE o_orderkey % 5 = 0)
-             |SELECT * FROM updates
-             |UNION ALL
-             |SELECT * FROM base
-             |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
-             |ORDER BY o_orderkey""".stripMargin)),
+             |  FROM orders WHERE o_orderkey % 5 = 0),
+             |merged AS (
+             |  SELECT * FROM updates
+             |  UNION ALL
+             |  SELECT * FROM base
+             |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates))
+             |SELECT CAST(o_orderkey % 16 AS BIGINT) AS bucket,
+             |  count(*) AS n,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |  CAST(sum((o_orderkey % 1000) * cents) AS BIGINT) AS sig_kc
+             |FROM merged GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     Q("agg_histogram",
       "Fixed-width histogram: integer-cents bucketing (exact — no double " +
@@ -832,15 +917,33 @@ object Round4Queries {
           orders.filter($"o_orderkey" % 2 === 1)
             .select($"o_orderkey", cents, $"o_orderpriority")
             .write.mode("append").parquet(dir)
+          // Digest (r8): the union schema's NULL back-fill is pinned by
+          // n_prio (only odd keys carry the added column) and the value
+          // signatures cover every merged row.
           s.read.option("mergeSchema", "true").parquet(dir)
-            .orderBy($"o_orderkey")
+            .groupBy(($"o_orderkey" % 8).cast("long").as("bucket"))
+            .agg(count(lit(1)).as("n"),
+              sum($"o_orderkey").cast("long").as("sum_key"),
+              sum($"cents").cast("long").as("sum_cents"),
+              count($"o_orderpriority").as("n_prio"),
+              sum(Digest.strSig($"o_orderpriority")).as("sig_prio"))
+            .orderBy($"bucket")
         }
       },
-      Some("""SELECT o_orderkey,
-             |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
-             |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
-             |    AS o_orderpriority
-             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+      Some(s"""WITH evo AS (
+             |  SELECT o_orderkey,
+             |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             |    CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+             |      AS o_orderpriority
+             |  FROM orders)
+             |SELECT CAST(o_orderkey % 8 AS BIGINT) AS bucket,
+             |  count(*) AS n,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |  count(o_orderpriority) AS n_prio,
+             |  CAST(sum(${Digest.strSigSql("o_orderpriority")})
+             |    AS BIGINT) AS sig_prio
+             |FROM evo GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     Q("s3_tsv_roundtrip",
       "TSV sink + scan round-trip (S-1/K-3, the reference's native " +
@@ -856,17 +959,35 @@ object Round4Queries {
               round($"o_totalprice" * 100).cast("long").as("cents"),
               $"o_orderstatus", $"o_orderpriority")
             .write.option("sep", "\t").option("header", "true").csv(dir)
+          // Digest (r8): every value that crossed the TSV wire is in a
+          // signature — a single mis-quoted/mis-parsed cell flips it.
           s.read.option("sep", "\t").option("header", "true")
             .schema("o_orderkey BIGINT, cents BIGINT, " +
               "o_orderstatus STRING, o_orderpriority STRING")
             .csv(dir)
-            .orderBy($"o_orderkey")
+            .groupBy(($"o_orderkey" % 8).cast("long").as("bucket"))
+            .agg(count(lit(1)).as("n"),
+              sum($"o_orderkey").cast("long").as("sum_key"),
+              sum($"cents").cast("long").as("sum_cents"),
+              sum(Digest.strSig($"o_orderstatus")).as("sig_status"),
+              sum(Digest.strSig($"o_orderpriority")).as("sig_prio"))
+            .orderBy($"bucket")
         }
       },
-      Some("""SELECT o_orderkey,
-             |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
-             |  o_orderstatus, o_orderpriority
-             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+      Some(s"""WITH t AS (
+             |  SELECT o_orderkey,
+             |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             |    o_orderstatus, o_orderpriority
+             |  FROM orders)
+             |SELECT CAST(o_orderkey % 8 AS BIGINT) AS bucket,
+             |  count(*) AS n,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |  CAST(sum(${Digest.strSigSql("o_orderstatus")})
+             |    AS BIGINT) AS sig_status,
+             |  CAST(sum(${Digest.strSigSql("o_orderpriority")})
+             |    AS BIGINT) AS sig_prio
+             |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     Q("s4_jsonl_roundtrip",
       "JSON-lines sink + scan round-trip (the ES-hit wire shape of " +
@@ -1389,29 +1510,43 @@ object Round4Queries {
             q.as("qty"))
           .join(stats, Seq("l_returnflag"))
           .select($"l_orderkey", $"l_linenumber".cast("long")
-            .as("l_linenumber"),
+            .as("l_linenumber"), $"l_returnflag",
             (($"n".cast("double") * $"qty".cast("double") -
               $"s1".cast("double")) /
               sqrt($"n".cast("double") * $"s2".cast("double") -
                 $"s1".cast("double") * $"s1".cast("double")))
               .as("zscore"))
-          .orderBy($"l_orderkey", $"l_linenumber")
+          // Digest (r8): the per-row standardized double (bit-identical
+          // cross-engine — one fixed IEEE expression) is fixed at 1e-6
+          // and key-weighted, pinning each row's z to its key.
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(Digest.numSig($"zscore", 1000000L)).as("sum_z"),
+            sum(Digest.numSig($"zscore", 1000000L) *
+              ($"l_orderkey" % 97)).cast("long").as("sig_z"))
+          .orderBy($"l_returnflag")
       },
       Some("""WITH stats AS (
              |  SELECT l_returnflag, count(*) AS n,
              |    sum(CAST(round(l_quantity, 0) AS BIGINT)) AS s1,
              |    sum(CAST(round(l_quantity, 0) AS BIGINT)
              |      * CAST(round(l_quantity, 0) AS BIGINT)) AS s2
-             |  FROM lineitem GROUP BY 1)
-             |SELECT l_orderkey, CAST(l_linenumber AS BIGINT)
-             |    AS l_linenumber,
-             |  ((CAST(n AS DOUBLE)
-             |      * CAST(CAST(round(l_quantity, 0) AS BIGINT) AS DOUBLE)
-             |    - CAST(s1 AS DOUBLE))
-             |   / sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
-             |     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) AS zscore
-             |FROM lineitem JOIN stats USING (l_returnflag)
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |  FROM lineitem GROUP BY 1),
+             |z AS (
+             |  SELECT l_orderkey, l_returnflag,
+             |    ((CAST(n AS DOUBLE)
+             |        * CAST(CAST(round(l_quantity, 0) AS BIGINT) AS DOUBLE)
+             |      - CAST(s1 AS DOUBLE))
+             |     / sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+             |       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) AS zscore
+             |  FROM lineitem JOIN stats USING (l_returnflag))
+             |SELECT l_returnflag, count(*) AS n,
+             |  CAST(sum(CAST(round(zscore * 1000000, 0) AS BIGINT))
+             |    AS BIGINT) AS sum_z,
+             |  CAST(sum(CAST(round(zscore * 1000000, 0) AS BIGINT)
+             |    * (l_orderkey % 97)) AS BIGINT) AS sig_z
+             |FROM z GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
 
     Q("f29_try_cast",
       "try_cast error-handling semantics: garbage-tolerant casts yield " +
@@ -1429,18 +1564,35 @@ object Round4Queries {
             expr("try_cast(s AS BIGINT)").as("as_int"),
             expr("try_cast(s AS DOUBLE)").as("as_double"),
             expr("try_cast(s AS BIGINT) IS NULL").as("rejected"))
-          .orderBy($"o_orderkey")
+          // Digest (r8): null counts pin which rows were rejected
+          // (every key ≡ 0 mod 3); value sums pin the parsed numbers.
+          .groupBy(($"o_orderkey" % 8).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            count($"as_int").as("n_int"),
+            sum($"as_int").cast("long").as("sum_int"),
+            sum($"as_double".cast("long")).cast("long").as("sum_dbl"),
+            sum($"rejected".cast("long")).cast("long").as("n_rejected"))
+          .orderBy($"bucket")
       },
       Some("""WITH t AS (
              |  SELECT o_orderkey,
              |    CAST(o_orderkey AS VARCHAR)
              |      || CASE WHEN o_orderkey % 3 = 0 THEN 'x' ELSE '' END
              |      AS s
-             |  FROM orders)
-             |SELECT o_orderkey, TRY_CAST(s AS BIGINT) AS as_int,
-             |  TRY_CAST(s AS DOUBLE) AS as_double,
-             |  TRY_CAST(s AS BIGINT) IS NULL AS rejected
-             |FROM t ORDER BY o_orderkey""".stripMargin)),
+             |  FROM orders),
+             |c AS (
+             |  SELECT o_orderkey, TRY_CAST(s AS BIGINT) AS as_int,
+             |    TRY_CAST(s AS DOUBLE) AS as_double,
+             |    TRY_CAST(s AS BIGINT) IS NULL AS rejected
+             |  FROM t)
+             |SELECT CAST(o_orderkey % 8 AS BIGINT) AS bucket,
+             |  count(*) AS n,
+             |  count(as_int) AS n_int,
+             |  CAST(sum(as_int) AS BIGINT) AS sum_int,
+             |  CAST(sum(CAST(as_double AS BIGINT)) AS BIGINT) AS sum_dbl,
+             |  CAST(sum(CASE WHEN rejected THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_rejected
+             |FROM c GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     Q("f30_binary_codecs",
       "Binary codec functions: utf8 bytes → base64 / hex / sha256 — " +
@@ -1767,7 +1919,15 @@ object Round4Queries {
           }
           .select(unix_micros($"window.start").as("wstart_us"),
             $"event_type", $"n")
-          .orderBy($"wstart_us", $"event_type")
+          // Digest (r8): each (window, type) count is pinned by a
+          // window-start-weighted sum — a count landing in the wrong
+          // window instance flips sig_w for its type.
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_windows"),
+            sum($"n").cast("long").as("sum_n"),
+            sum(($"wstart_us" / lit(1000000L)).cast("long") % 100000L *
+              $"n").cast("long").as("sig_w"))
+          .orderBy($"event_type")
       },
       Some("""WITH e AS (
              |  SELECT event_type,
@@ -1777,10 +1937,15 @@ object Round4Queries {
              |x AS (
              |  SELECT event_type,
              |    unnest([t5, t5 - 300000000]) AS wstart_us
-             |  FROM e)
-             |SELECT wstart_us, event_type, count(*) AS n
-             |FROM x GROUP BY 1, 2
-             |ORDER BY wstart_us, event_type""".stripMargin)),
+             |  FROM e),
+             |w AS (
+             |  SELECT wstart_us, event_type, count(*) AS n
+             |  FROM x GROUP BY 1, 2)
+             |SELECT event_type, count(*) AS n_windows,
+             |  CAST(sum(n) AS BIGINT) AS sum_n,
+             |  CAST(sum((wstart_us // 1000000) % 100000 * n) AS BIGINT)
+             |    AS sig_w
+             |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     Q("curate_pack_pipeline",
       "The downstream tail of the curation pipeline (curate_corpus's " +

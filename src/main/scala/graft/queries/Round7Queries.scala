@@ -406,9 +406,12 @@ object Round7Queries {
           .orderBy($"query_id", $"rank")
         val plan = out.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
-        require(plan.contains("PartitionFilters: [") &&
-          plan.contains("cell#"),
-          "expected a partition-pruned corpus scan; got:\n" +
+        // the isin predicate must appear INSIDE the PartitionFilters
+        // bracket — `PartitionFilters: [` alone also matches an empty
+        // list, and `cell#` appears in join attributes regardless
+        require(raw"PartitionFilters: \[[^\]]*cell#\d+L? IN".r
+          .findFirstIn(plan).isDefined,
+          "expected the cell isin predicate in PartitionFilters; got:\n" +
             plan.take(3000))
         out
       },

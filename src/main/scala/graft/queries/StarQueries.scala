@@ -185,7 +185,9 @@ object StarQueries {
 
     Q("o20_outer_union",
       "O-20 (bin/concatenate.py:412): outer-aligned union — schema = union " +
-        "of schemas, missing columns null-filled; shuffle-free.",
+        "of schemas, missing columns null-filled; shuffle-free. Output is " +
+        "a per-bucket digest of the ~10k aligned rows (see Digest): " +
+        "null counts pin the fill pattern, signatures pin every value.",
       (s, d) => {
         import s.implicits._
         val o = Tables.orders(s, d)
@@ -194,15 +196,32 @@ object StarQueries {
             .select($"o_orderkey", $"o_totalprice"),
           o.filter($"o_orderstatus" === "O")
             .select($"o_orderkey", $"o_orderpriority")))
-          .orderBy($"o_orderkey")
+          .groupBy(($"o_orderkey" % 8).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum($"o_orderkey").cast("long").as("sum_key"),
+            count($"o_totalprice").as("n_price"),
+            sum(Digest.numSig($"o_totalprice", 100L)).as("sig_price"),
+            count($"o_orderpriority").as("n_prio"),
+            sum(Digest.strSig($"o_orderpriority")).as("sig_prio"))
+          .orderBy($"bucket")
       },
-      Some("""SELECT o_orderkey, o_totalprice,
-             |       CAST(NULL AS VARCHAR) AS o_orderpriority
-             |FROM orders WHERE o_orderstatus = 'F'
-             |UNION ALL
-             |SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority
-             |FROM orders WHERE o_orderstatus = 'O'
-             |ORDER BY o_orderkey""".stripMargin)),
+      Some(s"""WITH u AS (
+             |  SELECT o_orderkey, o_totalprice,
+             |         CAST(NULL AS VARCHAR) AS o_orderpriority
+             |  FROM orders WHERE o_orderstatus = 'F'
+             |  UNION ALL
+             |  SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority
+             |  FROM orders WHERE o_orderstatus = 'O')
+             |SELECT CAST(o_orderkey % 8 AS BIGINT) AS bucket,
+             |  count(*) AS n,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  count(o_totalprice) AS n_price,
+             |  CAST(sum(${Digest.numSigSql("o_totalprice", 100L)})
+             |    AS BIGINT) AS sig_price,
+             |  count(o_orderpriority) AS n_prio,
+             |  CAST(sum(${Digest.strSigSql("o_orderpriority")})
+             |    AS BIGINT) AS sig_prio
+             |FROM u GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     Q("o22_block_diag_offsets",
       "O-22 (bin/concatenate.py:333-336,413-416): block-diagonal index " +
@@ -419,12 +438,17 @@ object StarQueries {
           .when($"l_returnflag" === "N", 10).otherwise(20)
         Tables.lineitem(s, d)
           .filter(bucket < rate)
-          .select($"l_orderkey", $"l_linenumber".cast("long")
-            .as("l_linenumber"), $"l_returnflag")
-          .orderBy($"l_orderkey", $"l_linenumber")
+          // Digest (r8): exact sampled-set membership per stratum — the
+          // weighted key sum flips if any row is wrongly in/out.
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum($"l_orderkey" * 8 + $"l_linenumber").cast("long")
+              .as("sig_keys"))
+          .orderBy($"l_returnflag")
       },
-      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT)
-             |    AS l_linenumber, l_returnflag
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  CAST(sum(l_orderkey * 8 + l_linenumber) AS BIGINT)
+             |    AS sig_keys
              |FROM lineitem
              |WHERE CAST(concat('0x', substr(md5(
              |    CAST(l_orderkey AS VARCHAR) || '-' ||
@@ -432,7 +456,7 @@ object StarQueries {
              |  % 100 <
              |  CASE l_returnflag WHEN 'A' THEN 5 WHEN 'N' THEN 10
              |    ELSE 20 END
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     Q("o25_collect_list",
       "O-25 (bin/concatenate.py:251,342): column-to-list collect per " +
@@ -571,17 +595,29 @@ object StarQueries {
              |ORDER BY type_norm""".stripMargin)),
 
     Q("f4_concat_key",
-      "F-4 (bin/concatenate.py:273-275): composite key via concat_ws.",
+      "F-4 (bin/concatenate.py:273-275): composite key via concat_ws. " +
+        "Output digests the 60k generated key strings per partkey bucket " +
+        "— sig_key is a sum over md5 signatures of every exact key " +
+        "string, so a single malformed key flips the digest.",
       (s, d) => {
         import s.implicits._
         Tables.lineitem(s, d)
           .select(concat_ws("-", $"l_orderkey", $"l_linenumber")
             .as("line_key"), $"l_partkey")
-          .orderBy($"line_key")
+          .groupBy(($"l_partkey" % 16).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(Digest.strSig($"line_key")).as("sig_key"),
+            countDistinct($"line_key").as("n_keys"))
+          .orderBy($"bucket")
       },
-      Some("""SELECT concat_ws('-', l_orderkey, l_linenumber) AS line_key,
-             |  l_partkey
-             |FROM lineitem ORDER BY line_key""".stripMargin)),
+      Some(s"""SELECT CAST(l_partkey % 16 AS BIGINT) AS bucket,
+             |  count(*) AS n,
+             |  CAST(sum(${Digest.strSigSql(
+                  "concat_ws('-', l_orderkey, l_linenumber)")})
+             |    AS BIGINT) AS sig_key,
+             |  count(DISTINCT concat_ws('-', l_orderkey, l_linenumber))
+             |    AS n_keys
+             |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     Q("f7_cast_string",
       "F-7 (bin/concatenate.py:409,439-440): whole-column cast to string " +
@@ -606,11 +642,19 @@ object StarQueries {
         Tables.events(s, d)
           .select($"event_id",
             get_json_object($"props", "$.k").cast("long").as("k"))
-          .orderBy($"event_id")
+          .groupBy(($"event_id" % 8).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"), count($"k").as("n_k"),
+            sum($"k").cast("long").as("sum_k"),
+            sum($"event_id" * $"k").cast("long").as("sum_idk"))
+          .orderBy($"bucket")
       },
-      Some("""SELECT event_id,
+      Some("""SELECT CAST(event_id % 8 AS BIGINT) AS bucket,
+             |  count(*) AS n, count(k) AS n_k,
+             |  CAST(sum(k) AS BIGINT) AS sum_k,
+             |  CAST(sum(event_id * k) AS BIGINT) AS sum_idk
+             |FROM (SELECT event_id,
              |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-             |FROM events ORDER BY event_id""".stripMargin)),
+             |  FROM events) GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     Q("f11_time_trunc",
       "F-11 (bin/concatenate.py:433): timestamp handling — per-day " +
@@ -733,12 +777,18 @@ object StarQueries {
         Tables.orders(s, d)
           .select($"o_orderkey",
             to_json(struct($"o_orderkey", $"o_orderstatus")).as("meta"))
-          .orderBy($"o_orderkey")
+          .groupBy(($"o_orderkey" % 8).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(Digest.strSig($"meta")).as("sig_meta"))
+          .orderBy($"bucket")
       },
-      Some("""SELECT o_orderkey,
-             |  CAST(to_json(struct_pack(o_orderkey := o_orderkey,
-             |    o_orderstatus := o_orderstatus)) AS VARCHAR) AS meta
-             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+      Some(s"""SELECT CAST(o_orderkey % 8 AS BIGINT) AS bucket,
+             |  count(*) AS n,
+             |  CAST(sum(${Digest.strSigSql(
+                  """to_json(struct_pack(o_orderkey := o_orderkey,
+                    |    o_orderstatus := o_orderstatus))""".stripMargin)})
+             |    AS BIGINT) AS sig_meta
+             |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     Q("w_running_sum",
       "§2.5 window analogue (bin/concatenate.py:327-336): running " +
@@ -759,15 +809,28 @@ object StarQueries {
         Tables.lineitem(s, d)
           .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
             sum($"l_quantity").over(w).as("running_qty"))
-          .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+          // Digest (r8): the prefix sum at EVERY row is pinned by an
+          // order-insensitive integer sum — any mis-ordered window frame
+          // changes some prefix and flips sig_run for its bucket.
+          .groupBy(($"l_suppkey" % 16).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum($"l_orderkey").cast("long").as("sum_key"),
+            sum(Digest.numSig($"running_qty", 100L)).as("sig_run"))
+          .orderBy($"bucket")
       },
-      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
-             |  SUM(l_quantity) OVER (PARTITION BY l_suppkey
-             |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |    AS running_qty
-             |FROM lineitem
-             |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
+      Some(s"""WITH w AS (
+             |  SELECT l_suppkey, l_orderkey,
+             |    SUM(l_quantity) OVER (PARTITION BY l_suppkey
+             |      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS running_qty
+             |  FROM lineitem)
+             |SELECT CAST(l_suppkey % 16 AS BIGINT) AS bucket,
+             |  count(*) AS n,
+             |  CAST(sum(l_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(sum(${Digest.numSigSql("running_qty", 100L)})
+             |    AS BIGINT) AS sig_run
+             |FROM w GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     Q("agg_approx_distinct",
       "Scale-path sketch aggregation: approx_count_distinct (HLL++) — the " +

@@ -36,6 +36,11 @@ def canon(rows, cols):
 
 def main(outdir, sfdir):
     con = duckdb.connect()
+    # Self-cap: keep the oracle's buffer pool small so a loaded host can't
+    # drive this process into bad_alloc (r7: 10 rows lost to oracle OOM).
+    # DuckDB spills to disk past the limit instead of aborting.
+    con.execute("SET memory_limit='4GB'")
+    con.execute("SET threads=4")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")

@@ -29,19 +29,27 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // 1-minute system load average, sampled per timed run: a recorded
+    // time only means something next to the machine state it was taken
+    // under (recurring round ambiguity: driver-bench regressions that
+    // are pure host load — e_knn_ivf r6, stream_dedup r7)
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg
     def timeOne(name: String, fn: (SparkSession, String)
-        => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+        => org.apache.spark.sql.DataFrame): (Double, Boolean, Double) = {
+      val la = loadAvg
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      ((System.nanoTime() - t0) / 1e9, ok, la)
     }
     val results = selected.map {
       case (name, fn) =>
-        val (dt1, ok1) = timeOne(name, fn)
+        val (dt1, ok1, la1) = timeOne(name, fn)
         // short queries are fixed-overhead-dominated and the ones whose
         // recorded times drift 3× with host load — re-run and keep the
         // min (3 runs under 3 s, 2 runs under 10 s). Long queries are
@@ -55,16 +63,18 @@ object Bench {
         // first run — intermittent failure is failure
         val ok = ok1 && later.forall(_._2)
         val runs = dt1 +: later.map(_._1)
-        val dt = (dt1 +: later.collect { case (t, true) => t }).min
+        val loads = la1 +: later.map(_._3)
+        val dt = (dt1 +: later.collect { case (t, true, _) => t }).min
         System.err.println(
           f"[bench] $name $dt%.2fs (runs ${runs.map(r => f"$r%.2f").mkString("/")})")
-        (name, dt, ok, runs)
+        (name, dt, ok, runs, loads)
     }
     // a crashed query reports -1, never its (tiny) elapsed time — a crash
     // must not read as a fast run, and the failed list makes it explicit
-    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true, _) => v }.sum
+    val total = results.collect { case (_, v, true, _, _) => v }.sum
+    val loadEnd = loadAvg
     // COMPLETE per-query record (min + every run, so round-over-round
     // deltas AND variance are auditable for all queries, not just the
     // slowest) goes to a file — stdout is capped at ~2000 chars by the
@@ -73,24 +83,25 @@ object Bench {
     // committed complete record — divert it to a scratch name
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       if (only.isEmpty) "BENCH_FULL.json" else "bench_only_latest.json")
-    val fullEntries = results.sortBy { case (_, v, ok, _) =>
+    val fullEntries = results.sortBy { case (_, v, ok, _, _) =>
         (if (ok) -v else 1e18) }
-      .map { case (k, v, ok, runs) =>
+      .map { case (k, v, ok, runs, loads) =>
         val rs = runs.map(r => f"$r%.3f").mkString("[", ",", "]")
-        "\"" + k + "\":" + (if (ok) f"""{"sec":$v%.3f,"runs":$rs}"""
-          else s"""{"sec":-1,"runs":$rs}""")
+        val ls = loads.map(l => f"$l%.1f").mkString("[", ",", "]")
+        "\"" + k + "\":" + (if (ok) f"""{"sec":$v%.3f,"runs":$rs,"load":$ls}"""
+          else s"""{"sec":-1,"runs":$rs,"load":$ls}""")
       }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","queries":${fullEntries.mkString("{", ",\n", "}")}}""" + "\n")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","load_start":$loadStart%.1f,"load_end":$loadEnd%.1f,"queries":${fullEntries.mkString("{", ",\n", "}")}}""" + "\n")
     // The harness captures only the LAST ~2000 chars of stdout; a JSON
     // line longer than that loses its head and never parses. Emit the
     // queries map slowest-first, truncated to a hard budget (the slowest
     // queries are the informative ones), and note how many were omitted.
     // The complete per-query listing is in BENCH_FULL.json above.
-    val entries = results.sortBy { case (_, v, ok, _) => if (ok) -v else 1e18 }
-      .map { case (k, v, ok, _) =>
+    val entries = results.sortBy { case (_, v, ok, _, _) => if (ok) -v else 1e18 }
+      .map { case (k, v, ok, _, _) =>
         "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1") }
-    val fixed = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","full":"$fullPath","queries":{},"omitted":000}"""
+    val fixed = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","load":[$loadStart%.1f,$loadEnd%.1f],"full":"$fullPath","queries":{},"omitted":000}"""
     val budget = 1700 - fixed.length
     val kept = new scala.collection.mutable.ArrayBuffer[String]
     var used = 0
@@ -98,7 +109,7 @@ object Bench {
       if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
     }
     val omitted = entries.size - kept.size
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","full":"$fullPath","queries":${kept.mkString("{", ",", "}")},"omitted":$omitted}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","load":[$loadStart%.1f,$loadEnd%.1f],"full":"$fullPath","queries":${kept.mkString("{", ",", "}")},"omitted":$omitted}""")
     spark.stop()
   }
 }

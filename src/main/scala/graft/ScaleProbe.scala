@@ -88,18 +88,20 @@ object ScaleProbe {
       math.min(once, once)
     }
     println(f"${"query"}%-24s ${"1x"}%8s ${s"${k}x"}%8s ratio")
-    val measured = probes.flatMap { q =>
+    val attempts = probes.map { q =>
       try {
         val t1 = time(q, sfDir)
         val tk = time(q, scaled.getAbsolutePath)
         println(f"$q%-24s $t1%8.2f $tk%8.2f ${tk / t1}%5.1fx")
-        Some((q, t1, tk))
+        Right((q, t1, tk))
       } catch {
         case e: Exception =>
           println(s"$q FAILED: ${e.getMessage.take(120)}")
-          None
+          Left(q)
       }
     }
+    val measured = attempts.collect { case Right(t) => t }
+    val failedProbes = attempts.collect { case Left(q) => q }
     val json = measured.map { case (q, t1, tk) =>
       f""""$q":{"t1":$t1%.3f,"tk":$tk%.3f,"ratio":${tk / t1}%.3f}"""
     }.mkString("{\"k\":" + k + ",\"sf\":\"" + sfDir + "\",\"queries\":{",
@@ -112,6 +114,12 @@ object ScaleProbe {
       require(java.nio.file.Files.exists(basePath),
         "SCALE_RATIOS.json baseline missing — run ScaleProbe 8 and " +
           "commit scale_probe_8x.json as SCALE_RATIOS.json")
+      // a probe that CRASHES must trip the guard, not silently vanish
+      // from the comparison — a regression manifesting as an exception
+      // or timeout is worse than a slow ratio
+      if (failedProbes.nonEmpty)
+        sys.error("SCALE GUARD FAILED — probes did not complete: " +
+          failedProbes.mkString(", "))
       val regressions =
         checkGuard(java.nio.file.Files.readString(basePath), measured)
       if (regressions.nonEmpty)

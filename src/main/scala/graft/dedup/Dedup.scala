@@ -369,26 +369,39 @@ object Dedup {
     */
   def duplicateClusters(nodes: DataFrame, edges: DataFrame, idCol: String,
                         maxIter: Int = 25,
-                        loopPartitions: Int = 8): DataFrame = {
+                        loopPartitions: Int = 0): DataFrame = {
     // each round is a tiny shuffle (one row per label/edge) repeated many
     // times — at the session's full shuffle width the per-round task-launch
     // overhead dominates. The loop runs at its own width via EXPLICIT
     // repartition on the loop keys (never by mutating the session-global
     // shuffle.partitions, which would silently re-plan concurrent queries);
     // localCheckpoint preserves the hash partitioning in LogicalRDD, so
-    // co-partitioned joins below plan no extra exchanges. At 100 TB raise
-    // loopPartitions to the edge-set scale; the loop body is width-agnostic.
-    val sym = edges
+    // co-partitioned joins below plan no extra exchanges.
+    // loopPartitions <= 0 (default) auto-derives the width from the
+    // materialized edge count, so a 100 TB candidate set is never
+    // funneled through a fixed 8-partition loop; the count reads the
+    // already-checkpointed edge set, not the (expensive) candidate-
+    // generation plan.
+    val symBase = edges
       .select(col("a_id").cast("long").as("src"),
         col("b_id").cast("long").as("dst"))
       .union(edges.select(col("b_id").cast("long").as("src"),
         col("a_id").cast("long").as("dst")))
-      .repartition(loopPartitions, col("src"))
-      .localCheckpoint()
+    val (sym, width) =
+      if (loopPartitions > 0)
+        (symBase.repartition(loopPartitions, col("src"))
+          .localCheckpoint(), loopPartitions)
+      else {
+        val raw = symBase.localCheckpoint()
+        val w = autoLoopWidth(raw.count())
+        val s = raw.repartition(w, col("src")).localCheckpoint()
+        raw.unpersist()
+        (s, w)
+      }
     var labels = nodes
       .select(col(idCol).cast("long").as("id"))
       .withColumn("cluster_id", col("id"))
-      .repartition(loopPartitions, col("id"))
+      .repartition(width, col("id"))
       .localCheckpoint()
     var iter = 0
     var converged = false
@@ -399,7 +412,7 @@ object Dedup {
       // self-join would otherwise analyze and execute twice
       val nbrMin = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst"), col("cluster_id"))
-        .repartition(loopPartitions, col("dst"))
+        .repartition(width, col("dst"))
         .groupBy(col("dst"))
         .agg(min(col("cluster_id")).as("nmin"))
       val propagated = labels
@@ -414,14 +427,14 @@ object Dedup {
       // O(log diameter) instead of O(diameter) — the difference between
       // 40 rounds and 6 on a pathological chain at corpus scale.
       val next = propagated.as("x")
-        .repartition(loopPartitions, col("cluster_id"))
+        .repartition(width, col("cluster_id"))
         .join(propagated.select(col("id").as("pid"),
           col("cluster_id").as("pcluster")).as("p")
-          .repartition(loopPartitions, col("pid")),
+          .repartition(width, col("pid")),
           col("x.cluster_id") === col("pid"), "left")
         .select(col("x.id"),
           coalesce(col("pcluster"), col("x.cluster_id")).as("cluster_id"))
-        .repartition(loopPartitions, col("id"))
+        .repartition(width, col("id"))
         .localCheckpoint() // next is consumed twice (count + next round)
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
@@ -435,6 +448,18 @@ object Dedup {
       "rounds — raise maxIter for deep components")
     labels
   }
+
+  /** Loop width for [[duplicateClusters]] when not given explicitly:
+    * one partition per ~2M symmetric edge rows, floored at 8 (small
+    * candidate sets stay at the overhead-minimizing width) and capped at
+    * 20k (HashPartitioner sanity at extreme edge counts). Monotone in
+    * the edge count, so the CC loop widens with the candidate set
+    * instead of funneling a corpus-scale edge list through 8 partitions.
+    */
+  private[graft] def autoLoopWidth(
+      symEdgeRows: Long, rowsPerPartition: Long = 2000000L): Int =
+    math.max(8L, math.min(20000L,
+      (symEdgeRows + rowsPerPartition - 1) / rowsPerPartition)).toInt
 
   /** Embedding near-dup: pairs with cosine ≥ threshold, brute force within
     * deterministic random-hyperplane LSH buckets (plane p's component for

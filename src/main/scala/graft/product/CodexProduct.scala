@@ -466,9 +466,11 @@ object CodexProduct {
     def matrixStream(valueCol: String): () => Iterator[Double] = () => {
       // BOTH value columns ride the sort keys (in fixed order), so a
       // (cell, channel) duplicate resolves to the SAME winning row in
-      // the X pass and the mean pass — the two matrices never pair a
-      // total and a mean that exist in no single input row, and
-      // first-wins is a stable (min-by-(total, mean)) choice
+      // the X pass and the mean pass: every row is emitted (a null
+      // value column as NaN, never skipped), so gapFill's first-wins
+      // picks the min-by-(total, mean) row in both passes — the two
+      // matrices never pair a total and a mean that exist in no single
+      // input row, even when the winning row carries a null.
       val vAt = if (valueCol == "total") 2 else 3
       val entries = bundle.xLong
         .select(col("cell_id"), col("channel"), col("total"), col("mean"))
@@ -477,8 +479,9 @@ object CodexProduct {
         .toLocalIterator().asScala
         .flatMap { r =>
           (obsIdx.get(r.getString(0)), varIdx.get(r.getString(1))) match {
-            case (Some(i), Some(j)) if !r.isNullAt(vAt) =>
-              Iterator.single((i.toLong * nVar + j, r.getDouble(vAt)))
+            case (Some(i), Some(j)) =>
+              Iterator.single((i.toLong * nVar + j,
+                if (r.isNullAt(vAt)) Double.NaN else r.getDouble(vAt)))
             case _ => Iterator.empty
           }
         }

@@ -221,7 +221,11 @@ object Streams {
             org.apache.spark.sql.GraftStreamBridge.lastExecutedPlan(q))
           Option(q.lastProgress)
             .foreach(p => lastProgresses.put(name, p.json))
-        } catch { case _: Throwable => () }
+        } catch {
+          // NonFatal only: swallowing OOM/interrupt here would mask a
+          // dying JVM and lose the interrupt flag right before stop()
+          case scala.util.control.NonFatal(_) => ()
+        }
         q.stop()
       }
       if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))

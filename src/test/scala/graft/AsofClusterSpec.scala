@@ -169,4 +169,18 @@ class AsofClusterSpec extends AnyFunSuite {
       assert(got == components(n, edges))
     }
   }
+
+  test("autoLoopWidth scales with the edge count (floor 8, cap 20k)") {
+    // tiny candidate sets stay at the overhead-minimizing floor
+    assert(Dedup.autoLoopWidth(0L) == 8)
+    assert(Dedup.autoLoopWidth(1000000L) == 8)
+    // corpus-scale edge lists widen ∝ rows (2M rows/partition)
+    assert(Dedup.autoLoopWidth(100000000L) == 50)
+    assert(Dedup.autoLoopWidth(10000000000L) == 5000)
+    // monotone, and capped for HashPartitioner sanity
+    assert(Dedup.autoLoopWidth(Long.MaxValue / 2) == 20000)
+    val pts = Seq(1L, 1000000L, 50000000L, 1000000000L, 100000000000L)
+      .map(Dedup.autoLoopWidth(_))
+    assert(pts == pts.sorted)
+  }
 }

@@ -55,8 +55,11 @@ object Bench {
         // min (3 runs under 3 s, 2 runs under 10 s). Long queries are
         // work-dominated (noise is proportional, a rerun doubles real
         // cost), so one pass stands.
-        val reruns =
-          if (!ok1) 0 else if (dt1 < 3.0) 2 else if (dt1 < 10.0) 1 else 0
+        // SPARK_GRAFT_RUNS=n forces n total runs (profiling aid:
+        // separates per-JVM fixture/cold cost from steady state)
+        val reruns = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt - 1)
+          .getOrElse(
+            if (!ok1) 0 else if (dt1 < 3.0) 2 else if (dt1 < 10.0) 1 else 0)
         val later = Seq.fill(reruns)(timeOne(name, fn))
         // EVERY run must succeed: a crashed rerun's tiny elapsed time
         // must neither become the recorded min nor hide behind a green

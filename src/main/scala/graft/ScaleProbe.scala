@@ -32,6 +32,14 @@ object ScaleProbe {
     "p_negative_sample", "d_incremental_index_append",
     "e_knn_sq8_rerank", "e_kmeans_lloyd")
 
+  /** SPARK_GRAFT_PROBES=a,b restricts the probe set (iteration aid;
+    * guard runs ignore it so the tripwire always covers everything). */
+  private def selectedProbes(guard: Boolean): Seq[String] =
+    if (guard) probes
+    else sys.env.get("SPARK_GRAFT_PROBES")
+      .map(_.split(",").map(_.trim).toSet)
+      .fold(probes)(only => probes.filter(only))
+
   def main(args: Array[String]): Unit = {
     val guard = args.headOption.contains("guard")
     val k = if (guard || args.isEmpty) 8 else args(0).toInt
@@ -88,7 +96,7 @@ object ScaleProbe {
       math.min(once, once)
     }
     println(f"${"query"}%-24s ${"1x"}%8s ${s"${k}x"}%8s ratio")
-    val attempts = probes.map { q =>
+    val attempts = selectedProbes(guard).map { q =>
       try {
         val t1 = time(q, sfDir)
         val tk = time(q, scaled.getAbsolutePath)

@@ -337,17 +337,25 @@ object ExtendedQueries {
         "order).",
       (s, d) => {
         import s.implicits._
+        // fused typed pass (r8): per-doc term frequencies AND the
+        // per-doc top term (tf desc, tok asc) computed in one local
+        // sweep — the explode + groupBy(doc, tok) + doc-window form
+        // shuffled every raw token row twice before the df join; this
+        // shuffles only the per-doc-distinct term table, once, for df.
         val tf = Tables.documents(s, d)
-          .select($"doc_id", explode(split(trim($"text"), "\\s+"))
-            .as("tok"))
-          .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+          .select($"doc_id", $"text").as[(Long, String)]
+          .mapPartitions(_.flatMap { case (id, text) =>
+            val toks = text.trim.split("\\s+", -1)
+            val m = scala.collection.mutable.HashMap.empty[String, Long]
+            toks.foreach(t => m.update(t, m.getOrElse(t, 0L) + 1L))
+            val top = m.minBy { case (t, c) => (-c, t) }._1
+            m.iterator.map { case (t, c) => (id, t, c, t == top) }
+          }).toDF("doc_id", "tok", "tf", "is_top")
         val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
-        val w = Window.partitionBy($"doc_id")
-          .orderBy($"tf".desc, $"tok".asc)
         // no broadcast hint: dfreq is vocabulary-sized, which grows with
         // the corpus — at 100 TB it must shuffle-join; AQE still picks a
         // broadcast join at runtime when the vocab is actually small
-        tf.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        tf.filter($"is_top")
           .join(dfreq, Seq("tok"))
           .select($"doc_id", $"tok".as("top_tok"),
             $"tf".cast("long").as("tf"), $"df".cast("long").as("df"))

@@ -368,14 +368,22 @@ object Round5Queries {
         "would shuffle the bigram table twice.",
       (s, d) => {
         import s.implicits._
-        // tokenize ONCE per document (projected before the lambda —
-        // an inline split would be re-evaluated per bigram slice)
+        // fused typed pass (r8): tokenize once, slide once, dedup
+        // per-doc locally — the expression form (transform + slice +
+        // array_join, interpreted HOF) re-evaluated the lambda per
+        // bigram and needed a global DISTINCT shuffle on (doc, bg);
+        // this emits per-doc-distinct bigrams straight into the single
+        // bg-partitioned window exchange. Mirrors slice semantics
+        // exactly: a 1-token doc yields its lone token as the "bigram".
         val sh = Tables.documents(s, d)
-          .select($"doc_id", split($"text", "\\s+").as("toks"))
-          .select($"doc_id", explode(expr(
-            "transform(sequence(1, greatest(size(toks) - 1, 1)), " +
-              "i -> array_join(slice(toks, i, 2), ' '))")).as("bg"))
-          .distinct()
+          .select($"doc_id", $"text").as[(Long, String)]
+          .mapPartitions(_.flatMap { case (id, text) =>
+            val toks = text.split("\\s+", -1)
+            val bgs: Array[String] =
+              if (toks.length <= 1) Array(toks.mkString(" "))
+              else toks.sliding(2).map(_.mkString(" ")).toArray
+            bgs.distinct.iterator.map(bg => (id, bg))
+          }).toDF("doc_id", "bg")
         sh.withColumn("df", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy($"bg")))
           .groupBy($"doc_id")

@@ -405,4 +405,73 @@ object OracleGen {
        |      FROM scored) t
        |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
   }
+
+  /** IVF replay seeded by the 2-pass Lloyd k-means centroids (the
+    * kmeansLloydSql recipe at `nCells` clusters): md5-ordered seed set →
+    * argmax-cosine assignment → per-(cluster, dim) 6-dp-rounded float
+    * mean → those centroids become the IVF cells for the same
+    * cells/qprobe/scored replay as [[knnIvfSql]]. Every stage is
+    * deterministic, so the composition is hash-exact cross-engine.
+    */
+  def knnIvfKmeansSql(dim: Int, nCells: Int, nProbe: Int, k: Int,
+                      maxQueryId: Long): String = {
+    def dotT(a: String, b: String) = (1 to dim)
+      .map(i => s"(CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE))")
+      .mkString("+")
+    def cos(a: String, b: String) = {
+      val d = dotT(a, b); val na = dotT(a, a); val nb = dotT(b, b)
+      s"(CASE WHEN sqrt($na)*sqrt($nb) = 0 THEN 0.0 " +
+        s"ELSE ($d)/(sqrt($na)*sqrt($nb)) END)"
+    }
+    s"""WITH cent0 AS (
+       |  SELECT row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl,
+       |    embedding AS cvec
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |        LIMIT $nCells)),
+       |a1 AS (
+       |  SELECT vec_id, embedding, cl FROM (
+       |    SELECT e.vec_id, e.embedding, c.cl,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos("e.embedding", "c.cvec")} DESC,
+       |          c.cl DESC) AS rn
+       |    FROM embeddings e CROSS JOIN cent0 c) WHERE rn = 1),
+       |upd AS (
+       |  SELECT cl, i.i AS dim,
+       |    CAST(round(avg(CAST(embedding[i.i + 1] AS DOUBLE)), 6)
+       |      AS FLOAT) AS v
+       |  FROM a1 CROSS JOIN (SELECT unnest(range($dim)) AS i) i
+       |  GROUP BY cl, i.i),
+       |cent AS (SELECT cl AS cid, list(v ORDER BY dim) AS cvec
+       |         FROM upd GROUP BY cl),
+       |cells AS (
+       |  SELECT vec_id, embedding, cid AS cell FROM (
+       |    SELECT c.vec_id, c.embedding, t.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY ${cos("c.embedding", "t.cvec")} DESC,
+       |          t.cid DESC) AS rn
+       |    FROM embeddings c CROSS JOIN cent t) x
+       |  WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, embedding, cid AS cell FROM (
+       |    SELECT a.vec_id, a.embedding, t.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${cos("a.embedding", "t.cvec")} DESC,
+       |          t.cid DESC) AS rn
+       |    FROM (SELECT * FROM embeddings WHERE vec_id < $maxQueryId) a
+       |    CROSS JOIN cent t) x
+       |  WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    ${cos("q.embedding", "c.embedding")} AS cos
+       |  FROM qprobe q JOIN cells c USING (cell)
+       |  WHERE c.vec_id <> q.query_id)
+       |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank
+       |FROM (SELECT query_id, neighbor_id,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, neighbor_id) AS rn
+       |      FROM scored) t
+       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
+  }
 }

@@ -39,5 +39,30 @@ object Round8Queries {
              |  ON a.n_name < b.n_name
              |  AND levenshtein(a.n_name, b.n_name) <= 5
              |ORDER BY name_a, name_b""".stripMargin)),
+
+    Q("e_knn_ivf_kmeans",
+      "IVF seeded by 2-pass Lloyd k-means centroids " +
+        "(`Knn.kmeansCentroids`, the e_kmeans_lloyd recipe at " +
+        "nCells=16) instead of the raw md5 sample: data-adaptive cell " +
+        "centers balance occupancy (spread evidence in KnnSpec), which " +
+        "caps per-probe candidate counts — the serving-latency lever at " +
+        "corpus scale. Same probe/score stage as e_knn_ivf; every stage " +
+        "(seed order, 6-dp centroid means, argmax assignment, ranking) " +
+        "is deterministic, so the composition replays hash-exact in " +
+        "DuckDB.",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val cents = graft.similarity.Knn.kmeansCentroids(
+          emb, "vec_id", "embedding", k = 16)
+        graft.similarity.Knn.ivfTopKWithCentroids(emb,
+            emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 5,
+            centroids = cents, nProbe = 3, logOccupancy = true)
+          .select($"query_id", $"neighbor_id",
+            $"rank".cast("long").as("rank"))
+          .orderBy($"query_id", $"rank")
+      },
+      Some(OracleGen.knnIvfKmeansSql(dim = 64, nCells = 16, nProbe = 3,
+        k = 5, maxQueryId = 10))),
   )
 }

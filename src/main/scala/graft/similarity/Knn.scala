@@ -84,7 +84,21 @@ object Knn {
     // answer; 1 centroid -> everything lands in that single cell
     if (centroids.length < 2)
       return bruteForceTopK(corpus, queries, idCol, vecCol, k)
-    def cellScores(vec: Column): Seq[Column] = centroids.toSeq.map {
+    ivfTopKWithCentroids(corpus, queries, idCol, vecCol, k,
+      centroids.toSeq, nProbe, logOccupancy)
+  }
+
+  /** IVF probe/score stage against a GIVEN centroid set — the seam that
+    * lets better inits (e.g. the 2-iteration Lloyd k-means centroids of
+    * e_kmeans_lloyd) feed the same cell assignment, probe explosion and
+    * ranked scoring as the md5-sample init. Centroids are metadata-sized
+    * and inlined as literals: assignment stays a pure map. */
+  def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame,
+                           idCol: String, vecCol: String, k: Int,
+                           centroids: Seq[(Long, Array[Float])],
+                           nProbe: Int = 2,
+                           logOccupancy: Boolean = false): DataFrame = {
+    def cellScores(vec: Column): Seq[Column] = centroids.map {
       case (cid, cvec) =>
         struct(cosine(vec, typedLit(cvec)).as("sim"), lit(cid).as("cid"))
     }
@@ -98,8 +112,9 @@ object Knn {
       // diagnostic job, and repeated bench runs / plan dumps of the
       // same query must not re-pay a corpus scan for a histogram that
       // cannot have changed
-      val memoKey =
-        s"$nCells:$nProbe:${corpus.queryExecution.logical.semanticHash()}"
+      val memoKey = s"${centroids.length}:$nProbe:" +
+        s"${centroids.map(_._1).hashCode()}:" +
+        s"${corpus.queryExecution.logical.semanticHash()}"
       if (occupancyLogged.add(memoKey)) {
         val occ = c.groupBy(col("cell")).count().orderBy(col("cell"))
           .collect()
@@ -124,6 +139,46 @@ object Knn {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cosine_raw"), 6).as("cosine"))
+  }
+
+  /** Deterministic 2-pass Lloyd k-means centroids (the e_kmeans_lloyd
+    * recipe as a reusable init for the IVF tier): md5-ordered seed set,
+    * one argmax-cosine assignment (pure map over centroid literals), one
+    * per-(cluster, dim) mean update ROUNDED to 6 dp — the rounding kills
+    * last-ulp summation-order divergence so any engine reproduces the
+    * centroids bit-for-bit. Driver traffic is k×dim rows; each pass is
+    * one corpus scan + one fixed-size aggregation. Clusters that lose
+    * every member in the assignment pass drop out of the result
+    * (occupancy-0 cells would never be probed anyway).
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int): Seq[(Long, Array[Float])] = {
+    val cent0: Seq[(Long, Array[Float])] = corpus
+      .select(col(idCol).cast("long").as("cid"),
+        col(vecCol).cast("array<float>").as("cvec"))
+      .orderBy(md5(col("cid").cast("string")), col("cid"))
+      .limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Float](1).toArray) }
+      .toSeq
+    if (cent0.length < 2) return cent0 // greatest() needs ≥2 cells
+    val dim = cent0.head._2.length
+    val scores = cent0.map { case (cl, cvec) =>
+      struct(cosine(col("v"), typedLit(cvec)).as("sim"),
+        lit(cl).as("cid"))
+    }
+    corpus.select(col(vecCol).as("v"))
+      .withColumn("cl", greatest(scores: _*).getField("cid"))
+      .select(col("cl"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cl"), col("dim"))
+      .agg(round(avg(col("x").cast("double")), 6).as("m"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (cl, rows) =>
+        val vec = new Array[Float](dim)
+        rows.foreach(r => vec(r.getInt(1)) = r.getDouble(2).toFloat)
+        (cl, vec)
+      }.toSeq.sortBy(_._1)
   }
 
   /** Scalar-quantized (int8) ANN top-k — the memory-bandwidth tier: each

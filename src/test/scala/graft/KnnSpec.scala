@@ -119,6 +119,38 @@ class KnnSpec extends AnyFunSuite {
     assert(out(1).getDouble(1) == 6.0) // clean rows unaffected
   }
 
+  test("kmeans-seeded IVF cells are tighter-spread than md5-init cells") {
+    val sf = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, sf)
+    val nCells = 16
+    def occupancy(cents: Seq[(Long, Array[Float])]): Seq[Long] = {
+      val scores = cents.map { case (cid, cvec) =>
+        struct(vec_cosine($"embedding", typedLit(cvec)).as("sim"),
+          lit(cid).as("cid"))
+      }
+      emb.withColumn("cell", greatest(scores: _*).getField("cid"))
+        .groupBy($"cell").count().as[(Long, Long)].collect()
+        .map(_._2).toSeq
+    }
+    def spread(occ: Seq[Long]): Double = {
+      // relative std dev over ALL nCells slots (empty cells count as 0)
+      val full = occ.padTo(nCells, 0L).map(_.toDouble)
+      val m = full.sum / full.size
+      math.sqrt(full.map(x => (x - m) * (x - m)).sum / full.size) / m
+    }
+    val md5Init = emb
+      .select($"vec_id".cast("long").as("cid"),
+        $"embedding".cast("array<float>").as("cvec"))
+      .orderBy(md5($"cid".cast("string")), $"cid").limit(nCells)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq
+    val km = Knn.kmeansCentroids(emb, "vec_id", "embedding", nCells)
+    val (sMd5, sKm) = (spread(occupancy(md5Init)), spread(occupancy(km)))
+    info(f"occupancy rel-stddev md5=$sMd5%.3f kmeans=$sKm%.3f")
+    assert(sKm < sMd5,
+      f"kmeans seeding should balance cells: md5=$sMd5%.3f kmeans=$sKm%.3f")
+  }
+
   test("lsh_bucket is deterministic and in range") {
     val emb = Tables.embeddings(spark, TestSpark.sf).limit(50)
     val b1 = emb.select($"vec_id", lsh_bucket($"embedding", 6).as("b"))

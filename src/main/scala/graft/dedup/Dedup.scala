@@ -449,6 +449,38 @@ object Dedup {
     labels
   }
 
+  /** Band-index maintenance: compact a band-partitioned parquet index
+    * dir in place, optionally dropping expired entries. Per-batch
+    * appends (d_incremental_index_append) accumulate one file per band
+    * per batch forever; this rewrite re-clusters each band partition to
+    * a single band_hash-sorted file (footer min/max stay tight for
+    * row-group skipping) and applies `retain` — the TTL/retention
+    * predicate — during the same pass, so expiry costs no extra scan.
+    *
+    * Locally the swap is rewrite-to-sibling + directory rename; on a
+    * real lake the identical rewrite commits via the table format's
+    * atomic metadata swap (Iceberg/Delta rewrite-files). Cost is one
+    * scan + one write of the LIVE index rows — never proportional to
+    * the number of accumulated appends.
+    */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String,
+                       retain: Column = lit(true)): Unit = {
+    val tmp = path + ".compacting"
+    spark.read.parquet(path)
+      .filter(retain)
+      .repartition(col("band"))
+      .sortWithinPartitions(col("band_hash"))
+      .write.partitionBy("band").parquet(tmp)
+    val dir = new java.io.File(path)
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    rmTree(dir)
+    require(new java.io.File(tmp).renameTo(dir),
+      s"compaction swap failed for $path")
+  }
+
   /** Loop width for [[duplicateClusters]] when not given explicitly:
     * one partition per ~2M symmetric edge rows, floored at 8 (small
     * candidate sets stay at the overhead-minimizing width) and capped at

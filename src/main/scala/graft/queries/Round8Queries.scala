@@ -64,5 +64,71 @@ object Round8Queries {
       },
       Some(OracleGen.knnIvfKmeansSql(dim = 64, nCells = 16, nProbe = 3,
         k = 5, maxQueryId = 10))),
+
+    Q("d_index_compact",
+      "Band-index lifecycle, closed: d_incremental_index_append grows " +
+        "one file per band per batch forever — `Dedup.compactBandIndex` " +
+        "rewrites each band partition to a single band_hash-sorted file " +
+        "and applies the retention predicate (here: day-0 corpus " +
+        "entries expire, batch days 1-2 are live) in the same pass. " +
+        "Three appended generations are compacted to 1 file per band " +
+        "(asserted in the compacted_ok column), then a day-3 batch " +
+        "probes the compacted index; the oracle replays the retained " +
+        "union relationally, so the rewrite provably lost and invented " +
+        "nothing.",
+      (s, d) => {
+        import s.implicits._
+        Scratch.withTempDir("graft-idxcompact-") { tmp =>
+          val p = s"${tmp.getAbsolutePath}/band_index"
+          val docs = Tables.documents(s, d)
+          def buckets(f: org.apache.spark.sql.DataFrame, day: Int) =
+            graft.dedup.Dedup.minhashBucketsPortable(f, "doc_id", "text",
+              shingleN = 5, bands = 8, rowsPerBand = 2)
+              .withColumn("day", lit(day.toLong))
+          buckets(docs.filter($"doc_id" % 10 =!= 0), 0)
+            .write.partitionBy("band").parquet(p)
+          buckets(docs.filter($"doc_id" % 20 === 0), 1)
+            .write.mode("append").partitionBy("band").parquet(p)
+          buckets(docs.filter($"doc_id" % 20 === 10), 2)
+            .write.mode("append").partitionBy("band").parquet(p)
+          def filesInBand0: Long = {
+            val fs = new java.io.File(s"$p/band=0").listFiles()
+            if (fs == null) 0L
+            else fs.count(_.getName.endsWith(".parquet")).toLong
+          }
+          val nBefore = filesInBand0
+          graft.dedup.Dedup.compactBandIndex(s, p,
+            retain = col("day") >= 1L)
+          val nAfter = filesInBand0
+          val idx = s.read.parquet(p)
+            .select($"id".as("idx_id"), $"band", $"band_hash")
+          val probe = docs.filter($"doc_id" % 20 === 5)
+          val matches = graft.dedup.Dedup.minhashBucketsPortable(probe,
+              "doc_id", "text", shingleN = 5, bands = 8, rowsPerBand = 2)
+            .join(idx, Seq("band", "band_hash"))
+            .select($"id".as("doc_id"), $"idx_id").distinct()
+            .groupBy($"doc_id").agg(count(lit(1)).as("c"))
+          probe.select($"doc_id").distinct()
+            .join(matches, Seq("doc_id"), "left")
+            .select($"doc_id", coalesce($"c", lit(0L)).as("n_matches"),
+              lit(nBefore >= 3L && nAfter == 1L).as("compacted_ok"))
+            .orderBy($"doc_id")
+        }
+      },
+      Some(s"""WITH ${OracleGen.minhashBucketsCte(5, 8, 2)},
+              |ix AS (SELECT doc_id, band, band_hash FROM mh_buckets
+              |       WHERE doc_id % 10 = 0),
+              |b3 AS (SELECT * FROM mh_buckets WHERE doc_id % 20 = 5),
+              |m AS (
+              |  SELECT DISTINCT b.doc_id AS doc_id, i.doc_id AS idx_id
+              |  FROM b3 b JOIN ix i
+              |    ON b.band = i.band AND b.band_hash = i.band_hash),
+              |cnt AS (SELECT doc_id, count(*) AS c FROM m GROUP BY doc_id)
+              |SELECT d.doc_id,
+              |  CAST(coalesce(c, 0) AS BIGINT) AS n_matches,
+              |  TRUE AS compacted_ok
+              |FROM (SELECT DISTINCT doc_id FROM documents
+              |      WHERE doc_id % 20 = 5) d
+              |LEFT JOIN cnt USING (doc_id) ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the harness star schema (TESTDATA.md). One parquet file per
   * table under `sfDir`. All reads are lazy scans — Catalyst pushes filters
@@ -31,13 +31,17 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
-    * timestamp type and rejects it outright, so it is read as a long
-    * (`nanosAsLong`, set here so the loader works under any session) and
-    * normalized to a microsecond TIMESTAMP_NTZ column. DuckDB reads the
-    * same file natively as TIMESTAMP; truncating nanos → micros keeps the
-    * engines value-identical (the generator's timestamps are second-grained
-    * anyway).
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    * generations and as naive TIMESTAMP(MICROS) (→ TIMESTAMP_NTZ) in
+    * others. Both are normalized here to a session-UTC instant
+    * `TimestampType` column: nanos are read as a long (`nanosAsLong`, set
+    * here so the loader works under any session) and truncated to micros;
+    * NTZ is cast, which under the UTC session timeZone every entry point
+    * pins is a pure reinterpretation (identical microsecond values).
+    * Downstream needs the LTZ type — `unix_micros` and streaming event-time
+    * watermarks reject TIMESTAMP_NTZ outright. DuckDB reads either file
+    * natively as naive TIMESTAMP with the same wall-clock values, so the
+    * engines stay value-identical.
     */
   def events(s: SparkSession, d: String): DataFrame =
     normalizeEventsTs(eventsRaw(s, d))
@@ -49,11 +53,15 @@ object Tables {
   }
 
   def normalizeEventsTs(raw: DataFrame): DataFrame =
-    if (raw.schema("ts").dataType == LongType)
-      // integer division — `/` on longs is double division, whose 256 ns
-      // ulp at epoch-nanosecond magnitudes would corrupt the microsecond
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // integer division — `/` on longs is double division, whose 256 ns
+        // ulp at epoch-nanosecond magnitudes would corrupt the microsecond
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

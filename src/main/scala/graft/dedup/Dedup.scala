@@ -515,4 +515,48 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"), col("cosine"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the deterministic
+    * 2-pass Lloyd k-means ([[graft.similarity.Knn.kmeansCentroids]]),
+    * then prune WITHIN each cluster — a vector is removed when a
+    * lower-id vector in the same cluster has cosine ≥ `threshold`
+    * (greedy min-id canonical, the standard SemDeDup approximation of
+    * the transitive closure).
+    *
+    * Scale shape: centroids are metadata (k×dim, collected once, inlined
+    * as literals), cluster assignment is a PURE MAP over the corpus
+    * (argmax over centroid structs — no join, no shuffle), and the
+    * pairwise cosine is an equi self-join on `cell` — the quadratic work
+    * is confined inside clusters exactly like the LSH band join, never
+    * corpus × corpus. At 100 TB the corpus is written partitioned by
+    * `cell` so the self-join is co-located and partition-pruned.
+    *
+    * Returns one row per input vector: (vec_id, cell, kept).
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               nClusters: Int, threshold: Double): DataFrame = {
+    import graft.functions.vector._
+    val cents = graft.similarity.Knn.kmeansCentroids(
+      df, idCol, vecCol, nClusters)
+    val scores = cents.map { case (cl, cvec) =>
+      struct(vec_cosine(col("vec"), typedLit(cvec)).as("sim"),
+        lit(cl).as("cid"))
+    }
+    val assigned = df
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("vec"))
+      .withColumn("cell", greatest(scores: _*).getField("cid"))
+      .repartition(col("cell"))
+    val a = assigned.as("a"); val b = assigned.as("b")
+    val removed = a.join(b, col("a.cell") === col("b.cell") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(round(vec_cosine(col("a.vec"), col("b.vec")), 6)
+        >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("rm", lit(true))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("rm").isNull.as("kept"))
+  }
 }

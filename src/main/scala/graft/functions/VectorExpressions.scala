@@ -116,6 +116,82 @@ object VectorKernels {
     acc
   }
 
+  /** Product-quantization encode: per subspace mi, the argmax over
+    * codewords j of `2·dot(sub, cb_j) − ‖cb_j‖²` (≡ argmin L2 — the
+    * `‖sub‖²` term is constant per subspace and cancels), ties → larger
+    * j (`>=` under ascending j). Both accumulators run ascending-index
+    * sequential double arithmetic, so DuckDB's left-associated CAST
+    * chains replay the codes bit-for-bit. Flattened codebook layout:
+    * `cb[((mi·ksub)+j)·sub + i]`.
+    */
+  def pqEncode(a: ArrayData, isFloat: Boolean, cb: Array[Float],
+               m: Int, ksub: Int, sub: Int): ArrayData = {
+    val out = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      var best = Double.NegativeInfinity
+      var bestJ = 0
+      var j = 0
+      while (j < ksub) {
+        val base = (mi * ksub + j) * sub
+        var dot = 0.0
+        var nrm = 0.0
+        var i = 0
+        while (i < sub) {
+          val x = get(a, mi * sub + i, isFloat)
+          val w = cb(base + i).toDouble
+          dot += x * w; nrm += w * w
+          i += 1
+        }
+        val s = 2.0 * dot - nrm
+        if (s >= best) { best = s; bestJ = j }
+        j += 1
+      }
+      out(mi) = bestJ
+      mi += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** Per-query ADC table: entry `mi·ksub + j` = dot of the query's
+    * subspace mi against codeword j, ascending-index sequential — the
+    * broadcast-side half of asymmetric distance computation.
+    */
+  def pqTable(a: ArrayData, isFloat: Boolean, cb: Array[Float],
+              m: Int, ksub: Int, sub: Int): ArrayData = {
+    val out = new Array[Double](m * ksub)
+    var mi = 0
+    while (mi < m) {
+      var j = 0
+      while (j < ksub) {
+        val base = (mi * ksub + j) * sub
+        var dot = 0.0
+        var i = 0
+        while (i < sub) {
+          dot += get(a, mi * sub + i, isFloat) * cb(base + i).toDouble
+          i += 1
+        }
+        out(mi * ksub + j) = dot
+        j += 1
+      }
+      mi += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** ADC score: Σ_mi tab[mi·ksub + codes[mi]], left-to-right — m table
+    * lookups + adds per candidate, the whole point of PQ serving. */
+  def pqAdc(tab: ArrayData, codes: ArrayData, ksub: Int): Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var mi = 0
+    while (mi < m) {
+      acc += tab.getDouble(mi * ksub + codes.getInt(mi))
+      mi += 1
+    }
+    acc
+  }
+
   /** Random-hyperplane LSH bucket: bit p = sign of Σ_i x_i·s(i,p), with
     * s(i,p) = ±1 from splitmix64 parity — recomputable on any executor,
     * no stored planes.
@@ -312,6 +388,102 @@ case class Int8Dot(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** pq_encode(vec) → array<int> of m subspace codes against LITERAL
+  * codebooks (constructor data, not a child expression — codebooks are
+  * metadata and ride the plan as a single reference object). A native
+  * expression because the equivalent `greatest`-over-structs expansion
+  * at ksub=64 grows generated code past the JVM's 64 KB method limit
+  * and silently drops the whole stage out of codegen.
+  */
+case class PqEncode(child: Expression, cb: Array[Float], m: Int,
+                    ksub: Int, sub: Int)
+    extends UnaryExpression with VectorExpr {
+  override def dataType: DataType = ArrayType(IntegerType, false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = checkVec(child)
+  override def nullSafeEval(a: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    if (VectorKernels.anyNull(aa)) null
+    else VectorKernels.pqEncode(aa, isFloat(child), cb, m, ksub, sub)
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", cb, "float[]")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      if (graft.functions.VectorKernels.anyNull($a)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VectorKernels.pqEncode($a,
+          ${isFloat(child)}, $cbRef, $m, $ksub, $sub);
+      }""")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** pq_qtab(vec) → array<double> flattened m×ksub ADC dot table. */
+case class PqQueryTable(child: Expression, cb: Array[Float], m: Int,
+                        ksub: Int, sub: Int)
+    extends UnaryExpression with VectorExpr {
+  override def dataType: DataType = ArrayType(DoubleType, false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = checkVec(child)
+  override def nullSafeEval(a: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    if (VectorKernels.anyNull(aa)) null
+    else VectorKernels.pqTable(aa, isFloat(child), cb, m, ksub, sub)
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", cb, "float[]")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      if (graft.functions.VectorKernels.anyNull($a)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VectorKernels.pqTable($a,
+          ${isFloat(child)}, $cbRef, $m, $ksub, $sub);
+      }""")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** pq_adc(tab, codes) → double approximate dot: m lookups + adds. */
+case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = left.dataType match {
+      case ArrayType(DoubleType, _) => right.dataType match {
+        case ArrayType(IntegerType, _) => true
+        case _ => false
+      }
+      case _ => false
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<double>, array<int>), got " +
+        Seq(left, right).map(_.dataType.simpleString).mkString(", "))
+  }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]; val bb = b.asInstanceOf[ArrayData]
+    if (VectorKernels.anyNull(aa) || VectorKernels.anyNull(bb)) null
+    else VectorKernels.pqAdc(aa, bb, ksub)
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if (graft.functions.VectorKernels.anyNull($a) ||
+          graft.functions.VectorKernels.anyNull($b)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VectorKernels.pqAdc($a, $b, $ksub);
+      }""")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** Column-API entry points for the vector expressions. */
 object vector {
   private def ex(c: Column) = GraftColumnBridge.expression(c)
@@ -326,4 +498,19 @@ object vector {
     GraftColumnBridge.column(Sq8Quantize(ex(a)))
   def vec_i8_dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(Int8Dot(ex(a), ex(b)))
+  private def flat(cbs: Seq[Seq[Array[Float]]]): (Array[Float], Int, Int, Int) = {
+    val m = cbs.length; val ksub = cbs.head.length
+    val sub = cbs.head.head.length
+    (cbs.flatten.flatten.toArray, m, ksub, sub)
+  }
+  def pq_encode(a: Column, cbs: Seq[Seq[Array[Float]]]): Column = {
+    val (cb, m, ksub, sub) = flat(cbs)
+    GraftColumnBridge.column(PqEncode(ex(a), cb, m, ksub, sub))
+  }
+  def pq_qtab(a: Column, cbs: Seq[Seq[Array[Float]]]): Column = {
+    val (cb, m, ksub, sub) = flat(cbs)
+    GraftColumnBridge.column(PqQueryTable(ex(a), cb, m, ksub, sub))
+  }
+  def pq_adc(tab: Column, codes: Column, ksub: Int): Column =
+    GraftColumnBridge.column(PqAdcScore(ex(tab), ex(codes), ksub))
 }

@@ -413,17 +413,28 @@ object OracleGen {
     * cells/qprobe/scored replay as [[knnIvfSql]]. Every stage is
     * deterministic, so the composition is hash-exact cross-engine.
     */
-  def knnIvfKmeansSql(dim: Int, nCells: Int, nProbe: Int, k: Int,
-                      maxQueryId: Long): String = {
-    def dotT(a: String, b: String) = (1 to dim)
-      .map(i => s"(CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE))")
+  /** Fused cosine over direct array expressions (no `.embedding` suffix —
+    * unlike [[cosExpr]] the operands are complete array-typed SQL
+    * expressions). Same bit-exact expansion of `VectorKernels.cosine`.
+    */
+  private def cosArr(a: String, b: String, dim: Int): String = {
+    def dotT(x: String, y: String) = (1 to dim)
+      .map(i => s"(CAST($x[$i] AS DOUBLE)*CAST($y[$i] AS DOUBLE))")
       .mkString("+")
-    def cos(a: String, b: String) = {
-      val d = dotT(a, b); val na = dotT(a, a); val nb = dotT(b, b)
-      s"(CASE WHEN sqrt($na)*sqrt($nb) = 0 THEN 0.0 " +
-        s"ELSE ($d)/(sqrt($na)*sqrt($nb)) END)"
-    }
-    s"""WITH cent0 AS (
+    val d = dotT(a, b); val na = dotT(a, a); val nb = dotT(b, b)
+    s"(CASE WHEN sqrt($na)*sqrt($nb) = 0 THEN 0.0 " +
+      s"ELSE ($d)/(sqrt($na)*sqrt($nb)) END)"
+  }
+
+  /** The deterministic 2-pass Lloyd k-means replay shared by the
+    * kmeans-seeded IVF oracle and the semantic-dedup oracle
+    * (`Knn.kmeansCentroids` → argmax-cosine cell assignment): md5-ordered
+    * seed set → assignment → 6-dp-rounded per-(cluster, dim) float mean →
+    * cells. Emits the CTE chain `cent0, a1, upd, cent, cells`.
+    */
+  private def kmeansCellsCtes(dim: Int, nCells: Int): String = {
+    def cos(a: String, b: String) = cosArr(a, b, dim)
+    s"""cent0 AS (
        |  SELECT row_number() OVER (
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl,
        |    embedding AS cvec
@@ -452,7 +463,13 @@ object OracleGen {
        |        ORDER BY ${cos("c.embedding", "t.cvec")} DESC,
        |          t.cid DESC) AS rn
        |    FROM embeddings c CROSS JOIN cent t) x
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  def knnIvfKmeansSql(dim: Int, nCells: Int, nProbe: Int, k: Int,
+                      maxQueryId: Long): String = {
+    def cos(a: String, b: String) = cosArr(a, b, dim)
+    s"""WITH ${kmeansCellsCtes(dim, nCells)},
        |qprobe AS (
        |  SELECT vec_id AS query_id, embedding, cid AS cell FROM (
        |    SELECT a.vec_id, a.embedding, t.cid,
@@ -472,6 +489,165 @@ object OracleGen {
        |        ROW_NUMBER() OVER (PARTITION BY query_id
        |          ORDER BY cos DESC, neighbor_id) AS rn
        |      FROM scored) t
+       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** SemDeDup replay (`Dedup.semDedup`): the shared k-means cells CTE
+    * chain, then within-cell pairwise cosine at 6 dp — a vector is
+    * removed when ANY lower-id cell-mate scores ≥ threshold.
+    */
+  def semDedupSql(dim: Int, nClusters: Int, threshold: String): String =
+    s"""WITH ${kmeansCellsCtes(dim, nClusters)},
+       |rm AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(${cosArr("a.embedding", "b.embedding", dim)}, 6)
+       |    >= $threshold)
+       |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+       |  (r.vec_id IS NULL) AS kept
+       |FROM cells c LEFT JOIN rm r ON c.vec_id = r.vec_id
+       |ORDER BY c.vec_id""".stripMargin
+
+  /** Product-quantization ADC replay (`Knn.pqTopK` at its default one
+    * Lloyd refinement pass): md5-ordered sample codebooks → per-subspace
+    * argmin-L2 assignment (expanded as argmax of `2·dot − ‖cb‖²`, ties →
+    * larger code, matching `greatest` struct ordering) → 6-dp-rounded
+    * member-mean codeword update (empty codewords keep the init slice) →
+    * re-encode against the refined codebooks → asymmetric-distance
+    * scoring as the left-associated sum of per-subspace query·codeword
+    * dots. Every double op replays the codegen'd kernels' sequential
+    * order, and the mean rounding kills summation-order ulps, so the
+    * approximate ranking is hash-exact cross-engine.
+    */
+  def knnPqSql(dim: Int, m: Int, ksub: Int, k: Int,
+               maxQueryId: Long): String = {
+    val sub = dim / m
+    // dot of embedding subspace mi against a full stored vector's slice
+    def dotSubFull(a: String, b: String, mi: Int): String =
+      (1 to sub).map { i =>
+        val idx = mi * sub + i
+        s"(CAST($a[$idx] AS DOUBLE)*CAST($b[$idx] AS DOUBLE))"
+      }.mkString("+")
+    // dot of embedding subspace mi against a sub-dim codeword list w
+    def dotSubW(a: String, mi: Int, w: String): String =
+      (1 to sub).map { i =>
+        s"(CAST($a[${mi * sub + i}] AS DOUBLE)*CAST($w[$i] AS DOUBLE))"
+      }.mkString("+")
+    def dotWW(w: String): String =
+      (1 to sub).map(i =>
+        s"(CAST($w[$i] AS DOUBLE)*CAST($w[$i] AS DOUBLE))").mkString("+")
+    val s0Cols = (0 until m).map(mi =>
+      s"(2*(${dotSubFull("e.embedding", "c.v", mi)}) - " +
+        s"(${dotSubFull("c.v", "c.v", mi)})) AS s_$mi").mkString(",\n    ")
+    val r0Cols = (0 until m).map(mi =>
+      s"row_number() OVER (PARTITION BY vec_id " +
+        s"ORDER BY s_$mi DESC, j DESC) AS r_$mi").mkString(",\n    ")
+    val c0Cols = (0 until m).map(mi =>
+      s"max(CASE WHEN r_$mi = 1 THEN j END) AS c_$mi").mkString(", ")
+    val updCtes = (0 until m).map { mi =>
+      s"""upd_$mi AS MATERIALIZED (
+         |  SELECT c0.c_$mi AS code, i.i AS i,
+         |    CAST(round(avg(
+         |      CAST(e.embedding[${mi * sub} + i.i + 1] AS DOUBLE)), 6)
+         |      AS FLOAT) AS v
+         |  FROM c0 JOIN embeddings e USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(range($sub)) AS i) i
+         |  GROUP BY c0.c_$mi, i.i),
+         |cbr_$mi AS MATERIALIZED (SELECT code, list(v ORDER BY i) AS w
+         |            FROM upd_$mi GROUP BY code),
+         |cbf_$mi AS MATERIALIZED (
+         |  SELECT c.j AS code,
+         |    coalesce(r.w, c.v[${mi * sub + 1}:${(mi + 1) * sub}]) AS w
+         |  FROM cb0 c LEFT JOIN cbr_$mi r ON r.code = c.j)""".stripMargin
+    }.mkString(",\n")
+    val encCtes = (0 until m).map { mi =>
+      s"""enc_$mi AS MATERIALIZED (
+         |  SELECT vec_id, code FROM (
+         |    SELECT e.vec_id, f.code,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (2*(${dotSubW("e.embedding", mi, "f.w")}) -
+         |          (${dotWW("f.w")})) DESC, f.code DESC) AS rn
+         |    FROM embeddings e CROSS JOIN cbf_$mi f) WHERE rn = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val qtCtes = (0 until m).map { mi =>
+      s"""qt_$mi AS MATERIALIZED (
+         |  SELECT e.vec_id AS query_id, f.code,
+         |    (${dotSubW("e.embedding", mi, "f.w")}) AS d
+         |  FROM embeddings e CROSS JOIN cbf_$mi f
+         |  WHERE e.vec_id < $maxQueryId)""".stripMargin
+    }.mkString(",\n")
+    val codesCols = (0 until m).map(mi => s"e$mi.code AS c_$mi")
+      .mkString(", ")
+    val codesJoin = (1 until m).map(mi =>
+      s"JOIN enc_$mi e$mi USING (vec_id)").mkString(" ")
+    val qJoins = (1 until m).map(mi =>
+      s"JOIN qt_$mi q$mi ON q$mi.code = c.c_$mi " +
+        s"AND q$mi.query_id = q0.query_id").mkString("\n  ")
+    val approx = (0 until m).map(mi => s"q$mi.d").mkString(" + ")
+    s"""WITH cb0 AS MATERIALIZED (
+       |  SELECT row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
+       |    embedding AS v
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |        LIMIT $ksub)),
+       |p0 AS MATERIALIZED (
+       |  SELECT e.vec_id, c.j,
+       |    $s0Cols
+       |  FROM embeddings e CROSS JOIN cb0 c),
+       |r0 AS MATERIALIZED (
+       |  SELECT vec_id, j,
+       |    $r0Cols
+       |  FROM p0),
+       |c0 AS MATERIALIZED (
+       |  SELECT vec_id, $c0Cols
+       |  FROM r0 GROUP BY vec_id),
+       |$updCtes,
+       |$encCtes,
+       |codes AS MATERIALIZED (
+       |  SELECT e0.vec_id, $codesCols
+       |  FROM enc_0 e0 $codesJoin),
+       |$qtCtes,
+       |scored AS MATERIALIZED (
+       |  SELECT q0.query_id, c.vec_id AS neighbor_id,
+       |    ($approx) AS approx
+       |  FROM codes c
+       |  JOIN qt_0 q0 ON q0.code = c.c_0
+       |  $qJoins
+       |  WHERE c.vec_id <> q0.query_id)
+       |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+       |  round(approx, 6) AS approx_dot
+       |FROM (SELECT query_id, neighbor_id, approx,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY approx DESC, neighbor_id) AS rn
+       |      FROM scored) t
+       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Two-stage PQ → exact-rerank replay (`Knn.pqRerankTopK`): the
+    * [[knnPqSql]] candidate stage widened to `candidates` per query,
+    * then full-dimension exact cosine over the short list only.
+    */
+  def knnPqRerankSql(dim: Int, m: Int, ksub: Int, k: Int, candidates: Int,
+                     maxQueryId: Long): String = {
+    val inner = knnPqSql(dim, m, ksub, candidates, maxQueryId)
+    // strip the trailing ORDER BY of the candidate stage; rerank re-ranks
+    val candSql = inner.stripSuffix(" ORDER BY query_id, rank")
+    s"""WITH cand AS ($candSql),
+       |rr AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    ${cosArr("q2.embedding", "e.embedding", dim)} AS cos
+       |  FROM cand
+       |  JOIN embeddings q2 ON q2.vec_id = cand.query_id
+       |  JOIN embeddings e ON e.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+       |  round(cos, 6) AS cosine
+       |FROM (SELECT query_id, neighbor_id, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, neighbor_id) AS rn
+       |      FROM rr) t
        |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
   }
 }

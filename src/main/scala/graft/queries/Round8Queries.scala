@@ -130,5 +130,105 @@ object Round8Queries {
               |FROM (SELECT DISTINCT doc_id FROM documents
               |      WHERE doc_id % 20 = 5) d
               |LEFT JOIN cnt USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    Q("e_knn_pq",
+      "Product-quantization ANN (Jégou et al. 2011, TPAMI): 64-dim " +
+        "float32 vectors encoded to 8 one-byte subspace codes (32× " +
+        "compression) against Lloyd-refined md5-sample codebooks " +
+        "(one deterministic refinement pass, 6-dp means); scoring is " +
+        "asymmetric " +
+        "distance computation — the query precomputes one 64-entry dot " +
+        "table per subspace on the broadcast side and each corpus " +
+        "candidate costs 8 array lookups + adds. The float vectors never " +
+        "ride the corpus-wide join: this is the memory-footprint tier " +
+        "below sq8 (4×), and at rest the code columns ARE the index. " +
+        "Encode argmin, table build and ADC sums are all sequential-" +
+        "double kernels, so the approximate ranking replays hash-exact " +
+        "in DuckDB.",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        graft.similarity.Knn.pqTopK(emb, emb.filter($"vec_id" < 10),
+            "vec_id", "embedding", k = 5, m = 8, ksub = 64)
+          .select($"query_id", $"neighbor_id",
+            $"rank".cast("long").as("rank"), $"approx_dot")
+          .orderBy($"query_id", $"rank")
+      },
+      Some(OracleGen.knnPqSql(dim = 64, m = 8, ksub = 64, k = 5,
+        maxQueryId = 10))),
+
+    Q("e_knn_pq_rerank",
+      "Two-stage PQ serving shape: ADC candidate generation over the " +
+        "32×-compressed codes (candidates=20 per query), exact " +
+        "full-precision cosine re-rank of the short list only — the " +
+        "production retrieval pattern where the uncompressed vectors are " +
+        "touched for ≤20 rows per query instead of the whole corpus. " +
+        "Deterministic at both stages ⇒ exact oracle.",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        graft.similarity.Knn.pqRerankTopK(emb, emb.filter($"vec_id" < 10),
+            "vec_id", "embedding", k = 5, candidates = 20, m = 8,
+            ksub = 64)
+          .select($"query_id", $"neighbor_id",
+            $"rank".cast("long").as("rank"), $"cosine")
+          .orderBy($"query_id", $"rank")
+      },
+      Some(OracleGen.knnPqRerankSql(dim = 64, m = 8, ksub = 64, k = 5,
+        candidates = 20, maxQueryId = 10))),
+
+    Q("d_semdedup",
+      "Semantic deduplication (SemDeDup, Abbas et al. 2023): 2-pass " +
+        "Lloyd k-means clusters the embedding space (centroids are " +
+        "metadata literals — assignment is a pure map, no shuffle), then " +
+        "within-cluster pairwise cosine ≥ 0.5 removes every vector with " +
+        "a lower-id cluster-mate above threshold (greedy min-id " +
+        "canonical). The quadratic work is confined inside clusters — " +
+        "the embedding-space analogue of the LSH band join; at rest the " +
+        "corpus persists partitioned by cell so the self-join is " +
+        "co-located. One row per vector: (vec_id, cell, kept).",
+      (s, d) => {
+        import s.implicits._
+        graft.dedup.Dedup.semDedup(Tables.embeddings(s, d),
+            "vec_id", "embedding", nClusters = 16, threshold = 0.5)
+          .orderBy($"vec_id")
+      },
+      Some(OracleGen.semDedupSql(dim = 64, nClusters = 16,
+        threshold = "0.5"))),
+
+    Q("p_stratified_sample",
+      "Deterministic stratified sampling for mixture construction: " +
+        "per-stratum rates (en 25%, zh 50%, rest 100%) applied by " +
+        "comparing md5(doc_id) lexicographically against a hex " +
+        "threshold — a pure map with no RNG state, reproducible on any " +
+        "md5-capable engine and stable under re-partitioning/retries " +
+        "(the property `sample()` lacks: its seed is per-partition, so " +
+        "a repartition changes the sample). Output is the per-stratum " +
+        "audit: totals, sampled counts and an id-sum checksum.",
+      (s, d) => {
+        import s.implicits._
+        val u = md5($"doc_id".cast("string"))
+        val thresh = when($"lang" === "en", lit("4"))
+          .when($"lang" === "zh", lit("8"))
+          .otherwise(lit("g")) // 'g' > any hex digit: keep everything
+        Tables.documents(s, d)
+          .withColumn("sampled", u < thresh)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_total"),
+            count(when($"sampled", 1)).as("n_sampled"),
+            sum(when($"sampled", $"doc_id")).as("sampled_id_sum"))
+          .orderBy($"lang")
+      },
+      Some("""WITH s AS (
+             |  SELECT lang, doc_id,
+             |    (md5(CAST(doc_id AS VARCHAR)) <
+             |      CASE lang WHEN 'en' THEN '4' WHEN 'zh' THEN '8'
+             |        ELSE 'g' END) AS sampled
+             |  FROM documents)
+             |SELECT lang, count(*) AS n_total,
+             |  count(CASE WHEN sampled THEN 1 END) AS n_sampled,
+             |  CAST(sum(CASE WHEN sampled THEN doc_id END) AS BIGINT)
+             |    AS sampled_id_sum
+             |FROM s GROUP BY lang ORDER BY lang""".stripMargin)),
   )
 }

@@ -247,6 +247,141 @@ object Knn {
         round(col("cosine_raw"), 6).as("cosine"))
   }
 
+  /** Deterministic product-quantization codebooks: the md5-ordered first
+    * `ksub` corpus vectors sliced into `m` contiguous subspaces (the same
+    * seedless, engine-reproducible sampling recipe as the IVF centroid
+    * init, applied per subspace), then `iters` Lloyd refinement passes —
+    * per subspace, every corpus subvector is assigned to its argmin-L2
+    * codeword and codewords move to the 6-dp-rounded member mean (the
+    * rounding kills summation-order ulp divergence, exactly like
+    * [[kmeansCentroids]], so any engine replays the refined codebooks
+    * bit-for-bit). Each pass is ONE corpus scan + one fixed-size
+    * aggregation (m × ksub × dim/m cells); codebooks are metadata
+    * (≈16 KB at 64-dim/ksub=64), collected once and inlined as literals
+    * everywhere they are used. Codewords that lose every member keep
+    * their previous value.
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int, ksub: Int, iters: Int = 1)
+      : Seq[Seq[Array[Float]]] = {
+    val sample: Seq[Array[Float]] = corpus
+      .select(col(idCol).cast("long").as("cid"),
+        col(vecCol).cast("array<float>").as("cvec"))
+      .orderBy(md5(col("cid").cast("string")), col("cid"))
+      .limit(ksub)
+      .collect().map(_.getSeq[Float](1).toArray).toSeq
+    require(sample.nonEmpty, "PQ codebook sample is empty")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    var cbs: Seq[Seq[Array[Float]]] = (0 until m)
+      .map(mi => sample.map(v => v.slice(mi * sub, (mi + 1) * sub)))
+    if (cbs.head.length >= 2)
+      for (_ <- 0 until iters)
+        cbs = lloydRefine(corpus, vecCol, cbs, sub)
+    cbs
+  }
+
+  /** One Lloyd pass over ALL subspaces in a single corpus scan: the
+    * codegen'd [[graft.functions.PqEncode]] kernel computes every
+    * subspace code in one call, the vector is position-exploded once,
+    * and the per-(subspace, code, position) means aggregate in one
+    * fixed-size groupBy.
+    */
+  private def lloydRefine(corpus: DataFrame, vecCol: String,
+                          cbs: Seq[Seq[Array[Float]]],
+                          sub: Int): Seq[Seq[Array[Float]]] = {
+    val m = cbs.length
+    val rows = corpus
+      .select(pq_encode(col(vecCol), cbs).as("codes"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .withColumn("m", (col("dim") / lit(sub)).cast("int"))
+      .withColumn("i", col("dim") % lit(sub))
+      .withColumn("code", element_at(col("codes"), col("m") + 1))
+      .groupBy(col("m"), col("code"), col("i"))
+      .agg(round(avg(col("x").cast("double")), 6).as("v"))
+      .collect()
+    val upd: Map[(Int, Int), Array[Float]] = rows
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+      .map { case ((mi, code), rs) =>
+        val w = new Array[Float](sub)
+        rs.foreach(r => w(r.getInt(2)) = r.getDouble(3).toFloat)
+        ((mi, code), w)
+      }
+    (0 until m).map(mi => cbs(mi).indices
+      .map(j => upd.getOrElse((mi, j), cbs(mi)(j))))
+  }
+
+  /** Product-quantization ANN top-k — the compressed-domain tier between
+    * sq8 (4× compression, exact int ranking) and IVF (partition pruning):
+    * each corpus vector is encoded ONCE into `m` one-byte codes (argmin-L2
+    * subspace assignment against the codebooks), a 32× compression at
+    * 64-dim float32 / m=8, and candidate scoring is asymmetric distance
+    * computation (ADC): the query precomputes one `ksub`-entry dot table
+    * per subspace on the broadcast side, and the approximate score of a
+    * corpus vector is `m` table lookups + adds — the float vectors never
+    * ride the corpus-wide join at all.
+    *
+    * Determinism (the property that keeps an approximate index under the
+    * exact oracle gate): codebooks are the md5-ordered sample; encoding
+    * argmin is expanded as `greatest` over (score, code) structs with ties
+    * to the larger code; all arithmetic is the codegen'd sequential-double
+    * `vec_dot` kernel, which DuckDB's left-associated CAST-chain replays
+    * bit-for-bit. Encode argmin-L2 is computed as argmax of
+    * `2·dot(sub, cb) − dot(cb, cb)` — the ‖sub‖² term is constant per
+    * (vector, subspace) and cancels out of the argmin.
+    *
+    * At rest the `m` code columns are what persists/ships (the standard
+    * PQ-compressed index layout); the float column is only needed by the
+    * optional exact re-rank of the short list ([[pqRerankTopK]]).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 8,
+             ksub: Int = 64): DataFrame = {
+    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub)
+    if (cbs.head.length < 2) // degenerate corpus: one codebook entry
+      return bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      pq_encode(col(vecCol), cbs).as("codes"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      pq_qtab(col(vecCol), cbs).as("qtab")))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_raw",
+        pq_adc(col("qtab"), col("codes"), cbs.head.length))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_raw").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("approx_raw"), 6).as("approx_dot"))
+  }
+
+  /** PQ candidate generation + exact float re-rank — the two-stage serving
+    * shape of [[sq8RerankTopK]] with the 32×-compressed ADC tier as stage
+    * 1: only the ≤`candidates`-per-query short list ever touches the float
+    * vectors. Both stages deterministic ⇒ oracle-exact.
+    */
+  def pqRerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, candidates: Int, m: Int = 8,
+                   ksub: Int = 64): DataFrame = {
+    require(candidates >= k, "candidate list must be at least k")
+    val cand = pqTopK(corpus, queries, idCol, vecCol, candidates, m, ksub)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_raw").desc, col("neighbor_id"))
+    cand
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("c_vec")), Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .withColumn("cosine_raw", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine_raw"), 6).as("cosine"))
+  }
+
   /** Bucketed ANN top-k with multi-probe: each query probes its own bucket
     * plus (radius-1) every bucket one sign-flip away — the standard recall
     * lever that costs `nPlanes` extra probes per QUERY (the small side)

@@ -1,0 +1,142 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.similarity.Knn
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 operators: product-quantization ANN, SemDeDup-style semantic
+  * dedup, deterministic stratified sampling.
+  */
+class Round8OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pqCodebooks: m subspaces of ksub codewords, dim/m floats each") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val cbs = Knn.pqCodebooks(emb, "vec_id", "embedding", m = 8,
+      ksub = 16, iters = 0)
+    assert(cbs.length == 8)
+    assert(cbs.forall(_.length == 16))
+    assert(cbs.forall(_.forall(_.length == 8)))
+    // at iters=0 the subspaces are slices of the SAME sample vectors: the
+    // concatenation of codeword j across subspaces is a corpus vector
+    val full = (0 until 8).flatMap(mi => cbs(mi)(0).toSeq)
+    val corpus = emb.select($"embedding").collect()
+      .map(_.getSeq[Float](0).toSeq).toSet
+    assert(corpus.contains(full))
+  }
+
+  test("Lloyd refinement reduces total quantization distortion") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val init = Knn.pqCodebooks(emb, "vec_id", "embedding", m = 8,
+      ksub = 16, iters = 0)
+    val refined = Knn.pqCodebooks(emb, "vec_id", "embedding", m = 8,
+      ksub = 16, iters = 1)
+    val vecs = emb.select($"embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    def distortion(cbs: Seq[Seq[Array[Float]]]): Double = {
+      val sub = cbs.head.head.length
+      vecs.map { v =>
+        cbs.indices.map { mi =>
+          val s = v.slice(mi * sub, (mi + 1) * sub)
+          cbs(mi).map(w => s.zip(w)
+            .map { case (a, b) => (a - b).toDouble * (a - b) }.sum).min
+        }.sum
+      }.sum
+    }
+    val d0 = distortion(init); val d1 = distortion(refined)
+    assert(d1 < d0, s"refined distortion $d1 not below init $d0")
+  }
+
+  test("pq top-k recall vs exact inner-product beats random by 15x") {
+    // ADC approximates the INNER-PRODUCT ranking (the sum of subspace
+    // dots), so recall is measured against the exact-dot top-k — the
+    // cosine-correct serving path is the rerank variant below
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val queries = emb.filter($"vec_id" < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = broadcast(queries.select($"vec_id".as("query_id"),
+      $"embedding".as("q_vec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id")
+      .orderBy($"dot".desc, $"neighbor_id")
+    val exactDot = pairs(emb
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c_vec"))
+      .join(q, $"query_id" =!= $"neighbor_id")
+      .withColumn("dot", Knn.dot($"q_vec", $"c_vec"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10))
+    val pq = pairs(Knn.pqTopK(emb, queries, "vec_id", "embedding", 10))
+    val recall = (exactDot intersect pq).size.toDouble / exactDot.size
+    // the harness embeddings are i.i.d. unit vectors — PQ's hardest
+    // case (nothing to quantize toward); random top-10-of-500 overlap
+    // is ~0.02, so 0.3 demonstrates genuine signal preservation
+    assert(recall >= 0.3, s"pq recall $recall")
+  }
+
+  test("pq rerank: exact-cosine stage lifts recall over raw ADC") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val queries = emb.filter($"vec_id" < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Knn.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", 5))
+    val adc = pairs(Knn.pqTopK(emb, queries, "vec_id", "embedding", 5))
+    val rr = pairs(Knn.pqRerankTopK(emb, queries, "vec_id", "embedding",
+      k = 5, candidates = 25))
+    val recallAdc = (brute intersect adc).size.toDouble / brute.size
+    val recallRr = (brute intersect rr).size.toDouble / brute.size
+    assert(recallRr >= recallAdc,
+      s"rerank recall $recallRr < adc recall $recallAdc")
+  }
+
+  test("pq encoding is deterministic across repartitioning") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.filter($"vec_id" < 3)
+    def res(c: org.apache.spark.sql.DataFrame) =
+      Knn.pqTopK(c, q, "vec_id", "embedding", 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+    assert(res(emb) == res(emb.repartition(7)))
+  }
+
+  test("semDedup removes the planted duplicate, keeps the min-id copy") {
+    val emb = Tables.embeddings(spark, TestSpark.sf).limit(30)
+      .select($"vec_id", $"embedding")
+    // vector 1000 duplicates vector 7 exactly: same cell (identical
+    // centroid cosines, deterministic argmax), in-cell cosine = 1
+    val dupVec = emb.filter($"vec_id" === 7).select($"embedding")
+      .collect().head.getSeq[Float](0)
+    val df = emb.union(Seq((1000L, dupVec)).toDF("vec_id", "embedding"))
+    val out = Dedup.semDedup(df, "vec_id", "embedding",
+      nClusters = 4, threshold = 0.999999)
+    val kept = out.filter($"kept").select($"vec_id")
+      .as[Long].collect().toSet
+    assert(kept.contains(7L) && !kept.contains(1000L),
+      "min-id copy must survive, duplicate must be removed")
+    assert(out.count() == 31, "one row per input vector")
+  }
+
+  test("semDedup: all-distinct corpus survives intact") {
+    val emb = Tables.embeddings(spark, TestSpark.sf).limit(30)
+    val out = Dedup.semDedup(emb, "vec_id", "embedding",
+      nClusters = 4, threshold = 0.999999)
+    assert(out.filter(!$"kept").count() == 0)
+  }
+
+  test("stratified md5 sampling is repartition-stable (unlike sample())") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    def sampleIds(df: org.apache.spark.sql.DataFrame): Set[Long] = df
+      .withColumn("u", md5($"doc_id".cast("string")))
+      .filter($"u" < lit("8"))
+      .select($"doc_id").as[Long].collect().toSet
+    val a = sampleIds(docs)
+    val b = sampleIds(docs.repartition(13))
+    assert(a == b, "hash-threshold sample must not depend on layout")
+    assert(a.nonEmpty && a.size < docs.count())
+  }
+}

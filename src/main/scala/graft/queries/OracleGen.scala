@@ -434,29 +434,29 @@ object OracleGen {
     */
   private def kmeansCellsCtes(dim: Int, nCells: Int): String = {
     def cos(a: String, b: String) = cosArr(a, b, dim)
-    s"""cent0 AS (
+    s"""cent0 AS MATERIALIZED (
        |  SELECT row_number() OVER (
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl,
        |    embedding AS cvec
        |  FROM (SELECT vec_id, embedding FROM embeddings
        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
        |        LIMIT $nCells)),
-       |a1 AS (
+       |a1 AS MATERIALIZED (
        |  SELECT vec_id, embedding, cl FROM (
        |    SELECT e.vec_id, e.embedding, c.cl,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cos("e.embedding", "c.cvec")} DESC,
        |          c.cl DESC) AS rn
        |    FROM embeddings e CROSS JOIN cent0 c) WHERE rn = 1),
-       |upd AS (
+       |upd AS MATERIALIZED (
        |  SELECT cl, i.i AS dim,
        |    CAST(round(avg(CAST(embedding[i.i + 1] AS DOUBLE)), 6)
        |      AS FLOAT) AS v
        |  FROM a1 CROSS JOIN (SELECT unnest(range($dim)) AS i) i
        |  GROUP BY cl, i.i),
-       |cent AS (SELECT cl AS cid, list(v ORDER BY dim) AS cvec
+       |cent AS MATERIALIZED (SELECT cl AS cid, list(v ORDER BY dim) AS cvec
        |         FROM upd GROUP BY cl),
-       |cells AS (
+       |cells AS MATERIALIZED (
        |  SELECT vec_id, embedding, cid AS cell FROM (
        |    SELECT c.vec_id, c.embedding, t.cid,
        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
@@ -520,8 +520,28 @@ object OracleGen {
     * order, and the mean rounding kills summation-order ulps, so the
     * approximate ranking is hash-exact cross-engine.
     */
-  def knnPqSql(dim: Int, m: Int, ksub: Int, k: Int,
-               maxQueryId: Long): String = {
+  /** `q0.d + q1.d + …` — the left-associated ADC sum (`VectorKernels
+    * .pqAdc` accumulation order). */
+  private def pqApprox(m: Int): String =
+    (0 until m).map(mi => s"q$mi.d").mkString(" + ")
+
+  /** The per-subspace query-table joins of the ADC scoring stage; `c`
+    * must expose code columns `c_0..c_{m-1}`, `q0` anchors query_id. */
+  private def pqQJoins(m: Int): String = (1 until m).map(mi =>
+    s"JOIN qt_$mi q$mi ON q$mi.code = c.c_$mi " +
+      s"AND q$mi.query_id = q0.query_id").mkString("\n  ")
+
+  /** The shared PQ replay chain (`Knn.pqCodebooks` at one Lloyd pass +
+    * `Knn.pqTopK`'s encode/table stages) as a WITH-body fragment:
+    * `cb0` md5-sample codebooks → `p0/r0/c0` init assignment →
+    * `upd/cbr/cbf_mi` 6-dp-mean refinement (empty codewords keep the
+    * init slice) → `enc_mi`/`codes` re-encode → `qt_mi` per-query ADC
+    * tables. Every CTE is MATERIALIZED: DuckDB's default inlining
+    * re-expands the refinement chain per reference and the replay goes
+    * from >300 s to ~1 s.
+    */
+  private def pqChainCtes(dim: Int, m: Int, ksub: Int,
+                          maxQueryId: Long): String = {
     val sub = dim / m
     // dot of embedding subspace mi against a full stored vector's slice
     def dotSubFull(a: String, b: String, mi: Int): String =
@@ -582,11 +602,7 @@ object OracleGen {
       .mkString(", ")
     val codesJoin = (1 until m).map(mi =>
       s"JOIN enc_$mi e$mi USING (vec_id)").mkString(" ")
-    val qJoins = (1 until m).map(mi =>
-      s"JOIN qt_$mi q$mi ON q$mi.code = c.c_$mi " +
-        s"AND q$mi.query_id = q0.query_id").mkString("\n  ")
-    val approx = (0 until m).map(mi => s"q$mi.d").mkString(" + ")
-    s"""WITH cb0 AS MATERIALIZED (
+    s"""cb0 AS MATERIALIZED (
        |  SELECT row_number() OVER (
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
        |    embedding AS v
@@ -609,13 +625,55 @@ object OracleGen {
        |codes AS MATERIALIZED (
        |  SELECT e0.vec_id, $codesCols
        |  FROM enc_0 e0 $codesJoin),
-       |$qtCtes,
+       |$qtCtes""".stripMargin
+  }
+
+  def knnPqSql(dim: Int, m: Int, ksub: Int, k: Int,
+               maxQueryId: Long): String =
+    s"""WITH ${pqChainCtes(dim, m, ksub, maxQueryId)},
        |scored AS MATERIALIZED (
        |  SELECT q0.query_id, c.vec_id AS neighbor_id,
-       |    ($approx) AS approx
+       |    (${pqApprox(m)}) AS approx
        |  FROM codes c
        |  JOIN qt_0 q0 ON q0.code = c.c_0
-       |  $qJoins
+       |  ${pqQJoins(m)}
+       |  WHERE c.vec_id <> q0.query_id)
+       |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+       |  round(approx, 6) AS approx_dot
+       |FROM (SELECT query_id, neighbor_id, approx,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY approx DESC, neighbor_id) AS rn
+       |      FROM scored) t
+       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** IVF-PQ replay (`Knn.ivfPqTopK`): the shared k-means cells chain
+    * prunes candidates to each query's `nProbe` best cells, and scoring
+    * inside the probed cells is the shared PQ ADC chain over code
+    * columns — coarse quantizer and compressed-domain scoring composed,
+    * both individually deterministic.
+    */
+  def knnIvfPqSql(dim: Int, nCells: Int, nProbe: Int, m: Int, ksub: Int,
+                  k: Int, maxQueryId: Long): String = {
+    def cos(a: String, b: String) = cosArr(a, b, dim)
+    s"""WITH ${kmeansCellsCtes(dim, nCells)},
+       |${pqChainCtes(dim, m, ksub, maxQueryId)},
+       |qprobe AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, cid AS cell FROM (
+       |    SELECT a.vec_id, t.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${cos("a.embedding", "t.cvec")} DESC,
+       |          t.cid DESC) AS rn
+       |    FROM (SELECT * FROM embeddings WHERE vec_id < $maxQueryId) a
+       |    CROSS JOIN cent t) x
+       |  WHERE rn <= $nProbe),
+       |scored AS MATERIALIZED (
+       |  SELECT q0.query_id, c.vec_id AS neighbor_id,
+       |    (${pqApprox(m)}) AS approx
+       |  FROM codes c
+       |  JOIN cells cl ON cl.vec_id = c.vec_id
+       |  JOIN qprobe p ON p.cell = cl.cell
+       |  JOIN qt_0 q0 ON q0.code = c.c_0 AND q0.query_id = p.query_id
+       |  ${pqQJoins(m)}
        |  WHERE c.vec_id <> q0.query_id)
        |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
        |  round(approx, 6) AS approx_dot

@@ -177,6 +177,29 @@ object Round8Queries {
       Some(OracleGen.knnPqRerankSql(dim = 64, m = 8, ksub = 64, k = 5,
         candidates = 20, maxQueryId = 10))),
 
+    Q("e_knn_ivfpq",
+      "IVF-PQ — the production ANN index layout (FAISS IVFx,PQy shape, " +
+        "raw-vector codes): k-means cells prune each query's scan to " +
+        "nProbe=3 of 16 cells AND the scanned payload inside probed " +
+        "cells is the 32×-compressed PQ code column — at rest the " +
+        "corpus persists partitioned by cell carrying (id, codes), so " +
+        "probes are partition-pruned scans of compressed data. Coarse " +
+        "quantizer (deterministic 2-pass Lloyd) and ADC scoring " +
+        "(Lloyd-refined codebooks, codegen'd kernels) are each " +
+        "hash-exact, so the composition replays in DuckDB.",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        graft.similarity.Knn.ivfPqTopK(emb, emb.filter($"vec_id" < 10),
+            "vec_id", "embedding", k = 5, nCells = 16, nProbe = 3,
+            m = 8, ksub = 64)
+          .select($"query_id", $"neighbor_id",
+            $"rank".cast("long").as("rank"), $"approx_dot")
+          .orderBy($"query_id", $"rank")
+      },
+      Some(OracleGen.knnIvfPqSql(dim = 64, nCells = 16, nProbe = 3,
+        m = 8, ksub = 64, k = 5, maxQueryId = 10))),
+
     Q("d_semdedup",
       "Semantic deduplication (SemDeDup, Abbas et al. 2023): 2-pass " +
         "Lloyd k-means clusters the embedding space (centroids are " +

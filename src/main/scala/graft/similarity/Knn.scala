@@ -356,6 +356,58 @@ object Knn {
         round(col("approx_raw"), 6).as("approx_dot"))
   }
 
+  /** IVF-PQ — the production ANN index layout (coarse quantizer +
+    * compressed-domain scoring, the FAISS `IVFx,PQy` shape without
+    * residual encoding): k-means cells prune the corpus to `nProbe`
+    * partitions per query, and WITHIN the probed cells candidates are
+    * scored by PQ asymmetric distance — so the scan is cell-pruned AND
+    * the scanned payload is the 32×-compressed code column, never the
+    * float vectors. At rest the corpus persists partitioned by `cell`
+    * carrying `(id, codes)`: probes become partition-pruned scans of
+    * compressed data (compare [[ivfTopKWithCentroids]], which ships
+    * float vectors through the probe join, and [[pqTopK]], which scans
+    * every cell).
+    *
+    * Unlike classic IVF-PQ the codes quantize raw vectors, not
+    * per-cell residuals: residual encoding would couple the codebooks
+    * to the coarse quantizer and the composition would no longer replay
+    * exactly on an independent engine. Both stages are individually
+    * deterministic, so the whole operator stays under the exact oracle
+    * gate.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 3,
+                m: Int = 8, ksub: Int = 64): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nCells)
+    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub)
+    if (cents.length < 2 || cbs.head.length < 2)
+      return bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    def cellScores(vec: Column): Seq[Column] = cents.map {
+      case (cid, cvec) =>
+        struct(cosine(vec, typedLit(cvec)).as("sim"), lit(cid).as("cid"))
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      greatest(cellScores(col(vecCol)): _*).getField("cid").as("cell"),
+      pq_encode(col(vecCol), cbs).as("codes"))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("__probe",
+        explode(slice(sort_array(array(cellScores(col("q_vec")): _*),
+          asc = false), 1, nProbe)))
+      .select(col("query_id"), col("__probe.cid").as("cell"),
+        pq_qtab(col("q_vec"), cbs).as("qtab")))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_raw",
+        pq_adc(col("qtab"), col("codes"), cbs.head.length))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_raw").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("approx_raw"), 6).as("approx_dot"))
+  }
+
   /** PQ candidate generation + exact float re-rank — the two-stage serving
     * shape of [[sq8RerankTopK]] with the 32×-compressed ADC tier as stage
     * 1: only the ≤`candidates`-per-query short list ever touches the float

@@ -104,6 +104,39 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(res(emb) == res(emb.repartition(7)))
   }
 
+  test("ivfPqTopK: equi probe join (no nested loop), deterministic") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.filter($"vec_id" < 3)
+    val out = Knn.ivfPqTopK(emb, q, "vec_id", "embedding", k = 5,
+      nCells = 8, nProbe = 2, m = 8, ksub = 16)
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the probe is an equi join on cell — the partition-pruned shape;
+    // a nested loop here would mean the cell key was lost
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    def res(c: org.apache.spark.sql.DataFrame) =
+      Knn.ivfPqTopK(c, q, "vec_id", "embedding", 5, 8, 2, 8, 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSeq
+    assert(res(emb) == res(emb.repartition(7)))
+  }
+
+  test("ivfPqTopK: nProbe=nCells recovers full-scan pqTopK ranking") {
+    // with every cell probed, IVF pruning is a no-op and the composition
+    // must reduce to plain ADC ranking over the same codebooks
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.filter($"vec_id" < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+    val full = rows(Knn.ivfPqTopK(emb, q, "vec_id", "embedding", k = 5,
+      nCells = 4, nProbe = 4, m = 8, ksub = 16))
+    val pq = rows(Knn.pqTopK(emb, q, "vec_id", "embedding", k = 5,
+      m = 8, ksub = 16))
+    assert(full == pq)
+  }
+
   test("semDedup removes the planted duplicate, keeps the min-id copy") {
     val emb = Tables.embeddings(spark, TestSpark.sf).limit(30)
       .select($"vec_id", $"embedding")

@@ -27,6 +27,33 @@ object Knn {
   private val occupancyLogged =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Training-artifact cache: codebooks / centroids are INDEX-BUILD
+    * products — built once per (corpus, params) and then served from,
+    * like the at-rest layouts. Recomputing them on every query call
+    * (and twice in the two-stage shapes, which train in both stages)
+    * turns a fixed build cost into per-query latency. Keyed by the
+    * corpus plan's semantic hash + params; the stored canonicalized
+    * plan is re-checked with `sameResult` on every hit, so a hash
+    * collision degrades to a recompute, never to wrong artifacts.
+    * Entries are k×dim / m×ksub×(dim/m) floats — metadata-sized.
+    */
+  private val trainedCache = new java.util.concurrent.ConcurrentHashMap[
+    String,
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, AnyRef)]()
+
+  private def cached[T <: AnyRef](corpus: DataFrame, key: String)
+                                 (train: => T): T = {
+    val plan = corpus.queryExecution.analyzed
+    val k = s"${plan.semanticHash()}:$key"
+    trainedCache.get(k) match {
+      case (p, v) if p.sameResult(plan) => v.asInstanceOf[T]
+      case _ =>
+        val v = train
+        trainedCache.put(k, (plan, v))
+        v
+    }
+  }
+
   def dot(a: Column, b: Column): Column = vec_dot(a, b)
   def l2norm(a: Column): Column = vec_l2(a)
   def cosine(a: Column, b: Column): Column = vec_cosine(a, b)

@@ -30,10 +30,54 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
 
+  /** The 39 queries whose r8 driver oracle rows died to HOST memory
+    * exhaustion inside the DuckDB oracle process ("failed to allocate 64
+    * bytes" — CORRECTNESS_r08.json; 36/39 were hash-green in an earlier
+    * round). DuckDB's per-process defaults on this host are ~100 GB
+    * memory_limit and 32 threads; a sweep that runs many per-query oracle
+    * processes concurrently multiplies that into genuine host-RAM
+    * exhaustion, and the heavy families (window suites, stream replays,
+    * the unrolled PQ/IVF CTE chains) are both the biggest allocators and
+    * the first victims. Their oracle SQL is therefore shipped with a
+    * self-cap prologue — `SET memory_limit`/`SET threads` — which the
+    * DuckDB Python API executes as a multi-statement batch returning the
+    * final SELECT's relation (columns/types/rows are unaffected; verified
+    * against duckdb 1.x `con.sql(...)`). Deliberately NOT applied to the
+    * 149 queries that were green under the same sweep: their plain SQL is
+    * proven against the driver's harness, and keeping the prologue to the
+    * red set bounds the blast radius if a future harness stops accepting
+    * multi-statement strings.
+    */
+  private val oracleSelfCap: Set[String] = Set(
+    "e_knn_ivf", "e_knn_ivf_at_rest", "e_knn_ivfpq", "e_knn_pq",
+    "e_knn_pq_rerank", "e_knn_sq8_rerank", "e_knn_sql",
+    "f12_json_construct", "f17_date_arith", "f18_map_ops",
+    "o25_collect_list", "o38_scd2_intervals", "o47_lateral_topn",
+    "o52_column_profile", "o54_compact_small_files", "o6_membership_semi",
+    "p_pack_sequences",
+    "stream_cdc_apply", "stream_codex_ingest", "stream_dedup",
+    "stream_enrich", "stream_incremental_dedup",
+    "stream_incremental_dedup_shuffled", "stream_knn_enrich",
+    "stream_rocksdb_state", "stream_session_window", "stream_sessionize",
+    "stream_sliding_window",
+    "w_event_transitions", "w_funnel_stages", "w_gap_fill_interp",
+    "w_range_frame", "w_rank_suite", "w_rolling_window", "w_running_sum",
+    "w_seq_pattern", "w_sessionize", "w_share_of_total", "w_zscore")
+
+  private val selfCapPrologue =
+    "SET memory_limit='2GB'; SET threads=2; "
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (engine
     * hash functions, streaming internals) → driver rows-only check.
     */
-  def oracleSql: Map[String, String] =
-    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+  def oracleSql: Map[String, String] = {
+    val names = registry.map(_.name).toSet
+    val unknown = oracleSelfCap -- names
+    require(unknown.isEmpty,
+      s"oracleSelfCap names not in the registry: ${unknown.mkString(",")}")
+    registry.flatMap(q => q.oracle.map { sql =>
+      q.name -> (if (oracleSelfCap(q.name)) selfCapPrologue + sql else sql)
+    }).toMap
+  }
 }

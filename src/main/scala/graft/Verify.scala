@@ -72,5 +72,12 @@ object Verify {
         statuses.map { case (n, ok) => s"${q(n)}: $ok" }
           .mkString("{", ",", "}") + "}")
     spark.stop()
+    // Hard exit: the streaming queries leave RocksDB/state-store native
+    // handles and the memory-sink tables behind; any straggling non-daemon
+    // thread would keep this ~8 GB JVM resident while the driver's DuckDB
+    // oracle sweep runs on the same host — exactly the co-residency that
+    // starved the r7/r8 oracle processes. All outputs (including
+    // run_stamp.json) are flushed above, so exiting now loses nothing.
+    sys.exit(0)
   }
 }

@@ -539,14 +539,21 @@ object Dedup {
     import graft.functions.vector._
     val cents = graft.similarity.Knn.kmeansCentroids(
       df, idCol, vecCol, nClusters)
-    val scores = cents.map { case (cl, cvec) =>
-      struct(vec_cosine(col("vec"), typedLit(cvec)).as("sim"),
-        lit(cl).as("cid"))
-    }
-    val assigned = df
+    val base = df
       .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("vec"))
-      .withColumn("cell", greatest(scores: _*).getField("cid"))
-      .repartition(col("cell"))
+    // degenerate corpus (0–1 rows → <2 centroids): greatest() needs ≥2
+    // args, and with ≤1 centroid every vector lands in cell 0 anyway —
+    // assign directly and let the (trivial) pairwise pass run unchanged
+    val withCell =
+      if (cents.length < 2) base.withColumn("cell", lit(0L))
+      else {
+        val scores = cents.map { case (cl, cvec) =>
+          struct(vec_cosine(col("vec"), typedLit(cvec)).as("sim"),
+            lit(cl).as("cid"))
+        }
+        base.withColumn("cell", greatest(scores: _*).getField("cid"))
+      }
+    val assigned = withCell.repartition(col("cell"))
     val a = assigned.as("a"); val b = assigned.as("b")
     val removed = a.join(b, col("a.cell") === col("b.cell") &&
         col("a.vec_id") < col("b.vec_id"))

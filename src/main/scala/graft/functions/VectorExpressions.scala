@@ -419,6 +419,20 @@ case class PqEncode(child: Expression, cb: Array[Float], m: Int,
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+  // Content-based equality: the codebook rides as Array[Float], whose
+  // case-class equals is reference identity — two semantically identical
+  // expressions built from separate flat() calls would compare unequal
+  // and silently defeat semanticEquals-driven reuse (CSE, exchange/
+  // subquery reuse) in plans that construct the expression twice, e.g.
+  // the two-stage rerank shape.
+  override def equals(o: Any): Boolean = o match {
+    case p: PqEncode => p.child == child && p.m == m && p.ksub == ksub &&
+      p.sub == sub && java.util.Arrays.equals(p.cb, cb)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    getClass, child, Int.box(m), Int.box(ksub), Int.box(sub),
+    Int.box(java.util.Arrays.hashCode(cb)))
 }
 
 /** pq_qtab(vec) → array<double> flattened m×ksub ADC dot table. */
@@ -446,6 +460,15 @@ case class PqQueryTable(child: Expression, cb: Array[Float], m: Int,
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+  // Content-based equality — same rationale as [[PqEncode]].
+  override def equals(o: Any): Boolean = o match {
+    case p: PqQueryTable => p.child == child && p.m == m &&
+      p.ksub == ksub && p.sub == sub && java.util.Arrays.equals(p.cb, cb)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    getClass, child, Int.box(m), Int.box(ksub), Int.box(sub),
+    Int.box(java.util.Arrays.hashCode(cb)))
 }
 
 /** pq_adc(tab, codes) → double approximate dot: m lookups + adds. */

@@ -297,7 +297,9 @@ object Knn {
       .orderBy(md5(col("cid").cast("string")), col("cid"))
       .limit(ksub)
       .collect().map(_.getSeq[Float](1).toArray).toSeq
-    require(sample.nonEmpty, "PQ codebook sample is empty")
+    // empty corpus → no codebooks; callers fall back to bruteForceTopK
+    // (which returns an empty result) instead of throwing here
+    if (sample.isEmpty) return Seq.empty
     val dim = sample.head.length
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
@@ -366,7 +368,7 @@ object Knn {
              vecCol: String, k: Int, m: Int = 8,
              ksub: Int = 64): DataFrame = {
     val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub)
-    if (cbs.head.length < 2) // degenerate corpus: one codebook entry
+    if (cbs.isEmpty || cbs.head.length < 2) // degenerate: ≤1 codeword
       return bruteForceTopK(corpus, queries, idCol, vecCol, k)
     val c = corpus.select(col(idCol).as("neighbor_id"),
       pq_encode(col(vecCol), cbs).as("codes"))
@@ -407,7 +409,7 @@ object Knn {
                 m: Int = 8, ksub: Int = 64): DataFrame = {
     val cents = kmeansCentroids(corpus, idCol, vecCol, nCells)
     val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub)
-    if (cents.length < 2 || cbs.head.length < 2)
+    if (cents.length < 2 || cbs.isEmpty || cbs.head.length < 2)
       return bruteForceTopK(corpus, queries, idCol, vecCol, k)
     def cellScores(vec: Column): Seq[Column] = cents.map {
       case (cid, cvec) =>

@@ -161,6 +161,46 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out.filter(!$"kept").count() == 0)
   }
 
+  test("degenerate corpora: pq/ivfpq/semDedup survive 0-1 row inputs") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val one = Seq((7L, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    // empty corpus: pqCodebooks' sample is empty → brute-force fallback
+    // returns an empty result instead of throwing
+    assert(Knn.pqTopK(empty, empty, "vec_id", "embedding",
+      k = 3, m = 2, ksub = 4).count() == 0)
+    // 1-row corpus: <2 k-means centroids → brute-force fallback; the
+    // only (query, neighbor) pair is the self-pair, which is excluded
+    assert(Knn.ivfPqTopK(one, one, "vec_id", "embedding",
+      k = 3, nCells = 4, nProbe = 2, m = 2, ksub = 4).count() == 0)
+    // semDedup on 0-1 rows: single-cell assignment, trivial pairwise
+    val sd = Dedup.semDedup(one, "vec_id", "embedding",
+      nClusters = 4, threshold = 0.9)
+    assert(sd.count() == 1 && sd.filter($"kept").count() == 1)
+    assert(Dedup.semDedup(empty, "vec_id", "embedding",
+      nClusters = 4, threshold = 0.9).count() == 0)
+  }
+
+  test("PqEncode/PqQueryTable equality is content-based, not array-ref") {
+    import graft.functions.{PqEncode, PqQueryTable}
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val child = BoundReference(0, ArrayType(FloatType), nullable = true)
+    // identical codebooks built as SEPARATE arrays: reference equality
+    // would report unequal and defeat semanticEquals-driven plan reuse
+    def flat() = Array(1.0f, 2.0f, 3.0f, 4.0f, 5.0f, 6.0f, 7.0f, 8.0f)
+    val e1 = PqEncode(child, flat(), 2, 2, 2)
+    val e2 = PqEncode(child, flat(), 2, 2, 2)
+    assert(e1 == e2 && e1.hashCode == e2.hashCode)
+    assert(e1.semanticEquals(e2))
+    val q1 = PqQueryTable(child, flat(), 2, 2, 2)
+    val q2 = PqQueryTable(child, flat(), 2, 2, 2)
+    assert(q1 == q2 && q1.semanticEquals(q2))
+    // different content must still compare unequal; and the two classes
+    // must never compare equal to each other despite identical fields
+    assert(e1 != PqEncode(child, flat().map(_ + 1.0f), 2, 2, 2))
+    assert(!e1.equals(q1) && !q1.equals(e1))
+  }
+
   test("stratified md5 sampling is repartition-stable (unlike sample())") {
     val docs = Tables.documents(spark, TestSpark.sf)
     def sampleIds(df: org.apache.spark.sql.DataFrame): Set[Long] = df

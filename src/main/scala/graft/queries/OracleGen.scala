@@ -429,16 +429,24 @@ object OracleGen {
   /** The deterministic 2-pass Lloyd k-means replay shared by the
     * kmeans-seeded IVF oracle and the semantic-dedup oracle
     * (`Knn.kmeansCentroids` → argmax-cosine cell assignment): md5-ordered
-    * seed set → assignment → 6-dp-rounded per-(cluster, dim) float mean →
-    * cells. Emits the CTE chain `cent0, a1, upd, cent, cells`.
+    * seed set → assignment of the BOUNDED training sample (`ktrain`, the
+    * md5-ordered first `Knn.TrainSampleN` vectors — the engine trains on
+    * the same sample so index-build cost is corpus-size-independent) →
+    * 6-dp-rounded per-(cluster, dim) float mean → full-corpus cell
+    * assignment. Emits the CTE chain `ktrain, cent0, a1, upd, cent,
+    * cells`.
     */
   private def kmeansCellsCtes(dim: Int, nCells: Int): String = {
     def cos(a: String, b: String) = cosArr(a, b, dim)
-    s"""cent0 AS MATERIALIZED (
+    s"""ktrain AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT ${graft.similarity.Knn.TrainSampleN}),
+       |cent0 AS MATERIALIZED (
        |  SELECT row_number() OVER (
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl,
        |    embedding AS cvec
-       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |  FROM (SELECT vec_id, embedding FROM ktrain
        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
        |        LIMIT $nCells)),
        |a1 AS MATERIALIZED (
@@ -447,7 +455,7 @@ object OracleGen {
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cos("e.embedding", "c.cvec")} DESC,
        |          c.cl DESC) AS rn
-       |    FROM embeddings e CROSS JOIN cent0 c) WHERE rn = 1),
+       |    FROM ktrain e CROSS JOIN cent0 c) WHERE rn = 1),
        |upd AS MATERIALIZED (
        |  SELECT cl, i.i AS dim,
        |    CAST(round(avg(CAST(embedding[i.i + 1] AS DOUBLE)), 6)
@@ -533,12 +541,14 @@ object OracleGen {
 
   /** The shared PQ replay chain (`Knn.pqCodebooks` at one Lloyd pass +
     * `Knn.pqTopK`'s encode/table stages) as a WITH-body fragment:
-    * `cb0` md5-sample codebooks → `p0/r0/c0` init assignment →
-    * `upd/cbr/cbf_mi` 6-dp-mean refinement (empty codewords keep the
-    * init slice) → `enc_mi`/`codes` re-encode → `qt_mi` per-query ADC
-    * tables. Every CTE is MATERIALIZED: DuckDB's default inlining
-    * re-expands the refinement chain per reference and the replay goes
-    * from >300 s to ~1 s.
+    * `ptrain` bounded md5-ordered training sample (`Knn.TrainSampleN` —
+    * the engine trains codebooks on the same sample, so build cost is
+    * corpus-size-independent) → `cb0` md5-sample codebooks → `p0/r0/c0`
+    * init assignment of the sample → `upd/cbr/cbf_mi` 6-dp-mean
+    * refinement (empty codewords keep the init slice) → `enc_mi`/`codes`
+    * full-corpus re-encode → `qt_mi` per-query ADC tables. Every CTE is
+    * MATERIALIZED: DuckDB's default inlining re-expands the refinement
+    * chain per reference and the replay goes from >300 s to ~1 s.
     */
   private def pqChainCtes(dim: Int, m: Int, ksub: Int,
                           maxQueryId: Long): String = {
@@ -571,7 +581,7 @@ object OracleGen {
          |    CAST(round(avg(
          |      CAST(e.embedding[${mi * sub} + i.i + 1] AS DOUBLE)), 6)
          |      AS FLOAT) AS v
-         |  FROM c0 JOIN embeddings e USING (vec_id)
+         |  FROM c0 JOIN ptrain e USING (vec_id)
          |  CROSS JOIN (SELECT unnest(range($sub)) AS i) i
          |  GROUP BY c0.c_$mi, i.i),
          |cbr_$mi AS MATERIALIZED (SELECT code, list(v ORDER BY i) AS w
@@ -602,17 +612,21 @@ object OracleGen {
       .mkString(", ")
     val codesJoin = (1 until m).map(mi =>
       s"JOIN enc_$mi e$mi USING (vec_id)").mkString(" ")
-    s"""cb0 AS MATERIALIZED (
+    s"""ptrain AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT ${graft.similarity.Knn.TrainSampleN}),
+       |cb0 AS MATERIALIZED (
        |  SELECT row_number() OVER (
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
        |    embedding AS v
-       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |  FROM (SELECT vec_id, embedding FROM ptrain
        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
        |        LIMIT $ksub)),
        |p0 AS MATERIALIZED (
        |  SELECT e.vec_id, c.j,
        |    $s0Cols
-       |  FROM embeddings e CROSS JOIN cb0 c),
+       |  FROM ptrain e CROSS JOIN cb0 c),
        |r0 AS MATERIALIZED (
        |  SELECT vec_id, j,
        |    $r0Cols

@@ -62,6 +62,31 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("planted hot gram stays out of prefixes when rarer grams exist") {
+    // 30 long strings all share the hot gram "zz"; each also carries a
+    // unique rare tail. With k=1/q=2 the prefix is the k·q+1 = 3 rarest
+    // grams per string — the df=30 "zz" must lose to the df=1 tail
+    // grams, so the hot bucket generates NO candidates from these
+    // strings and the stop-gram blowup (30² pairs through one bucket)
+    // cannot happen.
+    val tails = ('a' to 'z').take(26).combinations(3).take(30)
+      .map(_.mkString).toSeq
+    val names = tails.map(t => s"zz$t$t") // len 8 ≥ q(k+1)=4 → gram path
+    val n = names.toDF("n")
+      .select(col("n").as("name")).withColumn("len", length(col("name")))
+    val pg = FuzzyJoin.prefixGrams(n, k = 1, q = 2)
+    assert(pg.filter(col("gram") === "zz").count() == 0,
+      "hot gram must not enter any prefix when 3 rarer grams exist")
+    // per-string prefix is exactly k·q+1 = 3 grams
+    val sizes = pg.groupBy(col("name")).count()
+      .select(col("count")).as[Long].collect()
+    assert(sizes.forall(_ == 3))
+    // and the join over these prefixes is still recall-exact
+    val out = FuzzyJoin.selfJoin(names.toDF("n"), "n", k = 1)
+      .as[(String, String, Long)].collect().toSet
+    assert(out == naive(names, 1))
+  }
+
   test("property: random corpora never miss a pair (recall exactness)") {
     val rnd = new scala.util.Random(8)
     val alphabet = "abcde"

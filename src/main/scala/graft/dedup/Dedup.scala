@@ -457,28 +457,58 @@ object Dedup {
     * row-group skipping) and applies `retain` — the TTL/retention
     * predicate — during the same pass, so expiry costs no extra scan.
     *
-    * Locally the swap is rewrite-to-sibling + directory rename; on a
-    * real lake the identical rewrite commits via the table format's
-    * atomic metadata swap (Iceberg/Delta rewrite-files). Cost is one
-    * scan + one write of the LIVE index rows — never proportional to
-    * the number of accumulated appends.
+    * Locally the swap is rewrite-to-sibling + rename-aside (live →
+    * `.old`, rewritten → live, delete `.old`): no instant exists at
+    * which neither a live nor a `.old` copy is intact, so a crash in
+    * the swap window loses nothing — [[recoverBandIndex]] (called on
+    * entry here and available to readers) restores `.old` when the
+    * live dir is missing, and a stale `.old` next to an intact live dir
+    * is just deleted. On a real lake the identical rewrite commits via
+    * the table format's atomic metadata swap (Iceberg/Delta
+    * rewrite-files). Cost is one scan + one write of the LIVE index
+    * rows — never proportional to the number of accumulated appends.
     */
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String,
                        retain: Column = lit(true)): Unit = {
+    recoverBandIndex(path)
     val tmp = path + ".compacting"
+    val old = path + ".old"
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    rmTree(new java.io.File(tmp)) // stale rewrite from a crashed run
     spark.read.parquet(path)
       .filter(retain)
       .repartition(col("band"))
       .sortWithinPartitions(col("band_hash"))
       .write.partitionBy("band").parquet(tmp)
-    val dir = new java.io.File(path)
+    require(new java.io.File(path).renameTo(new java.io.File(old)),
+      s"compaction aside-rename failed for $path")
+    require(new java.io.File(tmp).renameTo(new java.io.File(path)),
+      s"compaction swap failed for $path")
+    rmTree(new java.io.File(old))
+  }
+
+  /** Crash recovery for [[compactBandIndex]]'s rename-aside swap: if a
+    * crash struck between the aside-rename and the swap, the live dir is
+    * missing and `.old` holds the last intact index — restore it. If
+    * the crash struck after the swap but before `.old` cleanup, both
+    * exist and the live dir is the newer compacted index — drop `.old`.
+    * Idempotent; call before reading or compacting an index dir whose
+    * writer may have died.
+    */
+  def recoverBandIndex(path: String): Unit = {
+    val live = new java.io.File(path)
+    val old = new java.io.File(path + ".old")
     def rmTree(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(); ()
     }
-    rmTree(dir)
-    require(new java.io.File(tmp).renameTo(dir),
-      s"compaction swap failed for $path")
+    if (old.isDirectory) {
+      if (!live.exists())
+        require(old.renameTo(live), s"band-index recovery failed for $path")
+      else rmTree(old)
+    }
   }
 
   /** Loop width for [[duplicateClusters]] when not given explicitly:

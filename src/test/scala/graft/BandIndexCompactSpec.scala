@@ -58,4 +58,34 @@ class BandIndexCompactSpec extends AnyFunSuite {
       assert(multiset(p) == live)
     } finally graft.queries.Scratch.rmTree(tmp)
   }
+
+  test("swap crash windows: every intermediate state recovers intact") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-bidx-").toFile
+    try {
+      val p = s"${tmp.getAbsolutePath}/idx"
+      buildIndex(p)
+      val before = multiset(p)
+      // crash AFTER the aside-rename, BEFORE the swap: live dir missing,
+      // .old holds the last intact index
+      assert(new java.io.File(p).renameTo(new java.io.File(p + ".old")))
+      Dedup.recoverBandIndex(p)
+      assert(!new java.io.File(p + ".old").exists())
+      assert(multiset(p) == before, "recovery must restore the aside copy")
+      // crash AFTER the swap, BEFORE .old cleanup: both dirs exist —
+      // recovery must keep the (newer) live dir and drop .old
+      val stale = new java.io.File(p + ".old"); stale.mkdirs()
+      new java.io.File(stale, "junk.parquet").createNewFile()
+      Dedup.recoverBandIndex(p)
+      assert(!stale.exists() && multiset(p) == before)
+      // a compaction entered on a crashed state (stale .compacting AND
+      // .old) still completes and is reader-invisible
+      assert(new java.io.File(p + ".compacting").mkdirs())
+      Dedup.compactBandIndex(spark, p)
+      assert(multiset(p) == before)
+      assert(!new java.io.File(p + ".old").exists())
+      assert(!new java.io.File(p + ".compacting").exists())
+      (0 until 8).foreach(b => assert(filesIn(s"$p/band=$b") == 1))
+    } finally graft.queries.Scratch.rmTree(tmp)
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{ExtendedQueries, PipelineQueries, Q, Round4Queries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, StarQueries}
+import graft.queries.{ExtendedQueries, PipelineQueries, Q, Round4Queries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, Round9Queries, StarQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -16,7 +16,8 @@ object SparkEntry {
   def registry: Seq[Q] = {
     val all = StarQueries.all ++ PipelineQueries.all ++
       ExtendedQueries.all ++ Round4Queries.all ++ Round5Queries.all ++
-      Round6Queries.all ++ Round7Queries.all ++ Round8Queries.all
+      Round6Queries.all ++ Round7Queries.all ++ Round8Queries.all ++
+      Round9Queries.all
     val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(",")}")
     all
@@ -62,7 +63,10 @@ object SparkEntry {
     "stream_sliding_window",
     "w_event_transitions", "w_funnel_stages", "w_gap_fill_interp",
     "w_range_frame", "w_rank_suite", "w_rolling_window", "w_running_sum",
-    "w_seq_pattern", "w_sessionize", "w_share_of_total", "w_zscore")
+    "w_seq_pattern", "w_sessionize", "w_share_of_total", "w_zscore",
+    // r9-new, never swept: in the k-means replay family whose members
+    // were first-sweep victims in r8 — capped from birth
+    "d_semdedup_auto")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

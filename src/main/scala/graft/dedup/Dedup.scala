@@ -564,6 +564,32 @@ object Dedup {
     *
     * Returns one row per input vector: (vec_id, cell, kept).
     */
+  /** Cluster count for [[semDedup]] when derived from the corpus size:
+    * one cell per ~`targetOccupancy` vectors, floored at 2 (greatest()
+    * needs two cells) and capped at 65536 (centroid literals stay
+    * metadata-sized: 64k × 64 floats ≈ 16 MB, the broadcast ceiling).
+    * Monotone in the corpus count, so within-cell pairwise work stays
+    * ~occupancy² per cell as the corpus grows — the SemDeDup quadratic
+    * knob auto-tunes like [[autoLoopWidth]] does for the CC loop,
+    * instead of being a fixed parameter nothing re-tunes.
+    */
+  private[graft] def autoSemDedupClusters(
+      corpusRows: Long, targetOccupancy: Long = 128L): Int =
+    math.max(2L, math.min(65536L,
+      (corpusRows + targetOccupancy - 1) / targetOccupancy)).toInt
+
+  /** [[semDedup]] with the cluster count derived from the corpus size
+    * via [[autoSemDedupClusters]] — one count(*) (parquet-footer cheap)
+    * keys the occupancy target. The oracle replays the same derivation
+    * in SQL (`OracleGen.semDedupAutoSql`'s subquery LIMIT), so the
+    * auto-scaled operator stays under the exact-hash gate.
+    */
+  def semDedupAuto(df: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double,
+                   targetOccupancy: Long = 128L): DataFrame =
+    semDedup(df, idCol, vecCol,
+      autoSemDedupClusters(df.count(), targetOccupancy), threshold)
+
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                nClusters: Int, threshold: Double): DataFrame = {
     import graft.functions.vector._

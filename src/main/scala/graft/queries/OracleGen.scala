@@ -436,7 +436,13 @@ object OracleGen {
     * assignment. Emits the CTE chain `ktrain, cent0, a1, upd, cent,
     * cells`.
     */
-  private def kmeansCellsCtes(dim: Int, nCells: Int): String = {
+  private def kmeansCellsCtes(dim: Int, nCells: Int): String =
+    kmeansCellsCtes(dim, nCells.toString)
+
+  /** `nCellsLimit` is a SQL LIMIT operand — an integer literal, or a
+    * scalar subquery for the occupancy-derived auto variant
+    * ([[semDedupAutoSql]]). */
+  private def kmeansCellsCtes(dim: Int, nCellsLimit: String): String = {
     def cos(a: String, b: String) = cosArr(a, b, dim)
     s"""ktrain AS MATERIALIZED (
        |  SELECT vec_id, embedding FROM embeddings
@@ -448,7 +454,7 @@ object OracleGen {
        |    embedding AS cvec
        |  FROM (SELECT vec_id, embedding FROM ktrain
        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-       |        LIMIT $nCells)),
+       |        LIMIT $nCellsLimit)),
        |a1 AS MATERIALIZED (
        |  SELECT vec_id, embedding, cl FROM (
        |    SELECT e.vec_id, e.embedding, c.cl,
@@ -505,7 +511,23 @@ object OracleGen {
     * removed when ANY lower-id cell-mate scores ≥ threshold.
     */
   def semDedupSql(dim: Int, nClusters: Int, threshold: String): String =
-    s"""WITH ${kmeansCellsCtes(dim, nClusters)},
+    semDedupSqlWithLimit(dim, nClusters.toString, threshold)
+
+  /** SemDeDup replay with the cluster count derived from the corpus size
+    * (`Dedup.semDedupAuto`): the LIMIT operand is the same
+    * clamp(ceil(count/occupancy), 2, 65536) the engine computes, as a
+    * scalar subquery — both sides derive the knob from the data, so the
+    * auto-scaled operator replays exactly at any corpus size.
+    */
+  def semDedupAutoSql(dim: Int, occupancy: Long, threshold: String): String =
+    semDedupSqlWithLimit(dim,
+      s"""(SELECT greatest(2, least(65536,
+         |    CAST(ceil(count(*) / $occupancy.0) AS BIGINT)))
+         |  FROM embeddings)""".stripMargin, threshold)
+
+  private def semDedupSqlWithLimit(dim: Int, nClustersLimit: String,
+                                   threshold: String): String =
+    s"""WITH ${kmeansCellsCtes(dim, nClustersLimit)},
        |rm AS (
        |  SELECT DISTINCT b.vec_id
        |  FROM cells a JOIN cells b

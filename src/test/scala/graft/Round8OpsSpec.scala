@@ -201,6 +201,26 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(!e1.equals(q1) && !q1.equals(e1))
   }
 
+  test("autoSemDedupClusters: monotone, clamped, occupancy-targeted") {
+    import graft.dedup.Dedup.autoSemDedupClusters
+    assert(autoSemDedupClusters(0) == 2 && autoSemDedupClusters(1) == 2)
+    assert(autoSemDedupClusters(500) == 4) // ceil(500/128)
+    assert(autoSemDedupClusters(128L * 70000) == 65536) // broadcast cap
+    val xs = Seq(10L, 1000L, 100000L, 10000000L)
+      .map(autoSemDedupClusters(_))
+    assert(xs == xs.sorted, "cell count must grow with the corpus")
+  }
+
+  test("semDedupAuto == semDedup at the derived cluster count") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val auto = Dedup.semDedupAuto(emb, "vec_id", "embedding",
+      threshold = 0.5)
+    val pinned = Dedup.semDedup(emb, "vec_id", "embedding",
+      Dedup.autoSemDedupClusters(emb.count()), threshold = 0.5)
+    assert(auto.orderBy($"vec_id").collect().toSeq ==
+      pinned.orderBy($"vec_id").collect().toSeq)
+  }
+
   test("stratified md5 sampling is repartition-stable (unlike sample())") {
     val docs = Tables.documents(spark, TestSpark.sf)
     def sampleIds(df: org.apache.spark.sql.DataFrame): Set[Long] = df

@@ -461,9 +461,9 @@ object Dedup {
     * `.old`, rewritten → live, delete `.old`): no instant exists at
     * which neither a live nor a `.old` copy is intact, so a crash in
     * the swap window loses nothing — [[recoverBandIndex]] (called on
-    * entry here and available to readers) restores `.old` when the
-    * live dir is missing, and a stale `.old` next to an intact live dir
-    * is just deleted. On a real lake the identical rewrite commits via
+    * entry here; single-writer, see its scaladoc) restores `.old` when
+    * the live dir is missing, and a stale `.old` next to an intact live
+    * dir is just deleted. On a real lake the identical rewrite commits via
     * the table format's atomic metadata swap (Iceberg/Delta
     * rewrite-files). Cost is one scan + one write of the LIVE index
     * rows — never proportional to the number of accumulated appends.
@@ -471,12 +471,10 @@ object Dedup {
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String,
                        retain: Column = lit(true)): Unit = {
+    import graft.queries.Scratch.rmTree
     recoverBandIndex(path)
     val tmp = path + ".compacting"
     val old = path + ".old"
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(); ()
-    }
     rmTree(new java.io.File(tmp)) // stale rewrite from a crashed run
     spark.read.parquet(path)
       .filter(retain)
@@ -495,15 +493,16 @@ object Dedup {
     * missing and `.old` holds the last intact index — restore it. If
     * the crash struck after the swap but before `.old` cleanup, both
     * exist and the live dir is the newer compacted index — drop `.old`.
-    * Idempotent; call before reading or compacting an index dir whose
-    * writer may have died.
+    * Idempotent, but SINGLE-WRITER: call only when the compacting
+    * writer is known dead (a recovery racing a LIVE compaction inside
+    * its swap window could restore `.old` under the writer's feet and
+    * abort a healthy swap — the same single-writer assumption as the
+    * table-format commit protocols this stands in for).
     */
   def recoverBandIndex(path: String): Unit = {
+    import graft.queries.Scratch.rmTree
     val live = new java.io.File(path)
     val old = new java.io.File(path + ".old")
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(); ()
-    }
     if (old.isDirectory) {
       if (!live.exists())
         require(old.renameTo(live), s"band-index recovery failed for $path")
@@ -597,11 +596,15 @@ object Dedup {
       df, idCol, vecCol, nClusters)
     val base = df
       .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("vec"))
-    // degenerate corpus (0–1 rows → <2 centroids): greatest() needs ≥2
-    // args, and with ≤1 centroid every vector lands in cell 0 anyway —
-    // assign directly and let the (trivial) pairwise pass run unchanged
+    // degenerate corpus (<2 centroids): greatest() needs ≥2 args — assign
+    // every vector to the LONE SURVIVING centroid's id (a cluster that
+    // keeps all members after ties can be any seed id, not 0; the oracle
+    // labels cells by that id) or 0 for an empty corpus, and let the
+    // (trivial) pairwise pass run unchanged
     val withCell =
-      if (cents.length < 2) base.withColumn("cell", lit(0L))
+      if (cents.length < 2)
+        base.withColumn("cell",
+          lit(cents.headOption.map(_._1).getOrElse(0L)))
       else {
         val scores = cents.map { case (cl, cvec) =>
           struct(vec_cosine(col("vec"), typedLit(cvec)).as("sim"),

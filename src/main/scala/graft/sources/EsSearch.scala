@@ -31,8 +31,17 @@ object EsSearch {
     * description mapping like `make_uuids_tsv.py:13`).
     */
   def codexQueryPayload(organCode: Option[String] = None): String = {
+    // JSON-escape the code: organ codes come from caller-mapped YAML
+    // descriptions — an embedded quote/backslash/control char would
+    // otherwise yield malformed JSON and a silently empty result
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val organMust = organCode
-      .map(c => s""",{"match":{"origin_samples.organ":"$c"}}""")
+      .map(c => s""",{"match":{"origin_samples.organ":"${esc(c)}"}}""")
       .getOrElse("")
     s"""{"from":0,"size":10000,"query":{"bool":{
        |"must":[{"match":{"dataset_type":"CODEX"}},

@@ -201,6 +201,22 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(!e1.equals(q1) && !q1.equals(e1))
   }
 
+  test("semDedup degenerate: lone surviving centroid keeps its own id") {
+    // identical vectors: every seed is equal, the argmax tiebreak sends
+    // all members to the HIGHEST seed id, the other seeds lose all
+    // members and drop out — the lone survivor has a NONZERO id (2 for
+    // 3 rows), and the cell label must be that id, exactly as the
+    // oracle's cells CTE would label it (not a hardcoded 0)
+    val v = Seq.fill(8)(0.5f)
+    val df = Seq((10L, v), (11L, v), (12L, v)).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(df, "vec_id", "embedding",
+      nClusters = 4, threshold = 0.9)
+    assert(out.select($"cell").distinct().as[Long].collect().toSeq ==
+      Seq(2L))
+    assert(out.filter($"kept").select($"vec_id").as[Long]
+      .collect().toSeq == Seq(10L), "min-id copy survives")
+  }
+
   test("autoSemDedupClusters: monotone, clamped, occupancy-targeted") {
     import graft.dedup.Dedup.autoSemDedupClusters
     assert(autoSemDedupClusters(0) == 2 && autoSemDedupClusters(1) == 2)

@@ -34,13 +34,21 @@ def canon(rows, cols):
     return sorted(c for c in cols), out
 
 
-def main(outdir, sfdir):
-    con = duckdb.connect()
+def baseline_caps(con):
     # Self-cap: keep the oracle's buffer pool small so a loaded host can't
     # drive this process into bad_alloc (r7: 10 rows lost to oracle OOM).
     # DuckDB spills to disk past the limit instead of aborting.
+    # Re-applied before EVERY oracle: the self-capped queries' own
+    # "SET memory_limit='2GB'; SET threads=2;" prologues persist on this
+    # shared connection and would otherwise silently throttle all
+    # subsequent (uncapped) oracles.
     con.execute("SET memory_limit='4GB'")
     con.execute("SET threads=4")
+
+
+def main(outdir, sfdir):
+    con = duckdb.connect()
+    baseline_caps(con)
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
@@ -58,6 +66,7 @@ def main(outdir, sfdir):
     # uncast HUGEINT column is caught even on a subset re-dump.
     for name in sorted(oracle):
         try:
+            baseline_caps(con)
             types = [str(t).upper()
                      for t in con.sql(oracle[name]).types]
         except Exception:
@@ -79,6 +88,7 @@ def main(outdir, sfdir):
             results[name] = f"ROWS_ONLY ({len(s_rows)} rows)"
             continue
         try:
+            baseline_caps(con)
             o_rel = con.sql(oracle[name])
             o_cols = list(o_rel.columns)
             o_types = [str(t).upper() for t in o_rel.types]

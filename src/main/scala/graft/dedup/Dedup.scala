@@ -563,6 +563,54 @@ object Dedup {
     *
     * Returns one row per input vector: (vec_id, cell, kept).
     */
+  /** Cross-document span scrub — the ACTION counterpart of the
+    * repeated-span DETECTION op (`d_substring_spans`): documents are cut
+    * into non-overlapping `spanTokens`-token chunks, every chunk whose
+    * exact text occurs in ≥ `minDocs` DISTINCT documents is removed from
+    * ALL of them, and each document's text is rebuilt from its surviving
+    * chunks in order (the C4/RefinedWeb "remove duplicated spans/lines"
+    * curation rule; removing every occurrence — rather than C4's
+    * keep-first — is deliberate: it is order-free, so the result does
+    * not depend on dataset ordering and replays on any engine).
+    *
+    * Scale shape: one explode to (doc, j, chunk); hot-chunk discovery is
+    * a groupBy on the chunk key (at 100 TB hash the chunk first so the
+    * exchange carries 8-byte keys); the scrub is a left-anti equi join;
+    * reassembly is a per-doc sort of surviving (j, chunk) structs —
+    * everything partial-aggregates and nothing is quadratic.
+    *
+    * Returns one row per input document:
+    * (doc_id, n_chunks, n_removed, scrubbed) — scrubbed is the rebuilt
+    * text ('' when everything was removed).
+    */
+  def spanScrub(df: DataFrame, idCol: String, textCol: String,
+                spanTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("toks"))
+    val chunks = toks.select(col("doc_id"), posexplode(expr(
+      s"""transform(
+         |  sequence(0, greatest(CAST(ceil(size(toks) / $spanTokens.0D)
+         |    AS INT), 1) - 1),
+         |  j -> array_join(slice(toks, j * $spanTokens + 1, $spanTokens),
+         |    ' '))""".stripMargin)).as(Seq("j", "chunk")))
+    val hot = chunks.select(col("chunk"), col("doc_id")).distinct()
+      .groupBy(col("chunk")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("chunk"))
+    val perDoc = chunks.join(hot, Seq("chunk"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("j"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("scrubbed"))
+    val totals = chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+    totals.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed"))
+  }
+
   /** Cluster count for [[semDedup]] when derived from the corpus size:
     * one cell per ~`targetOccupancy` vectors, floored at 2 (greatest()
     * needs two cells) and capped at 65536 (centroid literals stay

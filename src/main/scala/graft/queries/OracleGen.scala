@@ -441,11 +441,18 @@ object OracleGen {
 
   /** `nCellsLimit` is a SQL LIMIT operand — an integer literal, or a
     * scalar subquery for the occupancy-derived auto variant
-    * ([[semDedupAutoSql]]). */
-  private def kmeansCellsCtes(dim: Int, nCellsLimit: String): String = {
+    * ([[semDedupAutoSql]]). `trainWhere` optionally restricts the
+    * TRAINING population (seeds + mean pass) to a subset — the
+    * index-maintenance shape, where centroids were trained on the
+    * original corpus batch and a later batch is assigned to the frozen
+    * cells ([[knnIvfKmeansTrainedOnSql]]); the `cells` assignment
+    * always covers the full corpus.
+    */
+  private def kmeansCellsCtes(dim: Int, nCellsLimit: String,
+                              trainWhere: String = ""): String = {
     def cos(a: String, b: String) = cosArr(a, b, dim)
     s"""ktrain AS MATERIALIZED (
-       |  SELECT vec_id, embedding FROM embeddings
+       |  SELECT vec_id, embedding FROM embeddings $trainWhere
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
        |  LIMIT ${graft.similarity.Knn.TrainSampleN}),
        |cent0 AS MATERIALIZED (
@@ -481,9 +488,20 @@ object OracleGen {
   }
 
   def knnIvfKmeansSql(dim: Int, nCells: Int, nProbe: Int, k: Int,
-                      maxQueryId: Long): String = {
+                      maxQueryId: Long): String =
+    knnIvfKmeansTrainedOnSql(dim, nCells, nProbe, k, maxQueryId, "")
+
+  /** [[knnIvfKmeansSql]] with the k-means TRAINING population restricted
+    * by `trainWhere` (e.g. "WHERE vec_id % 10 <> 0") — the incremental
+    * index-maintenance replay: centroids frozen on the original batch,
+    * every vector (original + appended) assigned to those cells, probes
+    * over the union.
+    */
+  def knnIvfKmeansTrainedOnSql(dim: Int, nCells: Int, nProbe: Int, k: Int,
+                               maxQueryId: Long,
+                               trainWhere: String): String = {
     def cos(a: String, b: String) = cosArr(a, b, dim)
-    s"""WITH ${kmeansCellsCtes(dim, nCells)},
+    s"""WITH ${kmeansCellsCtes(dim, nCells.toString, trainWhere)},
        |qprobe AS (
        |  SELECT vec_id AS query_id, embedding, cid AS cell FROM (
        |    SELECT a.vec_id, a.embedding, t.cid,

@@ -130,5 +130,94 @@ object Round9Queries {
              |    AS BIGINT) AS tok_sum,
              |  TRUE AS one_file_per_shard
              |FROM s GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    Q("e_knn_ivf_append",
+      "Incremental ANN index MAINTENANCE — the e_knn_ivf_at_rest layout " +
+        "kept alive without a rebuild (the ANN analogue of the band " +
+        "index's d_incremental_index_append): k-means centroids are " +
+        "trained on the ORIGINAL corpus batch only (vec_id % 10 != 0) " +
+        "and then FROZEN; the original batch is written partitioned by " +
+        "cell; a later batch (vec_id % 10 = 0) is assigned to the same " +
+        "frozen cells — a pure map, no retraining, cost ∝ batch — and " +
+        "APPENDED as new files (asserted in-query: no existing cell " +
+        "file is rewritten, row count = both batches). Probes " +
+        "partition-prune the updated index (isin asserted inside " +
+        "PartitionFilters) and see old and new vectors in one ranked " +
+        "result; the oracle replays training-on-A + assign-all in " +
+        "closed form, so index maintenance is invisible to results.",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val batchA = emb.filter($"vec_id" % 10 =!= 0)
+        val batchB = emb.filter($"vec_id" % 10 === 0)
+        val cents = graft.similarity.Knn.kmeansCentroids(
+          batchA, "vec_id", "embedding", k = 16)
+        def cellScores(vec: org.apache.spark.sql.Column) =
+          cents.map { case (cid, cvec) =>
+            struct(graft.similarity.Knn.cosine(vec, typedLit(cvec))
+              .as("sim"), lit(cid).as("cid"))
+          }
+        def assigned(df: org.apache.spark.sql.DataFrame) =
+          df.select($"vec_id", $"embedding",
+            greatest(cellScores($"embedding"): _*).getField("cid")
+              .as("cell"))
+        Scratch.withTempDir("graft-ivfappend-") { tmp =>
+          val p = s"${tmp.getAbsolutePath}/index"
+          assigned(batchA).write.partitionBy("cell").parquet(p)
+          def cellFiles: Map[String, Int] = {
+            val dirs = Option(new java.io.File(p).listFiles).getOrElse(
+              Array.empty[java.io.File])
+            dirs.filter(f => f.isDirectory &&
+                f.getName.startsWith("cell=")).map { f =>
+              f.getName -> f.listFiles
+                .count(_.getName.endsWith(".parquet"))
+            }.toMap
+          }
+          val before = cellFiles
+          assigned(batchB).write.mode("append")
+            .partitionBy("cell").parquet(p)
+          val after = cellFiles
+          // append-only maintenance: every pre-existing cell keeps at
+          // least its old files; nothing was rewritten away
+          require(before.forall { case (c, n) => after.getOrElse(c, 0) >= n },
+            s"append rewrote existing cell files: before=$before after=$after")
+          val total = s.read.parquet(p).count()
+          require(total == emb.count(),
+            s"index lost rows: $total after append")
+          val q = emb.filter($"vec_id" < 10)
+            .select($"vec_id".as("query_id"), $"embedding".as("q_vec"))
+            .withColumn("__probe", explode(slice(sort_array(
+              array(cellScores($"q_vec"): _*), asc = false), 1, 3)))
+            .withColumn("cell", $"__probe.cid").drop("__probe")
+          val probeCells = q.select($"cell").distinct()
+            .as[Long].collect().toSeq
+          val corpus = s.read.parquet(p)
+            .filter($"cell".isin(probeCells: _*))
+            .select($"vec_id".as("neighbor_id"),
+              $"embedding".as("c_vec"), $"cell")
+          val scored = corpus.join(broadcast(q), Seq("cell"))
+            .filter($"query_id" =!= $"neighbor_id")
+            .withColumn("cosine_raw",
+              graft.similarity.Knn.cosine($"q_vec", $"c_vec"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy($"query_id")
+            .orderBy($"cosine_raw".desc, $"neighbor_id")
+          val out = scored.withColumn("rank", row_number().over(w))
+            .filter($"rank" <= 5)
+            .select($"query_id", $"neighbor_id",
+              $"rank".cast("long").as("rank"))
+            .orderBy($"query_id", $"rank")
+          val plan = out.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          require(raw"PartitionFilters: \[[^\]]*cell#\d+L? IN".r
+            .findFirstIn(plan).isDefined,
+            "expected the cell isin predicate in PartitionFilters; " +
+              "got:\n" + plan.take(3000))
+          out
+        }
+      },
+      Some(OracleGen.knnIvfKmeansTrainedOnSql(dim = 64, nCells = 16,
+        nProbe = 3, k = 5, maxQueryId = 10,
+        trainWhere = "WHERE vec_id % 10 <> 0"))),
   )
 }

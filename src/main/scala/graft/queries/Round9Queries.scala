@@ -219,5 +219,44 @@ object Round9Queries {
       Some(OracleGen.knnIvfKmeansTrainedOnSql(dim = 64, nCells = 16,
         nProbe = 3, k = 5, maxQueryId = 10,
         trainWhere = "WHERE vec_id % 10 <> 0"))),
+
+    Q("agg_sketch_merge",
+      "Mergeable distinct-count summaries AT REST — the warehouse " +
+        "pattern where per-partition HLL sketches are PRECOMPUTED and " +
+        "stored, and later queries merge the stored sketch bytes " +
+        "without rescanning the raw data: one DataSketches HLL sketch " +
+        "per event shard written to parquet (stage 1), then the global " +
+        "estimate computed by hll_union_agg over the 16 stored sketch " +
+        "rows only (stage 2 — input is 16 rows regardless of corpus " +
+        "size; at 100 TB this is the difference between a metadata " +
+        "query and a full scan). Gated like the other sketch ops: the " +
+        "estimate must land within the ±10% envelope of the exact " +
+        "distinct count, which the oracle computes in closed form.",
+      (s, d) => {
+        import s.implicits._
+        Scratch.withTempDir("graft-sketch-") { tmp =>
+          val p = s"${tmp.getAbsolutePath}/sketches"
+          val ev = Tables.events(s, d).filter($"event_id".isNotNull)
+          ev.groupBy(pmod($"event_id", lit(16L)).as("shard"))
+            .agg(hll_sketch_agg($"user_id").as("sk"))
+            .write.parquet(p)
+          val est = s.read.parquet(p)
+            .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"),
+              count(lit(1)).as("n_shards"))
+          val exact = ev.agg(
+            countDistinct($"user_id").as("n_exact"))
+          est.crossJoin(exact)
+            .select($"n_shards",
+              $"n_exact".cast("long").as("n_exact"),
+              ($"est" >= $"n_exact" * 0.9 &&
+                $"est" <= $"n_exact" * 1.1).as("within_10pct"))
+        }
+      },
+      Some("""SELECT
+             |  (SELECT CAST(count(DISTINCT event_id % 16) AS BIGINT)
+             |   FROM events WHERE event_id IS NOT NULL) AS n_shards,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+             |  TRUE AS within_10pct
+             |FROM events WHERE event_id IS NOT NULL""".stripMargin)),
   )
 }

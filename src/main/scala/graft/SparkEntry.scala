@@ -64,9 +64,12 @@ object SparkEntry {
     "w_event_transitions", "w_funnel_stages", "w_gap_fill_interp",
     "w_range_frame", "w_rank_suite", "w_rolling_window", "w_running_sum",
     "w_seq_pattern", "w_sessionize", "w_share_of_total", "w_zscore",
-    // r9-new, never swept: in the k-means replay family whose members
-    // were first-sweep victims in r8 — capped from birth
-    "d_semdedup_auto")
+    // r9-new, never swept: capped from birth — the k-means replay
+    // family's members were first-sweep victims in r8, and a cap on the
+    // light oracles costs nothing while the wrap-risk already rides on
+    // the 39 above
+    "d_semdedup_auto", "curate_span_scrub", "p_shard_export",
+    "e_knn_ivf_append", "agg_sketch_merge")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

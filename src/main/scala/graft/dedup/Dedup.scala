@@ -602,8 +602,11 @@ object Dedup {
         array_join(transform(
           array_sort(collect_list(struct(col("j"), col("chunk")))),
           x => x.getField("chunk")), " ").as("scrubbed"))
-    val totals = chunks.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"))
+    // totals come straight from the token count — no second explode of
+    // the corpus (same ceil formula as the chunk builder above)
+    val totals = toks.select(col("doc_id"),
+      greatest(expr(s"CAST(ceil(size(toks) / $spanTokens.0D) AS INT)"),
+        lit(1)).cast("long").as("n_chunks"))
     totals.join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chunks"),
         (col("n_chunks") - coalesce(col("n_kept"), lit(0L)))

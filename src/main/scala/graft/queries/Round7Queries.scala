@@ -380,40 +380,10 @@ object Round7Queries {
             .write.partitionBy("cell")
             .parquet(s"${tmp.getAbsolutePath}/corpus")
         }.getAbsolutePath
-        val q = emb.filter($"vec_id" < 10)
-          .select($"vec_id".as("query_id"), $"embedding".as("q_vec"))
-          .withColumn("__probe", explode(slice(sort_array(
-            array(cellScores($"q_vec"): _*), asc = false), 1, 3)))
-          .withColumn("cell", $"__probe.cid").drop("__probe")
-        // probed cells are metadata-sized (nQueries × nProbe)
-        val probeCells = q.select($"cell").distinct()
-          .as[Long].collect().toSeq
-        val corpus = s.read.parquet(s"$root/corpus")
-          .filter($"cell".isin(probeCells: _*))
-          .select($"vec_id".as("neighbor_id"),
-            $"embedding".as("c_vec"), $"cell")
-        val scored = corpus.join(broadcast(q), Seq("cell"))
-          .filter($"query_id" =!= $"neighbor_id")
-          .withColumn("cosine_raw",
-            graft.similarity.Knn.cosine($"q_vec", $"c_vec"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy($"query_id")
-          .orderBy($"cosine_raw".desc, $"neighbor_id")
-        val out = scored.withColumn("rank", row_number().over(w))
-          .filter($"rank" <= 5)
-          .select($"query_id", $"neighbor_id",
-            $"rank".cast("long").as("rank"))
-          .orderBy($"query_id", $"rank")
-        val plan = out.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
-        // the isin predicate must appear INSIDE the PartitionFilters
-        // bracket — `PartitionFilters: [` alone also matches an empty
-        // list, and `cell#` appears in join attributes regardless
-        require(raw"PartitionFilters: \[[^\]]*cell#\d+L? IN".r
-          .findFirstIn(plan).isDefined,
-          "expected the cell isin predicate in PartitionFilters; got:\n" +
-            plan.take(3000))
-        out
+        // shared probe/score/rank + PartitionFilters assertion
+        graft.similarity.Knn.atRestProbeTopK(s, s"$root/corpus",
+          centroids.toSeq, emb.filter($"vec_id" < 10),
+          "vec_id", "embedding", k = 5, nProbe = 3)
       },
       Some(OracleGen.knnIvfSql(dim = 64, nCells = 16, nProbe = 3, k = 5,
         maxQueryId = 10))),

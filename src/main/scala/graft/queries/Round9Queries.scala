@@ -100,15 +100,18 @@ object Round9Queries {
           val p = s"${tmp.getAbsolutePath}/shards"
           val nShards = 8
           Tables.documents(s, d)
-            .withColumn("shard", pmod(
-              conv(substring(md5($"doc_id".cast("string")), 1, 10),
-                16, 10).cast("long"), lit(nShards.toLong)))
+            // shard key = the proven cross-engine 40-bit md5 signature
+            .withColumn("shard",
+              pmod(Digest.strSig($"doc_id"), lit(nShards.toLong)))
             .repartition($"shard")
             .write.partitionBy("shard").parquet(p)
-          val filesOk = (0 until nShards).forall { sh =>
-            val fs = new java.io.File(s"$p/shard=$sh").listFiles()
-            fs != null && fs.count(_.getName.endsWith(".parquet")) == 1
-          }
+          // every WRITTEN shard must be exactly one file (repartition on
+          // the shard key ⇒ one partition per shard); a legitimately
+          // empty shard writes no dir and is fine
+          val filesOk = Option(new java.io.File(p).listFiles)
+            .getOrElse(Array.empty[java.io.File])
+            .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+            .forall(_.listFiles.count(_.getName.endsWith(".parquet")) == 1)
           s.read.parquet(p)
             .groupBy($"shard".cast("long").as("shard"))
             .agg(count(lit(1)).as("n_docs"),
@@ -119,17 +122,15 @@ object Round9Queries {
             .orderBy($"shard")
         }
       },
-      Some("""WITH s AS (
-             |  SELECT *, CAST('0x' ||
-             |      substring(md5(CAST(doc_id AS VARCHAR)), 1, 10)
-             |      AS BIGINT) % 8 AS shard
-             |  FROM documents)
-             |SELECT shard, count(*) AS n_docs,
-             |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
-             |  CAST(sum(len(string_split_regex(trim(text), '\s+')))
-             |    AS BIGINT) AS tok_sum,
-             |  TRUE AS one_file_per_shard
-             |FROM s GROUP BY shard ORDER BY shard""".stripMargin)),
+      Some(s"""WITH s AS (
+              |  SELECT *, ${Digest.strSigSql("doc_id")} % 8 AS shard
+              |  FROM documents)
+              |SELECT shard, count(*) AS n_docs,
+              |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+              |  CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+              |    AS BIGINT) AS tok_sum,
+              |  TRUE AS one_file_per_shard
+              |FROM s GROUP BY shard ORDER BY shard""".stripMargin)),
 
     Q("e_knn_ivf_append",
       "Incremental ANN index MAINTENANCE — the e_knn_ivf_at_rest layout " +
@@ -184,36 +185,10 @@ object Round9Queries {
           val total = s.read.parquet(p).count()
           require(total == emb.count(),
             s"index lost rows: $total after append")
-          val q = emb.filter($"vec_id" < 10)
-            .select($"vec_id".as("query_id"), $"embedding".as("q_vec"))
-            .withColumn("__probe", explode(slice(sort_array(
-              array(cellScores($"q_vec"): _*), asc = false), 1, 3)))
-            .withColumn("cell", $"__probe.cid").drop("__probe")
-          val probeCells = q.select($"cell").distinct()
-            .as[Long].collect().toSeq
-          val corpus = s.read.parquet(p)
-            .filter($"cell".isin(probeCells: _*))
-            .select($"vec_id".as("neighbor_id"),
-              $"embedding".as("c_vec"), $"cell")
-          val scored = corpus.join(broadcast(q), Seq("cell"))
-            .filter($"query_id" =!= $"neighbor_id")
-            .withColumn("cosine_raw",
-              graft.similarity.Knn.cosine($"q_vec", $"c_vec"))
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy($"query_id")
-            .orderBy($"cosine_raw".desc, $"neighbor_id")
-          val out = scored.withColumn("rank", row_number().over(w))
-            .filter($"rank" <= 5)
-            .select($"query_id", $"neighbor_id",
-              $"rank".cast("long").as("rank"))
-            .orderBy($"query_id", $"rank")
-          val plan = out.queryExecution.explainString(
-            org.apache.spark.sql.execution.FormattedMode)
-          require(raw"PartitionFilters: \[[^\]]*cell#\d+L? IN".r
-            .findFirstIn(plan).isDefined,
-            "expected the cell isin predicate in PartitionFilters; " +
-              "got:\n" + plan.take(3000))
-          out
+          // shared probe/score/rank + PartitionFilters assertion
+          graft.similarity.Knn.atRestProbeTopK(s, p, cents,
+            emb.filter($"vec_id" < 10), "vec_id", "embedding",
+            k = 5, nProbe = 3)
         }
       },
       Some(OracleGen.knnIvfKmeansTrainedOnSql(dim = 64, nCells = 16,

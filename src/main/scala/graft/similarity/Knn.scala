@@ -198,6 +198,56 @@ object Knn {
         round(col("cosine_raw"), 6).as("cosine"))
   }
 
+  /** Probe/score/rank stage over an AT-REST cell-partitioned corpus dir
+    * (columns: idCol, vecCol, `cell`): each query's nProbe best cells by
+    * the given centroids become a partition-pruned scan — the isin
+    * predicate is asserted INSIDE the executed plan's PartitionFilters,
+    * so the pruning claim is load-bearing, not aspirational. Shared by
+    * the at-rest layout query and the append-maintenance query (the
+    * only difference between the two is how the layout was built).
+    */
+  def atRestProbeTopK(spark: org.apache.spark.sql.SparkSession,
+                      path: String, centroids: Seq[(Long, Array[Float])],
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      k: Int, nProbe: Int): DataFrame = {
+    def cellScores(vec: Column): Seq[Column] = centroids.map {
+      case (cid, cvec) =>
+        struct(cosine(vec, typedLit(cvec)).as("sim"), lit(cid).as("cid"))
+    }
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("__probe", explode(slice(sort_array(
+        array(cellScores(col("q_vec")): _*), asc = false), 1, nProbe)))
+      .withColumn("cell", col("__probe.cid")).drop("__probe")
+    // probed cells are metadata-sized (nQueries × nProbe)
+    val probeCells = q.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val corpus = spark.read.parquet(path)
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        col("cell"))
+    val scored = corpus.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_raw", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_raw").desc, col("neighbor_id"))
+    val out = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the isin predicate must appear INSIDE the PartitionFilters
+    // bracket — `PartitionFilters: [` alone also matches an empty list,
+    // and `cell#` appears in join attributes regardless
+    require(raw"PartitionFilters: \[[^\]]*cell#\d+L? IN".r
+      .findFirstIn(plan).isDefined,
+      "expected the cell isin predicate in PartitionFilters; got:\n" +
+        plan.take(3000))
+    out
+  }
+
   /** Deterministic 2-pass Lloyd k-means centroids (the e_kmeans_lloyd
     * recipe as a reusable init for the IVF tier): md5-ordered seed set,
     * one argmax-cosine assignment of the BOUNDED training sample

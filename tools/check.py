@@ -80,6 +80,10 @@ def main(outdir, sfdir):
         if not files:
             results[name] = "NO_SPARK_OUTPUT"
             continue
+        # re-cap BEFORE the Spark-output read too: it runs outside the
+        # oracle try/except, and a previous query's leaked 2GB/2-thread
+        # prologue must not govern (or abort) this read
+        baseline_caps(con)
         spark_rel = con.sql(
             f"SELECT * FROM read_parquet({files!r})")
         s_cols = list(spark_rel.columns)

@@ -1,6 +1,7 @@
 package graft
 
 import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Round-9 operators: the cross-document span scrub action. */
@@ -37,6 +38,74 @@ class Round9OpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, String)].collect().toSeq
     assert(out == Seq(
       (1L, 1L, 1L, ""), (2L, 1L, 1L, ""), (3L, 2L, 1L, "z w")))
+  }
+
+  test("property: spanScrub == naive reference on random corpora") {
+    // naive Scala reference: same chunking, hot set = chunks in ≥2
+    // distinct docs, rebuild from surviving chunks in order
+    def naive(docs: Seq[(Long, String)], span: Int)
+        : Seq[(Long, Long, Long, String)] = {
+      def chunksOf(text: String): Seq[String] = {
+        val toks = text.split(" ", -1).toSeq
+        val n = math.max(math.ceil(toks.size / span.toDouble).toInt, 1)
+        (0 until n).map(j => toks.slice(j * span, j * span + span)
+          .mkString(" "))
+      }
+      val perDoc = docs.map { case (id, t) => id -> chunksOf(t) }
+      val hot = perDoc.flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+        .groupBy(_._1).collect { case (c, xs) if xs.size >= 2 => c }.toSet
+      perDoc.map { case (id, cs) =>
+        val kept = cs.filterNot(hot)
+        (id, cs.size.toLong, (cs.size - kept.size).toLong,
+          kept.mkString(" "))
+      }
+    }
+    val rnd = new scala.util.Random(17)
+    val words = Seq("a", "b", "c", "d", "e")
+    for (trial <- 1 to 4) {
+      val span = 1 + rnd.nextInt(3)
+      val docs = (1L to 25L).map(i => i ->
+        Seq.fill(1 + rnd.nextInt(12))(words(rnd.nextInt(words.size)))
+          .mkString(" "))
+      val got = Dedup.spanScrub(docs.toDF("doc_id", "text"),
+          "doc_id", "text", spanTokens = span, minDocs = 2)
+        .orderBy($"doc_id")
+        .as[(Long, Long, Long, String)].collect().toSeq
+      assert(got == naive(docs, span), s"trial=$trial span=$span")
+    }
+  }
+
+  test("atRestProbeTopK with nProbe=nCells recovers the full ranking") {
+    // probing EVERY cell must equal scoring the whole corpus — the
+    // pruning is recall-lossless when nothing is pruned
+    val emb = Tables.embeddings(spark, TestSpark.sf).limit(80)
+    val cents = graft.similarity.Knn.kmeansCentroids(
+      emb, "vec_id", "embedding", k = 4)
+    def cellScores(vec: org.apache.spark.sql.Column) =
+      cents.map { case (cid, cvec) =>
+        struct(graft.similarity.Knn.cosine(vec, typedLit(cvec))
+          .as("sim"), lit(cid).as("cid"))
+      }
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-atrest-").toFile
+    try {
+      val p = s"${tmp.getAbsolutePath}/idx"
+      emb.select($"vec_id", $"embedding",
+          greatest(cellScores($"embedding"): _*).getField("cid")
+            .as("cell"))
+        .write.partitionBy("cell").parquet(p)
+      val queries = emb.filter($"vec_id" < 5)
+      val got = graft.similarity.Knn.atRestProbeTopK(spark, p, cents,
+          queries, "vec_id", "embedding", k = 5, nProbe = cents.length)
+        .select($"query_id", $"neighbor_id", $"rank")
+        .as[(Long, Long, Long)].collect().toSeq
+      val want = graft.similarity.Knn.bruteForceTopK(emb, queries,
+          "vec_id", "embedding", k = 5)
+        .select($"query_id", $"neighbor_id", $"rank".cast("long"))
+        .orderBy($"query_id", $"rank")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got == want)
+    } finally graft.queries.Scratch.rmTree(tmp)
   }
 
   test("spanScrub: short docs (< spanTokens) form one chunk") {

@@ -79,6 +79,45 @@ object VectorKernels {
     if (den == 0.0) 0.0 else d / den
   }
 
+  /** Argmax-cosine centroid assignment over a FLAT (k × dim) centroid
+    * array with a parallel id array: returns ids(j*) where j* maximizes
+    * cosine(a, cents[j]), ties to the LARGER id — bit-identical to the
+    * `greatest(struct(cosine, cid))` expansion it replaces (same fused
+    * per-centroid accumulation order as [[cosine]]; struct comparison
+    * orders by sim then cid, so equal sims resolve to the larger cid).
+    * The expansion breaks down at corpus-scale cell counts: at k≈500
+    * the generated greatest() chain passes the JVM's 64 KB method limit,
+    * drops out of whole-stage codegen, and assignment goes interpreted
+    * (measured 68× for 32× data on d_semdedup_auto) — this kernel is the
+    * same n·k flops as a tight primitive loop.
+    */
+  def argmaxCosine(a: ArrayData, aFloat: Boolean, cents: Array[Float],
+                   ids: Array[Long], dim: Int): Long = {
+    val k = ids.length
+    val n = math.min(a.numElements(), dim)
+    var best = Double.NegativeInfinity
+    var bestId = Long.MinValue
+    var j = 0
+    while (j < k) {
+      val off = j * dim
+      var d = 0.0; var na = 0.0; var nc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = get(a, i, aFloat)
+        val y = cents(off + i).toDouble
+        d += x * y; na += x * x; nc += y * y
+        i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nc)
+      val cos = if (den == 0.0) 0.0 else d / den
+      if (cos > best || (cos == best && ids(j) > bestId)) {
+        best = cos; bestId = ids(j)
+      }
+      j += 1
+    }
+    bestId
+  }
+
   /** Symmetric int8 scalar quantization: code_i = floor(x_i · 127/maxabs
     * + 0.5). Pure deterministic double arithmetic (float widened first),
     * so any IEEE-754 engine reproduces the codes bit-exactly — the
@@ -388,6 +427,50 @@ case class Int8Dot(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** vec_argmax_cosine(vec) → BIGINT id of the argmax-cosine centroid
+  * (ties → larger id), centroids as LITERAL constructor data like
+  * [[PqEncode]] — the greatest-over-structs expansion this replaces
+  * passes the JVM 64 KB generated-method limit at corpus-scale cell
+  * counts (k ≈ 500) and silently drops the stage out of codegen.
+  */
+case class ArgmaxCosine(child: Expression, cents: Array[Float],
+                        ids: Array[Long], dim: Int)
+    extends UnaryExpression with VectorExpr {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = checkVec(child)
+  override def nullSafeEval(a: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    if (VectorKernels.anyNull(aa)) null
+    else VectorKernels.argmaxCosine(aa, isFloat(child), cents, ids, dim)
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("amccents", cents, "float[]")
+    val iRef = ctx.addReferenceObj("amcids", ids, "long[]")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      if (graft.functions.VectorKernels.anyNull($a)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VectorKernels.argmaxCosine($a,
+          ${isFloat(child)}, $cRef, $iRef, $dim);
+      }""")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  // Content-based equality — same rationale as [[PqEncode]].
+  override def equals(o: Any): Boolean = o match {
+    case p: ArgmaxCosine => p.child == child && p.dim == dim &&
+      java.util.Arrays.equals(p.cents, cents) &&
+      java.util.Arrays.equals(p.ids, ids)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    getClass, child, Int.box(dim),
+    Int.box(java.util.Arrays.hashCode(cents)),
+    Int.box(java.util.Arrays.hashCode(ids)))
+}
+
 /** pq_encode(vec) → array<int> of m subspace codes against LITERAL
   * codebooks (constructor data, not a child expression — codebooks are
   * metadata and ride the plan as a single reference object). A native
@@ -536,4 +619,19 @@ object vector {
   }
   def pq_adc(tab: Column, codes: Column, ksub: Int): Column =
     GraftColumnBridge.column(PqAdcScore(ex(tab), ex(codes), ksub))
+  /** Argmax-cosine centroid assignment (ties → larger id); centroids
+    * ride the plan as one flat reference object. */
+  def vec_argmax_cosine(a: Column,
+                        centroids: Seq[(Long, Array[Float])]): Column = {
+    require(centroids.nonEmpty, "argmax over an empty centroid set")
+    val dim = centroids.head._2.length
+    require(centroids.forall(_._2.length == dim),
+      "ragged centroid dimensions")
+    val flatC = new Array[Float](centroids.length * dim)
+    centroids.zipWithIndex.foreach { case ((_, v), j) =>
+      System.arraycopy(v, 0, flatC, j * dim, dim)
+    }
+    GraftColumnBridge.column(ArgmaxCosine(ex(a), flatC,
+      centroids.map(_._1).toArray, dim))
+  }
 }

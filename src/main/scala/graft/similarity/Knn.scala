@@ -272,18 +272,16 @@ object Knn {
         .collect().zipWithIndex
         .map { case (r, i) => (i.toLong, r.getSeq[Float](1).toArray) }
         .toSeq
-      if (cent0.length < 2) cent0 // greatest() needs ≥2 cells
+      if (cent0.length < 2) cent0 // degenerate: ≤1 seed
       else {
         val dim = cent0.head._2.length
-        val scores = cent0.map { case (cl, cvec) =>
-          struct(cosine(col("v"), typedLit(cvec)).as("sim"),
-            lit(cl).as("cid"))
-        }
         // mean update over the BOUNDED sample, not the corpus: training
         // cost is independent of corpus size (the full corpus is only
-        // ever touched by the assignment/encode pass that IS the index)
+        // ever touched by the assignment/encode pass that IS the index).
+        // Assignment is the fused native argmax kernel — the greatest-
+        // over-structs expansion breaks codegen past k ≈ a few hundred
         train.select(col("cvec").as("v"))
-          .withColumn("cl", greatest(scores: _*).getField("cid"))
+          .withColumn("cl", vec_argmax_cosine(col("v"), cent0))
           .select(col("cl"), posexplode(col("v")).as(Seq("dim", "x")))
           .groupBy(col("cl"), col("dim"))
           .agg(round(avg(col("x").cast("double")), 6).as("m"))

@@ -108,6 +108,36 @@ class Round9OpsSpec extends AnyFunSuite {
     } finally graft.queries.Scratch.rmTree(tmp)
   }
 
+  test("vec_argmax_cosine == greatest-over-structs expansion, incl. ties") {
+    import graft.functions.vector.{vec_argmax_cosine, vec_cosine}
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    def v() = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    // duplicate centroid vectors under different ids plant exact
+    // cosine ties — the struct comparison resolves to the larger cid,
+    // and the kernel must match bit-for-bit
+    val shared = v()
+    val cents: Seq[(Long, Array[Float])] =
+      Seq(3L -> shared, 7L -> shared) ++
+        (10L to 40L by 3).map(_ -> v())
+    val rows = (1L to 200L).map(i => (i, v().toSeq)) :+
+      (500L, shared.toSeq) // exact match on the duplicated centroid
+    val df = rows.toDF("id", "vec")
+    val scores = cents.map { case (cl, cvec) =>
+      struct(vec_cosine($"vec", typedLit(cvec)).as("sim"),
+        lit(cl).as("cid"))
+    }
+    val got = df.select($"id",
+        vec_argmax_cosine($"vec", cents).as("cell"))
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    val want = df.select($"id",
+        greatest(scores: _*).getField("cid").as("cell"))
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    assert(got == want)
+    // the planted tie resolves to the larger id on both paths
+    assert(got.last == (500L, 7L))
+  }
+
   test("spanScrub: short docs (< spanTokens) form one chunk") {
     val docs = Seq((1L, "solo"), (2L, "solo"), (3L, "other"))
       .toDF("doc_id", "text")

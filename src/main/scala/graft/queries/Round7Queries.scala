@@ -368,15 +368,10 @@ object Round7Queries {
           .orderBy(md5($"cid".cast("string")), $"cid")
           .limit(16).collect()
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-        def cellScores(vec: org.apache.spark.sql.Column) =
-          centroids.toSeq.map { case (cid, cvec) =>
-            struct(graft.similarity.Knn.cosine(vec, typedLit(cvec))
-              .as("sim"), lit(cid).as("cid"))
-          }
         val root = Scratch.cachedDir(s"ivf-at-rest:$d") { tmp =>
           emb.select($"vec_id", $"embedding",
-              greatest(cellScores($"embedding"): _*).getField("cid")
-                .as("cell"))
+              graft.functions.vector.vec_argmax_cosine($"embedding",
+                centroids.toSeq).as("cell"))
             .write.partitionBy("cell")
             .parquet(s"${tmp.getAbsolutePath}/corpus")
         }.getAbsolutePath

@@ -153,14 +153,9 @@ object Round9Queries {
         val batchB = emb.filter($"vec_id" % 10 === 0)
         val cents = graft.similarity.Knn.kmeansCentroids(
           batchA, "vec_id", "embedding", k = 16)
-        def cellScores(vec: org.apache.spark.sql.Column) =
-          cents.map { case (cid, cvec) =>
-            struct(graft.similarity.Knn.cosine(vec, typedLit(cvec))
-              .as("sim"), lit(cid).as("cid"))
-          }
         def assigned(df: org.apache.spark.sql.DataFrame) =
           df.select($"vec_id", $"embedding",
-            greatest(cellScores($"embedding"): _*).getField("cid")
+            graft.functions.vector.vec_argmax_cosine($"embedding", cents)
               .as("cell"))
         Scratch.withTempDir("graft-ivfappend-") { tmp =>
           val p = s"${tmp.getAbsolutePath}/index"

@@ -159,10 +159,14 @@ object Knn {
       case (cid, cvec) =>
         struct(cosine(vec, typedLit(cvec)).as("sim"), lit(cid).as("cid"))
     }
+    // corpus-side assignment through the fused argmax kernel (the
+    // greatest-over-structs expansion breaks codegen past k ≈ a few
+    // hundred cells); the query-side nProbe selection keeps the struct
+    // array — it needs the top-nProbe cells, not the argmax, and runs
+    // on the broadcast-small side only
     val c = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .withColumn("cell",
-        greatest(cellScores(col("c_vec")): _*).getField("cid"))
+      .withColumn("cell", vec_argmax_cosine(col("c_vec"), centroids))
     if (logOccupancy) {
       // probe-cost evidence: per-cell candidate counts (≤nCells rows).
       // ONCE per (corpus plan, params) per JVM — this is an eager
@@ -508,7 +512,7 @@ object Knn {
         struct(cosine(vec, typedLit(cvec)).as("sim"), lit(cid).as("cid"))
     }
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      greatest(cellScores(col(vecCol)): _*).getField("cid").as("cell"),
+      vec_argmax_cosine(col(vecCol), cents).as("cell"),
       pq_encode(col(vecCol), cbs).as("codes"))
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))

@@ -545,24 +545,6 @@ object Dedup {
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"), col("cosine"))
   }
 
-  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
-    * arXiv:2303.09540): cluster the embedding space with the deterministic
-    * 2-pass Lloyd k-means ([[graft.similarity.Knn.kmeansCentroids]]),
-    * then prune WITHIN each cluster — a vector is removed when a
-    * lower-id vector in the same cluster has cosine ≥ `threshold`
-    * (greedy min-id canonical, the standard SemDeDup approximation of
-    * the transitive closure).
-    *
-    * Scale shape: centroids are metadata (k×dim, collected once, inlined
-    * as literals), cluster assignment is a PURE MAP over the corpus
-    * (argmax over centroid structs — no join, no shuffle), and the
-    * pairwise cosine is an equi self-join on `cell` — the quadratic work
-    * is confined inside clusters exactly like the LSH band join, never
-    * corpus × corpus. At 100 TB the corpus is written partitioned by
-    * `cell` so the self-join is co-located and partition-pruned.
-    *
-    * Returns one row per input vector: (vec_id, cell, kept).
-    */
   /** Cross-document span scrub — the ACTION counterpart of the
     * repeated-span DETECTION op (`d_substring_spans`): documents are cut
     * into non-overlapping `spanTokens`-token chunks, every chunk whose
@@ -636,10 +618,37 @@ object Dedup {
     */
   def semDedupAuto(df: DataFrame, idCol: String, vecCol: String,
                    threshold: Double,
-                   targetOccupancy: Long = 128L): DataFrame =
-    semDedup(df, idCol, vecCol,
-      autoSemDedupClusters(df.count(), targetOccupancy), threshold)
+                   targetOccupancy: Long = 128L): DataFrame = {
+    // ONE materialization serves both the corpus count keying the
+    // cluster derivation and the multi-pass clustering itself (training
+    // sample, assignment, pairwise self-join) — without it, a computed
+    // upstream frame is fully re-evaluated by the count() alone. The
+    // projection bounds the checkpoint to the two columns the algorithm
+    // reads; blocks are MEMORY_AND_DISK so nothing requires the corpus
+    // to fit in executor memory.
+    val proj = df.select(col(idCol), col(vecCol)).localCheckpoint()
+    semDedup(proj, idCol, vecCol,
+      autoSemDedupClusters(proj.count(), targetOccupancy), threshold)
+  }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the deterministic
+    * 2-pass Lloyd k-means ([[graft.similarity.Knn.kmeansCentroids]]),
+    * then prune WITHIN each cluster — a vector is removed when a
+    * lower-id vector in the same cluster has cosine ≥ `threshold`
+    * (greedy min-id canonical, the standard SemDeDup approximation of
+    * the transitive closure).
+    *
+    * Scale shape: centroids are metadata (k×dim, collected once, inlined
+    * as literals), cluster assignment is a PURE MAP over the corpus
+    * (argmax over centroid structs — no join, no shuffle), and the
+    * pairwise cosine is an equi self-join on `cell` — the quadratic work
+    * is confined inside clusters exactly like the LSH band join, never
+    * corpus × corpus. At 100 TB the corpus is written partitioned by
+    * `cell` so the self-join is co-located and partition-pruned.
+    *
+    * Returns one row per input vector: (vec_id, cell, kept).
+    */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                nClusters: Int, threshold: Double): DataFrame = {
     import graft.functions.vector._

@@ -84,7 +84,15 @@ object VectorKernels {
     * cosine(a, cents[j]), ties to the LARGER id — bit-identical to the
     * `greatest(struct(cosine, cid))` expansion it replaces (same fused
     * per-centroid accumulation order as [[cosine]]; struct comparison
-    * orders by sim then cid, so equal sims resolve to the larger cid).
+    * orders by sim then cid, so equal sims resolve to the larger cid;
+    * NaN similarities order GREATEST like Spark's struct comparison —
+    * `java.lang.Double.compare` below mirrors that, so a NaN-sim
+    * centroid wins over every finite one and NaN ties break to the
+    * larger cid). The one scoped divergence: vectors containing NULL
+    * elements never reach this kernel — [[ArgmaxCosine]] returns SQL
+    * NULL for them (consistent with the whole vector-expression family:
+    * [[PqEncode]], i8dot, …), where the old expansion tie-broke null
+    * sims to the highest cid.
     * The expansion breaks down at corpus-scale cell counts: at k≈500
     * the generated greatest() chain passes the JVM's 64 KB method limit,
     * drops out of whole-stage codegen, and assignment goes interpreted
@@ -110,7 +118,11 @@ object VectorKernels {
       }
       val den = math.sqrt(na) * math.sqrt(nc)
       val cos = if (den == 0.0) 0.0 else d / den
-      if (cos > best || (cos == best && ids(j) > bestId)) {
+      // Double.compare gives the NaN-is-greatest total order Spark's
+      // struct comparison uses; cmp == 0 covers NaN-vs-NaN ties (where
+      // `cos == best` would be false) so those also break to larger cid.
+      val cmp = java.lang.Double.compare(cos, best)
+      if (cmp > 0 || (cmp == 0 && ids(j) > bestId)) {
         best = cos; bestId = ids(j)
       }
       j += 1

@@ -538,9 +538,11 @@ object OracleGen {
     * auto-scaled operator replays exactly at any corpus size.
     */
   def semDedupAutoSql(dim: Int, occupancy: Long, threshold: String): String =
+    // integer ceiling division, mirroring autoSemDedupClusters exactly —
+    // double ceil(count/occ.0) can round differently at large counts
     semDedupSqlWithLimit(dim,
       s"""(SELECT greatest(2, least(65536,
-         |    CAST(ceil(count(*) / $occupancy.0) AS BIGINT)))
+         |    (count(*) + ${occupancy - 1}) // $occupancy))
          |  FROM embeddings)""".stripMargin, threshold)
 
   private def semDedupSqlWithLimit(dim: Int, nClustersLimit: String,

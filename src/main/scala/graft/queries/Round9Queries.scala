@@ -107,11 +107,11 @@ object Round9Queries {
             .write.partitionBy("shard").parquet(p)
           // every WRITTEN shard must be exactly one file (repartition on
           // the shard key ⇒ one partition per shard); a legitimately
-          // empty shard writes no dir and is fine
-          val filesOk = Option(new java.io.File(p).listFiles)
-            .getOrElse(Array.empty[java.io.File])
-            .filter(f => f.isDirectory && f.getName.startsWith("shard="))
-            .forall(_.listFiles.count(_.getName.endsWith(".parquet")) == 1)
+          // empty shard writes no dir and is fine. Listed via the Hadoop
+          // FileSystem API so the same audit runs on HDFS/S3, not just a
+          // local FS.
+          val filesOk = Scratch.partitionDirs(s, p, "shard=")
+            .forall(_._2 == 1)
           s.read.parquet(p)
             .groupBy($"shard".cast("long").as("shard"))
             .agg(count(lit(1)).as("n_docs"),
@@ -160,15 +160,10 @@ object Round9Queries {
         Scratch.withTempDir("graft-ivfappend-") { tmp =>
           val p = s"${tmp.getAbsolutePath}/index"
           assigned(batchA).write.partitionBy("cell").parquet(p)
-          def cellFiles: Map[String, Int] = {
-            val dirs = Option(new java.io.File(p).listFiles).getOrElse(
-              Array.empty[java.io.File])
-            dirs.filter(f => f.isDirectory &&
-                f.getName.startsWith("cell=")).map { f =>
-              f.getName -> f.listFiles
-                .count(_.getName.endsWith(".parquet"))
-            }.toMap
-          }
+          // Hadoop FileSystem listing, so the append-only audit is
+          // collectible on HDFS/S3 as well as a local FS
+          def cellFiles: Map[String, Int] =
+            Scratch.partitionDirs(s, p, "cell=")
           val before = cellFiles
           assigned(batchB).write.mode("append")
             .partitionBy("cell").parquet(p)
@@ -223,7 +218,8 @@ object Round9Queries {
         }
       },
       Some("""SELECT
-             |  (SELECT CAST(count(DISTINCT event_id % 16) AS BIGINT)
+             |  (SELECT CAST(count(DISTINCT ((event_id % 16) + 16) % 16)
+             |     AS BIGINT)
              |   FROM events WHERE event_id IS NOT NULL) AS n_shards,
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
              |  TRUE AS within_10pct

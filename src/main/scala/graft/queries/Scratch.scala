@@ -36,6 +36,25 @@ object Scratch {
       tmp
     })
 
+  /** Per-partition data-file counts of a partitioned table layout
+    * (`prefix` = the Hive-style dir prefix, e.g. "shard=" / "cell="),
+    * via the Hadoop FileSystem API — the same audit works on HDFS/S3
+    * URIs, not just a local FS. Success/CRC markers are excluded; only
+    * `.parquet` data files count.
+    */
+  def partitionDirs(spark: org.apache.spark.sql.SparkSession, path: String,
+                    prefix: String): Map[String, Int] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) Map.empty
+    else fs.listStatus(hp).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map { st =>
+        st.getPath.getName -> fs.listStatus(st.getPath)
+          .count(_.getPath.getName.endsWith(".parquet"))
+      }.toMap
+  }
+
   def rmTree(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(rmTree)

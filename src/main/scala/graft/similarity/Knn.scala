@@ -244,10 +244,12 @@ object Knn {
       org.apache.spark.sql.execution.FormattedMode)
     // the isin predicate must appear INSIDE the PartitionFilters
     // bracket — `PartitionFilters: [` alone also matches an empty list,
-    // and `cell#` appears in join attributes regardless
-    require(raw"PartitionFilters: \[[^\]]*cell#\d+L? IN".r
+    // and `cell#` appears in join attributes regardless. A 1-element
+    // probed-cell set is rewritten by OptimizeIn to an equality
+    // predicate, so accept `= <lit>` as well as `IN`.
+    require(raw"PartitionFilters: \[[^\]]*cell#\d+L? (IN|= \d)".r
       .findFirstIn(plan).isDefined,
-      "expected the cell isin predicate in PartitionFilters; got:\n" +
+      "expected the cell isin/equality predicate in PartitionFilters; got:\n" +
         plan.take(3000))
     out
   }

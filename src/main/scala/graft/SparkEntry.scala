@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{ExtendedQueries, PipelineQueries, Q, Round4Queries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, Round9Queries, StarQueries}
+import graft.queries.{ExtendedQueries, PipelineQueries, Q, Round4Queries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, Round9Queries, Round10Queries, StarQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,7 +17,7 @@ object SparkEntry {
     val all = StarQueries.all ++ PipelineQueries.all ++
       ExtendedQueries.all ++ Round4Queries.all ++ Round5Queries.all ++
       Round6Queries.all ++ Round7Queries.all ++ Round8Queries.all ++
-      Round9Queries.all
+      Round9Queries.all ++ Round10Queries.all
     val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(",")}")
     all
@@ -69,7 +69,9 @@ object SparkEntry {
     // light oracles costs nothing while the wrap-risk already rides on
     // the 39 above
     "d_semdedup_auto", "curate_span_scrub", "p_shard_export",
-    "e_knn_ivf_append", "agg_sketch_merge")
+    "e_knn_ivf_append", "agg_sketch_merge",
+    // r10-new: same capped-from-birth policy
+    "m_image_decode")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

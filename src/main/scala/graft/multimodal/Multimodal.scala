@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads travel as opaque
   * `binary` columns with typed metadata alongside. The Spark-side contract
   * (schema, partition sizing, per-partition batched decode) is real and
-  * tested; the codec itself is STUBBED with a deterministic fake — the
-  * actual image/audio libraries are not in this container. Swap
-  * `stubDecode` for a real codec (JNI/JEP/native) without touching the
+  * tested. IMAGE decode is REAL — the in-JDK codec (`javax.imageio`:
+  * PNG/BMP/GIF/JPEG/TIFF) via [[decodeImages]], no new dependency. The
+  * audio/video codec remains a declared deterministic stub
+  * ([[stubDecode]]) — no audio/video library ships in this container;
+  * swap it for a real codec (JNI/JEP/native) without touching the
   * plumbing.
   */
 object Multimodal {
@@ -20,10 +22,12 @@ object Multimodal {
                            n_bytes: Long, width: Int, height: Int,
                            features: Array[Double])
 
-  /** STUB codec — deterministic fake decode: derives fake dimensions and a
-    * fixed-width feature vector from the payload bytes. A real
-    * implementation would decode the image/audio here; everything around it
-    * (batching, schema, partition shape) is production plumbing.
+  /** STUB codec (audio/video only — IMAGE decode is real, see
+    * [[decodeImages]]): deterministic fake decode deriving fake
+    * dimensions and a fixed-width feature vector from the payload bytes.
+    * A real implementation would decode the audio/video here; everything
+    * around it (batching, schema, partition shape) is production
+    * plumbing.
     */
   def stubDecode(bytes: Array[Byte]): (Int, Int, Array[Double]) = {
     val h = java.util.Arrays.hashCode(bytes)
@@ -32,6 +36,113 @@ object Multimodal {
     val features = Array.tabulate(8)(i =>
       ((h >>> (i * 4)) & 0xF).toDouble / 15.0)
     (width, height, features)
+  }
+
+  /** REAL image decode result — every field integer-exact so the row is
+    * oracle-verifiable when the image content is itself derived from
+    * table data: `luma_sum` is the exact integer sum of ALL raster
+    * samples across bands (for 8-bit gray: the pixel-value sum),
+    * `max_luma` the max sample; no float leaves the decoder. A corrupt /
+    * non-image payload decodes to the `ok = false` sentinel row
+    * (-1 dims, zero counts) instead of failing the job — at 100 TB some
+    * payloads WILL be truncated, and one bad blob must not kill a stage.
+    */
+  case class ImageMeta(asset_id: Long, ok: Boolean, format: String,
+                       width: Long, height: Long, n_bands: Long,
+                       n_px: Long, luma_sum: Long, max_luma: Long)
+
+  /** Decode one image payload with the in-JDK codec. Format name comes
+    * from the matched ImageReader ("png", "bmp", …, lowercased); pixel
+    * features are computed from RAW raster samples (`getSample`), never
+    * `getRGB` — no color-space conversion, so an 8-bit gray PNG
+    * round-trips its exact byte values and the features replay in closed
+    * form on any engine. Unrecognized or truncated payloads → ok=false
+    * sentinel (never an exception).
+    */
+  def decodeImageMeta(id: Long, bytes: Array[Byte]): ImageMeta = {
+    val bad = ImageMeta(id, ok = false, "", -1L, -1L, 0L, 0L, 0L, 0L)
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) bad
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val fmt = reader.getFormatName.toLowerCase
+            val img = reader.read(0)
+            val raster = img.getRaster
+            val w = img.getWidth; val h = img.getHeight
+            val bands = raster.getNumBands
+            var sum = 0L; var max = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                var b = 0
+                while (b < bands) {
+                  val s = raster.getSample(x, y, b).toLong
+                  sum += s; if (s > max) max = s
+                  b += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            ImageMeta(id, ok = true, fmt, w.toLong, h.toLong,
+              bands.toLong, w.toLong * h, sum, max)
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => bad }
+  }
+
+  /** Batched REAL image decode over the binary column — same
+    * `mapPartitions` batch shape as [[decodeFeatures]] (per-partition
+    * codec init amortized; upstream partition sizing bounds batch
+    * memory). `ImageIO.setUseCache(false)` keeps the codec on heap
+    * buffers instead of a temp-file cache per payload — at decode
+    * throughput the temp-file churn IS the bottleneck.
+    */
+  def decodeImages(assets: DataFrame): Dataset[ImageMeta] = {
+    import assets.sparkSession.implicits._
+    assets.select("asset_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // once per partition
+        it.map { case (id, bytes) => decodeImageMeta(id, bytes) }
+      }
+  }
+
+  /** Encode an 8-bit grayscale PNG from a pixel function — the
+    * fixture-side counterpart of [[decodeImages]] (and a real encoder:
+    * the same `ImageIO.write` path a resize/re-encode stage would use).
+    * Values are written into the raster directly, so `pix(x, y) & 0xFF`
+    * is exactly what decode's `getSample` reads back — PNG is lossless
+    * and gray carries no color-space transform.
+    */
+  def encodeGrayPng(width: Int, height: Int,
+                    pix: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        raster.setSample(x, y, 0, pix(x, y) & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    require(javax.imageio.ImageIO.write(img, "png", bos),
+      "no PNG writer in this JDK")
+    bos.toByteArray
   }
 
   /** Attach binary payload + metadata columns. In a real pipeline the binary

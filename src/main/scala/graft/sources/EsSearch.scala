@@ -24,6 +24,35 @@ object EsSearch {
     * defined for POST, empty for GET. */
   type Transport = (String, String, String) => (Int, String)
 
+  /** The promised production adapter, shipped: a `java.net.http`-backed
+    * [[Transport]]. Redirect-following is OFF — the API's 303 convention
+    * puts the redirect URL in the response BODY, which [[search]] itself
+    * handles; a client-level follow would GET the Location header
+    * instead and break that contract. Nothing in this library invokes
+    * it (tests run on a pre-fetched-JSON double; the build stays
+    * zero-egress) — callers hand `httpTransport()` to [[search]] to make
+    * the front-end runnable out of the box.
+    */
+  def httpTransport(timeout: java.time.Duration =
+      java.time.Duration.ofSeconds(30)): Transport = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .followRedirects(java.net.http.HttpClient.Redirect.NEVER)
+      .connectTimeout(timeout)
+      .build()
+    (method, url, body) => {
+      val b = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(url)).timeout(timeout)
+      val req = (method match {
+        case "POST" => b.header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        case _ => b.GET()
+      }).build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+  }
+
   /** The search payload of `make_uuids_tsv.py:15-34`: public CODEX
     * datasets, superseded revisions excluded (`next_revision_uuid` must
     * not exist), optionally filtered to one organ CODE (the caller maps

@@ -89,4 +89,10 @@ class EsSearchSpec extends AnyFunSuite {
     assert(EsSearch.search(spark, deadRedirect, "http://es/search")
       .count() == 0)
   }
+
+  test("shipped java.net.http adapter satisfies the Transport type " +
+      "(constructed, never invoked — the build stays zero-egress)") {
+    val t: EsSearch.Transport = EsSearch.httpTransport()
+    assert(t != null)
+  }
 }

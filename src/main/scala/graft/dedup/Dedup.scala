@@ -457,58 +457,29 @@ object Dedup {
     * row-group skipping) and applies `retain` — the TTL/retention
     * predicate — during the same pass, so expiry costs no extra scan.
     *
-    * Locally the swap is rewrite-to-sibling + rename-aside (live →
-    * `.old`, rewritten → live, delete `.old`): no instant exists at
-    * which neither a live nor a `.old` copy is intact, so a crash in
-    * the swap window loses nothing — [[recoverBandIndex]] (called on
-    * entry here; single-writer, see its scaladoc) restores `.old` when
-    * the live dir is missing, and a stale `.old` next to an intact live
-    * dir is just deleted. On a real lake the identical rewrite commits via
-    * the table format's atomic metadata swap (Iceberg/Delta
-    * rewrite-files). Cost is one scan + one write of the LIVE index
+    * The swap commits via [[graft.ops.AtomicSwap]] (rewrite-to-sibling +
+    * rename-aside; crash-window analysis and the single-writer
+    * assumption live on that object) — the same protocol the IVF index
+    * recenter uses. Cost is one scan + one write of the LIVE index
     * rows — never proportional to the number of accumulated appends.
     */
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String,
-                       retain: Column = lit(true)): Unit = {
-    import graft.queries.Scratch.rmTree
-    recoverBandIndex(path)
-    val tmp = path + ".compacting"
-    val old = path + ".old"
-    rmTree(new java.io.File(tmp)) // stale rewrite from a crashed run
-    spark.read.parquet(path)
-      .filter(retain)
-      .repartition(col("band"))
-      .sortWithinPartitions(col("band_hash"))
-      .write.partitionBy("band").parquet(tmp)
-    require(new java.io.File(path).renameTo(new java.io.File(old)),
-      s"compaction aside-rename failed for $path")
-    require(new java.io.File(tmp).renameTo(new java.io.File(path)),
-      s"compaction swap failed for $path")
-    rmTree(new java.io.File(old))
-  }
-
-  /** Crash recovery for [[compactBandIndex]]'s rename-aside swap: if a
-    * crash struck between the aside-rename and the swap, the live dir is
-    * missing and `.old` holds the last intact index — restore it. If
-    * the crash struck after the swap but before `.old` cleanup, both
-    * exist and the live dir is the newer compacted index — drop `.old`.
-    * Idempotent, but SINGLE-WRITER: call only when the compacting
-    * writer is known dead (a recovery racing a LIVE compaction inside
-    * its swap window could restore `.old` under the writer's feet and
-    * abort a healthy swap — the same single-writer assumption as the
-    * table-format commit protocols this stands in for).
-    */
-  def recoverBandIndex(path: String): Unit = {
-    import graft.queries.Scratch.rmTree
-    val live = new java.io.File(path)
-    val old = new java.io.File(path + ".old")
-    if (old.isDirectory) {
-      if (!live.exists())
-        require(old.renameTo(live), s"band-index recovery failed for $path")
-      else rmTree(old)
+                       retain: Column = lit(true)): Unit =
+    graft.ops.AtomicSwap.rewrite(path) { tmp =>
+      spark.read.parquet(path)
+        .filter(retain)
+        .repartition(col("band"))
+        .sortWithinPartitions(col("band_hash"))
+        .write.partitionBy("band").parquet(tmp)
     }
-  }
+
+  /** Crash recovery for [[compactBandIndex]]'s rename-aside swap —
+    * [[graft.ops.AtomicSwap.recover]] on the band-index dir (idempotent,
+    * SINGLE-WRITER; see that scaladoc for the two crash windows).
+    */
+  def recoverBandIndex(path: String): Unit =
+    graft.ops.AtomicSwap.recover(path)
 
   /** Loop width for [[duplicateClusters]] when not given explicitly:
     * one partition per ~2M symmetric edge rows, floored at 8 (small

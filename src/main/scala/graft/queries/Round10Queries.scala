@@ -63,5 +63,60 @@ object Round10Queries {
              |  CAST(CASE WHEN ok THEN list_max(ps) ELSE 0 END AS BIGINT)
              |    AS max_luma
              |FROM px ORDER BY asset_id""".stripMargin)),
+
+    Q("e_knn_ivf_recenter",
+      "IVF index lifecycle, closed — the recenter/compact half that " +
+        "e_knn_ivf_append's frozen-centroid appends eventually need " +
+        "(drifted batches skew cell occupancy and erode probe " +
+        "pruning): the index is built the maintenance way (centroids " +
+        "trained on batch A only, batch B appended to the frozen " +
+        "cells), then `Knn.recenterIvfIndex` retrains on the LIVE " +
+        "index contents (sample-bounded), reassigns every row with the " +
+        "fused argmax kernel, and rewrites the layout one-file-per-cell " +
+        "through the same crash-safe AtomicSwap rename-aside commit as " +
+        "the band-index compaction. In-query assertions: row count " +
+        "preserved, exactly one file per surviving cell, no leftover " +
+        ".old/.compacting siblings. Probes prune the RECENTERED " +
+        "layout (PartitionFilters asserted) — and because recenter " +
+        "retrained on all rows, results must equal e_knn_ivf_kmeans' " +
+        "trained-on-everything oracle, which is exactly what the " +
+        "closed-form replay checks: maintenance is invisible to " +
+        "results.",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val batchA = emb.filter($"vec_id" % 10 =!= 0)
+        val batchB = emb.filter($"vec_id" % 10 === 0)
+        val stale = graft.similarity.Knn.kmeansCentroids(
+          batchA, "vec_id", "embedding", k = 16)
+        def assigned(df: org.apache.spark.sql.DataFrame) =
+          df.select($"vec_id", $"embedding",
+            graft.functions.vector.vec_argmax_cosine($"embedding", stale)
+              .as("cell"))
+        Scratch.withTempDir("graft-ivfrecenter-") { tmp =>
+          val p = s"${tmp.getAbsolutePath}/index"
+          assigned(batchA).write.partitionBy("cell").parquet(p)
+          assigned(batchB).write.mode("append")
+            .partitionBy("cell").parquet(p)
+          val before = graft.similarity.Knn.ivfOccupancyStats(s, p)
+          val cents = graft.similarity.Knn.recenterIvfIndex(
+            s, p, "vec_id", "embedding", nCells = 16)
+          val after = graft.similarity.Knn.ivfOccupancyStats(s, p)
+          require(after.nRows == before.nRows,
+            s"recenter lost rows: ${before.nRows} -> ${after.nRows}")
+          // compaction half: the rewrite leaves ONE file per cell
+          require(Scratch.partitionDirs(s, p, "cell=").forall(_._2 == 1),
+            "recenter left multiple files in a cell")
+          // the swap committed: no sibling dirs left behind
+          require(!new java.io.File(p + ".old").exists() &&
+            !new java.io.File(p + ".compacting").exists(),
+            "recenter left swap siblings behind")
+          graft.similarity.Knn.atRestProbeTopK(s, p, cents,
+            emb.filter($"vec_id" < 10), "vec_id", "embedding",
+            k = 5, nProbe = 3)
+        }
+      },
+      Some(OracleGen.knnIvfKmeansSql(dim = 64, nCells = 16, nProbe = 3,
+        k = 5, maxQueryId = 10))),
   )
 }

@@ -254,6 +254,63 @@ object Knn {
     out
   }
 
+  /** Occupancy summary of an at-rest cell-partitioned index dir —
+    * the DRIFT metric for frozen-centroid maintenance
+    * ([[recenterIvfIndex]]): `skew` = max cell occupancy / mean cell
+    * occupancy (1.0 = perfectly balanced). Append-only batches assigned
+    * against frozen centroids ([[atRestProbeTopK]]'s append path) pile
+    * drifted data into whichever cells happen to be nearest, so skew
+    * climbs round over round — and a hot cell is exactly the one every
+    * probe ends up scanning, eroding the partition-pruning win. One
+    * counts-only scan; ≤nCells rows reach the driver.
+    */
+  case class IvfOccupancy(nRows: Long, nCells: Long, maxOccupancy: Long,
+                          skew: Double)
+
+  def ivfOccupancyStats(spark: org.apache.spark.sql.SparkSession,
+                        path: String): IvfOccupancy = {
+    val r = spark.read.parquet(path)
+      .groupBy(col("cell")).count()
+      .agg(coalesce(sum(col("count")), lit(0L)).as("rows"),
+        count(lit(1)).as("cells"),
+        coalesce(max(col("count")), lit(0L)).as("mx"))
+      .head()
+    val (rows, cells, mx) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val skew = if (rows == 0L || cells == 0L) 1.0
+      else mx.toDouble * cells / rows
+    IvfOccupancy(rows, cells, mx, skew)
+  }
+
+  /** Recenter/compact an at-rest IVF index whose frozen centroids have
+    * drifted — the ANN analogue of the band-index compaction
+    * (`Dedup.compactBandIndex`), committing through the same crash-safe
+    * [[graft.ops.AtomicSwap]] rename-aside swap: retrain centroids on
+    * the LIVE index contents (sample-bounded [[kmeansCentroids]] —
+    * training cost independent of index size), reassign every row with
+    * the fused argmax kernel (one map-only scan), and rewrite the
+    * layout partitioned by the NEW cells with one file per cell
+    * (`repartition(cell)` — the compaction half: per-batch appends
+    * accumulate a file per cell per batch forever). Returns the new
+    * centroid set — the probe side must use it (probes against the old
+    * centroids would consult cells that no longer exist). Cost is one
+    * scan + one write of live rows, like every maintenance op here;
+    * run it when [[ivfOccupancyStats]] skew crosses a policy threshold.
+    */
+  def recenterIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, idCol: String, vecCol: String,
+                       nCells: Int): Seq[(Long, Array[Float])] = {
+    val live = spark.read.parquet(path)
+      .select(col(idCol), col(vecCol).cast("array<float>").as(vecCol))
+    val cents = kmeansCentroids(live, idCol, vecCol, nCells)
+    require(cents.nonEmpty, s"recenter of an empty index at $path")
+    graft.ops.AtomicSwap.rewrite(path) { tmp =>
+      live.withColumn("cell", vec_argmax_cosine(col(vecCol), cents))
+        .repartition(col("cell"))
+        .write.partitionBy("cell").parquet(tmp)
+    }
+    cents
+  }
+
   /** Deterministic 2-pass Lloyd k-means centroids (the e_kmeans_lloyd
     * recipe as a reusable init for the IVF tier): md5-ordered seed set,
     * one argmax-cosine assignment of the BOUNDED training sample

@@ -96,7 +96,12 @@ object ScaleProbe {
         SparkEntry.queries(name)(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      math.min(once, once)
+      val (r1, r2) = (once, once)
+      // raw runs on stderr: run1−run2 separates one-time cost (training,
+      // fixture build — absorbed by the artifact caches) from steady
+      // state, the first question when a ratio looks super-linear
+      System.err.println(f"[probe] $name $dir runs $r1%.2f/$r2%.2f")
+      math.min(r1, r2)
     }
     println(f"${"query"}%-24s ${"1x"}%8s ${s"${k}x"}%8s ratio")
     val attempts = selectedProbes(guard).map { q =>

@@ -176,7 +176,12 @@ object VectorKernels {
     * `cb[((mi·ksub)+j)·sub + i]`.
     */
   def pqEncode(a: ArrayData, isFloat: Boolean, cb: Array[Float],
-               m: Int, ksub: Int, sub: Int): ArrayData = {
+               m: Int, ksub: Int, sub: Int): ArrayData =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      encodeCodes(a, isFloat, cb, m, ksub, sub))
+
+  private def encodeCodes(a: ArrayData, isFloat: Boolean, cb: Array[Float],
+                          m: Int, ksub: Int, sub: Int): Array[Int] = {
     val out = new Array[Int](m)
     var mi = 0
     while (mi < m) {
@@ -200,6 +205,39 @@ object VectorKernels {
       }
       out(mi) = bestJ
       mi += 1
+    }
+    out
+  }
+
+  /** Fused encode-once-score-all-queries kernel: encode the corpus
+    * vector ([[encodeCodes]] — the same argmin as [[pqEncode]], so codes
+    * are bit-identical) and immediately score it against EVERY query's
+    * flat ADC table (`tabs[qi·m·ksub ..)` laid out like [[pqTable]];
+    * same left-to-right accumulation as [[pqAdc]]). One kernel call per
+    * corpus row replaces the join-then-score shape whose whole-stage
+    * codegen DEFERRED the encode projection into the per-pair loop —
+    * the 4096-flop encode ran once per (corpus × query) pair instead of
+    * once per corpus row (measured 5 µs/pair; the e_knn_pq 8×
+    * scale-probe flag).
+    */
+  def pqScoreAll(a: ArrayData, isFloat: Boolean, cb: Array[Float],
+                 m: Int, ksub: Int, sub: Int,
+                 tabs: Array[Double]): ArrayData = {
+    val codes = encodeCodes(a, isFloat, cb, m, ksub, sub)
+    val mks = m * ksub
+    val nq = tabs.length / mks
+    val out = new Array[Double](nq)
+    var qi = 0
+    while (qi < nq) {
+      val base = qi * mks
+      var acc = 0.0
+      var mi = 0
+      while (mi < m) {
+        acc += tabs(base + mi * ksub + codes(mi))
+        mi += 1
+      }
+      out(qi) = acc
+      qi += 1
     }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
@@ -238,6 +276,22 @@ object VectorKernels {
     var mi = 0
     while (mi < m) {
       acc += tab.getDouble(mi * ksub + codes.getInt(mi))
+      mi += 1
+    }
+    acc
+  }
+
+  /** [[pqAdc]] against a block of FLAT per-query tables (`tabs[base ..
+    * base + m·ksub)` is one query's table, laid out exactly like the
+    * [[pqTable]] output) — same left-to-right accumulation, so scores
+    * are bit-identical to routing the table through a column. */
+  def pqAdcAt(tabs: Array[Double], base: Int, codes: ArrayData,
+              ksub: Int): Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var mi = 0
+    while (mi < m) {
+      acc += tabs(base + mi * ksub + codes.getInt(mi))
       mi += 1
     }
     acc
@@ -602,6 +656,112 @@ case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
       l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** pq_adc_lit(codes, qidx) — ADC score against LITERAL query dot tables
+  * (one flat `double[]` reference object holding every query's m×ksub
+  * table, like [[PqEncode]]'s codebooks). The query tables are metadata
+  * (nq × m × ksub doubles); shipping them as a JOIN COLUMN instead
+  * makes every scored pair materialize the whole 4 KB table into its
+  * join output row, and the corpus-wide scoring join goes
+  * bandwidth-bound on table copies rather than lookups (measured
+  * 5.5 µs/pair — the e_knn_pq 8× scale-probe regression). With the
+  * tables literal, join rows carry (query_id, qidx) only and a score is
+  * m lookups + adds. Same accumulation order as [[PqAdcScore]], so
+  * scores are bit-identical.
+  */
+case class PqAdcLit(codes: Expression, qidx: Expression,
+                    tabs: Array[Double], ksub: Int)
+    extends BinaryExpression {
+  override def left: Expression = codes
+  override def right: Expression = qidx
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = codes.dataType.isInstanceOf[ArrayType] &&
+      codes.dataType.asInstanceOf[ArrayType].elementType == IntegerType &&
+      qidx.dataType == IntegerType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<int>, int), got " +
+        Seq(codes, qidx).map(_.dataType.simpleString).mkString(", "))
+  }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    if (VectorKernels.anyNull(aa)) null
+    else VectorKernels.pqAdcAt(tabs,
+      b.asInstanceOf[Int] * (aa.numElements() * ksub), aa, ksub)
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("pqtabs", tabs, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if (graft.functions.VectorKernels.anyNull($a)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VectorKernels.pqAdcAt($tRef,
+          $b * ($a.numElements() * $ksub), $a, $ksub);
+      }""")
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(codes = l, qidx = r)
+  // Content-based equality — same rationale as [[PqEncode]].
+  override def equals(o: Any): Boolean = o match {
+    case p: PqAdcLit => p.codes == codes && p.qidx == qidx &&
+      p.ksub == ksub && java.util.Arrays.equals(p.tabs, tabs)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    getClass, codes, qidx, Int.box(ksub),
+    Int.box(java.util.Arrays.hashCode(tabs)))
+}
+
+/** pq_score_all(vec) → array<double> of ADC scores, one per query, from
+  * a single fused kernel call: encode once, then m lookups per query
+  * against the LITERAL flat table block (codebooks + tables ride the
+  * plan as reference objects like [[PqEncode]]). This is the corpus-side
+  * scoring shape for whole-corpus PQ serving ([[graft.similarity.Knn
+  * .pqTopK]]): a map-only scan + posexplode replaces the broadcast
+  * join whose codegen deferred the encode into the per-pair loop — see
+  * [[VectorKernels.pqScoreAll]] for the measured pathology.
+  */
+case class PqScoreAll(child: Expression, cb: Array[Float], m: Int,
+                      ksub: Int, sub: Int, tabs: Array[Double])
+    extends UnaryExpression with VectorExpr {
+  override def dataType: DataType = ArrayType(DoubleType, false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = checkVec(child)
+  override def nullSafeEval(a: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    if (VectorKernels.anyNull(aa)) null
+    else VectorKernels.pqScoreAll(aa, isFloat(child), cb, m, ksub, sub,
+      tabs)
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", cb, "float[]")
+    val tRef = ctx.addReferenceObj("pqtabs", tabs, "double[]")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      if (graft.functions.VectorKernels.anyNull($a)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VectorKernels.pqScoreAll($a,
+          ${isFloat(child)}, $cbRef, $m, $ksub, $sub, $tRef);
+      }""")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  // Content-based equality — same rationale as [[PqEncode]].
+  override def equals(o: Any): Boolean = o match {
+    case p: PqScoreAll => p.child == child && p.m == m && p.ksub == ksub &&
+      p.sub == sub && java.util.Arrays.equals(p.cb, cb) &&
+      java.util.Arrays.equals(p.tabs, tabs)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    getClass, child, Int.box(m), Int.box(ksub), Int.box(sub),
+    Int.box(java.util.Arrays.hashCode(cb)),
+    Int.box(java.util.Arrays.hashCode(tabs)))
+}
+
 /** Column-API entry points for the vector expressions. */
 object vector {
   private def ex(c: Column) = GraftColumnBridge.expression(c)
@@ -631,6 +791,33 @@ object vector {
   }
   def pq_adc(tab: Column, codes: Column, ksub: Int): Column =
     GraftColumnBridge.column(PqAdcScore(ex(tab), ex(codes), ksub))
+  /** ADC against literal per-query tables — see [[PqAdcLit]]. */
+  def pq_adc_lit(codes: Column, qidx: Column, tabs: Array[Double],
+                 ksub: Int): Column =
+    GraftColumnBridge.column(PqAdcLit(ex(codes), ex(qidx), tabs, ksub))
+  /** Fused encode-once-score-all-queries — see [[PqScoreAll]]. */
+  def pq_score_all(a: Column, cbs: Seq[Seq[Array[Float]]],
+                   tabs: Array[Double]): Column = {
+    val (cb, m, ksub, sub) = flat(cbs)
+    GraftColumnBridge.column(PqScoreAll(ex(a), cb, m, ksub, sub, tabs))
+  }
+  /** Driver-side [[VectorKernels.pqTable]] over collected query vectors:
+    * one flat tabs block in query order, computed by the SAME kernel the
+    * executor-side expression uses — bit-identical tables. */
+  def pq_tabs_flat(qvecs: Seq[Array[Float]],
+                   cbs: Seq[Seq[Array[Float]]]): Array[Double] = {
+    val (cb, m, ksub, sub) = flat(cbs)
+    val mks = m * ksub
+    val tabs = new Array[Double](qvecs.length * mks)
+    qvecs.zipWithIndex.foreach { case (v, i) =>
+      val t = VectorKernels.pqTable(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v),
+        isFloat = true, cb, m, ksub, sub)
+      var j = 0
+      while (j < mks) { tabs(i * mks + j) = t.getDouble(j); j += 1 }
+    }
+    tabs
+  }
   /** Argmax-cosine centroid assignment (ties → larger id); centroids
     * ride the plan as one flat reference object. */
   def vec_argmax_cosine(a: Column,

@@ -525,13 +525,29 @@ object Knn {
     val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub)
     if (cbs.isEmpty || cbs.head.length < 2) // degenerate: ≤1 codeword
       return bruteForceTopK(corpus, queries, idCol, vecCol, k)
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      pq_encode(col(vecCol), cbs).as("codes"))
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      pq_qtab(col(vecCol), cbs).as("qtab")))
-    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("approx_raw",
-        pq_adc(col("qtab"), col("codes"), cbs.head.length))
+    // Queries are metadata-sized BY CONTRACT (this operator broadcasts
+    // them in spirit), so their ADC dot tables are precomputed once
+    // driver-side — by the SAME pqTable kernel the old broadcast side
+    // ran, so scores stay bit-identical — and the whole scoring stage
+    // becomes a MAP-ONLY corpus scan: one fused PqScoreAll call per
+    // corpus row (encode once, m lookups per query), posexplode, rank.
+    // The broadcast-join shape this replaces had a measured 5 µs/pair
+    // pathology: whole-stage codegen DEFERS the streamed side's encode
+    // projection into the per-pair loop (only join-condition vars are
+    // forced before it), so the 4096-flop encode ran once per (corpus ×
+    // query) pair — the e_knn_pq 8× scale-probe flag. No join, no
+    // shuffle of the corpus, nothing re-evaluated.
+    val qrows = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<float>").as("qv")).collect()
+    val tabs = graft.functions.vector.pq_tabs_flat(
+      qrows.map(_.getSeq[Float](1).toArray).toSeq, cbs)
+    val qids: Array[Long] = qrows.map(_.getLong(0))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"),
+        posexplode(pq_score_all(col(vecCol), cbs, tabs))
+          .as(Seq("qidx", "approx_raw")))
+      .withColumn("query_id", element_at(typedLit(qids), col("qidx") + 1))
+      .filter(col("query_id") =!= col("neighbor_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_raw").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -570,20 +586,39 @@ object Knn {
       case (cid, cvec) =>
         struct(cosine(vec, typedLit(cvec)).as("sim"), lit(cid).as("cid"))
     }
+    // literal ADC tables, same rationale and same-kernel guarantee as
+    // [[pqTopK]]: the probe join carries (query_id, cell, qidx), never
+    // the 4 KB table
+    val qrows = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<float>").as("qv")).collect()
+    val tabs = graft.functions.vector.pq_tabs_flat(
+      qrows.map(_.getSeq[Float](1).toArray).toSeq, cbs)
+    val idToIdx: Map[Long, Int] =
+      qrows.zipWithIndex.map { case (r, i) => r.getLong(0) -> i }.toMap
+    // repartition-by-cell MATERIALIZES (cell, codes) through the
+    // exchange — this is exactly the at-rest IVF-PQ layout build (codes
+    // persisted partitioned by cell), and it pins the encode to once
+    // per corpus row: without a materialization point, whole-stage
+    // codegen defers the codes projection into the probe join's
+    // per-pair loop and the 4096-flop encode runs once per candidate
+    // pair (the pqTopK pathology). The exchange carries (id, cell, 8
+    // int codes) — ~40 B/row, 7× less than the float vectors.
     val c = corpus.select(col(idCol).as("neighbor_id"),
       vec_argmax_cosine(col(vecCol), cents).as("cell"),
       pq_encode(col(vecCol), cbs).as("codes"))
+      .repartition(col("cell"))
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("__probe",
         explode(slice(sort_array(array(cellScores(col("q_vec")): _*),
           asc = false), 1, nProbe)))
       .select(col("query_id"), col("__probe.cid").as("cell"),
-        pq_qtab(col("q_vec"), cbs).as("qtab")))
+        element_at(typedLit(idToIdx), col("query_id").cast("long"))
+          .as("qidx")))
     val scored = c.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("approx_raw",
-        pq_adc(col("qtab"), col("codes"), cbs.head.length))
+        pq_adc_lit(col("codes"), col("qidx"), tabs, ksub))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_raw").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

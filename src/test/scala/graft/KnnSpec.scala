@@ -105,6 +105,57 @@ class KnnSpec extends AnyFunSuite {
     assert((bSet & tight).size.toDouble / bSet.size >= 0.7)
   }
 
+  test("PQ scoring routes are bit-identical: qtab-column (pq_qtab + " +
+      "pq_adc, the distributed-query-set API), literal-table " +
+      "(pq_adc_lit) and fused (pq_score_all, the pqTopK serving path)") {
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf)
+    val cbs = Knn.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 8)
+    val qdf = emb.filter($"vec_id" < 5)
+    val qrows = qdf.select($"vec_id".cast("long"),
+      $"embedding".cast("array<float>")).collect()
+    val tabs = pq_tabs_flat(
+      qrows.map(_.getSeq[Float](1).toArray).toSeq, cbs)
+    val qids = qrows.map(_.getLong(0))
+    // route 1: qtab as a broadcast join column
+    val viaColumn = emb
+      .select($"vec_id".as("nid"), pq_encode($"embedding", cbs).as("codes"))
+      .join(broadcast(qdf.select($"vec_id".as("qid"),
+        pq_qtab($"embedding", cbs).as("qtab"))), lit(true))
+      .select($"qid", $"nid",
+        pq_adc($"qtab", $"codes", cbs.head.length).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // route 2: literal tables + query index
+    val idToIdx = qids.zipWithIndex.toMap
+    val viaLit = emb
+      .select($"vec_id".as("nid"), pq_encode($"embedding", cbs).as("codes"))
+      .join(broadcast(qdf.select($"vec_id".as("qid"))), lit(true))
+      .select($"qid", $"nid",
+        pq_adc_lit($"codes",
+          element_at(typedLit(idToIdx), $"qid".cast("long")),
+          tabs, cbs.head.length).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // route 3: fused encode-once-score-all
+    val viaFused = emb
+      .select($"vec_id".as("nid"),
+        posexplode(pq_score_all($"embedding", cbs, tabs))
+          .as(Seq("qidx", "s")))
+      .select(element_at(typedLit(qids), $"qidx" + 1).as("qid"),
+        $"nid", $"s")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(viaColumn.nonEmpty && viaColumn.keySet == viaLit.keySet &&
+      viaColumn.keySet == viaFused.keySet)
+    viaColumn.foreach { case (k, s) =>
+      // bit-identical, not approximately equal
+      assert(java.lang.Double.doubleToRawLongBits(s) ==
+        java.lang.Double.doubleToRawLongBits(viaLit(k)), s"lit route $k")
+      assert(java.lang.Double.doubleToRawLongBits(s) ==
+        java.lang.Double.doubleToRawLongBits(viaFused(k)), s"fused route $k")
+    }
+  }
+
   test("null array elements propagate NULL, never read as 0.0") {
     val df = Seq(
       (1L, Seq[java.lang.Float](1.0f, null, 3.0f), Seq[java.lang.Float](1.0f, 1.0f, 1.0f)),

@@ -33,7 +33,8 @@ object ScaleProbe {
     "e_knn_sq8_rerank", "e_kmeans_lloyd",
     "e_knn_pq", "e_knn_ivfpq", "d_semdedup", "p_stratified_sample",
     "e_knn_pq_rerank", "d_semdedup_auto", "curate_span_scrub",
-    "p_shard_export", "e_knn_ivf_append", "agg_sketch_merge")
+    "p_shard_export", "e_knn_ivf_append", "agg_sketch_merge",
+    "m_image_decode", "e_knn_ivf_recenter")
 
   /** SPARK_GRAFT_PROBES=a,b restricts the probe set (iteration aid;
     * guard runs ignore it so the tripwire always covers everything). */

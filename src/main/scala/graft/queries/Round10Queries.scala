@@ -10,7 +10,73 @@ import org.apache.spark.sql.functions._
   */
 object Round10Queries {
 
+  /** One-file-per-micro-batch shards of the "new" embedding batch
+    * (vec_id % 10 = 0), the streaming arrival fixture for
+    * `stream_ivf_append` — built once per JVM per SF like
+    * `Round7Queries.incDedupShards`. */
+  private[queries] def embShards(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import s.implicits._
+    Scratch.cachedDir(s"ivfstream-shards:$d") { tmp =>
+      val nw = Tables.embeddings(s, d).filter($"vec_id" % 10 === 0)
+      (0L until 4L).foreach { i =>
+        nw.filter(pmod($"vec_id", lit(40L)) === i * 10L).coalesce(1)
+          .write.mode("append").parquet(tmp.getAbsolutePath)
+      }
+    }.getAbsolutePath
+  }
+
   def all: Seq[Q] = Seq(
+
+    Q("stream_ivf_append",
+      "STREAMING ANN index maintenance — e_knn_ivf_append as the live " +
+        "pipeline it exists to be: new vectors ARRIVE as a stream (4 " +
+        "one-file micro-batches under maxFilesPerTrigger=1), each " +
+        "micro-batch is assigned to the FROZEN centroids by the fused " +
+        "argmax pure map (per-arrival cost ∝ batch — no retrain, no " +
+        "corpus access, no per-event shuffle) and foreachBatch APPENDS " +
+        "it to the cell-partitioned at-rest layout as new files. The " +
+        "updated index is then probed partition-pruned (isin asserted " +
+        "inside PartitionFilters by the shared atRestProbeTopK). " +
+        "Because frozen-centroid assignment is deterministic and " +
+        "order-free, ARRIVAL MODE IS INVISIBLE: the oracle is exactly " +
+        "e_knn_ivf_append's closed-form replay (train-on-A, " +
+        "assign-all) — batch and streaming maintenance provably " +
+        "converge to the same index.",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val batchA = emb.filter($"vec_id" % 10 =!= 0)
+        val cents = graft.similarity.Knn.kmeansCentroids(
+          batchA, "vec_id", "embedding", k = 16)
+        val shards = embShards(s, d)
+        Scratch.withTempDir("graft-ivfstream-") { tmp =>
+          val p = s"${tmp.getAbsolutePath}/index"
+          batchA.select($"vec_id", $"embedding",
+              graft.functions.vector.vec_argmax_cosine($"embedding", cents)
+                .as("cell"))
+            .write.partitionBy("cell").parquet(p)
+          graft.streaming.Streams.runForeachBatch(s) { scoped =>
+            graft.streaming.Streams.fileStream(scoped, shards, emb.schema,
+              maxFilesPerTrigger = 1)
+          } { (df, _) =>
+            df.select(col("vec_id"), col("embedding"),
+                graft.functions.vector.vec_argmax_cosine(
+                  col("embedding"), cents).as("cell"))
+              .write.mode("append").partitionBy("cell").parquet(p)
+            ()
+          }
+          val total = s.read.parquet(p).count()
+          require(total == emb.count(),
+            s"stream append lost rows: $total")
+          graft.similarity.Knn.atRestProbeTopK(s, p, cents,
+            emb.filter($"vec_id" < 10), "vec_id", "embedding",
+            k = 5, nProbe = 3)
+        }
+      },
+      Some(OracleGen.knnIvfKmeansTrainedOnSql(dim = 64, nCells = 16,
+        nProbe = 3, k = 5, maxQueryId = 10,
+        trainWhere = "WHERE vec_id % 10 <> 0"))),
 
     Q("m_image_decode",
       "REAL image decode via the in-JDK codec (javax.imageio — zero new " +

@@ -49,29 +49,36 @@ object Round10Queries {
         val batchA = emb.filter($"vec_id" % 10 =!= 0)
         val cents = graft.similarity.Knn.kmeansCentroids(
           batchA, "vec_id", "embedding", k = 16)
-        val shards = embShards(s, d)
-        Scratch.withTempDir("graft-ivfstream-") { tmp =>
-          val p = s"${tmp.getAbsolutePath}/index"
-          batchA.select($"vec_id", $"embedding",
-              graft.functions.vector.vec_argmax_cosine($"embedding", cents)
-                .as("cell"))
-            .write.partitionBy("cell").parquet(p)
-          graft.streaming.Streams.runForeachBatch(s) { scoped =>
-            graft.streaming.Streams.fileStream(scoped, shards, emb.schema,
-              maxFilesPerTrigger = 1)
-          } { (df, _) =>
-            df.select(col("vec_id"), col("embedding"),
-                graft.functions.vector.vec_argmax_cosine(
-                  col("embedding"), cents).as("cell"))
-              .write.mode("append").partitionBy("cell").parquet(p)
-            ()
+        // degenerate corpus: nothing to index — empty ranked result
+        // (matches the oracle on empty tables) instead of a dead stream
+        if (cents.length < 2)
+          Seq.empty[(Long, Long, Long)]
+            .toDF("query_id", "neighbor_id", "rank")
+        else {
+          val shards = embShards(s, d)
+          Scratch.withTempDir("graft-ivfstream-") { tmp =>
+            val p = s"${tmp.getAbsolutePath}/index"
+            batchA.select($"vec_id", $"embedding",
+                graft.functions.vector.vec_argmax_cosine($"embedding", cents)
+                  .as("cell"))
+              .write.partitionBy("cell").parquet(p)
+            graft.streaming.Streams.runForeachBatch(s) { scoped =>
+              graft.streaming.Streams.fileStream(scoped, shards, emb.schema,
+                maxFilesPerTrigger = 1)
+            } { (df, _) =>
+              df.select(col("vec_id"), col("embedding"),
+                  graft.functions.vector.vec_argmax_cosine(
+                    col("embedding"), cents).as("cell"))
+                .write.mode("append").partitionBy("cell").parquet(p)
+              ()
+            }
+            val total = s.read.parquet(p).count()
+            require(total == emb.count(),
+              s"stream append lost rows: $total")
+            graft.similarity.Knn.atRestProbeTopK(s, p, cents,
+              emb.filter($"vec_id" < 10), "vec_id", "embedding",
+              k = 5, nProbe = 3)
           }
-          val total = s.read.parquet(p).count()
-          require(total == emb.count(),
-            s"stream append lost rows: $total")
-          graft.similarity.Knn.atRestProbeTopK(s, p, cents,
-            emb.filter($"vec_id" < 10), "vec_id", "embedding",
-            k = 5, nProbe = 3)
         }
       },
       Some(OracleGen.knnIvfKmeansTrainedOnSql(dim = 64, nCells = 16,
@@ -159,7 +166,12 @@ object Round10Queries {
           df.select($"vec_id", $"embedding",
             graft.functions.vector.vec_argmax_cosine($"embedding", stale)
               .as("cell"))
-        Scratch.withTempDir("graft-ivfrecenter-") { tmp =>
+        // degenerate corpus: nothing to index/recenter — empty ranked
+        // result (matches the oracle on empty tables)
+        if (stale.length < 2)
+          Seq.empty[(Long, Long, Long)]
+            .toDF("query_id", "neighbor_id", "rank")
+        else Scratch.withTempDir("graft-ivfrecenter-") { tmp =>
           val p = s"${tmp.getAbsolutePath}/index"
           assigned(batchA).write.partitionBy("cell").parquet(p)
           assigned(batchB).write.mode("append")

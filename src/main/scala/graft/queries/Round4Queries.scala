@@ -709,6 +709,13 @@ object Round4Queries {
                 col("event_type"), col("cents"))).as("m"))
               .select(col("user_id"), col("m.ts_us"), col("m.event_id"),
                 col("m.event_type"), col("m.cents"))
+          // explicit target schema: an all-empty day leaves tgt as an
+          // empty dir (dynamic overwrite of zero partitions), and every
+          // later read — mid-stream or final — must not depend on
+          // schema inference from files that do not exist (found by the
+          // StreamFloor 0-row sweep)
+          val tgtSchema = latest(ev.limit(0))
+            .withColumn("bucket", bucketOf).schema
           val scoped = graft.streaming.Streams.runForeachBatch(s) { sc =>
             sc.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(src)
@@ -736,7 +743,7 @@ object Round4Queries {
             // partition-pruned read: only the touched bucket dirs open
             val existing =
               if (new java.io.File(tgt).exists)
-                sc.read.parquet(tgt)
+                sc.read.schema(tgtSchema).parquet(tgt)
                   .filter(col("bucket").isin(touched.toSeq: _*))
                   .drop("bucket")
               else batch.limit(0)
@@ -755,7 +762,8 @@ object Round4Queries {
               .parquet(tgt)
             lap("write")
           }
-          scoped.read.parquet(tgt)
+          new java.io.File(tgt).mkdirs() // zero batches never create it
+          scoped.read.schema(tgtSchema).parquet(tgt)
             .select($"user_id", $"ts_us", $"event_id", $"event_type",
               $"cents")
             .orderBy($"user_id")

@@ -488,10 +488,18 @@ object Round5Queries {
             struct(vec_i8_dot($"codes", typedLit(codes)).as("d"),
               lit(-cid).as("nc"))
           }
+          // degenerate catalogs must not kill the stream (greatest()
+          // needs ≥2 args; an empty reference corpus yields zero joined
+          // rows anyway — found by the StreamFloor 0-row sweep)
+          val best = scored match {
+            case Seq() => lit(null).cast("struct<d:bigint,nc:bigint>")
+            case Seq(one) => one
+            case many => greatest(many: _*)
+          }
           stream
             .join(broadcast(codesAll),
               pmod($"user_id", lit(500L)) === $"vec_id")
-            .withColumn("best", greatest(scored: _*))
+            .withColumn("best", best)
             .select((-$"best.nc").as("centroid"),
               round($"value" * 100).cast("long").as("cents"))
             .groupBy($"centroid")

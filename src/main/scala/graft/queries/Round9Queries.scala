@@ -157,7 +157,12 @@ object Round9Queries {
           df.select($"vec_id", $"embedding",
             graft.functions.vector.vec_argmax_cosine($"embedding", cents)
               .as("cell"))
-        Scratch.withTempDir("graft-ivfappend-") { tmp =>
+        // degenerate corpus: nothing to index — empty ranked result
+        // (matches the oracle on empty tables)
+        if (cents.length < 2)
+          Seq.empty[(Long, Long, Long)]
+            .toDF("query_id", "neighbor_id", "rank")
+        else Scratch.withTempDir("graft-ivfappend-") { tmp =>
           val p = s"${tmp.getAbsolutePath}/index"
           assigned(batchA).write.partitionBy("cell").parquet(p)
           // Hadoop FileSystem listing, so the append-only audit is

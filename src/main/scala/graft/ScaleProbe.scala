@@ -34,7 +34,8 @@ object ScaleProbe {
     "e_knn_pq", "e_knn_ivfpq", "d_semdedup", "p_stratified_sample",
     "e_knn_pq_rerank", "d_semdedup_auto", "curate_span_scrub",
     "p_shard_export", "e_knn_ivf_append", "agg_sketch_merge",
-    "m_image_decode", "e_knn_ivf_recenter")
+    "m_image_decode", "e_knn_ivf_recenter", "m_image_resize",
+    "m_audio_decode")
 
   /** SPARK_GRAFT_PROBES=a,b restricts the probe set (iteration aid;
     * guard runs ignore it so the tripwire always covers everything). */
@@ -161,8 +162,15 @@ object ScaleProbe {
     val baseRatios = ratioRe.findAllMatchIn(baselineJson)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
     measured.flatMap { case (q, t1, tk) =>
+      // Absolute floor: a probe whose 8× run finishes under 2 s is
+      // overhead/noise-dominated on this host (sub-second probes swing
+      // 2–3× on untouched code — m_image_resize measured 0.6 ↔ 1.4 s
+      // across back-to-back sweeps), so its RATIO carries no signal.
+      // Every real pathology this guard exists for cleared the floor
+      // comfortably: the r5 t_ngram quadratic (20 s+), the r8 SemDeDup
+      // 68× blowup, the PQ codegen-deferral (2.6 s at 8×).
       baseRatios.get(q).collect {
-        case b if tk / t1 > 2.0 * math.max(b, 1.0) =>
+        case b if tk > 2.0 && tk / t1 > 2.0 * math.max(b, 1.0) =>
           f"$q: ratio ${tk / t1}%.2f vs baseline $b%.2f (>2x)"
       }
     }

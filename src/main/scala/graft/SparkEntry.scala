@@ -71,7 +71,8 @@ object SparkEntry {
     "d_semdedup_auto", "curate_span_scrub", "p_shard_export",
     "e_knn_ivf_append", "agg_sketch_merge",
     // r10-new: same capped-from-birth policy
-    "m_image_decode", "e_knn_ivf_recenter", "stream_ivf_append")
+    "m_image_decode", "e_knn_ivf_recenter", "stream_ivf_append",
+    "m_image_resize", "m_audio_decode")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

@@ -6,12 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads travel as opaque
   * `binary` columns with typed metadata alongside. The Spark-side contract
   * (schema, partition sizing, per-partition batched decode) is real and
-  * tested. IMAGE decode is REAL — the in-JDK codec (`javax.imageio`:
-  * PNG/BMP/GIF/JPEG/TIFF) via [[decodeImages]], no new dependency. The
-  * audio/video codec remains a declared deterministic stub
-  * ([[stubDecode]]) — no audio/video library ships in this container;
-  * swap it for a real codec (JNI/JEP/native) without touching the
-  * plumbing.
+  * tested. IMAGE decode, resize and re-encode are REAL — the in-JDK codec
+  * (`javax.imageio`: PNG/BMP/GIF/JPEG/TIFF) via [[decodeImages]] /
+  * [[resizeImages]] — and AUDIO decode is REAL — the in-JDK codec
+  * (`javax.sound.sampled`: WAV/AIFF/AU PCM) via [[decodeAudio]]; no new
+  * dependency for either. Only VIDEO remains a declared deterministic
+  * stub ([[stubDecode]]) — the JDK has no container/codec parser; swap a
+  * real codec (JNI/JEP/native) in without touching the plumbing.
   */
 object Multimodal {
 
@@ -22,12 +23,12 @@ object Multimodal {
                            n_bytes: Long, width: Int, height: Int,
                            features: Array[Double])
 
-  /** STUB codec (audio/video only — IMAGE decode is real, see
-    * [[decodeImages]]): deterministic fake decode deriving fake
-    * dimensions and a fixed-width feature vector from the payload bytes.
-    * A real implementation would decode the audio/video here; everything
-    * around it (batching, schema, partition shape) is production
-    * plumbing.
+  /** STUB codec (video only — IMAGE and AUDIO decode are real, see
+    * [[decodeImages]] / [[decodeAudio]]): deterministic fake decode
+    * deriving fake dimensions and a fixed-width feature vector from the
+    * payload bytes. A real implementation would demux/decode the video
+    * here; everything around it (batching, schema, partition shape) is
+    * production plumbing.
     */
   def stubDecode(bytes: Array[Byte]): (Int, Int, Array[Double]) = {
     val h = java.util.Arrays.hashCode(bytes)
@@ -204,22 +205,214 @@ object Multimodal {
       }
   }
 
-  /** Resize (STUB): decode → scale → re-encode collapses here to a
-    * deterministic payload transform that tags the target dimensions in
-    * the metadata. Same plumbing contract as a real resizer: payload in,
-    * payload out, metadata updated, one typed pass.
+  /** REAL resize: decode (in-JDK codec) → nearest-neighbor sample the
+    * raster → re-encode as 8-bit gray PNG. The sampling rule is exact
+    * integer arithmetic — dest (x, y) reads source
+    * (x·srcW ∕ dstW, y·srcH ∕ dstH), floor division — so the resized
+    * pixel grid replays in closed form on any engine (no float scale
+    * factor, no interpolation kernel). Multi-band sources are thumbnailed
+    * from band 0 (the luma band for gray, a documented choice for RGB —
+    * a full-color resize would NN-sample each band the same way).
+    * Unrecognized/corrupt payloads → None, never an exception.
     */
-  case class Resized(asset_id: Long, width: Int, height: Int,
+  def resizeGrayNN(bytes: Array[Byte], dstW: Int,
+                   dstH: Int): Option[Array[Byte]] = {
+    require(dstW > 0 && dstH > 0)
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val src = img.getRaster
+        val sw = img.getWidth; val sh = img.getHeight
+        val out = new java.awt.image.BufferedImage(dstW, dstH,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val dst = out.getRaster
+        var y = 0
+        while (y < dstH) {
+          val sy = y * sh / dstH
+          var x = 0
+          while (x < dstW) {
+            dst.setSample(x, y, 0, src.getSample(x * sw / dstW, sy, 0))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        if (javax.imageio.ImageIO.write(out, "png", bos))
+          Some(bos.toByteArray) else None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** A resized payload row: `ok = false` (empty payload) marks inputs the
+    * codec could not decode — they flow through as sentinel rows so one
+    * truncated blob cannot kill a 100 TB thumbnailing stage.
+    */
+  case class Resized(asset_id: Long, ok: Boolean, width: Int, height: Int,
                      payload: Array[Byte])
 
-  def resizeStub(assets: DataFrame, width: Int, height: Int): Dataset[Resized] = {
+  /** Batched REAL resize over the binary column — payload in, payload
+    * out, same `mapPartitions` batch shape as [[decodeImages]]. Compose
+    * with [[decodeImages]] downstream to verify/feature the thumbnails:
+    * the full decode → transform → re-encode → decode chain.
+    */
+  def resizeImages(assets: DataFrame, width: Int,
+                   height: Int): Dataset[Resized] = {
     import assets.sparkSession.implicits._
     assets.select("asset_id", "payload")
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, payload) =>
-        // fake "resize": truncate/pad the payload to width*height/64 bytes
-        val n = math.max(1, width * height / 64)
-        Resized(id, width, height, java.util.Arrays.copyOf(payload, n))
-      })
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // once per partition
+        it.map { case (id, payload) =>
+          resizeGrayNN(payload, width, height) match {
+            case Some(p) => Resized(id, ok = true, width, height, p)
+            case None => Resized(id, ok = false, -1, -1, Array.emptyByteArray)
+          }
+        }
+      }
+  }
+
+  /** A decoded-audio feature row — every field integer-exact (PCM
+    * samples ARE integers) so the row is oracle-verifiable when the
+    * waveform is derived from table data. `n_samples` counts frames
+    * (per-channel samples); sums/peak run over every sample of every
+    * channel. Corrupt / non-audio payloads → `ok = false` sentinel.
+    */
+  case class AudioMeta(asset_id: Long, ok: Boolean, encoding: String,
+                       channels: Long, sample_rate: Long, n_samples: Long,
+                       sum_sample: Long, sum_abs: Long, peak_abs: Long)
+
+  /** PCM-container readers, resolved ONCE per JVM via the public SPI
+    * (`javax.sound.sampled.spi.AudioFileReader`) instead of per-call
+    * `AudioSystem.getAudioInputStream`. Two measured reasons, both
+    * 100 TB throughput caps: (a) AudioSystem's per-call provider lookup
+    * runs under a global lock, and (b) the provider list includes the
+    * Gervill `SoftMidiAudioFileReader` — a MIDI SYNTHESIZER pseudo-
+    * reader, not an audio decoder — whose per-call rejection path goes
+    * through the synchronized MidiSystem machinery. With it excluded
+    * and providers cached, the enc+dec pair measured 39 → 3.2 µs/op at
+    * 32 threads (12× parallel scaling vs 2× before). MIDI payloads are
+    * out of scope by design: a score is not recorded audio.
+    */
+  private lazy val audioReaders
+      : Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val buf = Seq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) {
+      val r = it.next()
+      if (!r.getClass.getName.contains("Midi")) buf += r
+    }
+    buf.result()
+  }
+
+  private lazy val audioWriters
+      : Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    val buf = Seq.newBuilder[javax.sound.sampled.spi.AudioFileWriter]
+    while (it.hasNext) buf += it.next()
+    buf.result()
+  }
+
+  /** First reader that recognizes the payload, or null — the cached-SPI
+    * equivalent of `AudioSystem.getAudioInputStream` (which is the
+    * fallback when the SPI yields no readers in an exotic runtime).
+    */
+  private def openAudio(bytes: Array[Byte])
+      : javax.sound.sampled.AudioInputStream = {
+    if (audioReaders.isEmpty)
+      javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+    else {
+      val it = audioReaders.iterator
+      while (it.hasNext) {
+        try return it.next().getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        }
+      }
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "no PCM container reader recognized the payload")
+    }
+  }
+
+  /** Decode one audio payload with the in-JDK codec (WAV/AIFF/AU
+    * containers, PCM encodings, cached providers — see [[audioReaders]]).
+    * Only 16-bit signed PCM is featured — the production interchange
+    * format; anything else the JDK can't parse (or a truncated header)
+    * yields the sentinel, never an exception.
+    */
+  def decodeAudioMeta(id: Long, bytes: Array[Byte]): AudioMeta = {
+    val bad = AudioMeta(id, ok = false, "", 0L, 0L, 0L, 0L, 0L, 0L)
+    try {
+      val ais = openAudio(bytes)
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) bad
+        else {
+          val raw = ais.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(raw).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          var sum = 0L; var sumAbs = 0L; var peak = 0L; var n = 0L
+          while (bb.remaining >= 2) {
+            val s = bb.getShort.toLong
+            sum += s
+            val a = math.abs(s)
+            sumAbs += a; if (a > peak) peak = a
+            n += 1
+          }
+          AudioMeta(id, ok = true,
+            fmt.getEncoding.toString.toLowerCase,
+            fmt.getChannels.toLong, fmt.getSampleRate.toLong,
+            n / fmt.getChannels, sum, sumAbs, peak)
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => bad }
+  }
+
+  /** Batched REAL audio decode over the binary column — same
+    * `mapPartitions` batch shape as [[decodeImages]].
+    */
+  def decodeAudio(assets: DataFrame): Dataset[AudioMeta] = {
+    import assets.sparkSession.implicits._
+    assets.select("asset_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeAudioMeta(id, bytes) })
+  }
+
+  /** Encode 16-bit signed little-endian mono PCM as a WAV payload — the
+    * fixture-side counterpart of [[decodeAudio]], through the same
+    * production encoder a transcode stage would use
+    * (`AudioSystem.write`, WAVE container). Lossless: `decodeAudioMeta`
+    * reads back exactly these sample values.
+    */
+  def encodePcm16Wav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val raw = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      raw(2 * i) = (samples(i) & 0xFF).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    // cached-SPI write for the same per-call-lock reason as openAudio
+    val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    audioWriters.find(_.isFileTypeSupported(wave, ais)) match {
+      case Some(w) => w.write(ais, wave, bos)
+      case None => javax.sound.sampled.AudioSystem.write(ais, wave, bos)
+    }
+    bos.toByteArray
   }
 }

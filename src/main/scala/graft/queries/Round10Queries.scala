@@ -26,6 +26,34 @@ object Round10Queries {
     }.getAbsolutePath
   }
 
+  /** Deterministic image-asset fixture shared by `m_image_decode` and
+    * `m_image_resize`: per doc an 8-bit gray PNG whose dims and pixels
+    * are closed-form in `doc_id` (w = 8+(id%16), h = 8+((id/16)%16),
+    * pix(x,y) = (7x+13y+id) mod 256), encoded with the REAL
+    * `ImageIO.write` path; docs with doc_id % 50 = 0 carry a corrupt
+    * payload (decoders must sentinel, not throw).
+    */
+  private def imageAssets(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    // spread the per-row codec work across every core BEFORE the map:
+    // the sf tables arrive as one parquet file → one partition, which
+    // would serialize the whole encode+decode fleet (measured 10×). A
+    // real 100 TB binaryFile scan gets this parallelism for free from
+    // maxPartitionBytes; the exchange here moves 8-byte ids only.
+    Tables.documents(s, d).select($"doc_id").as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .map { id =>
+      val w = 8 + (id % 16).toInt
+      val h = 8 + ((id / 16) % 16).toInt
+      val payload =
+        if (id % 50 == 0) s"not an image $id".getBytes("UTF-8")
+        else Multimodal.encodeGrayPng(w, h,
+          (x, y) => ((x * 7 + y * 13 + id) % 256).toInt)
+      (id, payload)
+    }.toDF("asset_id", "payload")
+  }
+
   def all: Seq[Q] = Seq(
 
     Q("stream_ivf_append",
@@ -101,18 +129,8 @@ object Round10Queries {
         "gate.",
       (s, d) => {
         import s.implicits._
-        val ids = Tables.documents(s, d).select($"doc_id").as[Long]
-        val assets = ids.map { id =>
-          val corrupt = id % 50 == 0
-          val w = 8 + (id % 16).toInt
-          val h = 8 + ((id / 16) % 16).toInt
-          val payload =
-            if (corrupt) s"not an image $id".getBytes("UTF-8")
-            else Multimodal.encodeGrayPng(w, h,
-              (x, y) => ((x * 7 + y * 13 + id) % 256).toInt)
-          (id, payload)
-        }.toDF("asset_id", "payload")
-        Multimodal.decodeImages(assets).toDF().orderBy($"asset_id")
+        Multimodal.decodeImages(imageAssets(s, d)).toDF()
+          .orderBy($"asset_id")
       },
       Some("""WITH g AS (
              |  SELECT doc_id, (doc_id % 50 <> 0) AS ok,
@@ -136,6 +154,102 @@ object Round10Queries {
              |  CAST(CASE WHEN ok THEN list_max(ps) ELSE 0 END AS BIGINT)
              |    AS max_luma
              |FROM px ORDER BY asset_id""".stripMargin)),
+
+    Q("m_image_resize",
+      "REAL image resize — the thumbnailing stage of a 100 TB image " +
+        "corpus, run end to end through the in-JDK codec: the shared " +
+        "PNG fixture is decoded, nearest-neighbor-sampled to 10×6 with " +
+        "exact integer arithmetic (dest (x,y) reads source " +
+        "(x·w/10, y·h/6), floor division), re-encoded as PNG by the " +
+        "production ImageIO.write path, then decoded AGAIN by " +
+        "decodeImages for features — so the full decode → transform → " +
+        "re-encode → decode chain rides the exact-hash gate (the oracle " +
+        "replays the sampled pixel grid in closed form). Corrupt " +
+        "payloads sentinel through both stages instead of failing.",
+      (s, d) => {
+        import s.implicits._
+        val thumbs = Multimodal.resizeImages(imageAssets(s, d), 10, 6)
+          .toDF().select($"asset_id", $"payload")
+        Multimodal.decodeImages(thumbs).toDF().orderBy($"asset_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, (doc_id % 50 <> 0) AS ok,
+             |    8 + (doc_id % 16) AS w,
+             |    8 + ((doc_id // 16) % 16) AS h
+             |  FROM documents),
+             |px AS (
+             |  SELECT doc_id, ok, w, h,
+             |    flatten(list_transform(range(6), y ->
+             |      list_transform(range(10), x ->
+             |        (((x*w) // 10)*7 + ((y*h) // 6)*13 + doc_id) % 256)))
+             |      AS ps
+             |  FROM g)
+             |SELECT doc_id AS asset_id, ok,
+             |  CASE WHEN ok THEN 'png' ELSE '' END AS format,
+             |  CAST(CASE WHEN ok THEN 10 ELSE -1 END AS BIGINT) AS width,
+             |  CAST(CASE WHEN ok THEN 6 ELSE -1 END AS BIGINT) AS height,
+             |  CAST(CASE WHEN ok THEN 1 ELSE 0 END AS BIGINT) AS n_bands,
+             |  CAST(CASE WHEN ok THEN 60 ELSE 0 END AS BIGINT) AS n_px,
+             |  CAST(CASE WHEN ok THEN list_sum(ps) ELSE 0 END AS BIGINT)
+             |    AS luma_sum,
+             |  CAST(CASE WHEN ok THEN list_max(ps) ELSE 0 END AS BIGINT)
+             |    AS max_luma
+             |FROM px ORDER BY asset_id""".stripMargin)),
+
+    Q("m_audio_decode",
+      "REAL audio decode via the in-JDK codec (javax.sound.sampled — " +
+        "zero new dependencies): deterministic 16-bit mono PCM WAVs are " +
+        "generated in-engine from table data (per doc: 64 + (id % 192) " +
+        "samples at 8 kHz, sample[i] = (31·id + 17·i) mod 2001 − 1000), " +
+        "encoded by the production AudioSystem.write WAVE path, then " +
+        "decoded by `Multimodal.decodeAudio` — container parse, format " +
+        "sniff, integer-exact waveform features (sum, sum-abs, peak). " +
+        "Docs with doc_id % 50 = 0 carry a corrupt payload and decode " +
+        "to the ok=false sentinel instead of failing the stage. The " +
+        "oracle replays the waveform in closed form, so the audio codec " +
+        "round-trip itself rides the exact-hash gate.",
+      (s, d) => {
+        import s.implicits._
+        // same id-only repartition as imageAssets: codec work on all
+        // cores, not the scan's single input partition
+        val assets = Tables.documents(s, d).select($"doc_id").as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
+          .map { id =>
+            val payload =
+              if (id % 50 == 0) s"not audio $id".getBytes("UTF-8")
+              else {
+                val n = 64 + (id % 192).toInt
+                Multimodal.encodePcm16Wav(8000, Array.tabulate(n)(i =>
+                  ((31 * id + 17 * i) % 2001 - 1000).toShort))
+              }
+            (id, payload)
+          }.toDF("asset_id", "payload")
+        Multimodal.decodeAudio(assets).toDF().orderBy($"asset_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, (doc_id % 50 <> 0) AS ok,
+             |    64 + (doc_id % 192) AS n
+             |  FROM documents),
+             |wv AS (
+             |  SELECT doc_id, ok, n,
+             |    list_transform(range(n),
+             |      i -> (31*doc_id + 17*i) % 2001 - 1000) AS ss
+             |  FROM g)
+             |SELECT doc_id AS asset_id, ok,
+             |  CASE WHEN ok THEN 'pcm_signed' ELSE '' END AS encoding,
+             |  CAST(CASE WHEN ok THEN 1 ELSE 0 END AS BIGINT) AS channels,
+             |  CAST(CASE WHEN ok THEN 8000 ELSE 0 END AS BIGINT)
+             |    AS sample_rate,
+             |  CAST(CASE WHEN ok THEN n ELSE 0 END AS BIGINT) AS n_samples,
+             |  CAST(CASE WHEN ok THEN list_sum(ss) ELSE 0 END AS BIGINT)
+             |    AS sum_sample,
+             |  CAST(CASE WHEN ok THEN
+             |    list_sum(list_transform(ss, x -> abs(x))) ELSE 0 END
+             |    AS BIGINT) AS sum_abs,
+             |  CAST(CASE WHEN ok THEN
+             |    list_max(list_transform(ss, x -> abs(x))) ELSE 0 END
+             |    AS BIGINT) AS peak_abs
+             |FROM wv ORDER BY asset_id""".stripMargin)),
 
     Q("e_knn_ivf_recenter",
       "IVF index lifecycle, closed — the recenter/compact half that " +

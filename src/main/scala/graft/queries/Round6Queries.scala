@@ -270,12 +270,19 @@ object Round6Queries {
           val streamBuckets = Dedup.minhashBucketsPortable(
             stream, "doc_id", "text",
             shingleN = 5, bands = 8, rowsPerBand = 2)
+          // the static index is MATERIALIZED once per stream run
+          // (localCheckpoint): a stream-static join re-evaluates the
+          // static subplan every micro-batch, and re-hashing the whole
+          // corpus 5× (4 triggers + watermark batch) was the dominant
+          // cost — in production this side is the STORED band table,
+          // built once, exactly what the checkpoint models
           val idx = Dedup.minhashBucketsPortable(
               Tables.documents(scoped, d).filter($"doc_id" % 10 =!= 0),
               "doc_id", "text",
               shingleN = 5, bands = 8, rowsPerBand = 2)
             .select($"band".as("i_band"), $"band_hash".as("i_hash"),
               $"id".as("idx_id"))
+            .localCheckpoint()
           streamBuckets
             .join(broadcast(idx),
               $"band" === $"i_band" && $"band_hash" === $"i_hash",

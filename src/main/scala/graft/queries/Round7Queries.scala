@@ -192,12 +192,16 @@ object Round7Queries {
           val streamBuckets = Dedup.minhashBucketsPortable(
             stream, "doc_id", "text",
             shingleN = 5, bands = 8, rowsPerBand = 2)
+          // static side materialized once per run (localCheckpoint) —
+          // same stored-band-table model as stream_incremental_dedup;
+          // without it every micro-batch re-hashes the whole corpus
           val idx = Dedup.minhashBucketsPortable(
               Tables.documents(scoped, d).filter($"doc_id" % 10 =!= 0),
               "doc_id", "text",
               shingleN = 5, bands = 8, rowsPerBand = 2)
             .select($"band".as("i_band"), $"band_hash".as("i_hash"),
               $"id".as("idx_id"))
+            .localCheckpoint()
           streamBuckets
             .join(idx,
               $"band" === $"i_band" && $"band_hash" === $"i_hash",

@@ -43,13 +43,35 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(got == Seq((1L, 0L, "abc"), (1L, 2L, "ghi"), (2L, 0L, "xy")))
   }
 
-  test("multimodal: resize stub keeps contract (payload out, dims tagged)") {
-    val docs = Seq((1L, "payload-bytes-here")).toDF("doc_id", "text")
-    val out = Multimodal.resizeStub(
-        Multimodal.asBinaryAssets(docs, "doc_id", "text"), 128, 128)
-      .collect().head
-    assert(out.width == 128 && out.height == 128)
-    assert(out.payload.length == 128 * 128 / 64)
+  test("multimodal: real NN resize — decode→sample→re-encode, exact pixels") {
+    // 4×2 gray PNG with pix(x,y) = 10x + 40y; resize to 2×1:
+    // dest (x,0) reads source (x*4/2, 0) = (0,0) and (2,0) → 0, 20
+    val png = Multimodal.encodeGrayPng(4, 2, (x, y) => 10 * x + 40 * y)
+    val assets = Seq((1L, png), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("asset_id", "payload")
+    val out = Multimodal.resizeImages(assets, 2, 1)
+      .collect().sortBy(_.asset_id)
+    assert(out(0).ok && out(0).width == 2 && out(0).height == 1)
+    val meta = Multimodal.decodeImageMeta(1L, out(0).payload)
+    assert(meta.ok && meta.width == 2 && meta.height == 1)
+    assert(meta.luma_sum == 0 + 20 && meta.max_luma == 20)
+    // corrupt input flows through as a sentinel row, not an exception
+    assert(!out(1).ok && out(1).payload.isEmpty)
+  }
+
+  test("multimodal: real audio codec — PCM16 WAV round-trips exactly") {
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 17)
+    val wav = Multimodal.encodePcm16Wav(8000, samples)
+    val assets = Seq((1L, wav), (2L, Array[Byte](1, 2, 3)))
+      .toDF("asset_id", "payload")
+    val out = Multimodal.decodeAudio(assets).collect().sortBy(_.asset_id)
+    assert(out(0).ok && out(0).encoding == "pcm_signed")
+    assert(out(0).channels == 1 && out(0).sample_rate == 8000)
+    assert(out(0).n_samples == samples.length)
+    assert(out(0).sum_sample == samples.map(_.toLong).sum)
+    assert(out(0).sum_abs == samples.map(s => math.abs(s.toLong)).sum)
+    assert(out(0).peak_abs == 32768L)
+    assert(!out(1).ok) // truncated payload → sentinel, not an exception
   }
 
   test("streaming windowed counts equal the batch aggregate") {

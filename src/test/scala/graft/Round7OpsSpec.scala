@@ -37,12 +37,15 @@ class Round7OpsSpec extends AnyFunSuite {
     val base =
       """{"k":8,"sf":"/x","queries":{"a":{"t1":0.300,"tk":0.600,"ratio":2.000},
         |"b":{"t1":0.500,"tk":0.400,"ratio":0.800}}}""".stripMargin
-    // a: 2.0 baseline → trips only above 4.0
-    assert(ScaleProbe.checkGuard(base, Seq(("a", 0.3, 1.1))).isEmpty)
-    assert(ScaleProbe.checkGuard(base, Seq(("a", 0.3, 1.3))).nonEmpty)
+    // a: 2.0 baseline → trips only above 4.0 (tk over the 2 s floor)
+    assert(ScaleProbe.checkGuard(base, Seq(("a", 3.0, 11.0))).isEmpty)
+    assert(ScaleProbe.checkGuard(base, Seq(("a", 3.0, 13.0))).nonEmpty)
     // b: sub-linear baseline floored at 1.0 → trips only above 2.0
-    assert(ScaleProbe.checkGuard(base, Seq(("b", 0.5, 0.9))).isEmpty)
-    assert(ScaleProbe.checkGuard(base, Seq(("b", 0.5, 1.1))).nonEmpty)
+    assert(ScaleProbe.checkGuard(base, Seq(("b", 5.0, 9.5))).isEmpty)
+    assert(ScaleProbe.checkGuard(base, Seq(("b", 5.0, 11.0))).nonEmpty)
+    // absolute floor: a sub-2 s 8× run is noise-dominated — its ratio
+    // carries no signal and must not trip regardless of magnitude
+    assert(ScaleProbe.checkGuard(base, Seq(("a", 0.3, 1.9))).isEmpty)
     // probes not in the baseline are skipped, not errors
     assert(ScaleProbe.checkGuard(base, Seq(("new_q", 0.1, 9.9))).isEmpty)
     // the real committed baseline parses and covers the probe list

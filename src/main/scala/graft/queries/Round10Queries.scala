@@ -54,7 +54,69 @@ object Round10Queries {
     }.toDF("asset_id", "payload")
   }
 
+  /** One-file-per-micro-batch shards of the image-asset fixture — the
+    * streaming arrival layout for `stream_image_ingest`, built once per
+    * JVM per SF like `incDedupShards`. */
+  private[queries] def imageShards(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    Scratch.cachedDir(s"imgshards:$d") { tmp =>
+      val assets = imageAssets(s, d)
+      (0L until 4L).foreach { i =>
+        assets.filter(pmod(col("asset_id"), lit(4L)) === i).coalesce(1)
+          .write.mode("append").parquet(tmp.getAbsolutePath)
+      }
+    }.getAbsolutePath
+
   def all: Seq[Q] = Seq(
+
+    Q("stream_image_ingest",
+      "STREAMING multimodal ingest — the continuous form of " +
+        "m_image_decode: image payloads LAND as a file stream (4 " +
+        "one-file micro-batches under maxFilesPerTrigger=1), each batch " +
+        "decodes STATELESSLY through the real in-JDK codec " +
+        "(Multimodal.decodeImages is a pure mapPartitions — per-arrival " +
+        "cost ∝ batch, no state, no shuffle before the rollup) and the " +
+        "only stateful op is the per-(ok, format) corpus health rollup " +
+        "— exactly the ingest-monitor a 100 TB image pipeline runs " +
+        "(decode-failure rate surfaces as the ok=false group growing). " +
+        "Decode is deterministic, so the completed stream equals the " +
+        "batch aggregate and the oracle replays it closed-form.",
+      (s, d) => {
+        import s.implicits._
+        val shards = imageShards(s, d)
+        val schema = s.read.parquet(shards).schema
+        graft.streaming.Streams.runToMemory(s,
+            s"stream_imgingest_${System.nanoTime()}") { scoped =>
+          val stream = graft.streaming.Streams.fileStream(scoped, shards,
+            schema, maxFilesPerTrigger = 1)
+          Multimodal.decodeImages(stream).toDF()
+            .groupBy($"ok", $"format")
+            .agg(count(lit(1)).as("n_assets"),
+              sum($"n_px").as("total_px"),
+              sum($"luma_sum").as("total_luma"),
+              max($"max_luma").as("peak_luma"))
+        }.orderBy($"ok", $"format")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, (doc_id % 50 <> 0) AS ok,
+             |    8 + (doc_id % 16) AS w,
+             |    8 + ((doc_id // 16) % 16) AS h
+             |  FROM documents),
+             |px AS (
+             |  SELECT doc_id, ok, w, h,
+             |    flatten(list_transform(range(h), y ->
+             |      list_transform(range(w),
+             |        x -> (x*7 + y*13 + doc_id) % 256))) AS ps
+             |  FROM g)
+             |SELECT ok, CASE WHEN ok THEN 'png' ELSE '' END AS format,
+             |  count(*) AS n_assets,
+             |  CAST(sum(CASE WHEN ok THEN w*h ELSE 0 END) AS BIGINT)
+             |    AS total_px,
+             |  CAST(sum(CASE WHEN ok THEN list_sum(ps) ELSE 0 END)
+             |    AS BIGINT) AS total_luma,
+             |  CAST(max(CASE WHEN ok THEN list_max(ps) ELSE 0 END)
+             |    AS BIGINT) AS peak_luma
+             |FROM px GROUP BY 1, 2 ORDER BY ok, format""".stripMargin)),
 
     Q("stream_ivf_append",
       "STREAMING ANN index maintenance — e_knn_ivf_append as the live " +

@@ -72,7 +72,8 @@ object SparkEntry {
     "e_knn_ivf_append", "agg_sketch_merge",
     // r10-new: same capped-from-birth policy
     "m_image_decode", "e_knn_ivf_recenter", "stream_ivf_append",
-    "m_image_resize", "m_audio_decode", "stream_image_ingest")
+    "m_image_resize", "m_audio_decode", "stream_image_ingest",
+    "m_video_frames")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

@@ -6,13 +6,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads travel as opaque
   * `binary` columns with typed metadata alongside. The Spark-side contract
   * (schema, partition sizing, per-partition batched decode) is real and
-  * tested. IMAGE decode, resize and re-encode are REAL — the in-JDK codec
-  * (`javax.imageio`: PNG/BMP/GIF/JPEG/TIFF) via [[decodeImages]] /
-  * [[resizeImages]] — and AUDIO decode is REAL — the in-JDK codec
-  * (`javax.sound.sampled`: WAV/AIFF/AU PCM) via [[decodeAudio]]; no new
-  * dependency for either. Only VIDEO remains a declared deterministic
-  * stub ([[stubDecode]]) — the JDK has no container/codec parser; swap a
-  * real codec (JNI/JEP/native) in without touching the plumbing.
+  * tested, and EVERY codec path is real with zero new dependencies:
+  * IMAGE decode/resize/re-encode via the in-JDK `javax.imageio`
+  * (PNG/BMP/GIF/JPEG/TIFF — [[decodeImages]]/[[resizeImages]]), AUDIO
+  * decode via the in-JDK `javax.sound.sampled` (WAV/AIFF/AU PCM —
+  * [[decodeAudio]]), VIDEO via a clean-room RIFF/AVI demuxer
+  * ([[decodeVideoFrames]]: uncompressed BI_RGB frames exactly, MJPEG
+  * frames through the in-JDK JPEG codec; compressed codecs the JDK
+  * lacks — H.264 etc. — would plug into the same per-frame hook).
+  * The one remaining deterministic stand-in is [[decodeFeatures]]'s
+  * fake FEATURE VECTOR ([[stubDecode]]) — it models the learned
+  * embedding model (CLIP-style) a production pipeline runs after
+  * decode, which no JDK facility can replace.
   */
 object Multimodal {
 
@@ -23,12 +28,14 @@ object Multimodal {
                            n_bytes: Long, width: Int, height: Int,
                            features: Array[Double])
 
-  /** STUB codec (video only — IMAGE and AUDIO decode are real, see
-    * [[decodeImages]] / [[decodeAudio]]): deterministic fake decode
-    * deriving fake dimensions and a fixed-width feature vector from the
-    * payload bytes. A real implementation would demux/decode the video
-    * here; everything around it (batching, schema, partition shape) is
-    * production plumbing.
+  /** STUB feature extractor (every CODEC path is real — see
+    * [[decodeImages]] / [[decodeAudio]] / [[decodeVideoFrames]]):
+    * deterministic fake deriving dimensions and a fixed-width feature
+    * vector from the payload bytes. It stands in for the LEARNED
+    * embedding model (CLIP-style image/audio encoder) a production
+    * pipeline runs after decode — a model, not a codec, so no JDK
+    * facility can make it real; everything around it (batching, schema,
+    * partition shape) is production plumbing.
     */
   def stubDecode(bytes: Array[Byte]): (Int, Int, Array[Double]) = {
     val h = java.util.Arrays.hashCode(bytes)
@@ -143,6 +150,243 @@ object Multimodal {
     javax.imageio.ImageIO.setUseCache(false)
     require(javax.imageio.ImageIO.write(img, "png", bos),
       "no PNG writer in this JDK")
+    bos.toByteArray
+  }
+
+  /** A decoded video-frame row — one row per frame (`flatMap` shape:
+    * rows multiply by frame count). Integer-exact per-frame features so
+    * uncompressed-video round-trips ride the hash gate; a corrupt /
+    * non-AVI payload yields ONE `ok = false` sentinel row with
+    * `frame_idx = -1`, never an exception.
+    */
+  case class VideoFrame(asset_id: Long, ok: Boolean, frame_idx: Long,
+                        width: Long, height: Long, luma_sum: Long,
+                        peak_luma: Long)
+
+  /** REAL video container demux: a clean-room RIFF/AVI parser (the RIFF
+    * chunk grammar is the same one WAV uses — fourcc + little-endian
+    * size + payload, LIST recursion, word alignment). Frame dimensions
+    * come from the `strf` BITMAPINFOHEADER; frames are the `movi`
+    * `##db`/`##dc` chunks. Two frame codecs:
+    *  - `00db` uncompressed BI_RGB 24-bit (bottom-up rows, 4-byte row
+    *    stride): features are exact integer sums over the raw BGR
+    *    samples (stride padding excluded) — closed-form replayable.
+    *  - `00dc` MJPEG: each frame is a JPEG payload decoded by the
+    *    in-JDK ImageIO codec — the compressed-video path; features are
+    *    exact over the DECODED raster (JPEG loss means they are
+    *    engine-exact but not closed-form, so MJPEG is spec-verified
+    *    rather than oracle-replayed).
+    * Any parse failure (bad magic, truncated chunk, undecodable frame)
+    * → None; [[decodeVideoFrames]] turns that into the sentinel row.
+    */
+  def parseAvi(bytes: Array[Byte])
+      : Option[(Long, Long, Seq[(Long, Long)])] = {
+    // returns (width, height, per-frame (luma_sum, peak)) — parsing and
+    // feature extraction fused so a 100 TB scan never materializes
+    // decoded frames it only needs sums from
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      if (bb.remaining < 12 || bb.getInt() != 0x46464952) return None // "RIFF"
+      bb.getInt() // riff size (trust the chunk walk, not this)
+      if (bb.getInt() != 0x20495641) return None // "AVI "
+      var w = -1L; var h = -1L
+      val frames = Seq.newBuilder[(Long, Long)]
+      def walk(limit: Int): Unit = {
+        while (bb.position() + 8 <= limit) {
+          val fourcc = bb.getInt()
+          val size = bb.getInt()
+          if (size < 0 || bb.position() + size > limit)
+            throw new java.io.IOException("truncated chunk")
+          val next = bb.position() + size + (size & 1) // word-aligned
+          if (fourcc == 0x5453494C) { // "LIST"
+            bb.getInt() // list type (hdrl / strl / movi)
+            walk(bb.position() + size - 4)
+          } else if (fourcc == 0x66727473) { // "strf" → BITMAPINFOHEADER
+            val p = bb.position()
+            if (size >= 40) {
+              w = bb.getInt(p + 4).toLong
+              h = math.abs(bb.getInt(p + 8)).toLong
+            }
+          } else if ((fourcc & 0xFFFF0000) == 0x62640000) { // "##db" raw
+            if (w <= 0 || h <= 0)
+              throw new java.io.IOException("frame before strf dims")
+            val stride = ((3 * w.toInt + 3) / 4) * 4
+            if (size < stride * h)
+              throw new java.io.IOException("short raw frame")
+            var sum = 0L; var peak = 0L
+            var y = 0
+            while (y < h) {
+              val row = bb.position() + y * stride
+              var i = 0
+              val rowBytes = 3 * w.toInt // stride padding excluded
+              while (i < rowBytes) {
+                val v = (bb.get(row + i) & 0xFF).toLong
+                sum += v; if (v > peak) peak = v
+                i += 1
+              }
+              y += 1
+            }
+            frames += ((sum, peak))
+          } else if ((fourcc & 0xFFFF0000) == 0x63640000) { // "##dc" MJPEG
+            val buf = new Array[Byte](size)
+            val p = bb.position()
+            var i = 0
+            while (i < size) { buf(i) = bb.get(p + i); i += 1 }
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(buf))
+            if (img == null)
+              throw new java.io.IOException("undecodable dc frame")
+            val raster = img.getRaster
+            var sum = 0L; var peak = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                var b = 0
+                while (b < raster.getNumBands) {
+                  val v = raster.getSample(x, y, b).toLong
+                  sum += v; if (v > peak) peak = v
+                  b += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            frames += ((sum, peak))
+          }
+          bb.position(next)
+        }
+      }
+      walk(bytes.length)
+      val fs = frames.result()
+      if (w <= 0 || h <= 0 || fs.isEmpty) None else Some((w, h, fs))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Batched REAL video demux+decode over the binary column — the
+    * `flatMap` analogue of [[decodeImages]] (rows multiply by frame
+    * count, each carrying its index so downstream ordering is explicit).
+    */
+  def decodeVideoFrames(assets: DataFrame): Dataset[VideoFrame] = {
+    import assets.sparkSession.implicits._
+    assets.select("asset_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // once per partition
+        it.flatMap { case (id, bytes) =>
+          parseAvi(bytes) match {
+            case Some((w, h, frames)) =>
+              frames.iterator.zipWithIndex.map { case ((sum, peak), f) =>
+                VideoFrame(id, ok = true, f.toLong, w, h, sum, peak)
+              }
+            case None =>
+              Iterator.single(
+                VideoFrame(id, ok = false, -1L, -1L, -1L, 0L, 0L))
+          }
+        }
+      }
+  }
+
+  /** Encode an uncompressed BI_RGB gray AVI from a per-frame pixel
+    * function — the fixture-side counterpart of [[decodeVideoFrames]]
+    * (and a real muxer: the same RIFF layout any AVI writer emits —
+    * hdrl(avih, strl(strh, strf)) + movi of `00db` frames). Gray value
+    * v is stored as (b, g, r) = (v, v, v), bottom-up rows, 4-byte
+    * stride — so a frame's luma_sum is exactly 3 × Σ pix.
+    */
+  def encodeAviRawGray(width: Int, height: Int, nFrames: Int,
+                       pix: (Int, Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames > 0)
+    val stride = ((3 * width + 3) / 4) * 4
+    val frames = (0 until nFrames).map { f =>
+      val buf = new Array[Byte](stride * height)
+      var y = height - 1 // bottom-up storage
+      var off = 0
+      while (y >= 0) {
+        var x = 0
+        while (x < width) {
+          val v = (pix(f, x, y) & 0xFF).toByte
+          buf(off + 3 * x) = v; buf(off + 3 * x + 1) = v
+          buf(off + 3 * x + 2) = v
+          x += 1
+        }
+        off += stride
+        y -= 1
+      }
+      buf
+    }
+    muxAvi(width, height, frames, compressed = false)
+  }
+
+  /** MJPEG variant: each frame is JPEG-encoded by the in-JDK codec and
+    * muxed as a `00dc` chunk — the compressed-video layout
+    * [[decodeVideoFrames]]'s MJPEG path demuxes.
+    */
+  def encodeAviMjpegGray(width: Int, height: Int, nFrames: Int,
+                         pix: (Int, Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames > 0)
+    javax.imageio.ImageIO.setUseCache(false)
+    val frames = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          raster.setSample(x, y, 0, pix(f, x, y) & 0xFF); x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "jpg", bos),
+        "no JPEG writer in this JDK")
+      bos.toByteArray
+    }
+    muxAvi(width, height, frames, compressed = true)
+  }
+
+  /** The shared RIFF/AVI muxer: hdrl(avih, strl(strh, strf)) + movi of
+    * `00db` (raw) or `00dc` (compressed) frame chunks, word-aligned.
+    */
+  private def muxAvi(width: Int, height: Int, frames: Seq[Array[Byte]],
+                     compressed: Boolean): Array[Byte] = {
+    def chunkLen(payload: Int) = 8 + payload + (payload & 1)
+    val hdrlLen = 4 + chunkLen(56) + (8 + 4 + chunkLen(56) + chunkLen(40))
+    val moviLen = 4 + frames.map(f => chunkLen(f.length)).sum
+    val maxFrame = frames.map(_.length).max
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    def le32(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+    }
+    def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); le32(4 + (8 + hdrlLen) + (8 + moviLen)); fourcc("AVI ")
+    fourcc("LIST"); le32(hdrlLen); fourcc("hdrl")
+    fourcc("avih"); le32(56)
+    le32(40000); le32(0); le32(0); le32(0x10) // usec/frame, maxbps, pad, flags
+    le32(frames.size); le32(0); le32(1); le32(maxFrame)
+    le32(width); le32(height); le32(0); le32(0); le32(0); le32(0)
+    fourcc("LIST"); le32(4 + chunkLen(56) + chunkLen(40)); fourcc("strl")
+    fourcc("strh"); le32(56)
+    fourcc("vids"); fourcc(if (compressed) "MJPG" else "DIB ")
+    le32(0); le32(0); le32(0); le32(1); le32(25) // flags, prio, init, scale, rate
+    le32(0); le32(frames.size); le32(maxFrame); le32(-1); le32(0)
+    out.write(new Array[Byte](8)) // rcFrame
+    fourcc("strf"); le32(40)
+    le32(40); le32(width); le32(height) // biSize, biWidth, biHeight
+    out.write(Array[Byte](1, 0)); out.write(Array[Byte](24, 0)) // planes, bpp
+    le32(if (compressed) 0x47504A4D else 0) // biCompression ("MJPG" / BI_RGB)
+    le32(maxFrame); le32(0); le32(0); le32(0); le32(0)
+    fourcc("LIST"); le32(moviLen); fourcc("movi")
+    frames.foreach { fb =>
+      fourcc(if (compressed) "00dc" else "00db"); le32(fb.length)
+      out.write(fb)
+      if ((fb.length & 1) == 1) out.write(0) // word alignment
+    }
+    out.flush()
     bos.toByteArray
   }
 

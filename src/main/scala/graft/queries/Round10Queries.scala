@@ -313,6 +313,66 @@ object Round10Queries {
              |    AS BIGINT) AS peak_abs
              |FROM wv ORDER BY asset_id""".stripMargin)),
 
+    Q("m_video_frames",
+      "REAL video demux — the clean-room RIFF/AVI parser (the engine's " +
+        "last codec stub, retired): per doc an uncompressed BI_RGB AVI " +
+        "(1–4 frames, dims and pixels closed-form in doc_id, muxed by " +
+        "the real muxAvi layout) is demuxed by " +
+        "Multimodal.decodeVideoFrames — chunk walk, LIST recursion, " +
+        "strf dims, bottom-up 4-byte-stride frame extraction — into one " +
+        "row PER FRAME with integer-exact luma features (gray stored as " +
+        "b=g=r ⇒ luma_sum = 3·Σpix), so the container round-trip rides " +
+        "the exact-hash gate. Docs with doc_id % 50 = 0 carry a corrupt " +
+        "payload → one ok=false sentinel row, never a failed stage. " +
+        "(The MJPEG path — 00dc frames through the in-JDK JPEG codec — " +
+        "is spec-verified: JPEG loss makes it engine-exact but not " +
+        "closed-form.)",
+      (s, d) => {
+        import s.implicits._
+        val assets = Tables.documents(s, d).select($"doc_id").as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
+          .map { id =>
+            val payload =
+              if (id % 50 == 0) s"not a video $id".getBytes("UTF-8")
+              else {
+                val w = 6 + (id % 12).toInt
+                val h = 6 + ((id / 12) % 12).toInt
+                val nf = 1 + (id % 4).toInt
+                Multimodal.encodeAviRawGray(w, h, nf, (f, x, y) =>
+                  ((7 * x + 13 * y + 31 * f + id) % 256).toInt)
+              }
+            (id, payload)
+          }.toDF("asset_id", "payload")
+        Multimodal.decodeVideoFrames(assets).toDF()
+          .orderBy($"asset_id", $"frame_idx")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, (doc_id % 50 <> 0) AS ok,
+             |    6 + (doc_id % 12) AS w,
+             |    6 + ((doc_id // 12) % 12) AS h,
+             |    1 + (doc_id % 4) AS nf
+             |  FROM documents),
+             |fr AS (
+             |  SELECT doc_id, w, h, unnest(range(nf)) AS f
+             |  FROM g WHERE ok),
+             |px AS (
+             |  SELECT doc_id, w, h, f,
+             |    flatten(list_transform(range(h), y ->
+             |      list_transform(range(w),
+             |        x -> (7*x + 13*y + 31*f + doc_id) % 256))) AS ps
+             |  FROM fr)
+             |SELECT doc_id AS asset_id, TRUE AS ok, f AS frame_idx,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(3 * list_sum(ps) AS BIGINT) AS luma_sum,
+             |  CAST(list_max(ps) AS BIGINT) AS peak_luma
+             |FROM px
+             |UNION ALL
+             |SELECT doc_id, FALSE, CAST(-1 AS BIGINT),
+             |  CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+             |FROM g WHERE NOT ok
+             |ORDER BY asset_id, frame_idx""".stripMargin)),
+
     Q("e_knn_ivf_recenter",
       "IVF index lifecycle, closed — the recenter/compact half that " +
         "e_knn_ivf_append's frozen-centroid appends eventually need " +

@@ -59,6 +59,44 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(!out(1).ok && out(1).payload.isEmpty)
   }
 
+  test("multimodal: real AVI demux — raw frames round-trip exactly") {
+    // 2 frames of 5×3 (stride 16 ≠ 3w=15: padding must be excluded)
+    val pix = (f: Int, x: Int, y: Int) => 10 * x + y + 100 * f
+    val avi = Multimodal.encodeAviRawGray(5, 3, 2, pix)
+    val assets = Seq((1L, avi), (2L, "not a video".getBytes("UTF-8")))
+      .toDF("asset_id", "payload")
+    val out = Multimodal.decodeVideoFrames(assets)
+      .collect().sortBy(f => (f.asset_id, f.frame_idx))
+    val good = out.filter(_.asset_id == 1L)
+    assert(good.length == 2 && good.forall(_.ok))
+    assert(good.map(_.frame_idx).toSeq == Seq(0L, 1L))
+    assert(good.forall(f => f.width == 5 && f.height == 3))
+    val expSum = (f: Int) => 3L * (for (y <- 0 until 3; x <- 0 until 5)
+      yield (pix(f, x, y) & 0xFF).toLong).sum
+    assert(good.map(_.luma_sum).toSeq == Seq(expSum(0), expSum(1)))
+    assert(good.head.peak_luma == 42L) // pix(0,4,2) = 42
+    // corrupt input → single sentinel row, not an exception
+    val bad = out.filter(_.asset_id == 2L)
+    assert(bad.length == 1 && !bad.head.ok && bad.head.frame_idx == -1L)
+  }
+
+  test("multimodal: AVI/MJPEG — compressed frames decode via ImageIO") {
+    // flat-gray frames survive JPEG exactly enough to pin tight bounds
+    val avi = Multimodal.encodeAviMjpegGray(16, 8, 3, (f, _, _) => 60 + f)
+    val assets = Seq((7L, avi)).toDF("asset_id", "payload")
+    val out = Multimodal.decodeVideoFrames(assets)
+      .collect().sortBy(_.frame_idx)
+    assert(out.length == 3 && out.forall(_.ok))
+    assert(out.forall(f => f.width == 16 && f.height == 8))
+    // a constant-color JPEG decodes near-exactly: mean within ±2 of the
+    // encoded value (lossy, so no exact equality — bounds only)
+    out.zipWithIndex.foreach { case (f, i) =>
+      val mean = f.luma_sum.toDouble / (16 * 8)
+      assert(math.abs(mean - (60 + i)) <= 2.0,
+        s"frame $i mean $mean vs ${60 + i}")
+    }
+  }
+
   test("multimodal: real audio codec — PCM16 WAV round-trips exactly") {
     val samples = Array[Short](0, 1000, -1000, 32767, -32768, 17)
     val wav = Multimodal.encodePcm16Wav(8000, samples)

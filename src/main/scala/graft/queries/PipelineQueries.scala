@@ -252,8 +252,9 @@ object PipelineQueries {
 
     Q("m_multimodal_meta",
       "Multimodal: binary-column plumbing — payload bytes + typed " +
-        "metadata; byte length oracle-checked, stub decode exercised in " +
-        "ScalaTest.",
+        "metadata; byte length oracle-checked. (The codec tier above " +
+        "this plumbing is real and separately gated: m_image_decode / " +
+        "m_image_resize / m_audio_decode / m_video_frames.)",
       (s, d) => {
         import s.implicits._
         Multimodal.asBinaryAssets(Tables.documents(s, d), "doc_id", "text")

@@ -35,7 +35,9 @@ object ScaleProbe {
     "e_knn_pq_rerank", "d_semdedup_auto", "curate_span_scrub",
     "p_shard_export", "e_knn_ivf_append", "agg_sketch_merge",
     "m_image_decode", "e_knn_ivf_recenter", "m_image_resize",
-    "m_audio_decode", "m_video_frames")
+    "m_audio_decode", "m_video_frames",
+    "m_phash_neardup", "m_audio_resample", "curate_url_canon",
+    "d_containment")
 
   /** SPARK_GRAFT_PROBES=a,b restricts the probe set (iteration aid;
     * guard runs ignore it so the tripwire always covers everything). */

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{ExtendedQueries, PipelineQueries, Q, Round4Queries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, Round9Queries, Round10Queries, StarQueries}
+import graft.queries.{ExtendedQueries, PipelineQueries, Q, Round4Queries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, Round9Queries, Round10Queries, Round10bQueries, StarQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,7 +17,7 @@ object SparkEntry {
     val all = StarQueries.all ++ PipelineQueries.all ++
       ExtendedQueries.all ++ Round4Queries.all ++ Round5Queries.all ++
       Round6Queries.all ++ Round7Queries.all ++ Round8Queries.all ++
-      Round9Queries.all ++ Round10Queries.all
+      Round9Queries.all ++ Round10Queries.all ++ Round10bQueries.all
     val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(",")}")
     all
@@ -73,7 +73,10 @@ object SparkEntry {
     // r10-new: same capped-from-birth policy
     "m_image_decode", "e_knn_ivf_recenter", "stream_ivf_append",
     "m_image_resize", "m_audio_decode", "stream_image_ingest",
-    "m_video_frames")
+    "m_video_frames",
+    // r10 second wave: same capped-from-birth policy
+    "m_phash_neardup", "m_audio_resample", "curate_url_canon",
+    "d_containment")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

@@ -518,6 +518,136 @@ object Multimodal {
       }
   }
 
+  /** A perceptual-hash row: `phash` is the 63-bit difference hash
+    * ([[dHash63]]) of the decoded image, `ok = false` marks payloads the
+    * codec could not decode (excluded from near-dup candidate gen, never
+    * a failed stage).
+    */
+  case class PHash(asset_id: Long, ok: Boolean, phash: Long)
+
+  /** 63-bit difference hash (dHash) over the DECODED raster: the image is
+    * nearest-neighbor-sampled to an 8×9 grid with exact integer
+    * arithmetic (grid (gx, gy) reads source (gx·w ∕ 8, gy·h ∕ 9), floor
+    * division — the same sampling rule as [[resizeGrayNN]], so the hash
+    * replays in closed form when the pixels do), and bit gy·7+gx is set
+    * iff grid(gx+1, gy) > grid(gx, gy) — 7 comparisons × 9 rows = 63
+    * bits, deliberately one short of 64 so the packed hash is a
+    * NON-NEGATIVE long on every engine (no sign-bit portability edge).
+    * dHash is invariant to any monotone brightness shift (comparisons
+    * only), and a single-pixel change flips at most 2 bits — the
+    * properties that make Hamming-banded near-dup search work. Sampling
+    * uses raster band 0 (exact for gray; a documented luma choice for
+    * RGB). Undecodable payloads → None.
+    */
+  def dHash63(bytes: Array[Byte]): Option[Long] = {
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val r = img.getRaster
+        val w = img.getWidth; val h = img.getHeight
+        var hash = 0L
+        var gy = 0
+        while (gy < 9) {
+          val sy = gy * h / 9
+          var prev = r.getSample(0, sy, 0)
+          var gx = 0
+          while (gx < 7) {
+            val cur = r.getSample((gx + 1) * w / 8, sy, 0)
+            if (cur > prev) hash |= 1L << (gy * 7 + gx)
+            prev = cur
+            gx += 1
+          }
+          gy += 1
+        }
+        Some(hash)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Batched REAL perceptual hashing over the binary column — same
+    * `mapPartitions` batch shape as [[decodeImages]]. One decode per
+    * payload produces the 63-bit signature; downstream near-dup search
+    * touches only (id, phash) — 16 bytes per asset, not the image.
+    */
+  def dHashImages(assets: DataFrame): Dataset[PHash] = {
+    import assets.sparkSession.implicits._
+    assets.select("asset_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // once per partition
+        it.map { case (id, bytes) =>
+          dHash63(bytes) match {
+            case Some(ph) => PHash(id, ok = true, ph)
+            case None => PHash(id, ok = false, 0L)
+          }
+        }
+      }
+  }
+
+  /** A resampled-audio payload row: `ok = false` (empty payload) marks
+    * inputs the codec could not decode or that are not 16-bit mono PCM —
+    * sentinel rows, never a failed stage.
+    */
+  case class ResampledAudio(asset_id: Long, ok: Boolean,
+                            payload: Array[Byte])
+
+  /** Integer-factor decimation of a 16-bit mono PCM payload through the
+    * REAL codec both ways: decode (container parse, [[openAudio]]), keep
+    * every `factor`-th sample (phase 0 — the closed-form-replayable
+    * decimation; a production resampler would low-pass first, a kernel
+    * that plugs into the same loop), re-encode at `outRate` via the same
+    * `AudioSystem.write` WAVE path as [[encodePcm16Wav]]. Non-PCM16 /
+    * multi-channel / undecodable payloads → None.
+    */
+  def decimatePcm16Mono(bytes: Array[Byte], factor: Int,
+                        outRate: Int): Option[Array[Byte]] = {
+    require(factor > 0 && outRate > 0)
+    try {
+      val ais = openAudio(bytes)
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+        else {
+          val raw = ais.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(raw).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = raw.length / 2
+          val out = new Array[Short]((n + factor - 1) / factor)
+          var j = 0
+          while (j < out.length) {
+            out(j) = bb.getShort(2 * j * factor)
+            j += 1
+          }
+          Some(encodePcm16Wav(outRate, out))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Batched REAL audio resample over the binary column — payload in,
+    * payload out, same `mapPartitions` batch shape as [[decodeAudio]].
+    * Compose with [[decodeAudio]] downstream to verify the decimated
+    * waveform: the full decode → decimate → re-encode → decode chain.
+    */
+  def resampleAudio(assets: DataFrame, factor: Int,
+                    outRate: Int): Dataset[ResampledAudio] = {
+    import assets.sparkSession.implicits._
+    assets.select("asset_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decimatePcm16Mono(bytes, factor, outRate) match {
+          case Some(p) => ResampledAudio(id, ok = true, p)
+          case None => ResampledAudio(id, ok = false, Array.emptyByteArray)
+        }
+      })
+  }
+
   /** A decoded-audio feature row — every field integer-exact (PCM
     * samples ARE integers) so the row is oracle-verifiable when the
     * waveform is derived from table data. `n_samples` counts frames

@@ -1,0 +1,413 @@
+package graft.queries
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Round-10 second wave: the multimodal DEDUP bridge (perceptual-hash
+  * near-dup over real decoded images — the image analogue of
+  * SimHash-Hamming), audio resampling through the real codec, and two
+  * web-pipeline curation ops (URL canonicalization dedup, n-gram
+  * containment via a df-capped inverted index).
+  */
+object Round10bQueries {
+
+  /** Deterministic near-dup image fleet for `m_phash_neardup`: docs in
+    * the same family (doc_id ∕ 4) share one non-linear base pattern;
+    * member m = doc_id % 4 adds a +10·m brightness shift (dHash
+    * comparisons are invariant to it) and member m = 1 additionally
+    * bumps ONE sampled source pixel by +40 (flips ≤ 2 hash bits) — so
+    * within-family pairs are planted near-dups at Hamming ≤ 2 while
+    * cross-family grids differ in ~half their bits. Pixel values stay
+    * ≤ 180+30+40 < 256: no mod-256 wrap, so the brightness shift is
+    * strictly monotone and the invariance argument is exact. Docs with
+    * doc_id % 50 = 0 carry a corrupt payload (hashers must sentinel).
+    */
+  private def phashAssets(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    // id-only repartition before the encode map: codec work on all
+    // cores, not the scan's single input partition (same rationale as
+    // Round10Queries.imageAssets)
+    Tables.documents(s, d).select($"doc_id").as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .map { id =>
+        val m = (id % 4).toInt
+        val seed = (((id / 4) * 2654435761L) % 1048576L).toInt
+        val w = 12 + (seed % 8); val h = 12 + ((seed / 8) % 8)
+        val px = 3 * w / 8; val py = 4 * h / 9 // the one perturbed pixel
+        val payload =
+          if (id % 50 == 0) s"not an image $id".getBytes("UTF-8")
+          else Multimodal.encodeGrayPng(w, h, (x, y) =>
+            ((x * 7 + y * 13 + seed) * (x + y + 3)) % 181 + 10 * m +
+              (if (m == 1 && x == px && y == py) 40 else 0))
+        (id, payload)
+      }.toDF("asset_id", "payload")
+  }
+
+  def all: Seq[Q] = Seq(
+
+    Q("m_phash_neardup",
+      "MULTIMODAL DEDUP — perceptual-hash near-dup over REAL decoded " +
+        "images: the planted near-dup PNG fleet is decoded by the in-JDK " +
+        "codec and difference-hashed (Multimodal.dHash63: 8×9 " +
+        "integer-exact NN grid over the raster, 63 comparison bits — " +
+        "brightness-invariant, single-pixel changes flip ≤ 2 bits), then " +
+        "near-dup pairs are found WITHOUT a quadratic scan: 3 × 21-bit " +
+        "Hamming bands bucket the candidates (pigeonhole: distance ≤ 2 " +
+        "⇒ some band equal — recall-exact at the threshold), and only " +
+        "in-bucket pairs pay the bit_count(xor) verify. Signatures are " +
+        "hashed ONCE (localCheckpoint) and reused by band-explode and " +
+        "both verify sides — at 100 TB the images never travel, 16 " +
+        "bytes/asset do. Corrupt payloads sentinel out of candidate gen. " +
+        "The oracle replays grid, hash, bands, and verify in closed form " +
+        "from the same pixel arithmetic, so the REAL codec round-trip " +
+        "rides the exact-hash gate.",
+      (s, d) => {
+        import s.implicits._
+        // hash once; the 16-byte signatures then serve band-explode and
+        // both verify joins without re-decoding the images
+        val ph = Multimodal.dHashImages(phashAssets(s, d)).toDF()
+          .filter($"ok").select($"asset_id", $"phash")
+          .localCheckpoint()
+        val bands = ph.select($"asset_id", posexplode(array(
+            (0 until 3).map(b => shiftright($"phash", b * 21)
+              .bitwiseAND(lit(0x1FFFFFL))): _*)))
+          .toDF("asset_id", "band", "bits")
+          .repartition($"band", $"bits")
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.bits") === col("b.bits") &&
+              col("a.asset_id") < col("b.asset_id"))
+          .select(col("a.asset_id").as("a_id"),
+            col("b.asset_id").as("b_id"))
+          .distinct()
+        cand.join(ph.select($"asset_id".as("a_id"), $"phash".as("ph_a")),
+            "a_id")
+          .join(ph.select($"asset_id".as("b_id"), $"phash".as("ph_b")),
+            "b_id")
+          .withColumn("hamming",
+            bit_count($"ph_a".bitwiseXOR($"ph_b")).cast("long"))
+          .filter($"hamming" <= 2)
+          .select($"a_id", $"b_id", $"hamming")
+          .orderBy($"a_id", $"b_id")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, (doc_id % 4) AS m,
+             |    12 + ((((doc_id // 4) * 2654435761) % 1048576) % 8) AS w,
+             |    12 + (((((doc_id // 4) * 2654435761) % 1048576) // 8) % 8)
+             |      AS h,
+             |    ((doc_id // 4) * 2654435761) % 1048576 AS seed
+             |  FROM documents WHERE doc_id % 50 <> 0),
+             |grid AS (
+             |  SELECT doc_id,
+             |    flatten(list_transform(range(9), gy ->
+             |      list_transform(range(8), gx ->
+             |        (((gx*w//8)*7 + (gy*h//9)*13 + seed)
+             |           * ((gx*w//8) + (gy*h//9) + 3)) % 181 + 10*m
+             |        + CASE WHEN m = 1 AND (gx*w//8) = (3*w//8)
+             |                 AND (gy*h//9) = (4*h//9)
+             |               THEN 40 ELSE 0 END))) AS gs
+             |  FROM dims),
+             |ph AS (
+             |  SELECT doc_id,
+             |    CAST(list_sum(flatten(list_transform(range(9), gy ->
+             |      list_transform(range(7), gx ->
+             |        CASE WHEN gs[gy*8 + gx + 2] > gs[gy*8 + gx + 1]
+             |             THEN (CAST(1 AS BIGINT) << (gy*7 + gx))
+             |             ELSE CAST(0 AS BIGINT) END)))) AS BIGINT)
+             |      AS phash
+             |  FROM grid),
+             |bands AS (
+             |  SELECT doc_id, b,
+             |    (phash >> CAST(21*b AS INTEGER)) & 2097151 AS bits
+             |  FROM ph, (SELECT unnest(range(3)) AS b)),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM bands a JOIN bands b ON a.b = b.b AND a.bits = b.bits
+             |    AND a.doc_id < b.doc_id)
+             |SELECT c.a_id, c.b_id,
+             |  CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT)
+             |    AS hamming
+             |FROM cand c JOIN ph pa ON pa.doc_id = c.a_id
+             |  JOIN ph pb ON pb.doc_id = c.b_id
+             |WHERE bit_count(xor(pa.phash, pb.phash)) <= 2
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    Q("m_audio_resample",
+      "REAL audio resample — integer-factor decimation through the " +
+        "in-JDK codec BOTH ways: the m_audio_decode WAV fleet is " +
+        "decoded (container parse, PCM16 sniff), every 4th sample kept " +
+        "(phase 0 — exact integer decimation; a production low-pass " +
+        "kernel plugs into the same loop), re-encoded at 2 kHz by the " +
+        "production AudioSystem.write WAVE path, then decoded AGAIN for " +
+        "features — the full decode → decimate → re-encode → decode " +
+        "chain on every core. Corrupt payloads sentinel through both " +
+        "stages. The oracle replays the decimated waveform in closed " +
+        "form (sample j = waveform[4j]), so the chain rides the " +
+        "exact-hash gate.",
+      (s, d) => {
+        import s.implicits._
+        val assets = Tables.documents(s, d).select($"doc_id").as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
+          .map { id =>
+            val payload =
+              if (id % 50 == 0) s"not audio $id".getBytes("UTF-8")
+              else {
+                val n = 64 + (id % 192).toInt
+                Multimodal.encodePcm16Wav(8000, Array.tabulate(n)(i =>
+                  ((31 * id + 17 * i) % 2001 - 1000).toShort))
+              }
+            (id, payload)
+          }.toDF("asset_id", "payload")
+        val rs = Multimodal.resampleAudio(assets, factor = 4,
+            outRate = 2000).toDF()
+          .select($"asset_id", $"payload")
+        Multimodal.decodeAudio(rs).toDF().orderBy($"asset_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, (doc_id % 50 <> 0) AS ok,
+             |    (64 + (doc_id % 192) + 3) // 4 AS n2
+             |  FROM documents),
+             |wv AS (
+             |  SELECT doc_id, ok, n2,
+             |    list_transform(range(n2),
+             |      j -> (31*doc_id + 17*(4*j)) % 2001 - 1000) AS ss
+             |  FROM g)
+             |SELECT doc_id AS asset_id, ok,
+             |  CASE WHEN ok THEN 'pcm_signed' ELSE '' END AS encoding,
+             |  CAST(CASE WHEN ok THEN 1 ELSE 0 END AS BIGINT) AS channels,
+             |  CAST(CASE WHEN ok THEN 2000 ELSE 0 END AS BIGINT)
+             |    AS sample_rate,
+             |  CAST(CASE WHEN ok THEN n2 ELSE 0 END AS BIGINT)
+             |    AS n_samples,
+             |  CAST(CASE WHEN ok THEN list_sum(ss) ELSE 0 END AS BIGINT)
+             |    AS sum_sample,
+             |  CAST(CASE WHEN ok THEN
+             |    list_sum(list_transform(ss, x -> abs(x))) ELSE 0 END
+             |    AS BIGINT) AS sum_abs,
+             |  CAST(CASE WHEN ok THEN
+             |    list_max(list_transform(ss, x -> abs(x))) ELSE 0 END
+             |    AS BIGINT) AS peak_abs
+             |FROM wv ORDER BY asset_id""".stripMargin)),
+
+    Q("curate_url_canon",
+      "Web-pipeline URL canonicalization + dedup (the CCNet/RefinedWeb " +
+        "URL-dedup stage): deterministic messy URLs are synthesized from " +
+        "table data (mixed-case scheme/host, default :443 port, doubled " +
+        "slashes, trailing slash, utm_*/fbclid tracking params, " +
+        "fragments), canonicalized with one codegen'd projection — " +
+        "scheme+host lowercased, default port stripped, path slashes " +
+        "collapsed and trailing slash dropped, tracking params removed " +
+        "and the surviving query params SORTED, fragment stripped — and " +
+        "deduplicated by canonical form (n_docs per group, min doc_id " +
+        "kept). Pure string functions, no UDF: the whole map side is " +
+        "WholeStageCodegen and the only shuffle is the final dedup " +
+        "groupBy. The oracle replays synthesis and every canonicalization " +
+        "rule in SQL.",
+      (s, d) => {
+        import s.implicits._
+        val raw = Tables.documents(s, d).select($"doc_id", concat(
+          when($"doc_id" % 2 === 0, "HTTPS").otherwise("https"),
+          lit("://"),
+          when($"doc_id" % 3 === 0, "WWW.").otherwise("www."),
+          $"source", lit(".Example.COM"),
+          when($"doc_id" % 5 === 0, ":443").otherwise(""),
+          lit("/Articles//"),
+          floor($"doc_id" / 40).cast("long").cast("string"),
+          when($"doc_id" % 2 === 0, "/").otherwise(""),
+          lit("?utm_source=feed&ref="),
+          ($"doc_id" % 2).cast("string"),
+          lit("&utm_campaign=x"),
+          when($"doc_id" % 4 === 0, "&fbclid=abc").otherwise(""),
+          lit("#sec"), ($"doc_id" % 5).cast("string")).as("url"))
+        def sp(c: org.apache.spark.sql.Column, delim: String, n: Int) =
+          split_part(c, lit(delim), lit(n))
+        val nofrag = regexp_replace($"url", "#.*$", "")
+        val parsed = raw.select($"doc_id",
+          sp(nofrag, "?", 1).as("base"),
+          sp(nofrag, "?", 2).as("query"))
+        val rest = sp($"base", "://", 2)
+        val hp = parsed.select($"doc_id", $"query",
+          lower(sp($"base", "://", 1)).as("scheme"),
+          sp(rest, "/", 1).as("hostport"),
+          rest.substr(length(sp(rest, "/", 1)) + 1,
+            lit(1000000)).as("path"))
+        val port = sp($"hostport", ":", 2)
+        val cleanPath = regexp_replace(
+          regexp_replace($"path", "/{2,}", "/"), "/$", "")
+        val keptQ = array_join(array_sort(filter(split($"query", "&"),
+          p => !(startswith(p, lit("utm_")) ||
+            startswith(p, lit("fbclid=")) ||
+            startswith(p, lit("gclid="))))), "&")
+        hp.select($"doc_id", concat(
+            $"scheme", lit("://"),
+            lower(sp($"hostport", ":", 1)),
+            when(port === "" ||
+              ($"scheme" === "https" && port === "443") ||
+              ($"scheme" === "http" && port === "80"), "")
+              .otherwise(concat(lit(":"), port)),
+            when(cleanPath === "", "/").otherwise(cleanPath),
+            when(keptQ === "", "").otherwise(concat(lit("?"), keptQ)))
+            .as("canon_url"))
+          .groupBy($"canon_url")
+          .agg(count(lit(1)).as("n_docs"),
+            min($"doc_id").as("keep_doc"))
+          .orderBy($"canon_url")
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id,
+             |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END
+             |     || '://' ||
+             |     CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END
+             |     || source || '.Example.COM' ||
+             |     CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+             |     '/Articles//' || CAST(doc_id // 40 AS VARCHAR) ||
+             |     CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+             |     '?utm_source=feed&ref=' ||
+             |     CAST(doc_id % 2 AS VARCHAR) || '&utm_campaign=x' ||
+             |     CASE WHEN doc_id % 4 = 0 THEN '&fbclid=abc' ELSE '' END
+             |     || '#sec' || CAST(doc_id % 5 AS VARCHAR)) AS url
+             |  FROM documents),
+             |pq AS (
+             |  SELECT doc_id,
+             |    split_part(regexp_replace(url, '#.*$', ''), '?', 1)
+             |      AS base,
+             |    split_part(regexp_replace(url, '#.*$', ''), '?', 2)
+             |      AS query
+             |  FROM raw),
+             |hp AS (
+             |  SELECT doc_id, query,
+             |    lower(split_part(base, '://', 1)) AS scheme,
+             |    split_part(split_part(base, '://', 2), '/', 1)
+             |      AS hostport,
+             |    substr(split_part(base, '://', 2),
+             |      len(split_part(split_part(base, '://', 2), '/', 1)) + 1)
+             |      AS path
+             |  FROM pq),
+             |canon AS (
+             |  SELECT doc_id,
+             |    scheme || '://' ||
+             |    lower(split_part(hostport, ':', 1)) ||
+             |    CASE WHEN split_part(hostport, ':', 2) = ''
+             |           OR (scheme = 'https'
+             |               AND split_part(hostport, ':', 2) = '443')
+             |           OR (scheme = 'http'
+             |               AND split_part(hostport, ':', 2) = '80')
+             |         THEN '' ELSE ':' || split_part(hostport, ':', 2)
+             |         END ||
+             |    CASE WHEN regexp_replace(regexp_replace(path,
+             |             '/{2,}', '/', 'g'), '/$', '') = ''
+             |         THEN '/'
+             |         ELSE regexp_replace(regexp_replace(path,
+             |             '/{2,}', '/', 'g'), '/$', '') END ||
+             |    CASE WHEN array_to_string(list_sort(list_filter(
+             |             string_split(query, '&'),
+             |             p -> NOT (starts_with(p, 'utm_')
+             |               OR starts_with(p, 'fbclid=')
+             |               OR starts_with(p, 'gclid=')))), '&') = ''
+             |         THEN ''
+             |         ELSE '?' || array_to_string(list_sort(list_filter(
+             |             string_split(query, '&'),
+             |             p -> NOT (starts_with(p, 'utm_')
+             |               OR starts_with(p, 'fbclid=')
+             |               OR starts_with(p, 'gclid=')))), '&') END
+             |      AS canon_url
+             |  FROM hp)
+             |SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(min(doc_id) AS BIGINT) AS keep_doc
+             |FROM canon GROUP BY canon_url ORDER BY canon_url""".stripMargin)),
+
+    Q("d_containment",
+      "Dedup: n-gram CONTAINMENT — the asymmetric overlap metric " +
+        "(|A∩B| ∕ |A|) that catches quotes and subset-duplicates Jaccard " +
+        "misses (a short doc fully contained in a long one has low " +
+        "Jaccard but containment 1). Candidate generation is an " +
+        "INVERTED 3-gram-shingle INDEX, not a quadratic scan: shingles " +
+        "explode once (tokenize-once, localCheckpoint), shingles above " +
+        "document-frequency 50 are dropped (the df-cap that bounds the " +
+        "per-shingle join fan-out at web scale — applied identically by " +
+        "the oracle so the gate stays exact), and shared-shingle counts " +
+        "come from one shuffle-join + count aggregation. Pairs are kept " +
+        "both directions when containment ≥ 0.5, reported as exact " +
+        "integers (n_inter, n_a) — no float thresholds.",
+      (s, d) => {
+        import s.implicits._
+        // ONE typed pass: tokenize once, slide once (the transform +
+        // element_at expression form re-splits the text per shingle —
+        // interpreted HOF, O(tokens²) per doc, the round-1 pitfall;
+        // measured 18 s vs ~1 s at sf0.1). split(" ", -1) keeps
+        // trailing empties, mirroring the oracle's string_split.
+        val t = Tables.documents(s, d).select($"doc_id", $"text")
+          // the sf tables arrive as one parquet file → one partition;
+          // spread tokenization across every core first
+          .repartition(s.sparkContext.defaultParallelism)
+          .as[(Long, String)]
+          .mapPartitions(_.flatMap { case (id, text) =>
+            val toks = text.split(" ", -1)
+            if (toks.length < 3) Iterator.empty
+            else Iterator.single(
+              (id, toks.sliding(3).map(_.mkString(" ")).toArray.distinct))
+          }).toDF("doc_id", "sh")
+          .localCheckpoint()
+        // inverted index in ONE aggregation: postings group per shingle
+        // (the df-cap is a filter on the grouped list — no separate
+        // df-count join), then co-occurring doc pairs are generated
+        // in-group as UNORDERED pairs — half the pair-shuffle volume —
+        // and mirrored after the count (n_inter is symmetric). vs the
+        // ex⋈ex self-join formulation: one string shuffle instead of
+        // two SMJ sorts, measured 5.7 → ~2.5 s at sf0.1.
+        val ex = t.select($"doc_id", explode($"sh").as("s"))
+        val up = ex.groupBy($"s").agg(collect_list($"doc_id").as("ids"))
+          .filter(size($"ids") <= 50)
+          .select($"ids").as[Seq[Long]]
+          .flatMap { ids =>
+            val a = ids.toArray
+            val buf = Seq.newBuilder[(Long, Long)]
+            var i = 0
+            while (i < a.length) {
+              var j = i + 1
+              while (j < a.length) {
+                buf += (if (a(i) < a(j)) (a(i), a(j)) else (a(j), a(i)))
+                j += 1
+              }
+              i += 1
+            }
+            buf.result()
+          }.toDF("lo", "hi")
+          .groupBy($"lo", $"hi").agg(count(lit(1)).as("n_inter"))
+        val shared = up.select($"lo".as("a_id"), $"hi".as("b_id"),
+            $"n_inter")
+          .union(up.select($"hi".as("a_id"), $"lo".as("b_id"),
+            $"n_inter"))
+        shared.join(t.select($"doc_id".as("a_id"),
+            size($"sh").cast("long").as("n_a")), "a_id")
+          .filter($"n_inter" * 2 >= $"n_a")
+          .select($"a_id", $"b_id", $"n_inter", $"n_a")
+          .orderBy($"a_id", $"b_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(
+             |      range(len(string_split(text, ' ')) - 2),
+             |      i -> string_split(text, ' ')[i+1] || ' ' ||
+             |           string_split(text, ' ')[i+2] || ' ' ||
+             |           string_split(text, ' ')[i+3])) AS sh
+             |  FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 3),
+             |ex AS (SELECT doc_id, unnest(sh) AS s FROM t),
+             |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 50),
+             |ex2 AS (SELECT ex.doc_id, ex.s FROM ex JOIN keep USING (s)),
+             |shared AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    CAST(count(*) AS BIGINT) AS n_inter
+             |  FROM ex2 a JOIN ex2 b
+             |    ON a.s = b.s AND a.doc_id <> b.doc_id
+             |  GROUP BY 1, 2),
+             |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_a FROM t)
+             |SELECT shared.a_id, shared.b_id, shared.n_inter, sz.n_a
+             |FROM shared JOIN sz ON sz.doc_id = shared.a_id
+             |WHERE 2 * shared.n_inter >= sz.n_a
+             |ORDER BY a_id, b_id""".stripMargin)),
+  )
+}

@@ -1,0 +1,110 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 second wave: dHash perceptual hashing (brightness
+  * invariance, bounded bit flips, sentinel on corrupt payloads) and
+  * integer-factor audio decimation through the real codec both ways.
+  */
+class Round10bOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def png(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] =
+    Multimodal.encodeGrayPng(w, h, pix)
+
+  test("dHash63 is non-negative and deterministic") {
+    val p = png(20, 15, (x, y) => (x * 31 + y * 7) % 200)
+    val h1 = Multimodal.dHash63(p)
+    val h2 = Multimodal.dHash63(p)
+    assert(h1.isDefined && h1 == h2)
+    assert(h1.get >= 0L, "63-bit hash must never set the sign bit")
+  }
+
+  test("dHash63 is invariant under a uniform brightness shift") {
+    // +40 with no mod-256 wrap: every comparison is preserved
+    val base = png(16, 14, (x, y) => (x * 13 + y * 29) % 200)
+    val brighter = png(16, 14, (x, y) => (x * 13 + y * 29) % 200 + 40)
+    assert(Multimodal.dHash63(base) == Multimodal.dHash63(brighter))
+  }
+
+  test("single-pixel change flips at most 2 bits") {
+    def pix(x: Int, y: Int) = (x * 13 + y * 29) % 200
+    val w = 16; val h = 18
+    val a = Multimodal.dHash63(png(w, h, pix)).get
+    // perturb the source pixel grid cell (3, 4) samples
+    val px = 3 * w / 8; val py = 4 * h / 9
+    val b = Multimodal.dHash63(png(w, h,
+      (x, y) => pix(x, y) + (if (x == px && y == py) 50 else 0))).get
+    assert(java.lang.Long.bitCount(a ^ b) <= 2)
+  }
+
+  test("dHash63 distinguishes unrelated non-linear patterns") {
+    val a = Multimodal.dHash63(png(16, 16,
+      (x, y) => ((x * 7 + y * 13 + 5) * (x + y + 3)) % 181)).get
+    val b = Multimodal.dHash63(png(16, 16,
+      (x, y) => ((x * 7 + y * 13 + 99991) * (x + y + 3)) % 181)).get
+    assert(java.lang.Long.bitCount(a ^ b) > 8,
+      s"unrelated patterns too close: ${java.lang.Long.bitCount(a ^ b)}")
+  }
+
+  test("dHash63 sentinels on corrupt payloads") {
+    assert(Multimodal.dHash63("not an image".getBytes).isEmpty)
+    assert(Multimodal.dHash63(Array.emptyByteArray).isEmpty)
+  }
+
+  test("dHashImages: distributed hashing keeps one row per asset") {
+    val rows = (0L until 12L).map { id =>
+      val payload =
+        if (id % 4 == 0) s"junk$id".getBytes
+        else png(12, 12, (x, y) => (x + 3 * y + id.toInt * 17) % 200)
+      (id, payload)
+    }
+    val out = Multimodal.dHashImages(
+      rows.toDF("asset_id", "payload").repartition(3)).collect()
+    assert(out.length == 12)
+    assert(out.count(!_.ok) == 3)
+    assert(out.filter(_.ok).forall(_.phash >= 0L))
+  }
+
+  test("decimatePcm16Mono keeps every 4th sample through the real codec") {
+    val samples = Array.tabulate(23)(i => ((i * 997) % 2001 - 1000).toShort)
+    val wav = Multimodal.encodePcm16Wav(8000, samples)
+    val out = Multimodal.decimatePcm16Mono(wav, factor = 4, outRate = 2000)
+    assert(out.isDefined)
+    val m = Multimodal.decodeAudioMeta(1L, out.get)
+    assert(m.ok && m.sample_rate == 2000L && m.channels == 1L)
+    val expect = samples.indices.filter(_ % 4 == 0).map(samples(_).toLong)
+    assert(m.n_samples == expect.length.toLong) // ceil(23/4) = 6
+    assert(m.sum_sample == expect.sum)
+    assert(m.peak_abs == expect.map(math.abs).max)
+  }
+
+  test("decimatePcm16Mono rejects corrupt and non-mono payloads") {
+    assert(Multimodal.decimatePcm16Mono("junk".getBytes, 4, 2000).isEmpty)
+    // stereo 16-bit PCM: featured path is mono-only by contract
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val raw = new Array[Byte](64)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, 16L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    assert(Multimodal.decimatePcm16Mono(bos.toByteArray, 4, 2000).isEmpty)
+  }
+
+  test("resampleAudio: corrupt inputs flow through as sentinel rows") {
+    val rows = Seq(
+      (1L, Multimodal.encodePcm16Wav(8000,
+        Array.tabulate(9)(i => (i * 100).toShort))),
+      (2L, "not audio".getBytes))
+    val out = Multimodal.resampleAudio(
+        rows.toDF("asset_id", "payload"), 4, 2000)
+      .collect().sortBy(_.asset_id)
+    assert(out(0).ok && out(0).payload.nonEmpty)
+    assert(!out(1).ok && out(1).payload.isEmpty)
+    // the resampled payload decodes to ceil(9/4) = 3 samples
+    assert(Multimodal.decodeAudioMeta(1L, out(0).payload).n_samples == 3L)
+  }
+}

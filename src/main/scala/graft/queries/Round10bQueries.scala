@@ -409,5 +409,108 @@ object Round10bQueries {
              |FROM shared JOIN sz ON sz.doc_id = shared.a_id
              |WHERE 2 * shared.n_inter >= sz.n_a
              |ORDER BY a_id, b_id""".stripMargin)),
+
+    Q("m_video_scene_cut",
+      "Video SCENE-CUT detection on top of the real RIFF/AVI demux — " +
+        "the shot-boundary pass a video curation pipeline runs before " +
+        "frame sampling: per doc a 4-frame AVI whose pixels are constant " +
+        "within a scene (scene = frame ∕ 2) and jump at the boundary is " +
+        "demuxed by Multimodal.decodeVideoFrames (real muxer + real " +
+        "parser), then a lag window over (asset, frame_idx) turns the " +
+        "integer-exact per-frame luma sums into frame-to-frame deltas — " +
+        "within-scene deltas are exactly 0, the planted cut at frame 2 " +
+        "is a large positive delta. One window exchange per asset, no " +
+        "decode past the per-frame sums. Corrupt payloads (doc_id % 50 " +
+        "= 0) sentinel out before the window. The oracle replays frame " +
+        "sums and the lag in closed form.",
+      (s, d) => {
+        import s.implicits._
+        val assets = Tables.documents(s, d).select($"doc_id").as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
+          .map { id =>
+            val payload =
+              if (id % 50 == 0) s"not a video $id".getBytes("UTF-8")
+              else {
+                val w = 6 + (id % 12).toInt
+                val h = 6 + ((id / 12) % 12).toInt
+                Multimodal.encodeAviRawGray(w, h, 4, (f, x, y) =>
+                  ((7 * x + 13 * y + 97 * (f / 2) + id) % 256).toInt)
+              }
+            (id, payload)
+          }.toDF("asset_id", "payload")
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy($"asset_id").orderBy($"frame_idx")
+        Multimodal.decodeVideoFrames(assets).toDF()
+          .filter($"ok")
+          .withColumn("prev", lag($"luma_sum", 1).over(win))
+          .filter($"prev".isNotNull)
+          .select($"asset_id", $"frame_idx",
+            abs($"luma_sum" - $"prev").cast("long").as("delta"),
+            (abs($"luma_sum" - $"prev") > 0).as("is_cut"))
+          .orderBy($"asset_id", $"frame_idx")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, (doc_id % 50 <> 0) AS ok,
+             |    6 + (doc_id % 12) AS w, 6 + ((doc_id // 12) % 12) AS h
+             |  FROM documents),
+             |fr AS (SELECT doc_id, w, h, unnest(range(4)) AS f
+             |       FROM g WHERE ok),
+             |px AS (
+             |  SELECT doc_id, f,
+             |    CAST(3 * list_sum(flatten(list_transform(range(h), y ->
+             |      list_transform(range(w),
+             |        x -> (7*x + 13*y + 97*(f//2) + doc_id) % 256))))
+             |      AS BIGINT) AS luma_sum
+             |  FROM fr),
+             |lagd AS (
+             |  SELECT doc_id AS asset_id, f AS frame_idx, luma_sum,
+             |    lag(luma_sum) OVER (PARTITION BY doc_id ORDER BY f)
+             |      AS prev
+             |  FROM px)
+             |SELECT asset_id, frame_idx,
+             |  CAST(abs(luma_sum - prev) AS BIGINT) AS delta,
+             |  (abs(luma_sum - prev) > 0) AS is_cut
+             |FROM lagd WHERE prev IS NOT NULL
+             |ORDER BY asset_id, frame_idx""".stripMargin)),
+
+    Q("t_token_surprisal",
+      "Quality scoring: corpus-frequency SURPRISAL proxy — the heuristic " +
+        "stand-in for a KenLM perplexity filter: every token joins its " +
+        "CORPUS term frequency (one tokenize-once typed pass feeds both " +
+        "the tf aggregation and the join — the tf table is vocab-sized, " +
+        "so the join back is a broadcast at any corpus scale), and each " +
+        "doc reports exact integers: token count, distinct types, " +
+        "Σ corpus-tf over its token instances (low mean ⇒ rare-token-" +
+        "heavy ⇒ surprising) and its rarest token's corpus tf. No " +
+        "floats — the downstream filter divides once at the consumer.",
+      (s, d) => {
+        import s.implicits._
+        val tok = Tables.documents(s, d).select($"doc_id", $"text")
+          .repartition(s.sparkContext.defaultParallelism)
+          .as[(Long, String)]
+          .mapPartitions(_.flatMap { case (id, text) =>
+            text.split(" ", -1).iterator.map(t => (id, t))
+          }).toDF("doc_id", "tk")
+          .localCheckpoint() // tokenize once: tf agg + join share it
+        val tf = tok.groupBy($"tk").agg(count(lit(1)).as("ctf"))
+        tok.join(tf, "tk")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct($"tk").as("n_types"),
+            sum($"ctf").as("sum_ctf"),
+            min($"ctf").as("min_ctf"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+             |  FROM documents),
+             |tf AS (SELECT tk, count(*) AS ctf FROM tok GROUP BY tk)
+             |SELECT doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(count(DISTINCT tk) AS BIGINT) AS n_types,
+             |  CAST(sum(ctf) AS BIGINT) AS sum_ctf,
+             |  CAST(min(ctf) AS BIGINT) AS min_ctf
+             |FROM tok JOIN tf USING (tk)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Round-10 second wave: dHash perceptual hashing (brightness
@@ -92,6 +93,37 @@ class Round10bOpsSpec extends AnyFunSuite {
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     assert(Multimodal.decimatePcm16Mono(bos.toByteArray, 4, 2000).isEmpty)
+  }
+
+  test("scene structure survives the real AVI mux+demux round-trip") {
+    // 4 frames, 2 scenes: pixels constant within a scene, jump at f=2
+    val avi = Multimodal.encodeAviRawGray(8, 6, 4,
+      (f, x, y) => (x + y + 90 * (f / 2)) % 200)
+    val frames = Multimodal.decodeVideoFrames(
+        Seq((5L, avi)).toDF("asset_id", "payload"))
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length == 4 && frames.forall(_.ok))
+    assert(frames(0).luma_sum == frames(1).luma_sum)
+    assert(frames(2).luma_sum == frames(3).luma_sum)
+    assert(frames(1).luma_sum != frames(2).luma_sum,
+      "scene boundary must change the frame luma sum")
+  }
+
+  test("token surprisal: corpus tf join on a hand-checked tiny corpus") {
+    val docs = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    // corpus tf: a=3, b=1, c=1
+    val tok = docs.as[(Long, String)]
+      .flatMap { case (id, t) => t.split(" ", -1).map(w => (id, w)) }
+      .toDF("doc_id", "tk")
+    val tf = tok.groupBy($"tk").agg(count(lit(1)).as("ctf"))
+    val out = tok.join(tf, "tk").groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct($"tk").as("n_types"),
+        sum($"ctf").as("sum_ctf"), min($"ctf").as("min_ctf"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((3L, 2L, 7L, 1L))) // a+b+a = 3+1+3
+    assert(out(2L) == ((2L, 2L, 4L, 1L))) // a+c = 3+1
   }
 
   test("resampleAudio: corrupt inputs flow through as sentinel rows") {

@@ -76,7 +76,8 @@ object SparkEntry {
     "m_video_frames",
     // r10 second wave: same capped-from-birth policy
     "m_phash_neardup", "m_audio_resample", "curate_url_canon",
-    "d_containment", "m_video_scene_cut", "t_token_surprisal")
+    "d_containment", "m_video_scene_cut", "t_token_surprisal",
+    "d_phash_clusters")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

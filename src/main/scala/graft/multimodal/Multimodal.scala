@@ -521,9 +521,12 @@ object Multimodal {
   /** A perceptual-hash row: `phash` is the 63-bit difference hash
     * ([[dHash63]]) of the decoded image, `ok = false` marks payloads the
     * codec could not decode (excluded from near-dup candidate gen, never
-    * a failed stage).
+    * a failed stage). Dims ride along from the SAME decode so canonical
+    * selection (largest image per dup cluster) needs no second codec
+    * pass.
     */
-  case class PHash(asset_id: Long, ok: Boolean, phash: Long)
+  case class PHash(asset_id: Long, ok: Boolean, phash: Long,
+                   width: Long, height: Long)
 
   /** 63-bit difference hash (dHash) over the DECODED raster: the image is
     * nearest-neighbor-sampled to an 8×9 grid with exact integer
@@ -539,7 +542,7 @@ object Multimodal {
     * uses raster band 0 (exact for gray; a documented luma choice for
     * RGB). Undecodable payloads → None.
     */
-  def dHash63(bytes: Array[Byte]): Option[Long] = {
+  def dHash63(bytes: Array[Byte]): Option[(Long, Int, Int)] = {
     try {
       javax.imageio.ImageIO.setUseCache(false)
       val img = javax.imageio.ImageIO.read(
@@ -562,7 +565,7 @@ object Multimodal {
           }
           gy += 1
         }
-        Some(hash)
+        Some((hash, w, h))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -580,8 +583,9 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false) // once per partition
         it.map { case (id, bytes) =>
           dHash63(bytes) match {
-            case Some(ph) => PHash(id, ok = true, ph)
-            case None => PHash(id, ok = false, 0L)
+            case Some((ph, w, h)) =>
+              PHash(id, ok = true, ph, w.toLong, h.toLong)
+            case None => PHash(id, ok = false, 0L, -1L, -1L)
           }
         }
       }

@@ -45,6 +45,38 @@ object Round10bQueries {
       }.toDF("asset_id", "payload")
   }
 
+  /** Hamming-banded near-dup pairs over a (asset_id, phash) signature
+    * frame: 3 × 21-bit bands bucket the candidates (pigeonhole:
+    * distance ≤ maxHamming ≤ 2 ⇒ some band equal — recall-exact), only
+    * in-bucket pairs pay the bit_count(xor) verify. Shared by
+    * `m_phash_neardup` (reports pairs) and `d_phash_clusters` (feeds
+    * them to connected components).
+    */
+  private def phashPairs(ph: org.apache.spark.sql.DataFrame,
+                         maxHamming: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val bands = ph.select(col("asset_id"), posexplode(array(
+        (0 until 3).map(b => shiftright(col("phash"), b * 21)
+          .bitwiseAND(lit(0x1FFFFFL))): _*)))
+      .toDF("asset_id", "band", "bits")
+      .repartition(col("band"), col("bits"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bits") === col("b.bits") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("a_id"),
+        col("b.asset_id").as("b_id"))
+      .distinct()
+    cand.join(ph.select(col("asset_id").as("a_id"),
+        col("phash").as("ph_a")), "a_id")
+      .join(ph.select(col("asset_id").as("b_id"),
+        col("phash").as("ph_b")), "b_id")
+      .withColumn("hamming",
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   def all: Seq[Q] = Seq(
 
     Q("m_phash_neardup",
@@ -70,26 +102,7 @@ object Round10bQueries {
         val ph = Multimodal.dHashImages(phashAssets(s, d)).toDF()
           .filter($"ok").select($"asset_id", $"phash")
           .localCheckpoint()
-        val bands = ph.select($"asset_id", posexplode(array(
-            (0 until 3).map(b => shiftright($"phash", b * 21)
-              .bitwiseAND(lit(0x1FFFFFL))): _*)))
-          .toDF("asset_id", "band", "bits")
-          .repartition($"band", $"bits")
-        val cand = bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") &&
-              col("a.bits") === col("b.bits") &&
-              col("a.asset_id") < col("b.asset_id"))
-          .select(col("a.asset_id").as("a_id"),
-            col("b.asset_id").as("b_id"))
-          .distinct()
-        cand.join(ph.select($"asset_id".as("a_id"), $"phash".as("ph_a")),
-            "a_id")
-          .join(ph.select($"asset_id".as("b_id"), $"phash".as("ph_b")),
-            "b_id")
-          .withColumn("hamming",
-            bit_count($"ph_a".bitwiseXOR($"ph_b")).cast("long"))
-          .filter($"hamming" <= 2)
-          .select($"a_id", $"b_id", $"hamming")
+        phashPairs(ph, maxHamming = 2)
           .orderBy($"a_id", $"b_id")
       },
       Some("""WITH dims AS (
@@ -512,5 +525,108 @@ object Round10bQueries {
              |  CAST(min(ctf) AS BIGINT) AS min_ctf
              |FROM tok JOIN tf USING (tk)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("d_phash_clusters",
+      "The multimodal dedup ACTION — image near-dup pairs reduced to " +
+        "clusters and one KEPT image each: dHash signatures from the " +
+        "real decoded fleet feed the Hamming-banded pair generation " +
+        "(shared with m_phash_neardup), pointer-jumping connected " +
+        "components (Dedup.duplicateClusters — O(log diameter) rounds) " +
+        "resolve transitive near-dup groups, and one window picks the " +
+        "canonical member per cluster (largest real-decoded n_px, " +
+        "asset_id tiebreak) with the kept/dropped audit trail a " +
+        "curation pipeline records. The oracle replays hash → bands → " +
+        "verify in closed form and the components with an independent " +
+        "algorithm (recursive CTE) plus the same argmax.",
+      (s, d) => {
+        import s.implicits._
+        // ONE codec pass: the dHash decode carries dims, so both the
+        // signature and the canonical-selection n_px come from it
+        val ph = Multimodal.dHashImages(phashAssets(s, d)).toDF()
+          .filter($"ok")
+          .select($"asset_id", $"phash",
+            ($"width" * $"height").as("n_px"))
+          .localCheckpoint()
+        val pairs = phashPairs(ph, maxHamming = 2)
+        val clusters = graft.dedup.Dedup.duplicateClusters(
+            ph.select($"asset_id"),
+            pairs.select($"a_id", $"b_id"), "asset_id")
+          .withColumnRenamed("id", "asset_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"cluster_id").orderBy($"n_px".desc, $"asset_id")
+        clusters.join(ph.select($"asset_id", $"n_px"), Seq("asset_id"))
+          .withColumn("rk", row_number().over(w))
+          .groupBy($"cluster_id")
+          .agg(max(when($"rk" === 1, $"asset_id")).as("kept_asset"),
+            max(when($"rk" === 1, $"n_px")).as("kept_px"),
+            count(lit(1)).as("n_members"),
+            (count(lit(1)) - 1).as("n_dropped"))
+          .orderBy($"cluster_id")
+      },
+      Some("""WITH RECURSIVE dims AS (
+             |  SELECT doc_id, (doc_id % 4) AS m,
+             |    12 + ((((doc_id // 4) * 2654435761) % 1048576) % 8) AS w,
+             |    12 + (((((doc_id // 4) * 2654435761) % 1048576) // 8) % 8)
+             |      AS h,
+             |    ((doc_id // 4) * 2654435761) % 1048576 AS seed
+             |  FROM documents WHERE doc_id % 50 <> 0),
+             |grid AS (
+             |  SELECT doc_id,
+             |    flatten(list_transform(range(9), gy ->
+             |      list_transform(range(8), gx ->
+             |        (((gx*w//8)*7 + (gy*h//9)*13 + seed)
+             |           * ((gx*w//8) + (gy*h//9) + 3)) % 181 + 10*m
+             |        + CASE WHEN m = 1 AND (gx*w//8) = (3*w//8)
+             |                 AND (gy*h//9) = (4*h//9)
+             |               THEN 40 ELSE 0 END))) AS gs
+             |  FROM dims),
+             |ph AS (
+             |  SELECT doc_id,
+             |    CAST(list_sum(flatten(list_transform(range(9), gy ->
+             |      list_transform(range(7), gx ->
+             |        CASE WHEN gs[gy*8 + gx + 2] > gs[gy*8 + gx + 1]
+             |             THEN (CAST(1 AS BIGINT) << (gy*7 + gx))
+             |             ELSE CAST(0 AS BIGINT) END)))) AS BIGINT)
+             |      AS phash
+             |  FROM grid),
+             |bands AS (
+             |  SELECT doc_id, b,
+             |    (phash >> CAST(21*b AS INTEGER)) & 2097151 AS bits
+             |  FROM ph, (SELECT unnest(range(3)) AS b)),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM bands a JOIN bands b ON a.b = b.b AND a.bits = b.bits
+             |    AND a.doc_id < b.doc_id),
+             |e AS (
+             |  SELECT c.a_id AS a, c.b_id AS b
+             |  FROM cand c JOIN ph pa ON pa.doc_id = c.a_id
+             |    JOIN ph pb ON pb.doc_id = c.b_id
+             |  WHERE bit_count(xor(pa.phash, pb.phash)) <= 2),
+             |ee AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+             |reach AS (
+             |  SELECT doc_id AS id, doc_id AS lab FROM ph
+             |  UNION
+             |  SELECT ee.b, reach.lab FROM reach
+             |  JOIN ee ON ee.a = reach.id),
+             |cl AS (
+             |  SELECT id AS asset_id, CAST(min(lab) AS BIGINT)
+             |    AS cluster_id
+             |  FROM reach GROUP BY id),
+             |npx AS (SELECT doc_id AS asset_id,
+             |  CAST(w * h AS BIGINT) AS n_px FROM dims),
+             |rk AS (
+             |  SELECT cl.cluster_id, cl.asset_id, npx.n_px,
+             |    row_number() OVER (PARTITION BY cl.cluster_id
+             |      ORDER BY npx.n_px DESC, cl.asset_id) AS rk
+             |  FROM cl JOIN npx USING (asset_id))
+             |SELECT cluster_id,
+             |  CAST(max(CASE WHEN rk = 1 THEN asset_id END) AS BIGINT)
+             |    AS kept_asset,
+             |  CAST(max(CASE WHEN rk = 1 THEN n_px END) AS BIGINT)
+             |    AS kept_px,
+             |  CAST(count(*) AS BIGINT) AS n_members,
+             |  CAST(count(*) - 1 AS BIGINT) AS n_dropped
+             |FROM rk GROUP BY cluster_id
+             |ORDER BY cluster_id""".stripMargin)),
   )
 }

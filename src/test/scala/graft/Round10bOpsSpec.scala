@@ -20,7 +20,8 @@ class Round10bOpsSpec extends AnyFunSuite {
     val h1 = Multimodal.dHash63(p)
     val h2 = Multimodal.dHash63(p)
     assert(h1.isDefined && h1 == h2)
-    assert(h1.get >= 0L, "63-bit hash must never set the sign bit")
+    assert(h1.get._1 >= 0L, "63-bit hash must never set the sign bit")
+    assert(h1.get._2 == 20 && h1.get._3 == 15, "dims ride the decode")
   }
 
   test("dHash63 is invariant under a uniform brightness shift") {
@@ -33,19 +34,19 @@ class Round10bOpsSpec extends AnyFunSuite {
   test("single-pixel change flips at most 2 bits") {
     def pix(x: Int, y: Int) = (x * 13 + y * 29) % 200
     val w = 16; val h = 18
-    val a = Multimodal.dHash63(png(w, h, pix)).get
+    val a = Multimodal.dHash63(png(w, h, pix)).get._1
     // perturb the source pixel grid cell (3, 4) samples
     val px = 3 * w / 8; val py = 4 * h / 9
     val b = Multimodal.dHash63(png(w, h,
-      (x, y) => pix(x, y) + (if (x == px && y == py) 50 else 0))).get
+      (x, y) => pix(x, y) + (if (x == px && y == py) 50 else 0))).get._1
     assert(java.lang.Long.bitCount(a ^ b) <= 2)
   }
 
   test("dHash63 distinguishes unrelated non-linear patterns") {
     val a = Multimodal.dHash63(png(16, 16,
-      (x, y) => ((x * 7 + y * 13 + 5) * (x + y + 3)) % 181)).get
+      (x, y) => ((x * 7 + y * 13 + 5) * (x + y + 3)) % 181)).get._1
     val b = Multimodal.dHash63(png(16, 16,
-      (x, y) => ((x * 7 + y * 13 + 99991) * (x + y + 3)) % 181)).get
+      (x, y) => ((x * 7 + y * 13 + 99991) * (x + y + 3)) % 181)).get._1
     assert(java.lang.Long.bitCount(a ^ b) > 8,
       s"unrelated patterns too close: ${java.lang.Long.bitCount(a ^ b)}")
   }

@@ -50,7 +50,12 @@ object Round10bQueries {
     * distance ≤ maxHamming ≤ 2 ⇒ some band equal — recall-exact), only
     * in-bucket pairs pay the bit_count(xor) verify. Shared by
     * `m_phash_neardup` (reports pairs) and `d_phash_clusters` (feeds
-    * them to connected components).
+    * them to connected components). Scale note: expected random band
+    * collisions grow as n² ∕ 2^bandBits, so past ~10⁸ assets the band
+    * layout widens (pair 21-bit bands → 42-bit AND-composites, the
+    * standard LSH band/row trade at the same Hamming threshold) —
+    * the bucket-join shape below is unchanged, only the band columns
+    * are derived differently.
     */
   private def phashPairs(ph: org.apache.spark.sql.DataFrame,
                          maxHamming: Int)

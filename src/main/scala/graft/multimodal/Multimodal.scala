@@ -755,6 +755,68 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => bad }
   }
 
+  /** A per-window audio energy row ([[audioEnergyWindows]]): `w` is the
+    * 0-based window index, `sum_abs` the exact integer Σ|sample| over
+    * the window (the last window may be partial). Corrupt / non-PCM16-
+    * mono payloads → one `ok = false` sentinel row with `w = -1`.
+    */
+  case class AudioWindow(asset_id: Long, ok: Boolean, w: Long,
+                         sum_abs: Long)
+
+  private def decodeWindows(id: Long, bytes: Array[Byte],
+                            windowSamples: Int): Iterator[AudioWindow] = {
+    val bad = Iterator.single(AudioWindow(id, ok = false, -1L, 0L))
+    try {
+      val ais = openAudio(bytes)
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) bad
+        else {
+          val raw = ais.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(raw).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = raw.length / 2
+          val out = Seq.newBuilder[AudioWindow]
+          var w = 0
+          while (w * windowSamples < n) {
+            val end = math.min((w + 1) * windowSamples, n)
+            var i = w * windowSamples
+            var sum = 0L
+            while (i < end) {
+              sum += math.abs(bb.getShort(2 * i).toLong)
+              i += 1
+            }
+            out += AudioWindow(id, ok = true, w.toLong, sum)
+            w += 1
+          }
+          out.result().iterator
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => bad }
+  }
+
+  /** Windowed audio ENERGY over the binary column — the feature pass
+    * under voice-activity detection / silence trimming: decode through
+    * the real codec ([[openAudio]], PCM16 mono), sum |sample| per
+    * fixed-size window in the same loop (no per-sample rows ever
+    * materialize — a 100 TB corpus emits corpus∕windowSamples rows).
+    * `flatMap` shape: rows multiply by window count; corrupt payloads
+    * → one sentinel row, never a failed stage.
+    */
+  def audioEnergyWindows(assets: DataFrame,
+                         windowSamples: Int): Dataset[AudioWindow] = {
+    require(windowSamples > 0)
+    import assets.sparkSession.implicits._
+    assets.select("asset_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeWindows(id, bytes, windowSamples)
+      })
+  }
+
   /** Batched REAL audio decode over the binary column — same
     * `mapPartitions` batch shape as [[decodeImages]].
     */

@@ -531,6 +531,81 @@ object Round10bQueries {
              |FROM tok JOIN tf USING (tk)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    Q("m_audio_vad",
+      "Audio ACTIVITY segmentation (the VAD / silence-trim pass of an " +
+        "audio curation pipeline) through the real codec: per doc a WAV " +
+        "whose waveform alternates loud and quiet stretches (every 3rd " +
+        "32-sample window is low-amplitude) is decoded by the in-JDK " +
+        "codec and reduced to per-window Σ|sample| IN THE DECODE LOOP " +
+        "(Multimodal.audioEnergyWindows — no per-sample rows ever " +
+        "materialize; a 100 TB corpus emits n∕32 rows), windows flag " +
+        "active on an exact integer energy threshold, and a " +
+        "gaps-and-islands window pass (w − row_number) merges " +
+        "consecutive active windows into segments with start / length " +
+        "/ exact energy. Corrupt payloads (doc_id % 50 = 0) sentinel " +
+        "out before the window. The oracle replays waveform, windows, " +
+        "threshold, and islands in closed form.",
+      (s, d) => {
+        import s.implicits._
+        val assets = Tables.documents(s, d).select($"doc_id").as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
+          .map { id =>
+            val payload =
+              if (id % 50 == 0) s"not audio $id".getBytes("UTF-8")
+              else {
+                val n = 256 + (id % 256).toInt
+                Multimodal.encodePcm16Wav(8000, Array.tabulate(n) { i =>
+                  val v =
+                    if ((i / 32) % 3 == 0) (31 * id + 17 * i) % 100 - 50
+                    else (31 * id + 17 * i) % 2001 - 1000
+                  v.toShort
+                })
+              }
+            (id, payload)
+          }.toDF("asset_id", "payload")
+        val win = Multimodal.audioEnergyWindows(assets, 32).toDF()
+          .filter($"ok")
+          .withColumn("active", $"sum_abs" > 3200)
+        val isl = win.withColumn("grp", $"w" - row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"asset_id", $"active").orderBy($"w")))
+        isl.filter($"active")
+          .groupBy($"asset_id", $"grp")
+          .agg(min($"w").as("seg_start"),
+            count(lit(1)).as("seg_windows"),
+            sum($"sum_abs").as("seg_energy"))
+          .select($"asset_id", $"seg_start", $"seg_windows",
+            $"seg_energy")
+          .orderBy($"asset_id", $"seg_start")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, (doc_id % 50 <> 0) AS ok,
+             |    256 + (doc_id % 256) AS n
+             |  FROM documents),
+             |sm AS (
+             |  SELECT doc_id, unnest(range(n)) AS i FROM g WHERE ok),
+             |sv AS (
+             |  SELECT doc_id, i, i // 32 AS w,
+             |    CASE WHEN (i // 32) % 3 = 0
+             |         THEN ((31*doc_id + 17*i) % 100) - 50
+             |         ELSE (31*doc_id + 17*i) % 2001 - 1000 END AS s
+             |  FROM sm),
+             |win AS (
+             |  SELECT doc_id, w, sum(abs(s)) AS sum_abs,
+             |    (sum(abs(s)) > 3200) AS active
+             |  FROM sv GROUP BY doc_id, w),
+             |isl AS (
+             |  SELECT doc_id, w, sum_abs, active,
+             |    w - row_number() OVER (PARTITION BY doc_id, active
+             |      ORDER BY w) AS grp
+             |  FROM win)
+             |SELECT doc_id AS asset_id,
+             |  CAST(min(w) AS BIGINT) AS seg_start,
+             |  CAST(count(*) AS BIGINT) AS seg_windows,
+             |  CAST(sum(sum_abs) AS BIGINT) AS seg_energy
+             |FROM isl WHERE active GROUP BY doc_id, grp
+             |ORDER BY asset_id, seg_start""".stripMargin)),
+
     Q("d_phash_clusters",
       "The multimodal dedup ACTION — image near-dup pairs reduced to " +
         "clusters and one KEPT image each: dHash signatures from the " +

@@ -127,6 +127,22 @@ class Round10bOpsSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 2L, 4L, 1L))) // a+c = 3+1
   }
 
+  test("audioEnergyWindows: exact window sums incl. partial last window") {
+    // 10 samples, window 4 → windows of 4/4/2
+    val samples = Array[Short](100, -200, 300, -400, 5, -5, 5, -5, 7, -7)
+    val wav = Multimodal.encodePcm16Wav(8000, samples)
+    val out = Multimodal.audioEnergyWindows(
+        Seq((3L, wav)).toDF("asset_id", "payload"), 4)
+      .collect().sortBy(_.w)
+    assert(out.map(_.w).toSeq == Seq(0L, 1L, 2L))
+    assert(out.forall(_.ok))
+    assert(out.map(_.sum_abs).toSeq == Seq(1000L, 20L, 14L))
+    // corrupt payload → one sentinel row
+    val bad = Multimodal.audioEnergyWindows(
+      Seq((4L, "junk".getBytes)).toDF("asset_id", "payload"), 4).collect()
+    assert(bad.length == 1 && !bad(0).ok && bad(0).w == -1L)
+  }
+
   test("resampleAudio: corrupt inputs flow through as sentinel rows") {
     val rows = Seq(
       (1L, Multimodal.encodePcm16Wav(8000,

@@ -60,6 +60,11 @@ object Round10bQueries {
   private def phashPairs(ph: org.apache.spark.sql.DataFrame,
                          maxHamming: Int)
       : org.apache.spark.sql.DataFrame = {
+    // 3 bands ⇒ pigeonhole covers Hamming ≤ 2 only; a larger threshold
+    // would need more bands or it silently loses recall
+    require(maxHamming >= 0 && maxHamming <= 2,
+      s"3-band layout is recall-exact only for maxHamming <= 2, " +
+        s"got $maxHamming")
     val bands = ph.select(col("asset_id"), posexplode(array(
         (0 until 3).map(b => shiftright(col("phash"), b * 21)
           .bitwiseAND(lit(0x1FFFFFL))): _*)))
@@ -341,14 +346,16 @@ object Round10bQueries {
         "(|A∩B| ∕ |A|) that catches quotes and subset-duplicates Jaccard " +
         "misses (a short doc fully contained in a long one has low " +
         "Jaccard but containment 1). Candidate generation is an " +
-        "INVERTED 3-gram-shingle INDEX, not a quadratic scan: shingles " +
-        "explode once (tokenize-once, localCheckpoint), shingles above " +
-        "document-frequency 50 are dropped (the df-cap that bounds the " +
-        "per-shingle join fan-out at web scale — applied identically by " +
-        "the oracle so the gate stays exact), and shared-shingle counts " +
-        "come from one shuffle-join + count aggregation. Pairs are kept " +
-        "both directions when containment ≥ 0.5, reported as exact " +
-        "integers (n_inter, n_a) — no float thresholds.",
+        "INVERTED 3-gram-shingle INDEX, not a quadratic scan: one typed " +
+        "tokenize pass (localCheckpoint), postings grouped per shingle " +
+        "in a single aggregation with the df-cap (> 50 docs dropped) " +
+        "applied to the grouped list — the cap bounds per-shingle pair " +
+        "fan-out at web scale and the oracle applies it identically, so " +
+        "the gate stays exact — then co-occurring doc pairs generate " +
+        "IN-GROUP as unordered pairs (half the shuffle volume) and " +
+        "mirror after the count. Pairs are kept both directions when " +
+        "containment ≥ 0.5, reported as exact integers (n_inter, n_a) " +
+        "— no float thresholds.",
       (s, d) => {
         import s.implicits._
         // ONE typed pass: tokenize once, slide once (the transform +

@@ -87,7 +87,93 @@ object Round10bQueries {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
+  /** One-file-per-micro-batch shards of the VAD audio fixture — the
+    * streaming arrival layout for `stream_audio_ingest`, built once per
+    * JVM per SF like `Round10Queries.imageShards`. */
+  private[queries] def audioShards(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import s.implicits._
+    Scratch.cachedDir(s"audioshards:$d") { tmp =>
+      val assets = Tables.documents(s, d).select($"doc_id").as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .map { id =>
+          val payload =
+            if (id % 50 == 0) s"not audio $id".getBytes("UTF-8")
+            else {
+              val n = 256 + (id % 256).toInt
+              Multimodal.encodePcm16Wav(8000, Array.tabulate(n) { i =>
+                val v =
+                  if ((i / 32) % 3 == 0) (31 * id + 17 * i) % 100 - 50
+                  else (31 * id + 17 * i) % 2001 - 1000
+                v.toShort
+              })
+            }
+          (id, payload)
+        }.toDF("asset_id", "payload")
+      (0L until 4L).foreach { i =>
+        assets.filter(pmod(col("asset_id"), lit(4L)) === i).coalesce(1)
+          .write.mode("append").parquet(tmp.getAbsolutePath)
+      }
+    }.getAbsolutePath
+  }
+
   def all: Seq[Q] = Seq(
+
+    Q("stream_audio_ingest",
+      "STREAMING multimodal AUDIO ingest — the continuous form of " +
+        "m_audio_vad's feature pass: audio payloads LAND as a file " +
+        "stream (4 one-file micro-batches under maxFilesPerTrigger=1), " +
+        "each batch decodes STATELESSLY through the real in-JDK codec " +
+        "into per-window energies (Multimodal.audioEnergyWindows — a " +
+        "pure flatMap, per-arrival cost ∝ batch, no state or shuffle " +
+        "before the rollup) and the only stateful op is the corpus " +
+        "health rollup per (ok, active) — exactly the ingest monitor a " +
+        "100 TB audio pipeline runs (decode-failure rate AND " +
+        "silence∕speech mix surface as group counts). Decode is " +
+        "deterministic, so the completed stream equals the batch " +
+        "aggregate and the oracle replays it closed-form.",
+      (s, d) => {
+        import s.implicits._
+        val shards = audioShards(s, d)
+        val schema = s.read.parquet(shards).schema
+        graft.streaming.Streams.runToMemory(s,
+            s"stream_audingest_${System.nanoTime()}") { scoped =>
+          val stream = graft.streaming.Streams.fileStream(scoped, shards,
+            schema, maxFilesPerTrigger = 1)
+          Multimodal.audioEnergyWindows(stream, 32).toDF()
+            .withColumn("active", $"ok" && $"sum_abs" > 3200)
+            .groupBy($"ok", $"active")
+            .agg(count(lit(1)).as("n_windows"),
+              sum($"sum_abs").as("total_abs"),
+              max($"sum_abs").as("peak_window"))
+        }.orderBy($"ok", $"active")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, (doc_id % 50 <> 0) AS ok,
+             |    256 + (doc_id % 256) AS n
+             |  FROM documents),
+             |sm AS (
+             |  SELECT doc_id, unnest(range(n)) AS i FROM g WHERE ok),
+             |sv AS (
+             |  SELECT doc_id, i // 32 AS w,
+             |    CASE WHEN (i // 32) % 3 = 0
+             |         THEN ((31*doc_id + 17*i) % 100) - 50
+             |         ELSE (31*doc_id + 17*i) % 2001 - 1000 END AS s
+             |  FROM sm),
+             |win AS (
+             |  SELECT doc_id, w, sum(abs(s)) AS sum_abs
+             |  FROM sv GROUP BY doc_id, w),
+             |rows_all AS (
+             |  SELECT TRUE AS ok, (sum_abs > 3200) AS active, sum_abs
+             |  FROM win
+             |  UNION ALL
+             |  SELECT FALSE, FALSE, 0 FROM g WHERE NOT ok)
+             |SELECT ok, active,
+             |  CAST(count(*) AS BIGINT) AS n_windows,
+             |  CAST(sum(sum_abs) AS BIGINT) AS total_abs,
+             |  CAST(max(sum_abs) AS BIGINT) AS peak_window
+             |FROM rows_all GROUP BY ok, active
+             |ORDER BY ok, active""".stripMargin)),
 
     Q("m_phash_neardup",
       "MULTIMODAL DEDUP — perceptual-hash near-dup over REAL decoded " +

@@ -77,7 +77,8 @@ object SparkEntry {
     // r10 second wave: same capped-from-birth policy
     "m_phash_neardup", "m_audio_resample", "curate_url_canon",
     "d_containment", "m_video_scene_cut", "t_token_surprisal",
-    "d_phash_clusters", "m_audio_vad", "stream_audio_ingest")
+    "d_phash_clusters", "m_audio_vad", "stream_audio_ingest",
+    "p_curriculum_order")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

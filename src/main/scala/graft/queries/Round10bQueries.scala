@@ -330,35 +330,8 @@ object Round10bQueries {
           lit("&utm_campaign=x"),
           when($"doc_id" % 4 === 0, "&fbclid=abc").otherwise(""),
           lit("#sec"), ($"doc_id" % 5).cast("string")).as("url"))
-        def sp(c: org.apache.spark.sql.Column, delim: String, n: Int) =
-          split_part(c, lit(delim), lit(n))
-        val nofrag = regexp_replace($"url", "#.*$", "")
-        val parsed = raw.select($"doc_id",
-          sp(nofrag, "?", 1).as("base"),
-          sp(nofrag, "?", 2).as("query"))
-        val rest = sp($"base", "://", 2)
-        val hp = parsed.select($"doc_id", $"query",
-          lower(sp($"base", "://", 1)).as("scheme"),
-          sp(rest, "/", 1).as("hostport"),
-          rest.substr(length(sp(rest, "/", 1)) + 1,
-            lit(1000000)).as("path"))
-        val port = sp($"hostport", ":", 2)
-        val cleanPath = regexp_replace(
-          regexp_replace($"path", "/{2,}", "/"), "/$", "")
-        val keptQ = array_join(array_sort(filter(split($"query", "&"),
-          p => !(startswith(p, lit("utm_")) ||
-            startswith(p, lit("fbclid=")) ||
-            startswith(p, lit("gclid="))))), "&")
-        hp.select($"doc_id", concat(
-            $"scheme", lit("://"),
-            lower(sp($"hostport", ":", 1)),
-            when(port === "" ||
-              ($"scheme" === "https" && port === "443") ||
-              ($"scheme" === "http" && port === "80"), "")
-              .otherwise(concat(lit(":"), port)),
-            when(cleanPath === "", "/").otherwise(cleanPath),
-            when(keptQ === "", "").otherwise(concat(lit("?"), keptQ)))
-            .as("canon_url"))
+        raw.select($"doc_id",
+            graft.text.TextOps.canonicalizeUrl($"url").as("canon_url"))
           .groupBy($"canon_url")
           .agg(count(lit(1)).as("n_docs"),
             min($"doc_id").as("keep_doc"))
@@ -698,6 +671,46 @@ object Round10bQueries {
              |  CAST(sum(sum_abs) AS BIGINT) AS seg_energy
              |FROM isl WHERE active GROUP BY doc_id, grp
              |ORDER BY asset_id, seg_start""".stripMargin)),
+
+    Q("p_curriculum_order",
+      "Curriculum training order — the easy→hard schedule a trainer " +
+        "pages: documents bucket into difficulty PHASES by " +
+        "data-independent length thresholds (phase = min(4, " +
+        "1 + n_chars∕150) — fixed config, not a global ntile, so no " +
+        "single-partition window ever exists), each phase is " +
+        "deterministically shuffled by md5('curr7:' || doc_id) (same " +
+        "permutation on any engine / cluster size / retry — the " +
+        "p_epoch_shuffle seed pattern), and the trainer's page is a " +
+        "per-phase rank ≤ 25 — WindowGroupLimit pushes the limit below " +
+        "the phase exchange, so each map task keeps a 25-row heap and " +
+        "the full corpus is never sorted. Exactly how curriculum " +
+        "phases are paged at 100 TB: rank ranges per phase, never a " +
+        "materialized global order.",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .select($"doc_id", $"n_chars",
+            least(lit(4L), lit(1L) +
+              floor($"n_chars" / 150).cast("long")).as("phase"),
+            md5(concat(lit("curr7:"), $"doc_id".cast("string")))
+              .as("rk"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"phase").orderBy($"rk")
+        docs.withColumn("pos", row_number().over(w).cast("long"))
+          .filter($"pos" <= 25)
+          .select($"phase", $"pos", $"doc_id", $"n_chars")
+          .orderBy($"phase", $"pos")
+      },
+      Some("""SELECT phase, pos, doc_id, n_chars FROM (
+             |  SELECT CAST(least(4, 1 + n_chars // 150) AS BIGINT)
+             |      AS phase,
+             |    doc_id, n_chars,
+             |    CAST(row_number() OVER (
+             |      PARTITION BY least(4, 1 + n_chars // 150)
+             |      ORDER BY md5('curr7:' || CAST(doc_id AS VARCHAR)))
+             |      AS BIGINT) AS pos
+             |  FROM documents) t
+             |WHERE pos <= 25 ORDER BY phase, pos""".stripMargin)),
 
     Q("d_phash_clusters",
       "The multimodal dedup ACTION — image near-dup pairs reduced to " +

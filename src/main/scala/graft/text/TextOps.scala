@@ -148,4 +148,46 @@ object TextOps {
       }
       .toDF(idCol, "chunk_idx", "chunk")
   }
+
+  /** URL canonicalization (the CCNet/RefinedWeb URL-dedup key), as one
+    * codegen'd Column expression — pure `functions._` string work, no
+    * UDF, so the whole rule set stays inside WholeStageCodegen:
+    *  - scheme and host lowercased (path case preserved);
+    *  - default port stripped (`https:443`, `http:80`);
+    *  - duplicate path slashes collapsed, trailing slash dropped
+    *    (empty path → "/");
+    *  - tracking params removed (`utm_*`, `fbclid=`, `gclid=`),
+    *    surviving query params SORTED; empty query → no "?";
+    *  - fragment stripped.
+    * IDEMPOTENT: applying it to its own output is a no-op (spec-pinned)
+    * — the property that makes it safe as a dedup KEY derivation at any
+    * pipeline stage, whether the input was raw or already canonical.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    def sp(c: Column, delim: String, n: Int) =
+      split_part(c, lit(delim), lit(n))
+    val nofrag = regexp_replace(url, "#.*$", "")
+    val base = sp(nofrag, "?", 1)
+    val query = sp(nofrag, "?", 2)
+    val scheme = lower(sp(base, "://", 1))
+    val rest = sp(base, "://", 2)
+    val hostport = sp(rest, "/", 1)
+    val path = rest.substr(length(hostport) + 1, lit(1000000))
+    val host = lower(sp(hostport, ":", 1))
+    val port = sp(hostport, ":", 2)
+    val cleanPath =
+      regexp_replace(regexp_replace(path, "/{2,}", "/"), "/$", "")
+    val keptQ = array_join(array_sort(filter(split(query, "&"),
+      p => !(startswith(p, lit("utm_")) ||
+        startswith(p, lit("fbclid=")) ||
+        startswith(p, lit("gclid="))))), "&")
+    concat(
+      scheme, lit("://"), host,
+      when(port === "" ||
+        (scheme === "https" && port === "443") ||
+        (scheme === "http" && port === "80"), "")
+        .otherwise(concat(lit(":"), port)),
+      when(cleanPath === "", "/").otherwise(cleanPath),
+      when(keptQ === "", "").otherwise(concat(lit("?"), keptQ)))
+  }
 }

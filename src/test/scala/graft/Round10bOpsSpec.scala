@@ -127,6 +127,40 @@ class Round10bOpsSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 2L, 4L, 1L))) // a+c = 3+1
   }
 
+  test("canonicalizeUrl: hand-checked rules") {
+    val cases = Seq(
+      "HTTPS://WWW.Ex.COM:443/A//b/?utm_source=x&b=2&a=1#frag" ->
+        "https://www.ex.com/A/b?a=1&b=2",
+      "http://H.io:8080//x/" -> "http://h.io:8080/x",
+      "http://H.io:80/x" -> "http://h.io/x",
+      "https://h.io" -> "https://h.io/",
+      "https://h.io/p?utm_a=1&fbclid=z&gclid=q" -> "https://h.io/p")
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.text.TextOps.canonicalizeUrl($"url").as("c"))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("canonicalizeUrl is idempotent on messy and random URLs") {
+    val rnd = new scala.util.Random(7)
+    val urls = (1 to 200).map { i =>
+      val scheme = if (rnd.nextBoolean()) "HTTPS" else "http"
+      val port = Seq("", ":443", ":80", ":9090")(rnd.nextInt(4))
+      val slashes = Seq("/", "//", "///")(rnd.nextInt(3))
+      val trail = if (rnd.nextBoolean()) "/" else ""
+      val params = rnd.shuffle(Seq(s"a=$i", "utm_x=1", "z=9", "fbclid=f")
+        .take(1 + rnd.nextInt(4))).mkString("&")
+      val frag = if (rnd.nextBoolean()) s"#s$i" else ""
+      s"$scheme://HoSt$i.Example.COM$port${slashes}P$i$trail?$params$frag"
+    }
+    val df = urls.toDF("url")
+      .select(graft.text.TextOps.canonicalizeUrl($"url").as("c1"))
+      .select($"c1",
+        graft.text.TextOps.canonicalizeUrl($"c1").as("c2"))
+    assert(df.filter($"c1" =!= $"c2").count() == 0L,
+      "re-canonicalizing a canonical URL must be a no-op")
+  }
+
   test("audioEnergyWindows: exact window sums incl. partial last window") {
     // 10 samples, window 4 → windows of 4/4/2
     val samples = Array[Short](100, -200, 300, -400, 5, -5, 5, -5, 7, -7)

@@ -50,16 +50,20 @@ object Bench {
     val results = selected.map {
       case (name, fn) =>
         val (dt1, ok1, la1) = timeOne(name, fn)
-        // short queries are fixed-overhead-dominated and the ones whose
-        // recorded times drift 3× with host load — re-run and keep the
-        // min (3 runs under 3 s, 2 runs under 10 s). Long queries are
-        // work-dominated (noise is proportional, a rerun doubles real
-        // cost), so one pass stands.
+        // min-of-3 for EVERY query: recorded times drift up to 3× with
+        // host load, and min-of-2 was exactly where the load hurt most
+        // (r10 driver run: d_phash_clusters [3.34, 5.55] at load 4.8 →
+        // phantom 2× regression flags). The reported total is the sum
+        // of per-query minima, so tripling runs changes wall-clock of
+        // the bench process, not the recorded numbers. The only queries
+        // exempt are the very long tail (≥ 30 s — none registered
+        // today), where noise is proportional and a rerun doubles real
+        // cost without sharpening the min.
         // SPARK_GRAFT_RUNS=n forces n total runs (profiling aid:
         // separates per-JVM fixture/cold cost from steady state)
         val reruns = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt - 1)
           .getOrElse(
-            if (!ok1) 0 else if (dt1 < 3.0) 2 else if (dt1 < 10.0) 1 else 0)
+            if (!ok1) 0 else if (dt1 < 30.0) 2 else 1)
         val later = Seq.fill(reruns)(timeOne(name, fn))
         // EVERY run must succeed: a crashed rerun's tiny elapsed time
         // must neither become the recorded min nor hide behind a green

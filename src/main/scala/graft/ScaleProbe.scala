@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * documents/embeddings tables (doc ids offset per copy; text/embedding
   * perturbed deterministically per copy so the K× corpus is K× real
   * work, not K× exact duplicates), symlinks the remaining tables, and
-  * times selected queries at 1× and K× in the same JVM (steady state,
-  * min of 2). Near-linear ratios are the 100 TB evidence SCALE.md
+  * times selected queries at 1× and K× in the same JVM (steady state:
+  * min-of-3 on the 1× denominator, min-of-2 on the K× numerator, and
+  * the ratio denominator clamped to ≥0.5 s — see [[ratio]]).
+  * Near-linear ratios are the 100 TB evidence SCALE.md
   * quotes; a super-linear ratio is a scale bug to fix.
   *
   * Usage: sbt "runMain graft.ScaleProbe [K] [sfDir]"
@@ -95,25 +97,31 @@ object ScaleProbe {
         java.nio.file.Paths.get(s"$sfDir/$t.parquet"))
     }
 
-    def time(name: String, dir: String): Double = {
+    def time(name: String, dir: String, runs: Int): Double = {
       def once: Double = {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      val (r1, r2) = (once, once)
+      val rs = Seq.fill(runs)(once)
       // raw runs on stderr: run1−run2 separates one-time cost (training,
       // fixture build — absorbed by the artifact caches) from steady
       // state, the first question when a ratio looks super-linear
-      System.err.println(f"[probe] $name $dir runs $r1%.2f/$r2%.2f")
-      math.min(r1, r2)
+      System.err.println(f"[probe] $name $dir runs " +
+        rs.map(r => f"$r%.2f").mkString("/"))
+      rs.min
     }
     println(f"${"query"}%-24s ${"1x"}%8s ${s"${k}x"}%8s ratio")
     val attempts = selectedProbes(guard).map { q =>
       try {
-        val t1 = time(q, sfDir)
-        val tk = time(q, scaled.getAbsolutePath)
-        println(f"$q%-24s $t1%8.2f $tk%8.2f ${tk / t1}%5.1fx")
+        // the 1× side is the ratio DENOMINATOR: one noisy 0.33 s sample
+        // there prints a phantom 21× (the r10 d_semdedup_auto artifact),
+        // so it gets min-of-3 while the K× side keeps min-of-2 (it is
+        // K× the cost and sits in the numerator, where noise only
+        // OVERSTATES a ratio the clamp below already bounds)
+        val t1 = time(q, sfDir, runs = 3)
+        val tk = time(q, scaled.getAbsolutePath, runs = 2)
+        println(f"$q%-24s $t1%8.2f $tk%8.2f ${ratio(t1, tk)}%5.1fx")
         Right((q, t1, tk))
       } catch {
         case e: Exception =>
@@ -124,7 +132,7 @@ object ScaleProbe {
     val measured = attempts.collect { case Right(t) => t }
     val failedProbes = attempts.collect { case Left(q) => q }
     val json = measured.map { case (q, t1, tk) =>
-      f""""$q":{"t1":$t1%.3f,"tk":$tk%.3f,"ratio":${tk / t1}%.3f}"""
+      f""""$q":{"t1":$t1%.3f,"tk":$tk%.3f,"ratio":${ratio(t1, tk)}%.3f}"""
     }.mkString("{\"k\":" + k + ",\"sf\":\"" + sfDir + "\",\"queries\":{",
       ",\n", "}}")
     java.nio.file.Files.writeString(
@@ -148,6 +156,15 @@ object ScaleProbe {
       println(s"SCALE GUARD OK (${measured.size} probes vs baseline)")
     }
   }
+
+  /** Ratio with the denominator clamped to ≥ 0.5 s: a sub-half-second
+    * 1× time is fixed-overhead (scheduler + codegen), not work, and
+    * noise there fabricates ratios no real scaling produced (0.33 s →
+    * 21× on d_semdedup_auto, r10). The clamp makes every printed /
+    * recorded / guarded ratio ≥3 carry a ≥0.5 s denominator by
+    * construction.
+    */
+  def ratio(t1: Double, tk: Double): Double = tk / math.max(t1, 0.5)
 
   /** Pure guard comparison (unit-tested): measured (query, t1, tK)
     * triples vs the committed baseline JSON. A probe regresses when its
@@ -173,8 +190,8 @@ object ScaleProbe {
       // comfortably: the r5 t_ngram quadratic (20 s+), the r8 SemDeDup
       // 68× blowup, the PQ codegen-deferral (2.6 s at 8×).
       baseRatios.get(q).collect {
-        case b if tk > 2.0 && tk / t1 > 2.0 * math.max(b, 1.0) =>
-          f"$q: ratio ${tk / t1}%.2f vs baseline $b%.2f (>2x)"
+        case b if tk > 2.0 && ratio(t1, tk) > 2.0 * math.max(b, 1.0) =>
+          f"$q: ratio ${ratio(t1, tk)}%.2f vs baseline $b%.2f (>2x)"
       }
     }
   }

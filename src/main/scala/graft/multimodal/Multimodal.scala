@@ -59,6 +59,21 @@ object Multimodal {
                        width: Long, height: Long, n_bands: Long,
                        n_px: Long, luma_sum: Long, max_luma: Long)
 
+  /** Codec init hoisted from every ImageIO call site: runs `body` with
+    * `ImageIO.setUseCache(false)` in effect, keeping the codec on heap
+    * buffers instead of a temp-file cache per payload — at decode
+    * throughput the temp-file churn IS the bottleneck. The flag is a
+    * JVM-global, idempotent, thread-safe setter, so wrapping once per
+    * partition (executor side) and once per encode (fixture/driver
+    * side) is correct and cheap. A real-codec swap (native JPEG lib,
+    * GPU decode) would widen THIS function with its per-partition
+    * model/library load and every call site inherits it.
+    */
+  @inline def withImageCodec[T](body: => T): T = {
+    javax.imageio.ImageIO.setUseCache(false)
+    body
+  }
+
   /** Decode one image payload with the in-JDK codec. Format name comes
     * from the matched ImageReader ("png", "bmp", …, lowercased); pixel
     * features are computed from RAW raster samples (`getSample`), never
@@ -109,18 +124,16 @@ object Multimodal {
 
   /** Batched REAL image decode over the binary column — same
     * `mapPartitions` batch shape as [[decodeFeatures]] (per-partition
-    * codec init amortized; upstream partition sizing bounds batch
-    * memory). `ImageIO.setUseCache(false)` keeps the codec on heap
-    * buffers instead of a temp-file cache per payload — at decode
-    * throughput the temp-file churn IS the bottleneck.
+    * codec init amortized via [[withImageCodec]]; upstream partition
+    * sizing bounds batch memory).
     */
   def decodeImages(assets: DataFrame): Dataset[ImageMeta] = {
     import assets.sparkSession.implicits._
     assets.select("asset_id", "payload")
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        javax.imageio.ImageIO.setUseCache(false) // once per partition
-        it.map { case (id, bytes) => decodeImageMeta(id, bytes) }
+        withImageCodec(it.map { case (id, bytes) =>
+          decodeImageMeta(id, bytes) })
       }
   }
 
@@ -147,9 +160,8 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.setUseCache(false)
-    require(javax.imageio.ImageIO.write(img, "png", bos),
-      "no PNG writer in this JDK")
+    withImageCodec(require(javax.imageio.ImageIO.write(img, "png", bos),
+      "no PNG writer in this JDK"))
     bos.toByteArray
   }
 
@@ -273,8 +285,7 @@ object Multimodal {
     assets.select("asset_id", "payload")
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        javax.imageio.ImageIO.setUseCache(false) // once per partition
-        it.flatMap { case (id, bytes) =>
+        withImageCodec(it.flatMap { case (id, bytes) =>
           parseAvi(bytes) match {
             case Some((w, h, frames)) =>
               frames.iterator.zipWithIndex.map { case ((sum, peak), f) =>
@@ -284,7 +295,7 @@ object Multimodal {
               Iterator.single(
                 VideoFrame(id, ok = false, -1L, -1L, -1L, 0L, 0L))
           }
-        }
+        })
       }
   }
 
@@ -326,8 +337,7 @@ object Multimodal {
   def encodeAviMjpegGray(width: Int, height: Int, nFrames: Int,
                          pix: (Int, Int, Int) => Int): Array[Byte] = {
     require(width > 0 && height > 0 && nFrames > 0)
-    javax.imageio.ImageIO.setUseCache(false)
-    val frames = (0 until nFrames).map { f =>
+    val frames = withImageCodec((0 until nFrames).map { f =>
       val img = new java.awt.image.BufferedImage(width, height,
         java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
       val raster = img.getRaster
@@ -343,7 +353,7 @@ object Multimodal {
       require(javax.imageio.ImageIO.write(img, "jpg", bos),
         "no JPEG writer in this JDK")
       bos.toByteArray
-    }
+    })
     muxAvi(width, height, frames, compressed = true)
   }
 
@@ -462,8 +472,7 @@ object Multimodal {
   def resizeGrayNN(bytes: Array[Byte], dstW: Int,
                    dstH: Int): Option[Array[Byte]] = {
     require(dstW > 0 && dstH > 0)
-    try {
-      javax.imageio.ImageIO.setUseCache(false)
+    try withImageCodec {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
       if (img == null) None
@@ -508,13 +517,12 @@ object Multimodal {
     assets.select("asset_id", "payload")
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        javax.imageio.ImageIO.setUseCache(false) // once per partition
-        it.map { case (id, payload) =>
+        withImageCodec(it.map { case (id, payload) =>
           resizeGrayNN(payload, width, height) match {
             case Some(p) => Resized(id, ok = true, width, height, p)
             case None => Resized(id, ok = false, -1, -1, Array.emptyByteArray)
           }
-        }
+        })
       }
   }
 
@@ -543,8 +551,7 @@ object Multimodal {
     * RGB). Undecodable payloads → None.
     */
   def dHash63(bytes: Array[Byte]): Option[(Long, Int, Int)] = {
-    try {
-      javax.imageio.ImageIO.setUseCache(false)
+    try withImageCodec {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
       if (img == null) None
@@ -580,14 +587,13 @@ object Multimodal {
     assets.select("asset_id", "payload")
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        javax.imageio.ImageIO.setUseCache(false) // once per partition
-        it.map { case (id, bytes) =>
+        withImageCodec(it.map { case (id, bytes) =>
           dHash63(bytes) match {
             case Some((ph, w, h)) =>
               PHash(id, ok = true, ph, w.toLong, h.toLong)
             case None => PHash(id, ok = false, 0L, -1L, -1L)
           }
-        }
+        })
       }
   }
 

@@ -422,8 +422,10 @@ object Round10Queries {
           require(Scratch.partitionDirs(s, p, "cell=").forall(_._2 == 1),
             "recenter left multiple files in a cell")
           // the swap committed: no sibling dirs left behind
-          require(!new java.io.File(p + ".old").exists() &&
-            !new java.io.File(p + ".compacting").exists(),
+          // Hadoop-FS existence probe so the swap audit holds on
+          // object-store index paths too
+          require(!Scratch.pathExists(s, p + ".old") &&
+            !Scratch.pathExists(s, p + ".compacting"),
             "recenter left swap siblings behind")
           graft.similarity.Knn.atRestProbeTopK(s, p, cents,
             emb.filter($"vec_id" < 10), "vec_id", "embedding",

@@ -742,7 +742,7 @@ object Round4Queries {
             lap("touched")
             // partition-pruned read: only the touched bucket dirs open
             val existing =
-              if (new java.io.File(tgt).exists)
+              if (Scratch.pathExists(sc, tgt))
                 sc.read.schema(tgtSchema).parquet(tgt)
                   .filter(col("bucket").isin(touched.toSeq: _*))
                   .drop("bucket")
@@ -762,7 +762,7 @@ object Round4Queries {
               .parquet(tgt)
             lap("write")
           }
-          new java.io.File(tgt).mkdirs() // zero batches never create it
+          Scratch.mkdirs(scoped, tgt) // zero batches never create it
           scoped.read.schema(tgtSchema).parquet(tgt)
             .select($"user_id", $"ts_us", $"event_id", $"event_type",
               $"cents")

@@ -483,8 +483,15 @@ object Round5Queries {
           val stream = Tables.normalizeEventsTs(
             graft.streaming.Streams.fileStream(scoped, s"$d/events.*",
               schema, maxFilesPerTrigger = Int.MaxValue))
+          // the static catalog side is MATERIALIZED once per stream run
+          // (localCheckpoint): a stream-static join re-evaluates the
+          // static subplan every micro-batch, so without it the corpus
+          // is re-scanned, re-quantized, and re-broadcast per trigger —
+          // the same defect fixed for stream_incremental_dedup; in
+          // production this side is the STORED code table, built once
           val codesAll = Tables.embeddings(scoped, d)
             .select($"vec_id", vec_sq8($"embedding").as("codes"))
+            .localCheckpoint()
           val scored = catalog.map { case (cid, codes) =>
             struct(vec_i8_dot($"codes", typedLit(codes)).as("d"),
               lit(-cid).as("nc"))

@@ -461,11 +461,9 @@ object Round6Queries {
         "≤ 4 data files) the oracle expects TRUE.",
       (s, d) => {
         import s.implicits._
-        def dataFiles(p: String): Long = {
-          val fs = new java.io.File(p).listFiles()
-          if (fs == null) 0L
-          else fs.count(_.getName.endsWith(".parquet")).toLong
-        }
+        // Hadoop-FS listing (not java.io.File) so the compaction audit
+        // holds against HDFS/S3 table paths, not just the local FS
+        def dataFiles(p: String): Long = Scratch.dataFiles(s, p)
         val frag = Scratch.cachedDir(s"smallfiles:$d") { tmp =>
           Tables.events(s, d)
             .select($"event_id", $"user_id",

@@ -91,11 +91,9 @@ object Round8Queries {
             .write.mode("append").partitionBy("band").parquet(p)
           buckets(docs.filter($"doc_id" % 20 === 10), 2)
             .write.mode("append").partitionBy("band").parquet(p)
-          def filesInBand0: Long = {
-            val fs = new java.io.File(s"$p/band=0").listFiles()
-            if (fs == null) 0L
-            else fs.count(_.getName.endsWith(".parquet")).toLong
-          }
+          // Hadoop-FS listing (not java.io.File) so the audit holds on
+          // HDFS/S3 index paths too
+          def filesInBand0: Long = Scratch.dataFiles(s, s"$p/band=0")
           val nBefore = filesInBand0
           graft.dedup.Dedup.compactBandIndex(s, p,
             retain = col("day") >= 1L)

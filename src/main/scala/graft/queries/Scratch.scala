@@ -55,6 +55,39 @@ object Scratch {
       }.toMap
   }
 
+  /** Data-file count directly under `path` via the Hadoop FileSystem
+    * API (same audit on HDFS/S3 as on local FS); 0 for a missing dir.
+    * Success/CRC markers excluded — only `.parquet` data files count.
+    */
+  def dataFiles(spark: org.apache.spark.sql.SparkSession,
+                path: String): Long = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) 0L
+    else fs.listStatus(hp)
+      .count(_.getPath.getName.endsWith(".parquet")).toLong
+  }
+
+  /** Existence probe through the Hadoop FileSystem API — used by the
+    * atomic-swap audits so they hold on object stores too.
+    */
+  def pathExists(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  /** mkdir -p through the Hadoop FileSystem API (no-op where the store
+    * has no directories, e.g. S3 — exactly the semantics the zero-batch
+    * sink guard wants).
+    */
+  def mkdirs(spark: org.apache.spark.sql.SparkSession,
+             path: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(hp)
+    ()
+  }
+
   def rmTree(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(rmTree)

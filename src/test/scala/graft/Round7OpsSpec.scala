@@ -36,7 +36,14 @@ class Round7OpsSpec extends AnyFunSuite {
     // SCALE_RATIOS.json)
     val base =
       """{"k":8,"sf":"/x","queries":{"a":{"t1":0.300,"tk":0.600,"ratio":2.000},
-        |"b":{"t1":0.500,"tk":0.400,"ratio":0.800}}}""".stripMargin
+        |"b":{"t1":0.500,"tk":0.400,"ratio":0.800},
+        |"c":{"t1":1.000,"tk":8.000,"ratio":8.000}}}""".stripMargin
+    // denominator clamp: a noisy 0.1 s 1× sample must not fabricate a
+    // 25× ratio (the r10 d_semdedup_auto artifact) — clamped to 0.5 s
+    // the measured ratio is 5.0, under c's 16.0 threshold
+    assert(ScaleProbe.ratio(0.1, 2.5) === 25.0 / 5)
+    assert(ScaleProbe.checkGuard(base, Seq(("c", 0.1, 2.5))).isEmpty)
+    assert(ScaleProbe.checkGuard(base, Seq(("c", 0.6, 11.0))).nonEmpty)
     // a: 2.0 baseline → trips only above 4.0 (tk over the 2 s floor)
     assert(ScaleProbe.checkGuard(base, Seq(("a", 3.0, 11.0))).isEmpty)
     assert(ScaleProbe.checkGuard(base, Seq(("a", 3.0, 13.0))).nonEmpty)

@@ -567,6 +567,57 @@ object Dedup {
         coalesce(col("scrubbed"), lit("")).as("scrubbed"))
   }
 
+  /** Recall-exact Hamming-LSH band layout, auto-widened from the corpus
+    * size (the perceptual-hash analogue of [[autoSemDedupClusters]]).
+    * The `hashBits`-bit signature is split into `m` contiguous blocks;
+    * bands are ALL (m−t)-subsets of blocks, each returned as ONE
+    * bit-mask over the signature — two signatures collide in a band iff
+    * `(a & mask) == (b & mask)`, i.e. every block the band covers
+    * matches. Recall exactness is pure pigeonhole and holds for EVERY
+    * m > t: ≤ t differing bits dirty ≤ t blocks, leaving ≥ m−t clean
+    * blocks, and the band over (a subset of) those clean blocks has no
+    * differing bit — so every true pair at the Hamming threshold
+    * collides in ≥ 1 band regardless of how wide the layout is.
+    *
+    * Widening trades band count for band width: expected RANDOM
+    * collision pairs per band ≈ n²∕2^bits, so `m` is the smallest
+    * block count whose narrowest band reaches ceil(log2 n) + 8 bits
+    * (random-collision verify work ≈ n∕256 pairs — linear in the
+    * corpus), capped at m = 9 — for the default t = 2 that is C(9,2) =
+    * 36 bands of ≥ 49 bits, collision-safe past 2^40 assets. At the
+    * test SFs (n ≲ 10⁴, t = 2) the derivation lands on m = 3 — the
+    * legacy 3 × 21-bit layout — so small-corpus results and oracles
+    * are bit-identical; the widening engages only when n² outruns the
+    * band space.
+    */
+  def phashBandMasks(corpusRows: Long, maxHamming: Int,
+                     hashBits: Int = 63): Seq[Long] = {
+    val t = maxHamming
+    require(hashBits > 0 && hashBits <= 63, s"hashBits $hashBits")
+    require(t >= 0 && t < hashBits,
+      s"maxHamming $t out of range for $hashBits-bit signatures")
+    val mCap = math.min(9, hashBits)
+    // a cap below t+1 cannot happen for the supported hashBits range
+    // (t < hashBits ≤ 63 and t ≤ 8 in practice), but guard anyway
+    require(t + 1 <= mCap,
+      s"maxHamming $t needs ${t + 1} blocks, cap is $mCap")
+    def minBandBits(m: Int): Int = (m - t) * (hashBits / m)
+    val n = math.max(corpusRows, 2L)
+    val requiredBits = math.min(
+      (t + 1 to mCap).map(minBandBits).max,
+      64 - java.lang.Long.numberOfLeadingZeros(n - 1) + 8)
+    val m = (t + 1 to mCap).find(minBandBits(_) >= requiredBits)
+      .getOrElse(mCap)
+    val w = hashBits / m
+    val r = hashBits % m
+    val widths = Seq.tabulate(m)(i => if (i < r) w + 1 else w)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val blockMasks = widths.zip(offsets).map { case (bw, off) =>
+      ((1L << bw) - 1L) << off
+    }
+    blockMasks.combinations(m - t).map(_.reduce(_ | _)).toSeq
+  }
+
   /** Cluster count for [[semDedup]] when derived from the corpus size:
     * one cell per ~`targetOccupancy` vectors, floored at 2 (greatest()
     * needs two cells) and capped at 65536 (centroid literals stay

@@ -46,28 +46,25 @@ object Round10bQueries {
   }
 
   /** Hamming-banded near-dup pairs over a (asset_id, phash) signature
-    * frame: 3 × 21-bit bands bucket the candidates (pigeonhole:
-    * distance ≤ maxHamming ≤ 2 ⇒ some band equal — recall-exact), only
-    * in-bucket pairs pay the bit_count(xor) verify. Shared by
-    * `m_phash_neardup` (reports pairs) and `d_phash_clusters` (feeds
-    * them to connected components). Scale note: expected random band
-    * collisions grow as n² ∕ 2^bandBits, so past ~10⁸ assets the band
-    * layout widens (pair 21-bit bands → 42-bit AND-composites, the
-    * standard LSH band/row trade at the same Hamming threshold) —
-    * the bucket-join shape below is unchanged, only the band columns
-    * are derived differently.
+    * frame: the band layout is DERIVED from the corpus count
+    * ([[graft.dedup.Dedup.phashBandMasks]] — recall-exact at
+    * `maxHamming` by pigeonhole for every layout it returns, widening
+    * from the 3 × 21-bit small-corpus shape to AND-composite bands as
+    * n² outruns the band space), each band a single bit-mask, so a
+    * band bucket key is just `phash & mask`. Only in-bucket pairs pay
+    * the bit_count(xor) verify. Shared by `m_phash_neardup` (reports
+    * pairs) and `d_phash_clusters` (feeds them to connected
+    * components). The count() keying the derivation is one action on
+    * the already-checkpointed 16-byte signature frame — footer-cheap,
+    * same pattern as [[graft.dedup.Dedup.semDedupAuto]].
     */
   private def phashPairs(ph: org.apache.spark.sql.DataFrame,
                          maxHamming: Int)
       : org.apache.spark.sql.DataFrame = {
-    // 3 bands ⇒ pigeonhole covers Hamming ≤ 2 only; a larger threshold
-    // would need more bands or it silently loses recall
-    require(maxHamming >= 0 && maxHamming <= 2,
-      s"3-band layout is recall-exact only for maxHamming <= 2, " +
-        s"got $maxHamming")
+    val masks =
+      graft.dedup.Dedup.phashBandMasks(ph.count(), maxHamming)
     val bands = ph.select(col("asset_id"), posexplode(array(
-        (0 until 3).map(b => shiftright(col("phash"), b * 21)
-          .bitwiseAND(lit(0x1FFFFFL))): _*)))
+        masks.map(m => col("phash").bitwiseAND(lit(m))): _*)))
       .toDF("asset_id", "band", "bits")
       .repartition(col("band"), col("bits"))
     val cand = bands.as("a").join(bands.as("b"),
@@ -181,9 +178,11 @@ object Round10bQueries {
         "codec and difference-hashed (Multimodal.dHash63: 8×9 " +
         "integer-exact NN grid over the raster, 63 comparison bits — " +
         "brightness-invariant, single-pixel changes flip ≤ 2 bits), then " +
-        "near-dup pairs are found WITHOUT a quadratic scan: 3 × 21-bit " +
-        "Hamming bands bucket the candidates (pigeonhole: distance ≤ 2 " +
-        "⇒ some band equal — recall-exact at the threshold), and only " +
+        "near-dup pairs are found WITHOUT a quadratic scan: Hamming " +
+        "bands derived from the corpus count (Dedup.phashBandMasks — " +
+        "3 × 21-bit at this scale, auto-widening to AND-composites as " +
+        "n² outruns the band space) bucket the candidates (pigeonhole: " +
+        "distance ≤ 2 ⇒ some band equal — recall-exact), and only " +
         "in-bucket pairs pay the bit_count(xor) verify. Signatures are " +
         "hashed ONCE (localCheckpoint) and reused by band-explode and " +
         "both verify sides — at 100 TB the images never travel, 16 " +

@@ -70,6 +70,48 @@ class Round10bOpsSpec extends AnyFunSuite {
     assert(out.filter(_.ok).forall(_.phash >= 0L))
   }
 
+  test("phashBandMasks: planted near-dups at threshold always collide") {
+    val rnd = new scala.util.Random(42)
+    for {
+      n <- Seq(10L, 6000L, 1000000L, 1000000000L, 1000000000000L)
+      t <- 0 to 3
+    } {
+      val masks = graft.dedup.Dedup.phashBandMasks(n, t)
+      // the layout covers every signature bit (no blind spot a flipped
+      // bit could hide in forever) and stays inside the 63-bit range
+      assert(masks.reduce(_ | _) == (1L << 63) - 1L,
+        s"n=$n t=$t masks do not cover all 63 bits")
+      assert(masks.forall(m => m > 0L),
+        s"n=$n t=$t produced an empty or sign-bit band")
+      // pigeonhole recall, property-tested: flip EXACTLY t random bits
+      // and the pair must still share at least one full band
+      (0 until 200).foreach { _ =>
+        val a = rnd.nextLong() & ((1L << 63) - 1L)
+        val flips = rnd.shuffle((0 until 63).toList).take(t)
+        val b = flips.foldLeft(a)((h, i) => h ^ (1L << i))
+        assert(masks.exists(m => (a & m) == (b & m)),
+          s"n=$n t=$t: pair at Hamming $t missed every band")
+      }
+    }
+  }
+
+  test("phashBandMasks widens with the corpus, legacy layout at test SF") {
+    // at verify scale (documents ≲ 10⁴) the derivation must land on the
+    // legacy 3 × 21-bit layout, so committed oracles are bit-identical
+    val small = graft.dedup.Dedup.phashBandMasks(6000L, 2)
+    assert(small.toSet == Set(0x1FFFFFL, 0x1FFFFFL << 21, 0x1FFFFFL << 42))
+    // a web-scale corpus gets strictly wider bands (and more of them):
+    // n²/2^bits collision control converted from scale note to code
+    val big = graft.dedup.Dedup.phashBandMasks(1000000000000L, 2)
+    def minBits(ms: Seq[Long]) = ms.map(java.lang.Long.bitCount).min
+    assert(minBits(big) > minBits(small) && big.size > small.size)
+    assert(minBits(big) >= 48,
+      "10^12-asset layout must hold n^2 collisions: >=48-bit bands")
+    // monotone: more corpus never narrows the bands
+    val mid = graft.dedup.Dedup.phashBandMasks(1000000L, 2)
+    assert(minBits(mid) >= minBits(small) && minBits(big) >= minBits(mid))
+  }
+
   test("decimatePcm16Mono keeps every 4th sample through the real codec") {
     val samples = Array.tabulate(23)(i => ((i * 997) % 2001 - 1000).toShort)
     val wav = Multimodal.encodePcm16Wav(8000, samples)

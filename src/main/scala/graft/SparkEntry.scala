@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{ExtendedQueries, PipelineQueries, Q, Round4Queries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, Round9Queries, Round10Queries, Round10bQueries, StarQueries}
+import graft.queries.{ExtendedQueries, PipelineQueries, Q, Round4Queries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, Round9Queries, Round10Queries, Round10bQueries, Round11Queries, StarQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,7 +17,8 @@ object SparkEntry {
     val all = StarQueries.all ++ PipelineQueries.all ++
       ExtendedQueries.all ++ Round4Queries.all ++ Round5Queries.all ++
       Round6Queries.all ++ Round7Queries.all ++ Round8Queries.all ++
-      Round9Queries.all ++ Round10Queries.all ++ Round10bQueries.all
+      Round9Queries.all ++ Round10Queries.all ++ Round10bQueries.all ++
+      Round11Queries.all
     val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(",")}")
     all
@@ -78,7 +79,9 @@ object SparkEntry {
     "m_phash_neardup", "m_audio_resample", "curate_url_canon",
     "d_containment", "m_video_scene_cut", "t_token_surprisal",
     "d_phash_clusters", "m_audio_vad", "stream_audio_ingest",
-    "p_curriculum_order")
+    "p_curriculum_order",
+    // r11-new: same capped-from-birth policy
+    "m_video_frames_mjpeg")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

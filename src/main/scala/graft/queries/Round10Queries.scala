@@ -325,8 +325,7 @@ object Round10Queries {
         "the exact-hash gate. Docs with doc_id % 50 = 0 carry a corrupt " +
         "payload → one ok=false sentinel row, never a failed stage. " +
         "(The MJPEG path — 00dc frames through the in-JDK JPEG codec — " +
-        "is spec-verified: JPEG loss makes it engine-exact but not " +
-        "closed-form.)",
+        "rides its own digest-pinned hash gate: m_video_frames_mjpeg.)",
       (s, d) => {
         import s.implicits._
         val assets = Tables.documents(s, d).select($"doc_id").as[Long]

@@ -383,6 +383,14 @@ object Round5Queries {
               else toks.sliding(2).map(_.mkString(" ")).toArray
             bgs.distinct.iterator.map(bg => (id, bg))
           }).toDF("doc_id", "bg")
+        // r11 profile (32× probe, quiet host): the window form runs
+        // 4.6 s vs 6.8 s for the sort-free alternative (checkpoint the
+        // shingle frame + hash-agg df by bg + per-doc join) — the
+        // materialization of the (doc, bg) string frame costs more than
+        // the window's in-partition sort, so ONE bg exchange + sort
+        // stays the plan. Growth is sub-linear (8× → 2.7×, 32× → ~10×
+        // over a 0.5 s-clamped denominator); the r10 3.49× flag was the
+        // unclamped 0.35 s denominator, not the shingle distinct.
         sh.withColumn("df", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy($"bg")))
           .groupBy($"doc_id")

@@ -40,7 +40,8 @@ object ScaleProbe {
     "m_audio_decode", "m_video_frames",
     "m_phash_neardup", "m_audio_resample", "curate_url_canon",
     "d_containment", "m_video_scene_cut", "t_token_surprisal",
-    "d_phash_clusters", "m_audio_vad", "p_curriculum_order")
+    "d_phash_clusters", "m_audio_vad", "p_curriculum_order",
+    "t_unicode_normalize")
 
   /** SPARK_GRAFT_PROBES=a,b restricts the probe set (iteration aid;
     * guard runs ignore it so the tripwire always covers everything). */

@@ -81,7 +81,8 @@ object SparkEntry {
     "d_phash_clusters", "m_audio_vad", "stream_audio_ingest",
     "p_curriculum_order",
     // r11-new: same capped-from-birth policy
-    "m_video_frames_mjpeg")
+    "m_video_frames_mjpeg", "curate_leakproof_split",
+    "t_unicode_normalize")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

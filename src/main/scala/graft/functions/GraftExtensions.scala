@@ -37,6 +37,15 @@ object GraftFunctions {
     }
   }
 
+  private def strArg(e: Expression, fn: String): String = {
+    require(e.foldable, s"$fn: argument must be a literal string")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected string literal, got $other")
+    }
+  }
+
   /** Arity gate: a builder indexing args(i) without a length check turns
     * `SELECT vec_dot(a)` into an IndexOutOfBoundsException from deep inside
     * the planner — fail instead with a clean error naming the signature.
@@ -75,7 +84,14 @@ object GraftFunctions {
       arity(1, "vec_sq8(a)")(args => Sq8Quantize(args(0)))),
     (FunctionIdentifier("vec_i8_dot"),
       info("Int8Dot", "vec_i8_dot(a, b) - exact integer code dot product"),
-      arity(2, "vec_i8_dot(a, b)")(args => Int8Dot(args(0), args(1)))))
+      arity(2, "vec_i8_dot(a, b)")(args => Int8Dot(args(0), args(1)))),
+    (FunctionIdentifier("unicode_normalize"),
+      info("UnicodeNormalize",
+        "unicode_normalize(s, 'NFC') - Unicode normalization " +
+          "(NFC/NFD/NFKC/NFKD)"),
+      arity(2, "unicode_normalize(s, form)")(args =>
+        UnicodeNormalize(args(0),
+          TextKernels.formOf(strArg(args(1), "unicode_normalize"))))))
 
   /** Register the functions into an already-built session's registry (the
     * same mechanism `injectFunction` uses at session build time).

@@ -184,13 +184,18 @@ object OracleGen {
     * md5 prefix of the band's signature slice joined with ','. Docs with no
     * tokens signature to the sentinel 2^60 (> every real hash).
     */
-  def minhashBucketsCte(shingleN: Int, bands: Int, rowsPerBand: Int): String = {
+  def minhashBucketsCte(shingleN: Int, bands: Int, rowsPerBand: Int,
+                        where: String = ""): String = {
     val k = bands * rowsPerBand
     val m60 = 1L << 60
     val sentinel = Seq.fill(k)(m60.toString).mkString("[", ", ", "]")
+    // optional corpus restriction (leakproof-split caps the recursive-CTE
+    // oracle); composed as AND so the empty-text guard always applies
+    val andWhere = if (where.isEmpty) "" else s" AND ($where)"
+    val sigWhere = if (where.isEmpty) "" else s" WHERE $where"
     s"""mh_toks AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
-       |  FROM documents WHERE length(trim(text)) > 0),
+       |  FROM documents WHERE length(trim(text)) > 0$andWhere),
        |mh_sh AS (
        |  SELECT DISTINCT doc_id, sh FROM (
        |    SELECT doc_id, unnest(CASE WHEN len(toks) <= $shingleN
@@ -215,7 +220,7 @@ object OracleGen {
        |  SELECT d.doc_id, coalesce(m.sig, $sentinel) AS sig
        |  FROM documents d LEFT JOIN
        |    (SELECT doc_id, list(mh ORDER BY i) AS sig
-       |     FROM mh_min GROUP BY doc_id) m USING (doc_id)),
+       |     FROM mh_min GROUP BY doc_id) m USING (doc_id)$sigWhere),
        |mh_buckets AS (
        |  SELECT doc_id, b.b AS band,
        |    CAST(concat('0x', substr(md5(array_to_string(
@@ -242,6 +247,34 @@ object OracleGen {
        |SELECT d.doc_id, CAST(coalesce(deg.c, 0) AS BIGINT) AS n_candidates
        |FROM documents d LEFT JOIN deg ON d.doc_id = deg.id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Leakage-safe split (`curate_leakproof_split`): near-dup clusters =
+    * connected components over portable minhash band collisions (corpus
+    * capped so the recursive-CTE replay stays tractable), then the
+    * WHOLE CLUSTER assigned to train/val/test by the cluster id's
+    * multiplicative hash — the same integer arithmetic as
+    * `curate_split_assign`, keyed by cluster instead of doc.
+    */
+  def leakproofSplitSql(shingleN: Int, bands: Int, rowsPerBand: Int,
+                        maxDocId: Long): String =
+    s"""WITH RECURSIVE ${
+         minhashBucketsCte(shingleN, bands, rowsPerBand,
+           s"doc_id < $maxDocId")},
+       |ee AS (SELECT a_id AS a, b_id AS b FROM mh_cand
+       |  UNION SELECT b_id, a_id FROM mh_cand),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS lab FROM documents
+       |  WHERE doc_id < $maxDocId
+       |  UNION
+       |  SELECT ee.b, reach.lab FROM reach JOIN ee ON ee.a = reach.id),
+       |cl AS (SELECT id AS doc_id, min(lab) AS cluster_id
+       |  FROM reach GROUP BY id),
+       |hh AS (SELECT doc_id, cluster_id,
+       |  ((cluster_id % 1000003) * 2654435761) % 100 AS h FROM cl)
+       |SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+       |    ELSE 'test' END AS split
+       |FROM hh ORDER BY doc_id""".stripMargin
 
   /** Incremental dedup (`d_incremental_dedup`): new-batch docs
     * (doc_id % 10 = 0) probed against the index side's band buckets;

@@ -131,6 +131,21 @@ object Streams {
     runToMemoryMode(spark, name, "append", statePartitions,
       requireSingleBatch = true)(build)
 
+  /** Multi-batch append-mode run — for queries whose SEMANTICS are the
+    * watermark trajectory itself (late-data drop, append-mode window
+    * finalization). Here input arriving over many micro-batches is the
+    * point, not a verification hazard: the caller pins the file arrival
+    * order and the oracle replays the resulting watermark in closed
+    * form (`stream_late_data_drop`). Everything [[runToMemoryAppend]]'s
+    * single-batch guard protects against must instead be accounted for
+    * by the oracle.
+    */
+  def runToMemoryAppendMulti(spark: SparkSession, name: String,
+                             statePartitions: Int = 4)
+                            (build: SparkSession => DataFrame): DataFrame =
+    runToMemoryMode(spark, name, "append", statePartitions,
+      requireSingleBatch = false)(build)
+
   /** Run a `foreachBatch` stream to completion against a static directory.
     * Unlike [[runToMemory]] there is no sink table — `handle` receives
     * each micro-batch (plus its id) and applies its own side effect
@@ -231,6 +246,9 @@ object Streams {
       if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
         q.recentProgress.foreach(p => System.err.println(
           s"[stream] batch=${p.batchId} rows=${p.numInputRows} " +
+            s"wm=${Option(p.eventTime).map(_.get("watermark")).orNull} " +
+            s"maxET=${Option(p.eventTime).map(_.get("max")).orNull} " +
+            s"dropped=${p.stateOperators.map(_.numRowsDroppedByWatermark).mkString(",")} " +
             s"durations=${p.durationMs}"))
       if (requireSingleBatch) {
         // A trailing zero-input batch is fine (watermark-advance state

@@ -56,14 +56,15 @@ object Bench {
         // phantom 2× regression flags). The reported total is the sum
         // of per-query minima, so tripling runs changes wall-clock of
         // the bench process, not the recorded numbers. The only queries
-        // exempt are the very long tail (≥ 30 s — none registered
-        // today), where noise is proportional and a rerun doubles real
-        // cost without sharpening the min.
+        // EXEMPT from reruns are the very long tail (≥ 30 s — none
+        // registered today): noise there is proportional and a rerun
+        // doubles real cost without sharpening the min, so they run
+        // exactly once.
         // SPARK_GRAFT_RUNS=n forces n total runs (profiling aid:
         // separates per-JVM fixture/cold cost from steady state)
         val reruns = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt - 1)
           .getOrElse(
-            if (!ok1) 0 else if (dt1 < 30.0) 2 else 1)
+            if (!ok1) 0 else if (dt1 < 30.0) 2 else 0)
         val later = Seq.fill(reruns)(timeOne(name, fn))
         // EVERY run must succeed: a crashed rerun's tiny elapsed time
         // must neither become the recorded min nor hide behind a green

@@ -41,7 +41,43 @@ object ScaleProbe {
     "m_phash_neardup", "m_audio_resample", "curate_url_canon",
     "d_containment", "m_video_scene_cut", "t_token_surprisal",
     "d_phash_clusters", "m_audio_vad", "p_curriculum_order",
-    "t_unicode_normalize")
+    "t_unicode_normalize",
+    "d_lsh_bucket_cap", "d_exact_nfc",
+    "probe_lsh_spam", "probe_leakproof_uncapped")
+
+  /** Probe-ONLY workloads (timing evidence, no oracle — they exist
+    * precisely because their registry counterparts are capped for
+    * oracle tractability, so the at-scale shape would otherwise never
+    * be measured under its real load):
+    *
+    *  - `probe_lsh_spam`: every 8th doc's text replaced by one constant
+    *    spam string — a planted hot bucket of n/8 docs in EVERY band.
+    *    Uncapped this is O((n/8)²) candidate pairs per band (64× pair
+    *    volume at 8× data); with the corpus-derived hot-bucket cap the
+    *    spam bucket star-reduces to O(n/8) edges, so the 8× ratio stays
+    *    near-linear. The probe that would have caught the pre-r12
+    *    "AQE handles spam" delegation.
+    *  - `probe_leakproof_uncapped`: the full banded-join + connected-
+    *    components + split composition of `curate_leakproof_split`
+    *    WITHOUT the doc_id < 1500 oracle cap.
+    */
+  val extraProbes: Map[String,
+      (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "probe_lsh_spam" -> ((s: SparkSession, d: String) => {
+      val spamText = (0 until 30).map(i => s"probespam$i").mkString(" ")
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(8L)) === 0L, lit(spamText))
+          .otherwise(col("text")).as("text"))
+      // murmur variant (the 100 TB default path), corpus-derived cap
+      graft.dedup.Dedup.minhashCandidates(docs, "doc_id", "text",
+        shingleN = 3, bands = 8, rowsPerBand = 2)
+    }),
+    "probe_leakproof_uncapped" -> ((s: SparkSession, d: String) =>
+      graft.queries.Round11Queries.leakproofSplit(s, d, None)))
+
+  private def probeFn(name: String)
+      : (SparkSession, String) => org.apache.spark.sql.DataFrame =
+    extraProbes.getOrElse(name, SparkEntry.queries(name))
 
   /** SPARK_GRAFT_PROBES=a,b restricts the probe set (iteration aid;
     * guard runs ignore it so the tripwire always covers everything). */
@@ -101,7 +137,7 @@ object ScaleProbe {
     def time(name: String, dir: String, runs: Int): Double = {
       def once: Double = {
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, dir).count()
+        probeFn(name)(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }
       val rs = Seq.fill(runs)(once)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{ExtendedQueries, PipelineQueries, Q, Round4Queries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, Round9Queries, Round10Queries, Round10bQueries, Round11Queries, StarQueries}
+import graft.queries.{ExtendedQueries, PipelineQueries, Q, Round4Queries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, Round9Queries, Round10Queries, Round10bQueries, Round11Queries, Round12Queries, StarQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,7 +18,7 @@ object SparkEntry {
       ExtendedQueries.all ++ Round4Queries.all ++ Round5Queries.all ++
       Round6Queries.all ++ Round7Queries.all ++ Round8Queries.all ++
       Round9Queries.all ++ Round10Queries.all ++ Round10bQueries.all ++
-      Round11Queries.all
+      Round11Queries.all ++ Round12Queries.all
     val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(",")}")
     all
@@ -82,7 +82,9 @@ object SparkEntry {
     "p_curriculum_order",
     // r11-new: same capped-from-birth policy
     "m_video_frames_mjpeg", "curate_leakproof_split",
-    "t_unicode_normalize")
+    "t_unicode_normalize",
+    // r12-new: same capped-from-birth policy
+    "d_lsh_bucket_cap", "d_exact_nfc")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

@@ -33,6 +33,21 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup over NFC-NORMALIZED text: same digest groupBy, but the
+    * key is `unicode_normalize(text, 'NFC')` (the codegen'd
+    * [[graft.functions.UnicodeNormalize]]), so the precomposed and
+    * combining-sequence spellings of the same visible text land in ONE
+    * group — the false-negative a byte-level hash key leaves open on web
+    * text. Cost over [[exact]] is ~a strlen per row: the normalizer's
+    * all-ASCII fast path returns the input buffer untouched, so only
+    * rows that actually carry non-ASCII pay the normalize.
+    */
+  def exactNormalized(df: DataFrame, textCol: String,
+                      idCol: String): DataFrame =
+    df.groupBy(md5(graft.functions.text
+        .unicode_normalize(col(textCol), "NFC")).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** Deterministic 64-bit string hash with seed (two murmur32 halves). */
   private[dedup] def h64(s: String, seed: Int): Long = {
     val h1 = MurmurHash3.stringHash(s, seed)
@@ -81,6 +96,75 @@ object Dedup {
       }.toDF("id", "sig")
   }
 
+  /** Corpus-derived hot-bucket cap for the LSH band self-join:
+    * `max(64, 8 · bitlen(n+1))` where bitlen is the integer bit length
+    * (⌈log₂⌉, no floats — the DuckDB replay uses `length(bin(n+1))` and
+    * both sides are integer-exact). Rationale: true near-dup clusters at
+    * any measured SF are single digits (max natural bucket 7 at sf0.1,
+    * n=5000 → cap 104, ~15× headroom), while a spam cluster is unbounded
+    * — the cap grows only logarithmically with the corpus, so the worst
+    * under-cap bucket emits O(log²n) pairs, never O(n²).
+    */
+  private[graft] def bucketCap(nDocs: Long): Int =
+    math.max(64, 8 * (64 - java.lang.Long.numberOfLeadingZeros(nDocs + 1)))
+
+  /** Candidate pairs from a (id, band, band_hash) bucket table with the
+    * hot-bucket cap applied. Buckets at or under `cap` emit their full
+    * in-bucket clique (the classic LSH candidate set); buckets OVER the
+    * cap — spam clusters, boilerplate walls, degenerate shingle sets —
+    * are STAR-REDUCED: every member pairs with the bucket's minimum id
+    * only, bounding the bucket's pair output at k−1 instead of k(k−1)/2.
+    *
+    * Recall contract (NOT silent truncation): (a) star edges keep every
+    * over-cap member visible and connected — connected components over
+    * the capped edge set are IDENTICAL to the uncapped ones (a clique and
+    * a star on the same vertex set have the same component), so
+    * cluster-level consumers (duplicateClusters, leakproof splits,
+    * canonical-doc selection) are exact; (b) a direct pair inside an
+    * over-cap bucket can still surface via any OTHER band where the two
+    * docs share an under-cap bucket; (c) [[lshBucketStats]] reports which
+    * buckets capped, for monitoring. Only the per-pair list inside a hot
+    * bucket is reduced — by construction the docs there are mutual
+    * near-dups of one canonical representative anyway.
+    *
+    * Plan shape: one exchange on (band, band_hash); the per-bucket count
+    * and hub come from a single Window over the partition keys (no extra
+    * shuffle — only a local sort the SMJ self-join needed regardless);
+    * the self-join and the star projection both reuse that exchange.
+    */
+  private def cappedBucketPairs(buckets: DataFrame, cap: Int): DataFrame = {
+    val parted = buckets.repartition(col("band"), col("band_hash"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_hash"))
+    val tagged = parted
+      .withColumn("bkt_n", count(lit(1)).over(w))
+      .withColumn("hub", min(col("id")).over(w))
+    val small = tagged.filter(col("bkt_n") <= cap)
+    val a = small.as("a")
+    val b = small.as("b")
+    val clique = a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+    // hub = min(id) of the bucket, so a_id < b_id holds by construction
+    val star = tagged
+      .filter(col("bkt_n") > cap && col("id") =!= col("hub"))
+      .select(col("hub").as("a_id"), col("id").as("b_id"))
+    clique.union(star).distinct()
+  }
+
+  /** Per-bucket monitoring stats for the hot-bucket cap: one row per
+    * (band, band_hash) with its size, hub (min id), and whether it
+    * star-reduces under `cap` — the "no silent truncation" surface a
+    * pipeline can alert on (a sudden wave of capped buckets means a spam
+    * campaign or a degenerate tokenizer, either way worth eyes).
+    */
+  def lshBucketStats(buckets: DataFrame, cap: Int): DataFrame =
+    buckets.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bkt_n"), min(col("id")).as("hub"))
+      .withColumn("capped", col("bkt_n") > cap)
+
   /** MinHash LSH candidate pairs: band the signature, bucket-join per
     * (band, band-hash). Returns candidate (a_id, b_id) pairs with a < b.
     *
@@ -88,13 +172,19 @@ object Dedup {
     * rows; the explicit repartition on the join keys means the self-join
     * reuses that single exchange (no re-shuffle) and signature computation
     * stays below the exchange (evaluated once). Degenerate buckets (spam
-    * clusters) are handled by AQE skew-join splitting; the verify stage
-    * re-filters with true Jaccard.
+    * clusters) are bounded by the hot-bucket cap ([[cappedBucketPairs]] —
+    * AQE skew splitting redistributes a hot bucket's join but cannot bound
+    * its O(k²) pair OUTPUT; the cap can, and star-reduction keeps the
+    * cluster structure exact). `maxBucket` ≤ 0 derives the cap from the
+    * corpus count ([[bucketCap]] — one metadata-cheap count job); the
+    * derived cap never engages at any measured natural bucket size, only
+    * on planted/spam-grade degeneracy.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 5, bands: Int = 8,
-                        rowsPerBand: Int = 2): DataFrame = {
+                        rowsPerBand: Int = 2, maxBucket: Int = 0): DataFrame = {
     val k = bands * rowsPerBand
+    val cap = if (maxBucket > 0) maxBucket else bucketCap(df.count())
     val sigs = minhashSignatures(df, idCol, textCol, k, shingleN)
     val buckets = sigs.select(
       col("id"), posexplode(
@@ -102,15 +192,7 @@ object Dedup {
           b => xxhash64(slice(col("sig"),
             b * rowsPerBand + 1, lit(rowsPerBand)).cast("string")))))
       .toDF("id", "band", "band_hash")
-      .repartition(col("band"), col("band_hash"))
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .distinct()
+    cappedBucketPairs(buckets, cap)
   }
 
   /** Distinct word shingles in ONE typed pass — the expression-based
@@ -141,9 +223,10 @@ object Dedup {
     */
   def minhashDuplicates(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double, shingleN: Int = 5,
-                        bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+                        bands: Int = 8, rowsPerBand: Int = 2,
+                        maxBucket: Int = 0): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, shingleN, bands,
-      rowsPerBand)
+      rowsPerBand, maxBucket)
     val sh = shingleSets(df, idCol, textCol, shingleN)
     cands
       .join(sh.toDF("a_id", "a_sh"), Seq("a_id"))
@@ -230,24 +313,20 @@ object Dedup {
       }.toDF("id", "band", "band_hash")
   }
 
-  /** Portable MinHash LSH candidate pairs — same join shape as
-    * [[minhashCandidates]] over the portable buckets.
+  /** Portable MinHash LSH candidate pairs — same capped join shape as
+    * [[minhashCandidates]] over the portable buckets (hot-bucket cap +
+    * star-reduction contract documented at [[cappedBucketPairs]];
+    * `maxBucket` ≤ 0 derives [[bucketCap]] from the corpus count).
     */
   def minhashCandidatesPortable(df: DataFrame, idCol: String,
                                 textCol: String, shingleN: Int = 5,
                                 bands: Int = 8,
-                                rowsPerBand: Int = 2): DataFrame = {
+                                rowsPerBand: Int = 2,
+                                maxBucket: Int = 0): DataFrame = {
+    val cap = if (maxBucket > 0) maxBucket else bucketCap(df.count())
     val buckets = minhashBucketsPortable(df, idCol, textCol, shingleN,
-        bands, rowsPerBand)
-      .repartition(col("band"), col("band_hash"))
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .distinct()
+      bands, rowsPerBand)
+    cappedBucketPairs(buckets, cap)
   }
 
   /** Portable verified MinHash duplicates — exact-Jaccard recheck over the
@@ -256,9 +335,10 @@ object Dedup {
   def minhashDuplicatesPortable(df: DataFrame, idCol: String,
                                 textCol: String, threshold: Double,
                                 shingleN: Int = 5, bands: Int = 8,
-                                rowsPerBand: Int = 2): DataFrame = {
+                                rowsPerBand: Int = 2,
+                                maxBucket: Int = 0): DataFrame = {
     val cands = minhashCandidatesPortable(df, idCol, textCol, shingleN,
-      bands, rowsPerBand)
+      bands, rowsPerBand, maxBucket)
     val sh = shingleSets(df, idCol, textCol, shingleN)
     cands
       .join(sh.toDF("a_id", "a_sh"), Seq("a_id"))

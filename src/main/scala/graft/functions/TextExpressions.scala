@@ -18,11 +18,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * static call into [[TextKernels.normalize]] — it inlines into
   * whole-stage codegen like a built-in, no UDF boxing.
   *
-  * The kernel fast-paths `Normalizer.isNormalized`: for the
-  * overwhelmingly-ASCII common case at 100 TB this is a single scan
-  * with ZERO allocation (ASCII is normal under every form), so the
-  * normalize pass costs ~a strlen except on the rows that actually
-  * carry combining sequences.
+  * The kernel fast-paths all-ASCII input via `UTF8String.isFullAscii`
+  * — a byte scan over the existing buffer, ZERO allocation (ASCII is
+  * normal under every form) — so the normalize pass costs ~a strlen
+  * for the overwhelmingly-ASCII bulk at 100 TB; only rows carrying
+  * non-ASCII pay a String copy, and only rows carrying combining
+  * sequences pay the actual normalize.
+  *
+  * Composed into dedup keys via [[graft.dedup.Dedup.exactNormalized]]
+  * (the `d_exact_nfc` query): normalize-before-hash is the reason this
+  * expression exists.
   */
 object TextKernels {
   // stable ordinals (NOT Form.values() order-dependent) — codegen embeds
@@ -50,7 +55,15 @@ object TextKernels {
   }
 
   def normalize(s: UTF8String, form: Int): UTF8String = {
+    // true zero-alloc fast path: ASCII is normal under every Unicode
+    // form, and isFullAscii scans the UTF8String's own bytes — no
+    // toString copy. The overwhelmingly-ASCII 100 TB bulk costs ~a
+    // strlen per row and generates zero garbage.
+    if (s.isFullAscii) return s
     val f = javaForm(form)
+    // non-ASCII rows: one String copy for the JDK normalizer; the
+    // already-normalized majority of THOSE still returns the original
+    // buffer (isNormalized is a scan, not a rewrite)
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, f)) s
     else UTF8String.fromString(java.text.Normalizer.normalize(str, f))

@@ -185,7 +185,8 @@ object OracleGen {
     * tokens signature to the sentinel 2^60 (> every real hash).
     */
   def minhashBucketsCte(shingleN: Int, bands: Int, rowsPerBand: Int,
-                        where: String = ""): String = {
+                        where: String = "",
+                        source: String = "documents"): String = {
     val k = bands * rowsPerBand
     val m60 = 1L << 60
     val sentinel = Seq.fill(k)(m60.toString).mkString("[", ", ", "]")
@@ -195,7 +196,7 @@ object OracleGen {
     val sigWhere = if (where.isEmpty) "" else s" WHERE $where"
     s"""mh_toks AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
-       |  FROM documents WHERE length(trim(text)) > 0$andWhere),
+       |  FROM $source WHERE length(trim(text)) > 0$andWhere),
        |mh_sh AS (
        |  SELECT DISTINCT doc_id, sh FROM (
        |    SELECT doc_id, unnest(CASE WHEN len(toks) <= $shingleN
@@ -218,7 +219,7 @@ object OracleGen {
        |  GROUP BY doc_id, i.i),
        |mh_sig AS (
        |  SELECT d.doc_id, coalesce(m.sig, $sentinel) AS sig
-       |  FROM documents d LEFT JOIN
+       |  FROM $source d LEFT JOIN
        |    (SELECT doc_id, list(mh ORDER BY i) AS sig
        |     FROM mh_min GROUP BY doc_id) m USING (doc_id)$sigWhere),
        |mh_buckets AS (
@@ -248,12 +249,65 @@ object OracleGen {
        |FROM documents d LEFT JOIN deg ON d.doc_id = deg.id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Hot-bucket cap replay (`d_lsh_bucket_cap`): the corpus is documents
+    * plus `nSpam` planted identical-text docs (one degenerate bucket in
+    * EVERY band); the cap is derived exactly as
+    * `Dedup.bucketCap` — GREATEST(64, 8·bitlen(n+1)) via `length(bin())`,
+    * integer-exact on both engines — and buckets over it STAR-reduce to
+    * their min-id hub while buckets under it emit the full clique. The
+    * final per-doc candidate degree plus the derived cap itself ride the
+    * hash gate, so both the derivation and the reduction are pinned.
+    */
+  def lshBucketCapSql(shingleN: Int, bands: Int, rowsPerBand: Int,
+                      nSpam: Int, spamText: String): String =
+    s"""WITH spam AS (
+       |  SELECT CAST(10000000 + r.range AS BIGINT) AS doc_id,
+       |    '$spamText' AS text
+       |  FROM range($nSpam) r),
+       |src AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM spam),
+       |${minhashBucketsCte(shingleN, bands, rowsPerBand, source = "src")},
+       |capv AS (
+       |  SELECT GREATEST(64, 8 * length(bin(count(*) + 1))) AS cap
+       |  FROM src),
+       |bs AS (
+       |  SELECT band, band_hash, count(*) AS bn, min(doc_id) AS hub
+       |  FROM mh_buckets GROUP BY 1, 2),
+       |bt AS (
+       |  SELECT mb.doc_id, mb.band, mb.band_hash, bs.bn, bs.hub
+       |  FROM mh_buckets mb JOIN bs USING (band, band_hash)),
+       |small_p AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bt a JOIN bt b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash
+       |    AND a.doc_id < b.doc_id
+       |  WHERE a.bn <= (SELECT cap FROM capv)),
+       |star_p AS (
+       |  SELECT hub AS a_id, doc_id AS b_id FROM bt
+       |  WHERE bn > (SELECT cap FROM capv) AND doc_id <> hub),
+       |cand AS (
+       |  SELECT DISTINCT a_id, b_id FROM
+       |    (SELECT * FROM small_p UNION ALL SELECT * FROM star_p)),
+       |deg AS (
+       |  SELECT id, count(*) AS c FROM (
+       |    SELECT a_id AS id FROM cand UNION ALL SELECT b_id FROM cand)
+       |  GROUP BY id)
+       |SELECT s.doc_id,
+       |  CAST(coalesce(deg.c, 0) AS BIGINT) AS n_candidates,
+       |  CAST((SELECT cap FROM capv) AS BIGINT) AS cap
+       |FROM (SELECT doc_id FROM src) s
+       |LEFT JOIN deg ON s.doc_id = deg.id
+       |ORDER BY s.doc_id""".stripMargin
+
   /** Leakage-safe split (`curate_leakproof_split`): near-dup clusters =
     * connected components over portable minhash band collisions (corpus
     * capped so the recursive-CTE replay stays tractable), then the
     * WHOLE CLUSTER assigned to train/val/test by the cluster id's
     * multiplicative hash — the same integer arithmetic as
-    * `curate_split_assign`, keyed by cluster instead of doc.
+    * `curate_split_assign`, keyed by cluster instead of doc. (That
+    * arithmetic is a fixed permutation of `cluster_id mod 100`, not a
+    * mixing hash — periodicity note at `Round6Queries.curate_split_assign`.)
     */
   def leakproofSplitSql(shingleN: Int, bands: Int, rowsPerBand: Int,
                         maxDocId: Long): String =

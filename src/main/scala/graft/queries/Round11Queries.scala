@@ -83,14 +83,53 @@ object Round11Queries {
         val tgt = new java.io.File(tmp, s"shard$i.parquet")
         java.nio.file.Files.move(data.toPath, tgt.toPath)
         Scratch.rmTree(stage)
-        tgt.setLastModified(1000000000000L + i * 10000L); ()
+        // the modTime stamp IS the arrival order — a silently failed
+        // stamp would turn the deterministic watermark trajectory into
+        // an opaque oracle mismatch, so fail fast naming the shard
+        require(tgt.setLastModified(1000000000000L + i * 10000L),
+          s"failed to stamp modTime on shard$i.parquet — stream " +
+            "arrival order (and the watermark replay) would be " +
+            "nondeterministic")
       }
     }.getAbsolutePath
   }
 
-  // temporary bridge for the WmProbe diagnostic (deleted before commit)
-  def lateShardsPublic(s: org.apache.spark.sql.SparkSession,
-                       d: String): String = lateShards(s, d)
+  /** The leakage-safe split composition (see `curate_leakproof_split`),
+    * optionally corpus-capped (the registered query caps at doc_id <
+    * 1500 so the recursive-CTE oracle replay stays tractable; the
+    * ScaleProbe `probe_leakproof_uncapped` entry drives THIS helper
+    * uncapped so the banded-join + CC + split composition is
+    * scale-probed under its real shape). Candidate edges come from the
+    * hot-bucket-capped generator: star-reduction preserves connected
+    * components exactly (clique and star on one vertex set have the
+    * same component), so the cluster ids — and therefore the split —
+    * are identical to the uncapped clique's even when the cap engages.
+    */
+  private[graft] def leakproofSplit(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      maxDocId: Option[Long]): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val all = Tables.documents(s, d)
+    val docs = maxDocId.fold(all)(m => all.filter($"doc_id" < m))
+    val edges = graft.dedup.Dedup.minhashCandidatesPortable(
+      docs, "doc_id", "text", shingleN = 5, bands = 8, rowsPerBand = 2)
+    graft.dedup.Dedup
+      .duplicateClusters(docs.select($"doc_id"), edges, "doc_id")
+      .withColumnRenamed("id", "doc_id")
+      // NOTE: (c % 1000003) · 2654435761 mod 100 depends only on
+      // c mod 100 — a fixed PERMUTATION of the last two decimal digits,
+      // periodic over sequential ids, not a mixing hash. Deliberately
+      // kept: it is the curate_split_assign convention (Round6Queries),
+      // both oracles replay it, and for split assignment a balanced
+      // permutation of id mod 100 is sufficient; swapping in a mixing
+      // hash would break both committed oracles for zero semantic gain.
+      .withColumn("h",
+        ($"cluster_id" % 1000003L) * 2654435761L % 100L)
+      .select($"doc_id", $"cluster_id",
+        when($"h" < 80, "train").when($"h" < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
 
   def all: Seq[Q] = Seq(
 
@@ -121,7 +160,11 @@ object Round11Queries {
       },
       // digest pin (decoded once on the reference JDK codec; the gate
       // re-decodes from scratch every verify run, so any codec/parser
-      // drift lands here as a hash mismatch)
+      // drift lands here as a hash mismatch). Reference JDK: OpenJDK
+      // 17.0.20 (Debian 17.0.20+8) — JPEG IDCT output is NOT bit-exact
+      // across JDK vendors/versions, so a red row here on a DIFFERENT
+      // JVM means codec drift (re-pin after reviewing the new values),
+      // not an engine/parser regression.
       Some("""SELECT CAST(c0 AS BIGINT) AS asset_id, c1 AS ok,
              |  CAST(c2 AS BIGINT) AS frame_idx, CAST(c3 AS BIGINT) AS width,
              |  CAST(c4 AS BIGINT) AS height, CAST(c5 AS BIGINT) AS luma_sum,
@@ -221,29 +264,7 @@ object Round11Queries {
         "replay; the Spark path itself is the d_minhash_lsh + CC scale " +
         "shape (band self-join, never corpus², O(diameter) label " +
         "rounds).",
-      (s, d) => {
-        import s.implicits._
-        val docs = Tables.documents(s, d).filter($"doc_id" < 1500L)
-        val buckets = graft.dedup.Dedup.minhashBucketsPortable(
-            docs, "doc_id", "text",
-            shingleN = 5, bands = 8, rowsPerBand = 2)
-          .select($"band", $"band_hash", $"id")
-        val edges = buckets.as("a").join(buckets.as("b"),
-            col("a.band") === col("b.band") &&
-              col("a.band_hash") === col("b.band_hash") &&
-              col("a.id") < col("b.id"))
-          .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-          .distinct()
-        graft.dedup.Dedup
-          .duplicateClusters(docs.select($"doc_id"), edges, "doc_id")
-          .withColumnRenamed("id", "doc_id")
-          .withColumn("h",
-            ($"cluster_id" % 1000003L) * 2654435761L % 100L)
-          .select($"doc_id", $"cluster_id",
-            when($"h" < 80, "train").when($"h" < 90, "val")
-              .otherwise("test").as("split"))
-          .orderBy($"doc_id")
-      },
+      (s, d) => leakproofSplit(s, d, Some(1500L)),
       Some(OracleGen.leakproofSplitSql(shingleN = 5, bands = 8,
         rowsPerBand = 2, maxDocId = 1500L))),
 

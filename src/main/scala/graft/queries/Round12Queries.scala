@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-12 additions: the LSH hot-bucket cap under the hash gate, and
+  * NFC normalization composed into an actual dedup key.
+  */
+object Round12Queries {
+
+  /** Planted spam text: 30 distinct lowercase tokens, identical across
+    * all spam docs, so every spam doc lands in the SAME bucket in every
+    * band — the degenerate hot bucket the cap exists for. Shared with
+    * the oracle as a literal.
+    */
+  private[queries] val spamText: String =
+    (0 until 30).map(i => s"spamtok$i").mkString(" ")
+
+  def all: Seq[Q] = Seq(
+
+    Q("d_lsh_bucket_cap",
+      "LSH hot-bucket cap under the exact oracle — the scale guard that " +
+        "bounds what AQE cannot: a spam cluster of k docs in one band " +
+        "bucket emits O(k²) candidate pairs, and skew-join splitting " +
+        "redistributes that join without shrinking its OUTPUT. The corpus " +
+        "is documents plus 120 planted identical-text docs (one " +
+        "degenerate bucket in every band); the cap is derived from the " +
+        "corpus count (Dedup.bucketCap = max(64, 8·bitlen(n+1)), " +
+        "integer-exact on both engines via length(bin())), buckets over " +
+        "it STAR-reduce to their min-id hub (k−1 pairs, components " +
+        "preserved exactly), buckets under it emit the normal clique. " +
+        "Per-doc candidate degree AND the derived cap itself ride the " +
+        "hash gate, so the derivation and the reduction are both pinned: " +
+        "the spam hub shows degree 119, members degree 1, and the " +
+        "natural corpus (max observed bucket 7 at sf0.1 vs cap 104) is " +
+        "untouched.",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select($"doc_id", $"text")
+          .unionByName(s.range(0L, 120L).select(
+            (lit(10000000L) + $"id").as("doc_id"),
+            lit(spamText).as("text")))
+        val cap = graft.dedup.Dedup.bucketCap(docs.count())
+        val cands = graft.dedup.Dedup.minhashCandidatesPortable(
+          docs, "doc_id", "text", shingleN = 3, bands = 8,
+          rowsPerBand = 2, maxBucket = cap)
+        val deg = cands.select($"a_id".as("doc_id"))
+          .union(cands.select($"b_id".as("doc_id")))
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_candidates"))
+        docs.select($"doc_id").join(deg, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_candidates"))
+          .withColumn("cap", lit(cap.toLong))
+          .orderBy($"doc_id")
+      },
+      Some(OracleGen.lshBucketCapSql(shingleN = 3, bands = 8,
+        rowsPerBand = 2, nSpam = 120, spamText = spamText))),
+
+    Q("d_exact_nfc",
+      "Exact dedup over NFC-NORMALIZED keys — unicode_normalize finally " +
+        "doing the job it was built for (normalize-before-hash): web " +
+        "text carries the same visible string both precomposed " +
+        "(U+00E9 é) and decomposed (e + U+0301), and a byte-level " +
+        "digest key splits those into different documents. Each doc is " +
+        "expanded into TWO variants whose tails spell caf-e-acute the two " +
+        "ways; Dedup.exactNormalized groups on " +
+        "md5(unicode_normalize(text, NFC)) — the codegen'd native " +
+        "expression, all-ASCII rows returning their input buffer " +
+        "untouched — so every variant pair collapses to one group " +
+        "(n_copies = 2, keep = the even id). The oracle replays with " +
+        "DuckDB's independent nfc_normalize: two NFC implementations, " +
+        "identical digests, or the hash gate breaks. Without " +
+        "normalization the same corpus yields zero groups of 2 " +
+        "(spec-pinned in Round12OpsSpec).",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select($"doc_id", $"text")
+        val variants = docs.select(($"doc_id" * 2).as("vid"),
+            concat($"text", lit(" caf\u00e9")).as("raw"))
+          .unionByName(docs.select(($"doc_id" * 2 + 1).as("vid"),
+            concat($"text", lit(" cafe\u0301")).as("raw")))
+        graft.dedup.Dedup.exactNormalized(variants, "raw", "vid")
+          .orderBy($"content_hash")
+      },
+      Some("""WITH v AS (
+             |  SELECT doc_id * 2 AS vid, text || ' caf' || chr(233) AS raw
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id * 2 + 1, text || ' cafe' || chr(769)
+             |  FROM documents)
+             |SELECT md5(nfc_normalize(raw)) AS content_hash,
+             |  CAST(min(vid) AS BIGINT) AS keep_id,
+             |  CAST(count(*) AS BIGINT) AS n_copies
+             |FROM v GROUP BY md5(nfc_normalize(raw))
+             |ORDER BY content_hash""".stripMargin)),
+  )
+}

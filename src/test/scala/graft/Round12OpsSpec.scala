@@ -1,0 +1,149 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.TextKernels
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12: the LSH hot-bucket cap (bound a spam bucket's O(k²) pair
+  * output, preserve cluster structure exactly) and NFC normalization
+  * composed into dedup keys. Non-ASCII fixtures use \\u escapes so the
+  * composed/decomposed distinction survives editor normalization.
+  */
+class Round12OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bucketCap: integer-exact, monotone, floored at 64") {
+    assert(Dedup.bucketCap(0L) == 64)
+    assert(Dedup.bucketCap(500L) == 72) // bitlen(501)=9
+    assert(Dedup.bucketCap(620L) == 80) // bitlen(621)=10
+    assert(Dedup.bucketCap(5120L) == 104) // bitlen(5121)=13
+    assert(Dedup.bucketCap(1L << 40) == 8 * 41)
+    // monotone, and logarithmic: 10^12 docs still caps near 320
+    val caps = Seq(10L, 1000L, 100000L, 10000000L, 1000000000L,
+      1000000000000L).map(Dedup.bucketCap(_))
+    assert(caps == caps.sorted && caps.last == 8 * 40)
+  }
+
+  test("planted 1000-doc spam bucket: pair output bounded, " +
+      "clusters preserved exactly") {
+    // 1000 identical spam docs + 20 distinct docs. Uncapped, the spam
+    // bucket alone emits 1000*999/2 = 499500 pairs; the derived cap
+    // (bucketCap(1020) = 8*10 = 80 < 1000) star-reduces it to 999.
+    val spam = (0L until 1000L).map(i =>
+      (i, "wall of identical spam text repeated across the campaign " +
+        "always the same tokens every time"))
+    val real = (2000L until 2020L).map(i =>
+      (i, s"genuine document $i " +
+        (0 to 12).map(j => s"tok${i}_$j").mkString(" ")))
+    val df = (spam ++ real).toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(df, "doc_id", "text",
+      shingleN = 3, bands = 8, rowsPerBand = 2).localCheckpoint()
+    val n = cands.count()
+    // star edges for the spam bucket (999) + whatever tiny natural
+    // cliques the real docs form — orders of magnitude under 499500
+    assert(n >= 999L && n < 5000L,
+      s"capped candidate count $n — cap failed to bound the spam bucket")
+    // hub star shape: spam hub 0 pairs with all 999 other spam docs
+    assert(cands.filter($"a_id" === 0L && $"b_id" < 1000L)
+      .count() == 999L)
+    // the recall contract that makes star-reduction safe: connected
+    // components over the CAPPED edges still put all 1000 spam docs in
+    // ONE cluster (clique and star have the same components)
+    val clusters = Dedup.duplicateClusters(
+      df.select($"doc_id"), cands, "doc_id")
+    val spamClusters = clusters.filter($"id" < 1000L)
+      .select($"cluster_id").distinct().collect()
+    assert(spamClusters.length == 1 && spamClusters.head.getLong(0) == 0L)
+  }
+
+  test("capped vs uncapped candidates: identical connected components " +
+      "even when the cap engages") {
+    // 3 planted families (exact dups => same buckets in every band)
+    // with an explicit cap LOW enough (2) to star-reduce family buckets
+    val docs = (0L until 18L).map { i =>
+      (i, s"family${i % 3} shared run alpha bravo charlie delta echo " +
+        "foxtrot golf hotel india")
+    }.toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidatesPortable(docs, "doc_id", "text",
+      shingleN = 3, bands = 8, rowsPerBand = 2, maxBucket = 2)
+    val uncapped = Dedup.minhashCandidatesPortable(docs, "doc_id", "text",
+      shingleN = 3, bands = 8, rowsPerBand = 2, maxBucket = 1000000)
+    assert(capped.count() < uncapped.count(),
+      "cap=2 must actually reduce the 6-doc family cliques")
+    def comp(edges: org.apache.spark.sql.DataFrame) =
+      Dedup.duplicateClusters(docs.select($"doc_id"), edges, "doc_id")
+        .orderBy($"id").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq
+    assert(comp(capped) == comp(uncapped),
+      "star-reduction changed the component structure")
+  }
+
+  test("derived cap never engages on the natural test corpus") {
+    // regression guard for the d_* oracles: every natural bucket at the
+    // test SF must sit FAR below the corpus-derived cap, for both
+    // registered LSH configs (d_minhash_lsh 3/8/2, leakproof 5/8/2)
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val cap = Dedup.bucketCap(docs.count())
+    for ((sh, bands, rpb) <- Seq((3, 8, 2), (5, 8, 2))) {
+      val maxBucket = Dedup.minhashBucketsPortable(docs, "doc_id",
+          "text", sh, bands, rpb)
+        .groupBy($"band", $"band_hash").count()
+        .agg(max($"count")).head().getLong(0)
+      assert(maxBucket * 4 <= cap,
+        s"natural max bucket $maxBucket too close to cap $cap " +
+          s"(config $sh/$bands/$rpb) — derived cap would distort " +
+          "oracle-gated results")
+    }
+  }
+
+  test("lshBucketStats reports capped buckets — no silent truncation") {
+    val docs = (0L until 10L).map(i => (i, "same text every doc"))
+      .toDF("doc_id", "text")
+    val buckets = Dedup.minhashBucketsPortable(docs, "doc_id", "text",
+      3, 8, 2)
+    val stats = Dedup.lshBucketStats(buckets, cap = 4)
+    // all 10 docs share every band bucket: 8 buckets of 10, all capped
+    val rows = stats.collect()
+    assert(rows.length == 8 &&
+      rows.forall(r => r.getLong(2) == 10L && r.getBoolean(4)))
+    assert(stats.filter($"hub" === 0L).count() == 8L)
+  }
+
+  private val eAcute = "\u00e9" // precomposed
+  private val eCombining = "e\u0301" // decomposed
+
+  test("exactNormalized collapses composed/decomposed twins that " +
+      "byte-level exact dedup splits") {
+    val twins = Seq(
+      (0L, s"caf$eAcute au lait"), (1L, s"caf$eCombining au lait"),
+      (2L, "plain ascii doc"), (3L, "plain ascii doc"),
+      (4L, s"r${eAcute}sum${eAcute} unique")).toDF("doc_id", "text")
+    val raw = Dedup.exact(twins, "text", "doc_id")
+      .orderBy($"keep_id").collect()
+    // byte-level: the spelling twins do NOT group (4 groups, only the
+    // ascii pair collapses)
+    assert(raw.length == 4)
+    val norm = Dedup.exactNormalized(twins, "text", "doc_id")
+      .orderBy($"keep_id").collect()
+    assert(norm.length == 3)
+    assert(norm.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 2L), (2L, 2L), (4L, 1L)))
+  }
+
+  test("TextKernels ASCII fast path: same buffer, every form, no copy") {
+    val ascii = UTF8String.fromString(
+      "a long plain ascii document body that must not allocate " * 4)
+    for (form <- Seq(TextKernels.NFC, TextKernels.NFD, TextKernels.NFKC,
+        TextKernels.NFKD))
+      assert(TextKernels.normalize(ascii, form) eq ascii,
+        s"ASCII fast path must return the input buffer (form $form)")
+    // the fast path must not swallow real work: non-ASCII decomposed
+    // input still normalizes
+    val dec = UTF8String.fromString("caf" + eCombining)
+    assert(TextKernels.normalize(dec, TextKernels.NFC).toString ==
+      "caf" + eAcute)
+  }
+}

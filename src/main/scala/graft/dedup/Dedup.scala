@@ -415,21 +415,19 @@ object Dedup {
 
   /** SimHash near-dup candidates: docs whose signatures agree on at least
     * one of 4 16-bit bands (pigeonhole: Hamming ≤ 3 ⇒ some band equal).
+    * Same hot-bucket exposure as the minhash band join (a wall of
+    * identical docs shares every band), so the same corpus-derived cap +
+    * star-reduction applies ([[cappedBucketPairs]]).
     */
-  def simhashCandidates(df: DataFrame, idCol: String,
-                        textCol: String): DataFrame = {
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        maxBucket: Int = 0): DataFrame = {
+    val cap = if (maxBucket > 0) maxBucket else bucketCap(df.count())
     val withSig = simhashSignatures(df, idCol, textCol)
     val buckets = withSig.select(col("id"), posexplode(array(
       (0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .toDF("id", "band", "band_bits")
-      .repartition(col("band"), col("band_bits"))
-    val a = buckets.as("a"); val b = buckets.as("b")
-    a.join(b, col("a.band") === col("b.band") &&
-        col("a.band_bits") === col("b.band_bits") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .distinct()
+      .toDF("id", "band", "band_hash")
+    cappedBucketPairs(buckets, cap)
   }
 
   /** Duplicate clusters: connected components over a near-dup candidate

@@ -133,6 +133,29 @@ class Round12OpsSpec extends AnyFunSuite {
       Seq((0L, 2L), (2L, 2L), (4L, 1L)))
   }
 
+  test("normalize-then-minhash: spelling twins share ALL buckets only " +
+      "after an NFC projection") {
+    // every token carries the accent, so the two spellings share ZERO
+    // shingles pre-normalization; NFC composes upstream of the hash as
+    // a plain projection — no tokenizer flag needed, the expression
+    // composes at the DataFrame level
+    def doc(e: String) = s"r${e}sum$e caf$e entr${e}e d${e}j$e " +
+      s"expos$e clich$e touch$e"
+    val twins = Seq((0L, doc(eAcute)), (1L, doc(eCombining)))
+      .toDF("doc_id", "text")
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignaturesPortable(df, "doc_id", "text", k = 16,
+          shingleN = 3)
+        .orderBy($"id").collect().map(_.getSeq[Long](1).toSeq).toSeq
+    val raw = sigs(twins)
+    assert(raw(0) != raw(1),
+      "byte-level minhash must split the spelling twins")
+    val normed = sigs(twins.withColumn("text",
+      graft.functions.text.unicode_normalize($"text", "NFC")))
+    assert(normed(0) == normed(1),
+      "NFC-projected minhash must give the twins identical signatures")
+  }
+
   test("TextKernels ASCII fast path: same buffer, every form, no copy") {
     val ascii = UTF8String.fromString(
       "a long plain ascii document body that must not allocate " * 4)

@@ -108,12 +108,22 @@ object Dedup {
   private[graft] def bucketCap(nDocs: Long): Int =
     math.max(64, 8 * (64 - java.lang.Long.numberOfLeadingZeros(nDocs + 1)))
 
+  private val capMetricSeq = new java.util.concurrent.atomic.AtomicLong
+
   /** Candidate pairs from a (id, band, band_hash) bucket table with the
-    * hot-bucket cap applied. Buckets at or under `cap` emit their full
+    * hot-bucket cap applied. Buckets at or under the cap emit their full
     * in-bucket clique (the classic LSH candidate set); buckets OVER the
     * cap — spam clusters, boilerplate walls, degenerate shingle sets —
     * are STAR-REDUCED: every member pairs with the bucket's minimum id
     * only, bounding the bucket's pair output at k−1 instead of k(k−1)/2.
+    *
+    * `maxBucket` > 0 is an explicit cap; ≤ 0 derives [[bucketCap]] from
+    * the corpus count IN-PLAN (a 1-row aggregate over `capFrom`
+    * cross-joined as a broadcast scalar — `greatest(64, 8·length(bin(n
+    * +1)))`, the same integer-exact formula the DuckDB oracle replays).
+    * Nothing executes at DataFrame-construction time: for parquet-backed
+    * inputs the count compiles to a column-pruned metadata scan inside
+    * the same job, and plan dumps / explain stay execution-free.
     *
     * Recall contract (NOT silent truncation): (a) star edges keep every
     * over-cap member visible and connected — connected components over
@@ -122,24 +132,40 @@ object Dedup {
     * cluster-level consumers (duplicateClusters, leakproof splits,
     * canonical-doc selection) are exact; (b) a direct pair inside an
     * over-cap bucket can still surface via any OTHER band where the two
-    * docs share an under-cap bucket; (c) [[lshBucketStats]] reports which
-    * buckets capped, for monitoring. Only the per-pair list inside a hot
-    * bucket is reduced — by construction the docs there are mutual
-    * near-dups of one canonical representative anyway.
+    * docs share an under-cap bucket; (c) capping is OBSERVABLE at run
+    * time: the star branch carries a named `observe` (`lsh_cap_*`:
+    * star_edges + max_bucket), surfaced through Spark's standard
+    * `QueryExecutionListener`/`StreamingQueryListener` observed-metrics
+    * channel, and [[lshBucketStats]] gives the per-bucket breakdown on
+    * demand. The cap premise — an over-cap bucket is one near-dup wall,
+    * not a coincidence — requires band keys wide enough that random
+    * collisions are rare (the 60-bit minhash band hashes, or the
+    * corpus-adaptive composite simhash bands); NEVER apply it to narrow
+    * fixed keys whose buckets fill with unrelated docs. Pair-LIST
+    * consumers that verify each pair (e.g. [[minhashDuplicates]]) keep
+    * clique semantics by default — see the contract note there.
     *
     * Plan shape: one exchange on (band, band_hash); the per-bucket count
     * and hub come from a single Window over the partition keys (no extra
     * shuffle — only a local sort the SMJ self-join needed regardless);
     * the self-join and the star projection both reuse that exchange.
     */
-  private def cappedBucketPairs(buckets: DataFrame, cap: Int): DataFrame = {
+  private def cappedBucketPairs(buckets: DataFrame, maxBucket: Int,
+                                capFrom: DataFrame): DataFrame = {
     val parted = buckets.repartition(col("band"), col("band_hash"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("band_hash"))
-    val tagged = parted
+    val counted = parted
       .withColumn("bkt_n", count(lit(1)).over(w))
       .withColumn("hub", min(col("id")).over(w))
-    val small = tagged.filter(col("bkt_n") <= cap)
+    val tagged =
+      if (maxBucket > 0) counted.withColumn("bkt_cap", lit(maxBucket.toLong))
+      else counted.crossJoin(broadcast(
+        capFrom.agg(count(lit(1)).as("n")).select(
+          greatest(lit(64L),
+            (lit(8L) * length(bin(col("n") + 1))).cast("long"))
+            .as("bkt_cap"))))
+    val small = tagged.filter(col("bkt_n") <= col("bkt_cap"))
     val a = small.as("a")
     val b = small.as("b")
     val clique = a.join(b,
@@ -147,9 +173,14 @@ object Dedup {
           col("a.band_hash") === col("b.band_hash") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-    // hub = min(id) of the bucket, so a_id < b_id holds by construction
+    // hub = min(id) of the bucket, so a_id < b_id holds by construction.
+    // The observe rides the star branch only (it appears ONCE in the
+    // plan — the clique self-join would duplicate a metrics node).
     val star = tagged
-      .filter(col("bkt_n") > cap && col("id") =!= col("hub"))
+      .filter(col("bkt_n") > col("bkt_cap") && col("id") =!= col("hub"))
+      .observe(s"lsh_cap_${capMetricSeq.incrementAndGet()}",
+        count(lit(1)).as("star_edges"),
+        max(col("bkt_n")).as("max_bucket"))
       .select(col("hub").as("a_id"), col("id").as("b_id"))
     clique.union(star).distinct()
   }
@@ -176,15 +207,15 @@ object Dedup {
     * AQE skew splitting redistributes a hot bucket's join but cannot bound
     * its O(k²) pair OUTPUT; the cap can, and star-reduction keeps the
     * cluster structure exact). `maxBucket` ≤ 0 derives the cap from the
-    * corpus count ([[bucketCap]] — one metadata-cheap count job); the
-    * derived cap never engages at any measured natural bucket size, only
-    * on planted/spam-grade degeneracy.
+    * corpus count IN-PLAN ([[bucketCap]] formula as a broadcast scalar —
+    * no construction-time job); the derived cap never engages at any
+    * measured natural bucket size, only on planted/spam-grade
+    * degeneracy.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 5, bands: Int = 8,
                         rowsPerBand: Int = 2, maxBucket: Int = 0): DataFrame = {
     val k = bands * rowsPerBand
-    val cap = if (maxBucket > 0) maxBucket else bucketCap(df.count())
     val sigs = minhashSignatures(df, idCol, textCol, k, shingleN)
     val buckets = sigs.select(
       col("id"), posexplode(
@@ -192,7 +223,8 @@ object Dedup {
           b => xxhash64(slice(col("sig"),
             b * rowsPerBand + 1, lit(rowsPerBand)).cast("string")))))
       .toDF("id", "band", "band_hash")
-    cappedBucketPairs(buckets, cap)
+    cappedBucketPairs(buckets, maxBucket,
+      capFrom = df.select(col(idCol)))
   }
 
   /** Distinct word shingles in ONE typed pass — the expression-based
@@ -220,11 +252,24 @@ object Dedup {
   /** MinHash near-dup pairs, verified: LSH candidates re-checked with exact
     * n-gram Jaccard ≥ threshold. Shingle recomputation only touches
     * candidate ids, not the corpus.
+    *
+    * CONTRACT NOTE — the hot-bucket cap defaults OFF here
+    * (`maxBucket = Int.MaxValue`), unlike the candidate generators: this
+    * op's OUTPUT is the verified pair list, and star-reduction inside a
+    * hot bucket replaces true pairs (x, y) with hub pairs whose Jaccard
+    * may fall below the threshold (the hub can be a low-similarity
+    * interloper — one band agreement only needs simᵖ), silently dropping
+    * verified duplicates. A duplicate wall of k docs inherently has
+    * Θ(k²) pairs, so no cap can bound this op's output without changing
+    * its meaning; at corpus scale either run [[exact]] dedup first
+    * (collapses the wall) or consume clusters via the capped candidates
+    * + [[duplicateClusters]], whose component structure the cap
+    * preserves exactly. An explicit `maxBucket` opts in consciously.
     */
   def minhashDuplicates(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double, shingleN: Int = 5,
                         bands: Int = 8, rowsPerBand: Int = 2,
-                        maxBucket: Int = 0): DataFrame = {
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, shingleN, bands,
       rowsPerBand, maxBucket)
     val sh = shingleSets(df, idCol, textCol, shingleN)
@@ -323,20 +368,22 @@ object Dedup {
                                 bands: Int = 8,
                                 rowsPerBand: Int = 2,
                                 maxBucket: Int = 0): DataFrame = {
-    val cap = if (maxBucket > 0) maxBucket else bucketCap(df.count())
     val buckets = minhashBucketsPortable(df, idCol, textCol, shingleN,
       bands, rowsPerBand)
-    cappedBucketPairs(buckets, cap)
+    cappedBucketPairs(buckets, maxBucket,
+      capFrom = df.select(col(idCol)))
   }
 
   /** Portable verified MinHash duplicates — exact-Jaccard recheck over the
-    * portable candidates (same shape as [[minhashDuplicates]]).
+    * portable candidates (same shape as [[minhashDuplicates]], including
+    * its contract note: the hot-bucket cap defaults OFF for pair-list
+    * verification — the oracle replays clique semantics at every scale).
     */
   def minhashDuplicatesPortable(df: DataFrame, idCol: String,
                                 textCol: String, threshold: Double,
                                 shingleN: Int = 5, bands: Int = 8,
                                 rowsPerBand: Int = 2,
-                                maxBucket: Int = 0): DataFrame = {
+                                maxBucket: Int = Int.MaxValue): DataFrame = {
     val cands = minhashCandidatesPortable(df, idCol, textCol, shingleN,
       bands, rowsPerBand, maxBucket)
     val sh = shingleSets(df, idCol, textCol, shingleN)
@@ -413,21 +460,41 @@ object Dedup {
       }.toDF("id", "simhash")
   }
 
-  /** SimHash near-dup candidates: docs whose signatures agree on at least
-    * one of 4 16-bit bands (pigeonhole: Hamming ≤ 3 ⇒ some band equal).
-    * Same hot-bucket exposure as the minhash band join (a wall of
-    * identical docs shares every band), so the same corpus-derived cap +
-    * star-reduction applies ([[cappedBucketPairs]]).
+  /** SimHash near-dup candidates over a CORPUS-ADAPTIVE Hamming-LSH
+    * layout: band masks come from [[phashBandMasks]] (m signature
+    * blocks, bands = all (m−t)-subsets as single bit-masks), so recall
+    * is pigeonhole-exact for Hamming ≤ `maxHamming` at EVERY corpus
+    * size. This replaces the fixed 4 × 16-bit banding, whose 2¹⁶-value
+    * band keys fill with UNRELATED docs once n outruns the key space
+    * (at 10M docs the AVERAGE 16-bit bucket already holds ~150
+    * coincidental members) — the same key-space problem the perceptual-
+    * hash tier solved in r11, solved with the same machinery. At tiny
+    * corpora (n ≲ 2⁸, where expected random collisions per 16-bit band
+    * are < 0.5) the derivation lands on exactly the legacy 4
+    * single-block bands (64-bit murmur signature, t = 3); the layout
+    * widens as soon as n² outruns the band space — already m = 5 at
+    * n = 1000.
+    *
+    * Because adaptive band keys always carry ≥ ceil(log2 n)+8 bits,
+    * an over-cap bucket is a genuine near-dup wall (members agree on a
+    * wide band, not a 16-bit coincidence) — which is what makes the
+    * [[cappedBucketPairs]] hot-bucket star-reduction SOUND here. The
+    * one count(*) deriving the mask layout is the same parquet-cheap
+    * corpus count the phash and semDedupAuto tiers key on (the mask
+    * LIST shapes the plan, so it cannot be an in-plan scalar).
     */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 3,
+                        tokenHash: String = "murmur",
                         maxBucket: Int = 0): DataFrame = {
-    val cap = if (maxBucket > 0) maxBucket else bucketCap(df.count())
-    val withSig = simhashSignatures(df, idCol, textCol)
+    val nBits = if (tokenHash == "md5") 60 else 64
+    val masks = phashBandMasks(df.count(), maxHamming, hashBits = nBits)
+    val withSig = simhashSignatures(df, idCol, textCol, tokenHash)
     val buckets = withSig.select(col("id"), posexplode(array(
-      (0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      masks.map(m => col("simhash").bitwiseAND(lit(m))): _*)))
       .toDF("id", "band", "band_hash")
-    cappedBucketPairs(buckets, cap)
+    cappedBucketPairs(buckets, maxBucket,
+      capFrom = df.select(col(idCol)))
   }
 
   /** Duplicate clusters: connected components over a near-dup candidate
@@ -671,7 +738,11 @@ object Dedup {
   def phashBandMasks(corpusRows: Long, maxHamming: Int,
                      hashBits: Int = 63): Seq[Long] = {
     val t = maxHamming
-    require(hashBits > 0 && hashBits <= 63, s"hashBits $hashBits")
+    // 64 supported since r12 (the full-width simhash signature): block
+    // widths stay ≤ ⌈64∕(t+1)⌉ < 64, so every mask shift is in range —
+    // the top block's mask is simply a negative long, and bucket
+    // equality on `sig & mask` is sign-agnostic
+    require(hashBits > 0 && hashBits <= 64, s"hashBits $hashBits")
     require(t >= 0 && t < hashBits,
       s"maxHamming $t out of range for $hashBits-bit signatures")
     val mCap = math.min(9, hashBits)

@@ -40,16 +40,22 @@ object Round12Queries {
           .unionByName(s.range(0L, 120L).select(
             (lit(10000000L) + $"id").as("doc_id"),
             lit(spamText).as("text")))
-        val cap = graft.dedup.Dedup.bucketCap(docs.count())
+        // maxBucket = 0 → the cap derives IN-PLAN inside the candidate
+        // generator; the same formula is re-derived here as a broadcast
+        // scalar so the cap VALUE rides the hash gate as a column —
+        // nothing executes at construction time
+        val capRow = docs.agg(count(lit(1)).as("n")).select(
+          greatest(lit(64L),
+            (lit(8L) * length(bin($"n" + 1))).cast("long")).as("cap"))
         val cands = graft.dedup.Dedup.minhashCandidatesPortable(
           docs, "doc_id", "text", shingleN = 3, bands = 8,
-          rowsPerBand = 2, maxBucket = cap)
+          rowsPerBand = 2, maxBucket = 0)
         val deg = cands.select($"a_id".as("doc_id"))
           .union(cands.select($"b_id".as("doc_id")))
           .groupBy($"doc_id").agg(count(lit(1)).as("n_candidates"))
         docs.select($"doc_id").join(deg, Seq("doc_id"), "left")
           .na.fill(0L, Seq("n_candidates"))
-          .withColumn("cap", lit(cap.toLong))
+          .crossJoin(broadcast(capRow))
           .orderBy($"doc_id")
       },
       Some(OracleGen.lshBucketCapSql(shingleN = 3, bands = 8,

@@ -81,22 +81,109 @@ class Round12OpsSpec extends AnyFunSuite {
       "star-reduction changed the component structure")
   }
 
-  test("derived cap never engages on the natural test corpus") {
-    // regression guard for the d_* oracles: every natural bucket at the
-    // test SF must sit FAR below the corpus-derived cap, for both
-    // registered LSH configs (d_minhash_lsh 3/8/2, leakproof 5/8/2)
-    val docs = Tables.documents(spark, TestSpark.sf)
-    val cap = Dedup.bucketCap(docs.count())
-    for ((sh, bands, rpb) <- Seq((3, 8, 2), (5, 8, 2))) {
-      val maxBucket = Dedup.minhashBucketsPortable(docs, "doc_id",
-          "text", sh, bands, rpb)
-        .groupBy($"band", $"band_hash").count()
-        .agg(max($"count")).head().getLong(0)
-      assert(maxBucket * 4 <= cap,
-        s"natural max bucket $maxBucket too close to cap $cap " +
-          s"(config $sh/$bands/$rpb) — derived cap would distort " +
-          "oracle-gated results")
+  test("derived cap never engages on the natural test corpus — every " +
+      "registered LSH config, smallest and largest verify SF") {
+    // regression guard for the d_* oracles: every natural bucket must
+    // sit FAR below the corpus-derived cap for ALL three registered
+    // configs (d_minhash_lsh 3/8/2, d_minhash_verify 3/4/4, leakproof
+    // 5/8/2) at both ends of the verify-SF range — corpus growth or
+    // fixture regeneration that pushes a natural bucket near the cap
+    // trips HERE with a named cause, not as an opaque oracle mismatch
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")) {
+      val docs = Tables.documents(spark, sf)
+      val cap = Dedup.bucketCap(docs.count())
+      for ((sh, bands, rpb) <- Seq((3, 8, 2), (3, 4, 4), (5, 8, 2))) {
+        val maxBucket = Dedup.minhashBucketsPortable(docs, "doc_id",
+            "text", sh, bands, rpb)
+          .groupBy($"band", $"band_hash").count()
+          .agg(max($"count")).head().getLong(0)
+        assert(maxBucket * 4 <= cap,
+          s"natural max bucket $maxBucket too close to cap $cap " +
+            s"($sf, config $sh/$bands/$rpb) — derived cap would " +
+            "distort oracle-gated results")
+      }
     }
+  }
+
+  test("adaptive simhash banding: legacy 4x16 layout at small n, " +
+      "wider composite bands past the key space, pigeonhole recall") {
+    // tiny corpus (n <= 256, where 16-bit keys hold n^2/2^16 < 0.5
+    // expected random collisions per band): the derivation lands on the
+    // legacy 4 single-block bands (16 bits each, disjoint, covering all
+    // 64 bits)
+    val small = Dedup.phashBandMasks(200L, maxHamming = 3, hashBits = 64)
+    assert(small.toSet == Set(0xFFFFL, 0xFFFF0000L, 0xFFFF00000000L,
+      0xFFFF000000000000L))
+    assert(small.reduce(_ | _) == -1L) // covers all 64 bits
+    // large corpus: bands widen (composite masks), count grows C(m, m-t)
+    val big = Dedup.phashBandMasks(10000000L, maxHamming = 3,
+      hashBits = 64)
+    assert(big.size > 4, "layout must widen past the 16-bit key space")
+    assert(big.forall(m => java.lang.Long.bitCount(m) >= 32),
+      "every wide band must carry >= log2(n)+8 bits")
+    // pigeonhole: any <=3 differing bits leave >=1 band untouched, at
+    // BOTH layouts, for adversarial bit positions
+    for (masks <- Seq(small, big); bits <- Seq(Seq(0, 21, 63),
+        Seq(15, 16, 17), Seq(62, 63), Seq(5))) {
+      val diff = bits.map(1L << _).reduce(_ | _)
+      assert(masks.exists(m => (m & diff) == 0L),
+        s"no clean band for differing bits $bits")
+    }
+  }
+
+  test("simhashCandidates pairs planted near-dups under the adaptive " +
+      "layout and the capping premise holds on wide bands") {
+    val base = (0 to 40).map(j => s"tok$j").mkString(" ")
+    val docs = Seq(
+      (0L, base), (1L, base + " extraword"), // near-dup pair
+      (2L, (100 to 140).map(j => s"other$j").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("capping is observable: the star branch emits named metrics " +
+      "through the standard observed-metrics channel") {
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, Long, Long)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("lsh_cap_"))
+            captured.add((name, row.getAs[Long]("star_edges"),
+              row.getAs[Long]("max_bucket")))
+        }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val spam = (0L until 300L).map(i => (i, "identical spam wall"))
+        .toDF("doc_id", "text")
+      // 300 identical docs, cap = max(64, 8*bitlen(301)) = 72: ONE hot
+      // bucket per band (8 bands), each star-reduced to 299 edges
+      Dedup.minhashCandidates(spam, "doc_id", "text",
+        shingleN = 3, bands = 8, rowsPerBand = 2).count()
+      // listener delivery is async; poll briefly
+      def found: Boolean = {
+        var ok = false
+        captured.forEach { case (_, starEdges, maxBucket) =>
+          if (starEdges == 8L * 299L && maxBucket == 300L) ok = true
+        }
+        ok
+      }
+      val deadline = System.currentTimeMillis() + 20000
+      while (!found && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(found,
+        s"expected a (star_edges=${8 * 299}, max_bucket=300) " +
+          s"observation, got ${captured}")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("lshBucketStats reports capped buckets — no silent truncation") {

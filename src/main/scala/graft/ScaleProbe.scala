@@ -42,7 +42,7 @@ object ScaleProbe {
     "d_containment", "m_video_scene_cut", "t_token_surprisal",
     "d_phash_clusters", "m_audio_vad", "p_curriculum_order",
     "t_unicode_normalize",
-    "d_lsh_bucket_cap", "d_exact_nfc",
+    "d_lsh_bucket_cap", "d_exact_nfc", "d_lsh_bucket_stats",
     "probe_lsh_spam", "probe_leakproof_uncapped")
 
   /** Probe-ONLY workloads (timing evidence, no oracle — they exist

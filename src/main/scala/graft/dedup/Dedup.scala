@@ -160,11 +160,7 @@ object Dedup {
       .withColumn("hub", min(col("id")).over(w))
     val tagged =
       if (maxBucket > 0) counted.withColumn("bkt_cap", lit(maxBucket.toLong))
-      else counted.crossJoin(broadcast(
-        capFrom.agg(count(lit(1)).as("n")).select(
-          greatest(lit(64L),
-            (lit(8L) * length(bin(col("n") + 1))).cast("long"))
-            .as("bkt_cap"))))
+      else counted.crossJoin(broadcast(inPlanCap(capFrom)))
     val small = tagged.filter(col("bkt_n") <= col("bkt_cap"))
     val a = small.as("a")
     val b = small.as("b")
@@ -185,6 +181,17 @@ object Dedup {
     clique.union(star).distinct()
   }
 
+  /** The [[bucketCap]] formula as a 1-row IN-PLAN scalar over the
+    * corpus: `greatest(64, 8·length(bin(n+1)))` — no job executes at
+    * DataFrame-construction time, and the DuckDB oracle replays the
+    * identical integer arithmetic.
+    */
+  private def inPlanCap(capFrom: DataFrame): DataFrame =
+    capFrom.agg(count(lit(1)).as("n")).select(
+      greatest(lit(64L),
+        (lit(8L) * length(bin(col("n") + 1))).cast("long"))
+        .as("bkt_cap"))
+
   /** Per-bucket monitoring stats for the hot-bucket cap: one row per
     * (band, band_hash) with its size, hub (min id), and whether it
     * star-reduces under `cap` — the "no silent truncation" surface a
@@ -195,6 +202,17 @@ object Dedup {
     buckets.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("bkt_n"), min(col("id")).as("hub"))
       .withColumn("capped", col("bkt_n") > cap)
+
+  /** [[lshBucketStats]] with the cap derived in-plan from the corpus
+    * (same broadcast-scalar derivation the capped candidate generators
+    * use); adds the derived `bkt_cap` as a column so monitoring rollups
+    * can report the threshold alongside the breaches.
+    */
+  def lshBucketStats(buckets: DataFrame, capFrom: DataFrame): DataFrame =
+    buckets.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bkt_n"), min(col("id")).as("hub"))
+      .crossJoin(broadcast(inPlanCap(capFrom)))
+      .withColumn("capped", col("bkt_n") > col("bkt_cap"))
 
   /** MinHash LSH candidate pairs: band the signature, bucket-join per
     * (band, band-hash). Returns candidate (a_id, b_id) pairs with a < b.

@@ -300,6 +300,34 @@ object OracleGen {
        |LEFT JOIN deg ON s.doc_id = deg.id
        |ORDER BY s.doc_id""".stripMargin
 
+  /** LSH bucket-health rollup (`d_lsh_bucket_stats`): per band, bucket
+    * count / max bucket / buckets over the corpus-derived cap / the cap
+    * — same spam fixture and cap arithmetic as [[lshBucketCapSql]].
+    */
+  def lshBucketStatsSql(shingleN: Int, bands: Int, rowsPerBand: Int,
+                        nSpam: Int, spamText: String): String =
+    s"""WITH spam AS (
+       |  SELECT CAST(10000000 + r.range AS BIGINT) AS doc_id,
+       |    '$spamText' AS text
+       |  FROM range($nSpam) r),
+       |src AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM spam),
+       |${minhashBucketsCte(shingleN, bands, rowsPerBand, source = "src")},
+       |capv AS (
+       |  SELECT GREATEST(64, 8 * length(bin(count(*) + 1))) AS cap
+       |  FROM src),
+       |bs AS (
+       |  SELECT band, band_hash, count(*) AS bn
+       |  FROM mh_buckets GROUP BY 1, 2)
+       |SELECT CAST(band AS BIGINT) AS band,
+       |  CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(max(bn) AS BIGINT) AS max_bucket,
+       |  CAST(sum(CASE WHEN bn > (SELECT cap FROM capv)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+       |  CAST((SELECT cap FROM capv) AS BIGINT) AS cap
+       |FROM bs GROUP BY band ORDER BY band""".stripMargin
+
   /** Leakage-safe split (`curate_leakproof_split`): near-dup clusters =
     * connected components over portable minhash band collisions (corpus
     * capped so the recursive-CTE replay stays tractable), then the

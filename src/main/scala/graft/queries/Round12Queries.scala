@@ -61,6 +61,39 @@ object Round12Queries {
       Some(OracleGen.lshBucketCapSql(shingleN = 3, bands = 8,
         rowsPerBand = 2, nSpam = 120, spamText = spamText))),
 
+    Q("d_lsh_bucket_stats",
+      "LSH bucket-health MONITORING under the hash gate — the " +
+        "'no silent truncation' surface of the hot-bucket cap as a " +
+        "first-class rollup: per band, the bucket count, the largest " +
+        "bucket, how many buckets exceed the corpus-derived cap " +
+        "(Dedup.lshBucketStats with the same in-plan broadcast-scalar " +
+        "derivation the capped generators use), and the cap itself. " +
+        "Over documents plus the 120-doc spam fleet every band reports " +
+        "EXACTLY one capped bucket (the planted wall) — the alert a " +
+        "100 TB pipeline pages on when a spam campaign or a degenerate " +
+        "tokenizer floods a band. One groupBy + one tiny rollup; " +
+        "nothing quadratic anywhere.",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select($"doc_id", $"text")
+          .unionByName(s.range(0L, 120L).select(
+            (lit(10000000L) + $"id").as("doc_id"),
+            lit(spamText).as("text")))
+        val buckets = graft.dedup.Dedup.minhashBucketsPortable(
+          docs, "doc_id", "text", shingleN = 3, bands = 8,
+          rowsPerBand = 2)
+        graft.dedup.Dedup
+          .lshBucketStats(buckets, capFrom = docs.select($"doc_id"))
+          .groupBy($"band".cast("long").as("band"))
+          .agg(count(lit(1)).as("n_buckets"),
+            max($"bkt_n").as("max_bucket"),
+            sum(when($"capped", 1L).otherwise(0L)).as("n_capped"),
+            max($"bkt_cap").as("cap"))
+          .orderBy($"band")
+      },
+      Some(OracleGen.lshBucketStatsSql(shingleN = 3, bands = 8,
+        rowsPerBand = 2, nSpam = 120, spamText = spamText))),
+
     Q("d_exact_nfc",
       "Exact dedup over NFC-NORMALIZED keys — unicode_normalize finally " +
         "doing the job it was built for (normalize-before-hash): web " +

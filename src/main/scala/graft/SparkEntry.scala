@@ -84,7 +84,8 @@ object SparkEntry {
     "m_video_frames_mjpeg", "curate_leakproof_split",
     "t_unicode_normalize",
     // r12-new: same capped-from-birth policy
-    "d_lsh_bucket_cap", "d_exact_nfc", "d_lsh_bucket_stats")
+    "d_lsh_bucket_cap", "d_exact_nfc", "d_lsh_bucket_stats",
+    "d_simhash_adaptive")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

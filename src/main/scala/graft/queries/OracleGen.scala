@@ -300,6 +300,53 @@ object OracleGen {
        |LEFT JOIN deg ON s.doc_id = deg.id
        |ORDER BY s.doc_id""".stripMargin
 
+  /** Corpus-adaptive simhash band candidates (`d_simhash_adaptive`):
+    * the composite band-mask layout (all (m−t)-subsets of m signature
+    * blocks, `Dedup.phashBandMasks`) derived for the FIXED corpus slice
+    * (doc_id < maxDocId — dense ids, so n = maxDocId at every SF) and
+    * embedded as literal masks: a pair is a candidate iff the two
+    * signatures agree on EVERY bit of some mask. Signatures are the
+    * oracle-exact 60-bit md5 simhash; the mask list is the same
+    * derivation the Spark side performs from its runtime corpus count,
+    * so band semantics AND the layout derivation ride the hash gate.
+    */
+  def simhashAdaptiveSql(maxDocId: Long, maxHamming: Int): String = {
+    val masks = graft.dedup.Dedup.phashBandMasks(maxDocId, maxHamming,
+      hashBits = 60)
+    val collide = masks
+      .map(m => s"(a.simhash & $m) = (b.simhash & $m)")
+      .mkString("(", "\n       OR ", ")")
+    s"""WITH docs_f AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < $maxDocId),
+       |toks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |  FROM docs_f WHERE length(trim(text)) > 0),
+       |th AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+       |  FROM toks),
+       |bits AS (
+       |  SELECT doc_id, b.bit,
+       |    SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+       |    COUNT(*) AS n
+       |  FROM th CROSS JOIN (SELECT unnest(range(60)) AS bit) b
+       |  GROUP BY doc_id, b.bit),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN ones * 2 >= n
+       |      THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id),
+       |sigs AS (
+       |  SELECT d.doc_id, coalesce(s.simhash, ${(1L << 60) - 1}) AS simhash
+       |  FROM docs_f d LEFT JOIN sig s USING (doc_id))
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE $collide
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** LSH bucket-health rollup (`d_lsh_bucket_stats`): per band, bucket
     * count / max bucket / buckets over the corpus-derived cap / the cap
     * — same spam fixture and cap arithmetic as [[lshBucketCapSql]].

@@ -94,6 +94,43 @@ object Round12Queries {
       Some(OracleGen.lshBucketStatsSql(shingleN = 3, bands = 8,
         rowsPerBand = 2, nSpam = 120, spamText = spamText))),
 
+    Q("d_simhash_adaptive",
+      "CORPUS-ADAPTIVE simhash banding under the exact oracle — the " +
+        "r12 redesign that replaced the fixed 4x16-bit bands (whose " +
+        "2^16 key space fills with unrelated docs at corpus scale) " +
+        "with phashBandMasks composite bands: m signature blocks, " +
+        "bands = all (m-t)-subsets as single bit-masks, recall-exact " +
+        "by pigeonhole for Hamming <= 3 at every corpus size. The " +
+        "corpus slice is FIXED (doc_id < 400, dense ids, so n = 400 " +
+        "at every SF) which makes the derived layout a constant the " +
+        "oracle embeds as literal masks (m = 5 blocks of 12 bits over " +
+        "the 60-bit md5 simhash, C(5,2) = 10 bands of 24 bits): a " +
+        "pair is a candidate iff its oracle-exact signatures agree on " +
+        "every bit of some mask, reported with its exact Hamming " +
+        "distance. Spark derives the same layout from its runtime " +
+        "corpus count, so the derivation AND the band-collision " +
+        "semantics both ride the hash gate. Banding uncapped here by " +
+        "explicit maxBucket (this query pins BANDING; the cap " +
+        "machinery is pinned by d_lsh_bucket_cap/d_lsh_bucket_stats).",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).filter($"doc_id" < 400L)
+        val cands = graft.dedup.Dedup.simhashCandidates(docs,
+          "doc_id", "text", maxHamming = 3, tokenHash = "md5",
+          maxBucket = Int.MaxValue)
+        val sigs = graft.dedup.Dedup.simhashSignatures(docs,
+          "doc_id", "text", tokenHash = "md5")
+        cands
+          .join(sigs.toDF("a_id", "sa"), "a_id")
+          .join(sigs.toDF("b_id", "sb"), "b_id")
+          .select($"a_id", $"b_id",
+            bit_count($"sa".bitwiseXOR($"sb")).cast("long")
+              .as("hamming"))
+          .orderBy($"a_id", $"b_id")
+      },
+      Some(OracleGen.simhashAdaptiveSql(maxDocId = 400L,
+        maxHamming = 3))),
+
     Q("d_exact_nfc",
       "Exact dedup over NFC-NORMALIZED keys — unicode_normalize finally " +
         "doing the job it was built for (normalize-before-hash): web " +

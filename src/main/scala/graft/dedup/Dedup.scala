@@ -506,13 +506,28 @@ object Dedup {
                         tokenHash: String = "murmur",
                         maxBucket: Int = 0): DataFrame = {
     val nBits = if (tokenHash == "md5") 60 else 64
-    val masks = phashBandMasks(df.count(), maxHamming, hashBits = nBits)
-    val withSig = simhashSignatures(df, idCol, textCol, tokenHash)
-    val buckets = withSig.select(col("id"), posexplode(array(
+    simhashCandidatesFromSigs(
+      simhashSignatures(df, idCol, textCol, tokenHash),
+      nDocs = df.count(), maxHamming = maxHamming, hashBits = nBits,
+      maxBucket = maxBucket)
+  }
+
+  /** [[simhashCandidates]] from PRECOMPUTED signatures (id, simhash)
+    * plus an explicit corpus count: callers that also need the
+    * signatures downstream (a Hamming-verify join, cluster canonical
+    * selection) run the expensive per-token hashing pass ONCE —
+    * typically behind a `localCheckpoint` — instead of once inside the
+    * candidate generator and again for the join.
+    */
+  def simhashCandidatesFromSigs(sigs: DataFrame, nDocs: Long,
+                                maxHamming: Int = 3, hashBits: Int = 64,
+                                maxBucket: Int = 0): DataFrame = {
+    val masks = phashBandMasks(nDocs, maxHamming, hashBits)
+    val buckets = sigs.select(col("id"), posexplode(array(
       masks.map(m => col("simhash").bitwiseAND(lit(m))): _*)))
       .toDF("id", "band", "band_hash")
     cappedBucketPairs(buckets, maxBucket,
-      capFrom = df.select(col(idCol)))
+      capFrom = sigs.select(col("id")))
   }
 
   /** Duplicate clusters: connected components over a near-dup candidate

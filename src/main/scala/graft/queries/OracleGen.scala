@@ -258,19 +258,31 @@ object OracleGen {
     * final per-doc candidate degree plus the derived cap itself ride the
     * hash gate, so both the derivation and the reduction are pinned.
     */
-  def lshBucketCapSql(shingleN: Int, bands: Int, rowsPerBand: Int,
-                      nSpam: Int, spamText: String): String =
-    s"""WITH spam AS (
+  /** The documents ∪ planted-spam corpus (`spam`, `src`) and the
+    * corpus-derived cap (`capv`) as shared CTEs — `d_lsh_bucket_cap`
+    * and `d_lsh_bucket_stats` MUST replay the identical fixture and
+    * cap arithmetic (mirrors `Round12Queries.spamDocs`), so both
+    * oracles build from this one definition.
+    */
+  private def spamSrcCtes(nSpam: Int, spamText: String): String =
+    s"""spam AS (
        |  SELECT CAST(10000000 + r.range AS BIGINT) AS doc_id,
        |    '$spamText' AS text
        |  FROM range($nSpam) r),
        |src AS (
        |  SELECT doc_id, text FROM documents
-       |  UNION ALL SELECT doc_id, text FROM spam),
+       |  UNION ALL SELECT doc_id, text FROM spam)""".stripMargin
+
+  private val capvCte: String =
+    """capv AS (
+      |  SELECT GREATEST(64, 8 * length(bin(count(*) + 1))) AS cap
+      |  FROM src)""".stripMargin
+
+  def lshBucketCapSql(shingleN: Int, bands: Int, rowsPerBand: Int,
+                      nSpam: Int, spamText: String): String =
+    s"""WITH ${spamSrcCtes(nSpam, spamText)},
        |${minhashBucketsCte(shingleN, bands, rowsPerBand, source = "src")},
-       |capv AS (
-       |  SELECT GREATEST(64, 8 * length(bin(count(*) + 1))) AS cap
-       |  FROM src),
+       |$capvCte,
        |bs AS (
        |  SELECT band, band_hash, count(*) AS bn, min(doc_id) AS hub
        |  FROM mh_buckets GROUP BY 1, 2),
@@ -353,17 +365,9 @@ object OracleGen {
     */
   def lshBucketStatsSql(shingleN: Int, bands: Int, rowsPerBand: Int,
                         nSpam: Int, spamText: String): String =
-    s"""WITH spam AS (
-       |  SELECT CAST(10000000 + r.range AS BIGINT) AS doc_id,
-       |    '$spamText' AS text
-       |  FROM range($nSpam) r),
-       |src AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL SELECT doc_id, text FROM spam),
+    s"""WITH ${spamSrcCtes(nSpam, spamText)},
        |${minhashBucketsCte(shingleN, bands, rowsPerBand, source = "src")},
-       |capv AS (
-       |  SELECT GREATEST(64, 8 * length(bin(count(*) + 1))) AS cap
-       |  FROM src),
+       |$capvCte,
        |bs AS (
        |  SELECT band, band_hash, count(*) AS bn
        |  FROM mh_buckets GROUP BY 1, 2)

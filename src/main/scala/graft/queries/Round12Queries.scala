@@ -16,6 +16,20 @@ object Round12Queries {
   private[queries] val spamText: String =
     (0 until 30).map(i => s"spamtok$i").mkString(" ")
 
+  /** documents ∪ the 120-doc spam fleet — ONE fixture builder shared by
+    * `d_lsh_bucket_cap` and `d_lsh_bucket_stats` so the two gated
+    * queries exercise the identical planted wall by construction
+    * (mirrored in SQL by `OracleGen.spamSrcCtes`).
+    */
+  private def spamDocs(s: org.apache.spark.sql.SparkSession,
+                       d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select($"doc_id", $"text")
+      .unionByName(s.range(0L, 120L).select(
+        (lit(10000000L) + $"id").as("doc_id"),
+        lit(spamText).as("text")))
+  }
+
   def all: Seq[Q] = Seq(
 
     Q("d_lsh_bucket_cap",
@@ -36,10 +50,7 @@ object Round12Queries {
         "untouched.",
       (s, d) => {
         import s.implicits._
-        val docs = Tables.documents(s, d).select($"doc_id", $"text")
-          .unionByName(s.range(0L, 120L).select(
-            (lit(10000000L) + $"id").as("doc_id"),
-            lit(spamText).as("text")))
+        val docs = spamDocs(s, d)
         // maxBucket = 0 → the cap derives IN-PLAN inside the candidate
         // generator; the same formula is re-derived here as a broadcast
         // scalar so the cap VALUE rides the hash gate as a column —
@@ -75,10 +86,7 @@ object Round12Queries {
         "nothing quadratic anywhere.",
       (s, d) => {
         import s.implicits._
-        val docs = Tables.documents(s, d).select($"doc_id", $"text")
-          .unionByName(s.range(0L, 120L).select(
-            (lit(10000000L) + $"id").as("doc_id"),
-            lit(spamText).as("text")))
+        val docs = spamDocs(s, d)
         val buckets = graft.dedup.Dedup.minhashBucketsPortable(
           docs, "doc_id", "text", shingleN = 3, bands = 8,
           rowsPerBand = 2)
@@ -115,11 +123,14 @@ object Round12Queries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d).filter($"doc_id" < 400L)
-        val cands = graft.dedup.Dedup.simhashCandidates(docs,
-          "doc_id", "text", maxHamming = 3, tokenHash = "md5",
-          maxBucket = Int.MaxValue)
+        // ONE signature pass (checkpointed) feeds both the band
+        // explode and the two Hamming-join sides — the per-token
+        // hashing is the expensive pass at corpus scale
         val sigs = graft.dedup.Dedup.simhashSignatures(docs,
-          "doc_id", "text", tokenHash = "md5")
+          "doc_id", "text", tokenHash = "md5").localCheckpoint()
+        val cands = graft.dedup.Dedup.simhashCandidatesFromSigs(sigs,
+          nDocs = 400L, maxHamming = 3, hashBits = 60,
+          maxBucket = Int.MaxValue)
         cands
           .join(sigs.toDF("a_id", "sa"), "a_id")
           .join(sigs.toDF("b_id", "sb"), "b_id")

@@ -256,7 +256,11 @@ object Round6Queries {
         "and probe the STATIC corpus band index with a broadcast " +
         "stream-static left join — per-arrival cost is 8 hash probes, " +
         "no corpus access, no per-event shuffle; the only stateful op " +
-        "is the per-doc collision rollup. (At corpus scales beyond " +
+        "is the per-doc collision rollup. The index side is " +
+        "PRE-AGGREGATED to (bucket, occupancy) — collision counting " +
+        "needs counts, not posting lists, so the broadcast is one row " +
+        "per distinct bucket and a spam wall in the stored index " +
+        "costs 1 row per probe instead of k. (At corpus scales beyond " +
         "broadcast the index side becomes a shuffled stream-static " +
         "join on (band, band_hash) — demonstrated plan-asserted as " +
         "stream_incremental_dedup_shuffled.) Collision counts (not " +
@@ -283,20 +287,27 @@ object Round6Queries {
           // static subplan every micro-batch, and re-hashing the whole
           // corpus 5× (4 triggers + watermark batch) was the dominant
           // cost — in production this side is the STORED band table,
-          // built once, exactly what the checkpoint models
+          // built once, exactly what the checkpoint models.
+          // PRE-AGGREGATED to (bucket → occupancy) because collision
+          // counting only needs per-bucket COUNTS: the broadcast
+          // shrinks from corpus × bands posting rows to one row per
+          // DISTINCT bucket, and a spam wall of k docs in one index
+          // bucket costs the probe 1 row instead of k (the r12
+          // hot-bucket lesson applied to the probe side — exact, since
+          // Σ matched-row counts ≡ Σ matched-bucket occupancies)
           val idx = Dedup.minhashBucketsPortable(
               Tables.documents(scoped, d).filter($"doc_id" % 10 =!= 0),
               "doc_id", "text",
               shingleN = 5, bands = 8, rowsPerBand = 2)
-            .select($"band".as("i_band"), $"band_hash".as("i_hash"),
-              $"id".as("idx_id"))
+            .groupBy($"band".as("i_band"), $"band_hash".as("i_hash"))
+            .agg(count(lit(1)).as("n_idx"))
             .localCheckpoint()
           streamBuckets
             .join(broadcast(idx),
               $"band" === $"i_band" && $"band_hash" === $"i_hash",
               "left_outer")
             .groupBy($"id".as("doc_id"))
-            .agg(sum(when($"idx_id".isNotNull, 1L).otherwise(0L))
+            .agg(sum(coalesce($"n_idx", lit(0L)))
               .as("n_band_collisions"))
         }.orderBy($"doc_id")
       },

@@ -194,20 +194,24 @@ object Round7Queries {
             shingleN = 5, bands = 8, rowsPerBand = 2)
           // static side materialized once per run (localCheckpoint) —
           // same stored-band-table model as stream_incremental_dedup;
-          // without it every micro-batch re-hashes the whole corpus
+          // without it every micro-batch re-hashes the whole corpus.
+          // Same (bucket → occupancy) pre-aggregation as the broadcast
+          // variant: the shuffled static side carries one row per
+          // distinct bucket, so a spam wall in the stored index meets
+          // each probing doc as 1 row, not k
           val idx = Dedup.minhashBucketsPortable(
               Tables.documents(scoped, d).filter($"doc_id" % 10 =!= 0),
               "doc_id", "text",
               shingleN = 5, bands = 8, rowsPerBand = 2)
-            .select($"band".as("i_band"), $"band_hash".as("i_hash"),
-              $"id".as("idx_id"))
+            .groupBy($"band".as("i_band"), $"band_hash".as("i_hash"))
+            .agg(count(lit(1)).as("n_idx"))
             .localCheckpoint()
           streamBuckets
             .join(idx,
               $"band" === $"i_band" && $"band_hash" === $"i_hash",
               "left_outer")
             .groupBy($"id".as("doc_id"))
-            .agg(sum(when($"idx_id".isNotNull, 1L).otherwise(0L))
+            .agg(sum(coalesce($"n_idx", lit(0L)))
               .as("n_band_collisions"))
         }
         val plan = graft.streaming.Streams.lastPlan(qname).getOrElse("")

@@ -675,6 +675,15 @@ object Dedup {
     * deterministic random-hyperplane LSH buckets (plane p's component for
     * dim i = ±1 by xxhash64(i, p) parity — recomputable anywhere, no stored
     * centroids).
+    *
+    * SCALE NOTE: this is the single-table LSH baseline — within-bucket
+    * work is ~n²∕2^nPlanes, and adding planes to chase the corpus trades
+    * recall (one table, no banding), so at corpus scale the embedding
+    * near-dup path is [[semDedup]]/[[semDedupAuto]] (corpus-scaled cell
+    * count, fused argmax assignment) or the ANN tier; the hot-bucket
+    * star-cap is deliberately NOT applied here because the output is a
+    * thresholded pair list (same contract as [[minhashDuplicates]] —
+    * hub pairs below the cosine threshold would drop true pairs).
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, nPlanes: Int = 8): DataFrame = {

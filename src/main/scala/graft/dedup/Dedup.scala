@@ -186,7 +186,7 @@ object Dedup {
     * DataFrame-construction time, and the DuckDB oracle replays the
     * identical integer arithmetic.
     */
-  private def inPlanCap(capFrom: DataFrame): DataFrame =
+  private[graft] def inPlanCap(capFrom: DataFrame): DataFrame =
     capFrom.agg(count(lit(1)).as("n")).select(
       greatest(lit(64L),
         (lit(8L) * length(bin(col("n") + 1))).cast("long"))

@@ -186,6 +186,31 @@ class Round12OpsSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("in-plan cap scalar equals bucketCap across corpus sizes " +
+      "(incl. the 64-floor and power-of-two boundaries)") {
+    for (n <- Seq(0L, 1L, 63L, 64L, 255L, 256L, 500L, 5120L, 100000L)) {
+      val got = Dedup.inPlanCap(spark.range(n).toDF("id"))
+        .head().getLong(0)
+      assert(got == Dedup.bucketCap(n).toLong,
+        s"in-plan cap $got != bucketCap(${n}) = ${Dedup.bucketCap(n)}")
+    }
+  }
+
+  test("simhashCandidatesFromSigs equals the text-level wrapper") {
+    val docs = (0L until 30L).map { i =>
+      (i, if (i % 3 == 0) "shared family text alpha bravo charlie"
+      else s"unique $i " + (0 to 8).map(j => s"w${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaText = pairs(Dedup.simhashCandidates(docs, "doc_id", "text",
+      maxHamming = 3, tokenHash = "md5"))
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text", "md5")
+    val viaSigs = pairs(Dedup.simhashCandidatesFromSigs(sigs,
+      nDocs = 30L, maxHamming = 3, hashBits = 60))
+    assert(viaText == viaSigs && viaText.nonEmpty)
+  }
+
   test("lshBucketStats reports capped buckets — no silent truncation") {
     val docs = (0L until 10L).map(i => (i, "same text every doc"))
       .toDF("doc_id", "text")

@@ -34,7 +34,7 @@ object ScaleProbe {
     "p_negative_sample", "d_incremental_index_append",
     "e_knn_sq8_rerank", "e_kmeans_lloyd",
     "e_knn_pq", "e_knn_ivfpq", "d_semdedup", "p_stratified_sample",
-    "e_knn_pq_rerank", "d_semdedup_auto", "curate_span_scrub",
+    "e_knn_pq_rerank", "curate_span_scrub",
     "p_shard_export", "e_knn_ivf_append", "agg_sketch_merge",
     "m_image_decode", "e_knn_ivf_recenter", "m_image_resize",
     "m_audio_decode", "m_video_frames",
@@ -42,21 +42,48 @@ object ScaleProbe {
     "d_containment", "m_video_scene_cut", "t_token_surprisal",
     "d_phash_clusters", "m_audio_vad", "p_curriculum_order",
     "t_unicode_normalize",
-    "d_lsh_bucket_cap", "d_exact_nfc", "d_lsh_bucket_stats",
+    "d_lsh_bucket_cap", "d_exact_nfc", "d_minhash_nfc",
+    "probe_bucket_stats_heavy", "probe_semdedup_heavy",
     "probe_lsh_spam", "probe_leakproof_uncapped")
 
+  /** Documents inflated COPIES× in-plan (ids stay unique under any
+    * further per-dir offset; text carries a per-copy tag so copies are
+    * near- not exact-dups and bucket structure stays realistic). Heavy
+    * probes run over this so their 1× denominator is real work
+    * (≥ ~1.5 s), not scheduler overhead — a sub-0.5 s t1 sits on the
+    * [[ratio]] clamp floor and its K× ratio is noise, not signal (the
+    * r12 32× sweep reported 13-14× for exactly those probes).
+    */
+  private def inflateDocs(s: SparkSession, d: String,
+      copies: Int): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.crossJoin(broadcast(
+        s.range(0, copies.toLong).toDF("copy")))
+      .select((col("doc_id") * copies + col("copy")).as("doc_id"),
+        concat(col("text"), lit(" heavytag"), col("copy")).as("text"))
+  }
+
   /** Probe-ONLY workloads (timing evidence, no oracle — they exist
-    * precisely because their registry counterparts are capped for
+    * because their registry counterparts are capped or sized for
     * oracle tractability, so the at-scale shape would otherwise never
     * be measured under its real load):
     *
-    *  - `probe_lsh_spam`: every 8th doc's text replaced by one constant
-    *    spam string — a planted hot bucket of n/8 docs in EVERY band.
-    *    Uncapped this is O((n/8)²) candidate pairs per band (64× pair
-    *    volume at 8× data); with the corpus-derived hot-bucket cap the
-    *    spam bucket star-reduces to O(n/8) edges, so the 8× ratio stays
-    *    near-linear. The probe that would have caught the pre-r12
-    *    "AQE handles spam" delegation.
+    *  - `probe_lsh_spam`: 6×-inflated corpus with every 8th doc's text
+    *    replaced by one constant spam string — a planted hot bucket of
+    *    n/8 docs in EVERY band. Uncapped this is O((n/8)²) candidate
+    *    pairs per band (64× pair volume at 8× data); with the
+    *    corpus-derived hot-bucket cap the spam bucket star-reduces to
+    *    O(n/8) edges, so the 8× ratio stays near-linear. The probe
+    *    that would have caught the pre-r12 "AQE handles spam"
+    *    delegation.
+    *  - `probe_bucket_stats_heavy`: the `d_lsh_bucket_stats` rollup
+    *    (banding + per-band bucket health + derived cap) over the
+    *    6×-inflated spammed corpus — the monitoring pass at a
+    *    denominator that clears the clamp floor.
+    *  - `probe_semdedup_heavy`: `Dedup.semDedupAuto` over 8×-inflated
+    *    embeddings (one component perturbed per copy, the scaled-dir
+    *    builder's pattern) — auto cluster derivation + assignment +
+    *    within-cell pairwise at a real denominator.
     *  - `probe_leakproof_uncapped`: the full banded-join + connected-
     *    components + split composition of `curate_leakproof_split`
     *    WITHOUT the doc_id < 1500 oracle cap.
@@ -65,12 +92,38 @@ object ScaleProbe {
       (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
     "probe_lsh_spam" -> ((s: SparkSession, d: String) => {
       val spamText = (0 until 30).map(i => s"probespam$i").mkString(" ")
-      val docs = Tables.documents(s, d).select(col("doc_id"),
+      val docs = inflateDocs(s, d, 6).select(col("doc_id"),
         when(pmod(col("doc_id"), lit(8L)) === 0L, lit(spamText))
           .otherwise(col("text")).as("text"))
       // murmur variant (the 100 TB default path), corpus-derived cap
       graft.dedup.Dedup.minhashCandidates(docs, "doc_id", "text",
         shingleN = 3, bands = 8, rowsPerBand = 2)
+    }),
+    "probe_bucket_stats_heavy" -> ((s: SparkSession, d: String) => {
+      val spamText = (0 until 30).map(i => s"probespam$i").mkString(" ")
+      val docs = inflateDocs(s, d, 6).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(8L)) === 0L, lit(spamText))
+          .otherwise(col("text")).as("text"))
+      val buckets = graft.dedup.Dedup.minhashBucketsPortable(
+        docs, "doc_id", "text", shingleN = 3, bands = 8, rowsPerBand = 2)
+      graft.dedup.Dedup
+        .lshBucketStats(buckets, capFrom = docs.select(col("doc_id")))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_buckets"),
+          max(col("bkt_n")).as("max_bucket"),
+          sum(when(col("capped"), 1L).otherwise(0L)).as("n_capped"))
+    }),
+    "probe_semdedup_heavy" -> ((s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val inflated = emb.crossJoin(broadcast(
+          s.range(0, 8L).toDF("copy")))
+        .select((col("vec_id") * 8 + col("copy")).as("vec_id"),
+          expr("transform(embedding, (x, i) -> " +
+            "CAST(x + CAST(copy AS FLOAT) * CAST(0.001 AS FLOAT) * " +
+            "CAST(CASE WHEN i = 0 THEN 1 ELSE 0 END AS FLOAT) AS FLOAT))")
+            .as("embedding"))
+      graft.dedup.Dedup.semDedupAuto(inflated, "vec_id", "embedding",
+        threshold = 0.5)
     }),
     "probe_leakproof_uncapped" -> ((s: SparkSession, d: String) =>
       graft.queries.Round11Queries.leakproofSplit(s, d, None)))

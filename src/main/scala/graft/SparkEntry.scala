@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{ExtendedQueries, PipelineQueries, Q, Round4Queries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, Round9Queries, Round10Queries, Round10bQueries, Round11Queries, Round12Queries, StarQueries}
+import graft.queries.{ExtendedQueries, PipelineQueries, Q, Round4Queries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, Round9Queries, Round10Queries, Round10bQueries, Round11Queries, Round12Queries, Round13Queries, StarQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,7 +18,7 @@ object SparkEntry {
       ExtendedQueries.all ++ Round4Queries.all ++ Round5Queries.all ++
       Round6Queries.all ++ Round7Queries.all ++ Round8Queries.all ++
       Round9Queries.all ++ Round10Queries.all ++ Round10bQueries.all ++
-      Round11Queries.all ++ Round12Queries.all
+      Round11Queries.all ++ Round12Queries.all ++ Round13Queries.all
     val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(",")}")
     all
@@ -85,7 +85,9 @@ object SparkEntry {
     "t_unicode_normalize",
     // r12-new: same capped-from-birth policy
     "d_lsh_bucket_cap", "d_exact_nfc", "d_lsh_bucket_stats",
-    "d_simhash_adaptive")
+    "d_simhash_adaptive",
+    // r13-new: same capped-from-birth policy
+    "d_minhash_nfc")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

@@ -108,8 +108,6 @@ object Dedup {
   private[graft] def bucketCap(nDocs: Long): Int =
     math.max(64, 8 * (64 - java.lang.Long.numberOfLeadingZeros(nDocs + 1)))
 
-  private val capMetricSeq = new java.util.concurrent.atomic.AtomicLong
-
   /** Candidate pairs from a (id, band, band_hash) bucket table with the
     * hot-bucket cap applied. Buckets at or under the cap emit their full
     * in-bucket clique (the classic LSH candidate set); buckets OVER the
@@ -145,14 +143,41 @@ object Dedup {
     * consumers that verify each pair (e.g. [[minhashDuplicates]]) keep
     * clique semantics by default — see the contract note there.
     *
-    * Plan shape: one exchange on (band, band_hash); the per-bucket count
-    * and hub come from a single Window over the partition keys (no extra
-    * shuffle — only a local sort the SMJ self-join needed regardless);
-    * the self-join and the star projection both reuse that exchange.
+    * OBSERVE-NAME CONTRACT: the star branch's metric is named
+    * `lsh_cap_<label>` with the label fixed per generator ("minhash",
+    * "minhash_portable", "simhash") so plan dumps are stable across
+    * sessions and runs. Monitoring consumers should match on the
+    * `lsh_cap_` PREFIX, not enumerate names — custom labels widen the
+    * space. A single query composing TWO capped generators with the
+    * same label would collide at analysis (duplicate CollectMetrics
+    * name); pass distinct labels in that case.
+    *
+    * Plan shape (cap ON): one exchange on (band, band_hash); the
+    * per-bucket count and hub come from a single Window over the
+    * partition keys (no extra shuffle — only a local sort the SMJ
+    * self-join needed regardless); the self-join and the star
+    * projection both reuse that exchange. `maxBucket = Int.MaxValue`
+    * (the verified-pair default) takes a CLIQUE-ONLY fast path: no
+    * bucket can exceed the cap (bucket size is bounded by the Int-sized
+    * corpus), so the Window, the cap scalar, the star branch, and the
+    * union are all skipped — the plan is exactly the plain
+    * repartitioned self-join.
     */
   private def cappedBucketPairs(buckets: DataFrame, maxBucket: Int,
-                                capFrom: DataFrame): DataFrame = {
+                                capFrom: DataFrame,
+                                label: String): DataFrame = {
     val parted = buckets.repartition(col("band"), col("band_hash"))
+    if (maxBucket == Int.MaxValue) {
+      // cap can never engage — emit the classic in-bucket clique with
+      // zero cap plumbing (the Window alone cost d_minhash_verify 1.40×)
+      val a = parted.as("a"); val b = parted.as("b")
+      return a.join(b,
+          col("a.band") === col("b.band") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+        .distinct()
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("band_hash"))
     val counted = parted
@@ -174,7 +199,7 @@ object Dedup {
     // plan — the clique self-join would duplicate a metrics node).
     val star = tagged
       .filter(col("bkt_n") > col("bkt_cap") && col("id") =!= col("hub"))
-      .observe(s"lsh_cap_${capMetricSeq.incrementAndGet()}",
+      .observe(s"lsh_cap_$label",
         count(lit(1)).as("star_edges"),
         max(col("bkt_n")).as("max_bucket"))
       .select(col("hub").as("a_id"), col("id").as("b_id"))
@@ -232,7 +257,8 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 5, bands: Int = 8,
-                        rowsPerBand: Int = 2, maxBucket: Int = 0): DataFrame = {
+                        rowsPerBand: Int = 2, maxBucket: Int = 0,
+                        capLabel: String = "minhash"): DataFrame = {
     val k = bands * rowsPerBand
     val sigs = minhashSignatures(df, idCol, textCol, k, shingleN)
     val buckets = sigs.select(
@@ -242,7 +268,7 @@ object Dedup {
             b * rowsPerBand + 1, lit(rowsPerBand)).cast("string")))))
       .toDF("id", "band", "band_hash")
     cappedBucketPairs(buckets, maxBucket,
-      capFrom = df.select(col(idCol)))
+      capFrom = df.select(col(idCol)), label = capLabel)
   }
 
   /** Distinct word shingles in ONE typed pass — the expression-based
@@ -385,11 +411,13 @@ object Dedup {
                                 textCol: String, shingleN: Int = 5,
                                 bands: Int = 8,
                                 rowsPerBand: Int = 2,
-                                maxBucket: Int = 0): DataFrame = {
+                                maxBucket: Int = 0,
+                                capLabel: String = "minhash_portable")
+      : DataFrame = {
     val buckets = minhashBucketsPortable(df, idCol, textCol, shingleN,
       bands, rowsPerBand)
     cappedBucketPairs(buckets, maxBucket,
-      capFrom = df.select(col(idCol)))
+      capFrom = df.select(col(idCol)), label = capLabel)
   }
 
   /** Portable verified MinHash duplicates — exact-Jaccard recheck over the
@@ -497,19 +525,32 @@ object Dedup {
     * an over-cap bucket is a genuine near-dup wall (members agree on a
     * wide band, not a 16-bit coincidence) — which is what makes the
     * [[cappedBucketPairs]] hot-bucket star-reduction SOUND here. The
-    * one count(*) deriving the mask layout is the same parquet-cheap
-    * corpus count the phash and semDedupAuto tiers key on (the mask
-    * LIST shapes the plan, so it cannot be an in-plan scalar).
+    * count deriving the mask layout cannot be an in-plan scalar (the
+    * mask LIST shapes the plan), so with no explicit `nDocs` the
+    * signatures are computed ONCE into a `localCheckpoint` and counted
+    * there — the expensive per-token hashing pass is never evaluated
+    * twice, and the count itself reads 16-byte cached rows. Callers
+    * that already know the corpus size (or need the signatures
+    * downstream anyway) pass `nDocs` ≥ 0 / use
+    * [[simhashCandidatesFromSigs]] and skip the checkpoint.
     */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3,
                         tokenHash: String = "murmur",
-                        maxBucket: Int = 0): DataFrame = {
+                        maxBucket: Int = 0,
+                        nDocs: Long = -1L): DataFrame = {
     val nBits = if (tokenHash == "md5") 60 else 64
-    simhashCandidatesFromSigs(
-      simhashSignatures(df, idCol, textCol, tokenHash),
-      nDocs = df.count(), maxHamming = maxHamming, hashBits = nBits,
-      maxBucket = maxBucket)
+    if (nDocs >= 0L)
+      simhashCandidatesFromSigs(
+        simhashSignatures(df, idCol, textCol, tokenHash),
+        nDocs = nDocs, maxHamming = maxHamming, hashBits = nBits,
+        maxBucket = maxBucket)
+    else {
+      val sigs = simhashSignatures(df, idCol, textCol, tokenHash)
+        .localCheckpoint()
+      simhashCandidatesFromSigs(sigs, nDocs = sigs.count(),
+        maxHamming = maxHamming, hashBits = nBits, maxBucket = maxBucket)
+    }
   }
 
   /** [[simhashCandidates]] from PRECOMPUTED signatures (id, simhash)
@@ -521,13 +562,14 @@ object Dedup {
     */
   def simhashCandidatesFromSigs(sigs: DataFrame, nDocs: Long,
                                 maxHamming: Int = 3, hashBits: Int = 64,
-                                maxBucket: Int = 0): DataFrame = {
+                                maxBucket: Int = 0,
+                                capLabel: String = "simhash"): DataFrame = {
     val masks = phashBandMasks(nDocs, maxHamming, hashBits)
     val buckets = sigs.select(col("id"), posexplode(array(
       masks.map(m => col("simhash").bitwiseAND(lit(m))): _*)))
       .toDF("id", "band", "band_hash")
     cappedBucketPairs(buckets, maxBucket,
-      capFrom = sigs.select(col("id")))
+      capFrom = sigs.select(col("id")), label = capLabel)
   }
 
   /** Duplicate clusters: connected components over a near-dup candidate
@@ -535,31 +577,39 @@ object Dedup {
     * candidate generation ("keep one doc per duplicate cluster"). Returns
     * (id, cluster_id) with cluster_id = the smallest id in the component.
     *
-    * Distributed min-label propagation: each round every vertex takes the
-    * min of its own label and its neighbors' labels — one join + one
-    * aggregation per round, converging in O(component diameter) rounds
-    * (near-dup clusters are shallow; pathological chains are bounded by
-    * `maxIter`). `localCheckpoint` truncates the iterative lineage so plans
-    * don't grow unboundedly — the classic Spark iterative-algorithm trap.
-    * At 100 TB scale the same loop runs with edges pre-partitioned by src;
-    * alternating large-star/small-star would cut rounds to O(log n) but
-    * needs no different plumbing.
+    * Alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond"):
+    *
+    *  - large-star: every node u re-attaches its strictly LARGER
+    *    neighbors to m(u) = min(Γ(u) ∪ {u});
+    *  - small-star: every node u re-attaches itself and its smaller
+    *    neighbors to their collective minimum.
+    *
+    * Both operations preserve connectivity exactly, and the edge set
+    * converges to STARS centered at each component's minimum id in
+    * O(log n) rounds REGARDLESS of component diameter — the property
+    * plain min-label propagation (O(diameter) rounds) lacks: an
+    * adversarial boilerplate chain at corpus scale (a gradient of
+    * near-dup docs, each linked only to its neighbors) converges in
+    * ~log₂(depth) rounds here instead of depth rounds. Each round is
+    * two small groupBy/join passes over fixed-width (long, long) edge
+    * rows; `localCheckpoint` truncates the iterative lineage so plans
+    * don't grow unboundedly — the classic Spark iterative-algorithm
+    * trap.
     */
   def duplicateClusters(nodes: DataFrame, edges: DataFrame, idCol: String,
                         maxIter: Int = 25,
                         loopPartitions: Int = 0): DataFrame = {
-    // each round is a tiny shuffle (one row per label/edge) repeated many
-    // times — at the session's full shuffle width the per-round task-launch
-    // overhead dominates. The loop runs at its own width via EXPLICIT
-    // repartition on the loop keys (never by mutating the session-global
-    // shuffle.partitions, which would silently re-plan concurrent queries);
-    // localCheckpoint preserves the hash partitioning in LogicalRDD, so
-    // co-partitioned joins below plan no extra exchanges.
-    // loopPartitions <= 0 (default) auto-derives the width from the
-    // materialized edge count, so a 100 TB candidate set is never
-    // funneled through a fixed 8-partition loop; the count reads the
-    // already-checkpointed edge set, not the (expensive) candidate-
-    // generation plan.
+    // each round is a tiny shuffle (one row per edge) repeated many
+    // times — at the session's full shuffle width the per-round
+    // task-launch overhead dominates. The loop runs at its own width via
+    // EXPLICIT repartition on the loop keys (never by mutating the
+    // session-global shuffle.partitions, which would silently re-plan
+    // concurrent queries). loopPartitions <= 0 (default) auto-derives
+    // the width from the materialized edge count, so a 100 TB candidate
+    // set is never funneled through a fixed 8-partition loop; the count
+    // reads the already-checkpointed edge set, not the (expensive)
+    // candidate-generation plan.
     val symBase = edges
       .select(col("a_id").cast("long").as("src"),
         col("b_id").cast("long").as("dst"))
@@ -576,55 +626,93 @@ object Dedup {
         raw.unpersist()
         (s, w)
       }
-    var labels = nodes
-      .select(col(idCol).cast("long").as("id"))
-      .withColumn("cluster_id", col("id"))
-      .repartition(width, col("id"))
+    // Edges kept DIRECTED large→small (hi > lo), deduped, and
+    // partitioned by (hi, lo) — the SAME key the per-round dedup and
+    // the convergence diff use, so both ride this partitioning with no
+    // further exchange. Each round costs exactly three shuffles: the
+    // symmetrized view by u (the large-star groupBy + join reuse that
+    // one exchange), the large-star output by hi (the small-star
+    // groupBy + join reuse it), and the round result by (hi, lo)
+    // (dedup aggregate + convergence full-outer both ride it).
+    var e = sym.filter(col("src") > col("dst"))
+      .select(col("src").as("hi"), col("dst").as("lo"))
+      .repartition(width, col("hi"), col("lo"))
+      .dropDuplicates("hi", "lo")
       .localCheckpoint()
+    sym.unpersist()
+    val wU = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u"))
+    val wHi = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hi"))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // neighbor-min via join+least instead of union+agg: only edge rows
-      // shuffle (labels ride their existing id-partitioning), and the
-      // checkpoint BEFORE the pointer-jump self-join cuts the lineage a
-      // self-join would otherwise analyze and execute twice
-      val nbrMin = sym.join(labels, sym("src") === labels("id"))
-        .select(col("dst"), col("cluster_id"))
-        .repartition(width, col("dst"))
-        .groupBy(col("dst"))
-        .agg(min(col("cluster_id")).as("nmin"))
-      val propagated = labels
-        .join(nbrMin, labels("id") === nbrMin("dst"), "left")
-        .select(labels("id"),
-          least(col("cluster_id"), coalesce(col("nmin"),
-            col("cluster_id"))).as("cluster_id"))
+      // LARGE-STAR: symmetrize, take each node's neighborhood min (with
+      // itself — one Window min over the u-exchange, no self-join),
+      // re-attach strictly larger neighbors to it. Output rows are
+      // (v, m) with v > u ≥ m, so the directed hi > lo form is
+      // preserved by construction.
+      val ls = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+        .repartition(width, col("u"))
+        .withColumn("m", least(col("u"), min(col("v")).over(wU)))
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+      // SMALL-STAR on the directed view: node u re-attaches itself and
+      // ALL its smaller neighbors to their collective min (again a
+      // Window min riding one hi-exchange; the two output branches
+      // share that exchange via ReusedExchange) — flattening
+      // multi-parent nodes into stars. Duplicate emissions collapse in
+      // the (hi, lo) dedup below — without it the edge multiset could
+      // double every round.
+      val lsW = ls.repartition(width, col("hi"))
+        .withColumn("m", min(col("lo")).over(wHi))
+      val ssRaw = lsW.filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(lsW.select(col("hi"), col("m").as("lo")))
+        .repartition(width, col("hi"), col("lo"))
+        .dropDuplicates("hi", "lo")
+      // fixpoint = edge set unchanged (then both operations are
+      // idempotent forever). The symmetric-difference count rides the
+      // SAME job that materializes the round result: full-outer join
+      // against the previous edge set (both sides (hi, lo)-partitioned
+      // — no exchange), an `observe` counting one-sided rows, then the
+      // new side filtered back out. One Spark job per round, total.
+      val obs = org.apache.spark.sql.Observation()
+      val ss = ssRaw.withColumn("in_new", lit(1))
+        .join(e.withColumn("in_old", lit(1)), Seq("hi", "lo"),
+          "full_outer")
+        .observe(obs, count(when(col("in_new").isNull ||
+          col("in_old").isNull, 1)).as("changed"))
+        .filter(col("in_new").isNotNull)
+        .select(col("hi"), col("lo"))
         .localCheckpoint()
-      // pointer jumping (path compression): label ← label(label). Labels
-      // are always node ids, so the self-join resolves; this shortcuts a
-      // k-long chain in half each round, making total rounds
-      // O(log diameter) instead of O(diameter) — the difference between
-      // 40 rounds and 6 on a pathological chain at corpus scale.
-      val next = propagated.as("x")
-        .repartition(width, col("cluster_id"))
-        .join(propagated.select(col("id").as("pid"),
-          col("cluster_id").as("pcluster")).as("p")
-          .repartition(width, col("pid")),
-          col("x.cluster_id") === col("pid"), "left")
-        .select(col("x.id"),
-          coalesce(col("pcluster"), col("x.cluster_id")).as("cluster_id"))
-        .repartition(width, col("id"))
-        .localCheckpoint() // next is consumed twice (count + next round)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-        .count()
-      labels = next
+      val changed = obs.get("changed").asInstanceOf[Long]
+      e.unpersist()
+      e = ss
       converged = changed == 0L
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $iter changed=$changed " +
+          s"t=${System.nanoTime() / 1000000}")
     }
-    require(converged, s"label propagation did not converge in $maxIter " +
-      "rounds — raise maxIter for deep components")
-    labels
+    require(converged, s"large-star/small-star did not converge in " +
+      s"$maxIter rounds — raise maxIter")
+    // at the fixpoint e is a set of stars (hub = component min), so each
+    // non-hub node appears exactly once as hi; the min() is a defensive
+    // no-op that keeps the mapping well-defined even on that invariant.
+    // The result is checkpointed id-partitioned (the old contract):
+    // consumers read cached fixed-width rows, never re-run the mapping.
+    val mapping = e.groupBy(col("hi").as("id"))
+      .agg(min(col("lo")).as("root"))
+    val out = nodes.select(col(idCol).cast("long").as("id"))
+      .join(mapping, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("root"), col("id")).as("cluster_id"))
+      .repartition(width, col("id"))
+      .localCheckpoint()
+    e.unpersist()
+    out
   }
 
   /** Band-index maintenance: compact a band-partitioned parquet index
@@ -781,9 +869,13 @@ object Dedup {
                      hashBits: Int = 63): Seq[Long] = {
     val t = maxHamming
     // 64 supported since r12 (the full-width simhash signature): block
-    // widths stay ≤ ⌈64∕(t+1)⌉ < 64, so every mask shift is in range —
-    // the top block's mask is simply a negative long, and bucket
-    // equality on `sig & mask` is sign-agnostic
+    // masks are built with an unsigned right shift of -1L, which is
+    // well-defined at EVERY width 1..64 — including the t = 0, m = 1
+    // degenerate layout whose single block spans all 64 bits (a
+    // left-shift construction would wrap mod 64 there and produce an
+    // all-zero mask, i.e. one bucket for the whole corpus). The top
+    // block's mask can be a negative long; bucket equality on
+    // `sig & mask` is sign-agnostic.
     require(hashBits > 0 && hashBits <= 64, s"hashBits $hashBits")
     require(t >= 0 && t < hashBits,
       s"maxHamming $t out of range for $hashBits-bit signatures")
@@ -804,7 +896,7 @@ object Dedup {
     val widths = Seq.tabulate(m)(i => if (i < r) w + 1 else w)
     val offsets = widths.scanLeft(0)(_ + _)
     val blockMasks = widths.zip(offsets).map { case (bw, off) =>
-      ((1L << bw) - 1L) << off
+      (-1L >>> (64 - bw)) << off
     }
     blockMasks.combinations(m - t).map(_.reduce(_ | _)).toSeq
   }
@@ -828,6 +920,19 @@ object Dedup {
     * keys the occupancy target. The oracle replays the same derivation
     * in SQL (`OracleGen.semDedupAutoSql`'s subquery LIMIT), so the
     * auto-scaled operator stays under the exact-hash gate.
+    *
+    * SCALE REGIME (measured by `probe_semdedup_heavy`, r13): the
+    * occupancy-targeted derivation bounds the WITHIN-CELL quadratic
+    * (pairs ≈ n·occupancy) but makes centroid ASSIGNMENT O(n·k) with
+    * k ∝ n — an n² ∕ occupancy term while k is below the 65536-cell
+    * cap (the probe shows ~13× at 8× data, exactly n·k), and linear
+    * with a large constant once the cap pins k (n > ~8.4M at the
+    * default occupancy). This is inherent to flat SemDeDup assignment;
+    * at corpus scale the upgrade is a two-level (hierarchical) coarse
+    * quantizer — assign to √k super-cells, then cells within —
+    * O(n·√k) with identical cell semantics, or the IVF/PQ ANN tier
+    * outright. The fused [[graft.functions.vector]] argmax keeps the
+    * constant small; nothing here is corpus × corpus.
     */
   def semDedupAuto(df: DataFrame, idCol: String, vecCol: String,
                    threshold: Double,

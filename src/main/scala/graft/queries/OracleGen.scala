@@ -386,7 +386,8 @@ object OracleGen {
     * multiplicative hash — the same integer arithmetic as
     * `curate_split_assign`, keyed by cluster instead of doc. (That
     * arithmetic is a fixed permutation of `cluster_id mod 100`, not a
-    * mixing hash — periodicity note at `Round6Queries.curate_split_assign`.)
+    * mixing hash — kept as the PERMANENT split contract; decision note
+    * at `Round6Queries.curate_split_assign`.)
     */
   def leakproofSplitSql(shingleN: Int, bands: Int, rowsPerBand: Int,
                         maxDocId: Long): String =
@@ -453,14 +454,18 @@ object OracleGen {
 
   /** Verified MinHash duplicates (`d_minhash_verify`): portable candidates
     * re-checked with exact n-gram Jaccard ≥ threshold, round 4 (division of
-    * identical small-int sizes — bit-exact cross-engine).
+    * identical small-int sizes — bit-exact cross-engine). `source` +
+    * `prefixCtes` let derived-corpus queries (`d_minhash_nfc`) reuse the
+    * whole verify replay over a CTE-built corpus.
     */
   def minhashVerifySql(shingleN: Int, bands: Int, rowsPerBand: Int,
-                       threshold: Double): String =
-    s"""WITH ${minhashBucketsCte(shingleN, bands, rowsPerBand)},
+                       threshold: Double, source: String = "documents",
+                       prefixCtes: String = ""): String =
+    s"""WITH $prefixCtes${
+         minhashBucketsCte(shingleN, bands, rowsPerBand, source = source)},
        |shs AS (
        |  SELECT d.doc_id, coalesce(s.sh, []) AS sh
-       |  FROM documents d LEFT JOIN
+       |  FROM $source d LEFT JOIN
        |    (SELECT doc_id, list(sh) AS sh FROM mh_sh GROUP BY doc_id) s
        |    USING (doc_id)),
        |j AS (
@@ -474,6 +479,36 @@ object OracleGen {
        |    JOIN shs b ON c.b_id = b.doc_id)
        |SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= $threshold
        |ORDER BY a_id, b_id""".stripMargin
+
+  /** NFC-normalized MinHash near-dup (`d_minhash_nfc`): every doc under
+    * `maxDocId` expands into TWO variants spelling every 'e' as the
+    * PRECOMPOSED é (chr(233)) vs e + COMBINING ACUTE (chr(769)), plus a
+    * distinct tag token so the twins are near- (not exact-) duplicates;
+    * the corpus is then NFC-normalized BEFORE hashing (DuckDB's
+    * independent `nfc_normalize` vs Spark's codegen'd
+    * `unicode_normalize`) and the full portable-minhash verify pipeline
+    * replays over it. Without the normalization the twins share ZERO
+    * shingles (every token differs at the byte level), so the entire
+    * twin pair set in the output exists only because normalize-before-
+    * hash is composed in — the near-dup analogue of `d_exact_nfc`.
+    */
+  def minhashNfcSql(shingleN: Int, bands: Int, rowsPerBand: Int,
+                    threshold: Double, maxDocId: Long): String = {
+    val variants =
+      s"""nfc_v AS (
+         |  SELECT doc_id * 2 AS doc_id,
+         |    replace(text, 'e', chr(233)) || ' veven' AS text
+         |  FROM documents WHERE doc_id < $maxDocId
+         |  UNION ALL
+         |  SELECT doc_id * 2 + 1,
+         |    replace(text, 'e', 'e' || chr(769)) || ' vodd'
+         |  FROM documents WHERE doc_id < $maxDocId),
+         |nfc_src AS (
+         |  SELECT doc_id, nfc_normalize(text) AS text FROM nfc_v),
+         |""".stripMargin
+    minhashVerifySql(shingleN, bands, rowsPerBand, threshold,
+      source = "nfc_src", prefixCtes = variants)
+  }
 
   /** Embedding near-dup degree (`Dedup.embeddingNearDup` with nPlanes
     * hyperplane buckets): in-bucket pairs with round(cosine, 6) ≥

@@ -578,8 +578,9 @@ object PipelineQueries {
     Q("d_dup_clusters",
       "Dedup post-pass: duplicate clusters = connected components over " +
         "near-dup candidate edges (token-set Jaccard ≥ 0.3 within source " +
-        "groups), cluster id = min doc id. Spark: distributed min-label " +
-        "propagation; oracle: DuckDB recursive CTE — independent " +
+        "groups), cluster id = min doc id. Spark: alternating large-star/" +
+        "small-star rounds (O(log n)); oracle: DuckDB recursive CTE — " +
+        "independent " +
         "algorithms, identical components.",
       (s, d) => {
         import s.implicits._

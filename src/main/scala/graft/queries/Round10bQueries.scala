@@ -57,6 +57,23 @@ object Round10bQueries {
     * components). The count() keying the derivation is one action on
     * the already-checkpointed 16-byte signature frame — footer-cheap,
     * same pattern as [[graft.dedup.Dedup.semDedupAuto]].
+    *
+    * HOT-BUCKET CAP EXEMPTION: the output is a Hamming-VERIFIED pair
+    * list (the `bit_count(xor) <= maxHamming` recheck below), so the
+    * star-reduction cap is deliberately NOT applied — same contract as
+    * [[graft.dedup.Dedup.minhashDuplicates]]: a star hub can be a
+    * low-similarity interloper (band agreement bounds only the band's
+    * bits, not the full Hamming distance), so hub pairs can FAIL the
+    * verify that the true in-bucket pairs would have passed, and the
+    * "star preserves components" argument does not survive a
+    * post-verify filter — even `d_phash_clusters`, which consumes
+    * components, takes them over VERIFIED edges. Scale safety comes
+    * from the corpus-adaptive band layout instead (coincidental
+    * buckets stay ~n/256 verify pairs total), and a wall of k
+    * byte-identical images is collapsed by exact (digest) dedup
+    * upstream — a wall of k DISTINCT images at Hamming <= t inherently
+    * has k(k-1)/2 verified pairs, which no cap can bound without
+    * changing the op's meaning.
     */
   private def phashPairs(ph: org.apache.spark.sql.DataFrame,
                          maxHamming: Int)
@@ -715,8 +732,8 @@ object Round10bQueries {
       "The multimodal dedup ACTION — image near-dup pairs reduced to " +
         "clusters and one KEPT image each: dHash signatures from the " +
         "real decoded fleet feed the Hamming-banded pair generation " +
-        "(shared with m_phash_neardup), pointer-jumping connected " +
-        "components (Dedup.duplicateClusters — O(log diameter) rounds) " +
+        "(shared with m_phash_neardup), large-star/small-star connected " +
+        "components (Dedup.duplicateClusters — O(log n) rounds) " +
         "resolve transitive near-dup groups, and one window picks the " +
         "canonical member per cluster (largest real-decoded n_px, " +
         "asset_id tiebreak) with the kept/dropped audit trail a " +

@@ -254,8 +254,8 @@ object Round11Queries {
         "the contamination pathway a doc-level random split leaves " +
         "open: near-duplicates of training documents land in the eval " +
         "split and inflate benchmarks. Near-dup clusters = connected " +
-        "components (Dedup.duplicateClusters, distributed min-label " +
-        "propagation) over portable-minhash band collisions, then the " +
+        "components (Dedup.duplicateClusters, alternating large-star/" +
+        "small-star rounds) over portable-minhash band collisions, then the " +
         "WHOLE CLUSTER is assigned 80/10/10 by the multiplicative " +
         "integer hash of its cluster id (the curate_split_assign " +
         "arithmetic keyed by cluster) — same-cluster docs share a " +

@@ -31,14 +31,19 @@ object Round6Queries {
         "replays the identical integer arithmetic.",
       (s, d) => {
         import s.implicits._
-        // NOTE on mixing: (x % 1000003) · 2654435761 mod 100 depends
-        // only on x mod 100 — a fixed balanced PERMUTATION of the last
-        // two decimal digits (periodic over sequential ids), not a
-        // pseudorandom hash. Exactly-80/10/10 over any 100 consecutive
-        // ids is a feature for split assignment; anything needing real
-        // mixing should use the md5-based arithmetic other queries use.
-        // curate_leakproof_split reuses this same convention keyed by
-        // cluster id (Round11Queries.leakproofSplit).
+        // DECISION (r13, permanent contract): (x % 1000003) · 2654435761
+        // mod 100 depends only on x mod 100 — a fixed balanced
+        // PERMUTATION of the last two decimal digits (periodic over
+        // sequential ids), not a pseudorandom hash. That periodicity is
+        // KEPT deliberately: exactly-80/10/10 over any 100 consecutive
+        // ids is the property a split assigner wants (deterministic
+        // balance, no large-corpus drift), both split oracles pin it,
+        // and swapping in a mixing hash (the md5-based integer
+        // arithmetic the portable-minhash queries use is a drop-in)
+        // would churn two pinned oracles for no correctness gain.
+        // Anything needing real MIXING must use that md5 arithmetic
+        // instead of this. curate_leakproof_split reuses this same
+        // convention keyed by cluster id (Round11Queries.leakproofSplit).
         Tables.documents(s, d)
           .select($"doc_id", $"lang", $"n_chars",
             (($"doc_id" % 1000003L) * 2654435761L % 100L).as("h"))

@@ -449,7 +449,7 @@ object Round7Queries {
 
     Q("curate_canonical_select",
       "The dedup ACTION: near-dup clusters (the d_dup_clusters " +
-        "pointer-jumping connected components over Jaccard-candidate " +
+        "large-star/small-star connected components over Jaccard-candidate " +
         "edges) reduced to ONE canonical document each — keep the " +
         "highest-quality member (longest n_chars, doc_id as the " +
         "deterministic tiebreak), drop the rest. This is what a corpus " +

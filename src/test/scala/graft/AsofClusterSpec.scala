@@ -105,7 +105,7 @@ class AsofClusterSpec extends AnyFunSuite {
       (1L, 2L, "g"), (2L, 0L, "x")))
   }
 
-  test("duplicateClusters: min-label over chained components") {
+  test("duplicateClusters: components over chained edges") {
     // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {5,6}; singleton {9}
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("doc_id")
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
@@ -126,10 +126,10 @@ class AsofClusterSpec extends AnyFunSuite {
     assert(out.map(_.getLong(1)).toSet == Set(1L))
   }
 
-  test("duplicateClusters: pointer jumping resolves a 40-chain in few rounds") {
+  test("duplicateClusters: star rounds resolve a 40-chain in few rounds") {
     // worst case for plain min-propagation: a path graph — O(diameter)
-    // rounds without path compression, O(log) with. maxIter = 10 would
-    // fail the naive loop on a 40-chain.
+    // rounds naively, O(log) with large-star/small-star. maxIter = 10
+    // would fail a naive propagation loop on a 40-chain.
     val n = 40L
     val nodes = (1L to n).toDF("doc_id")
     val edges = (1L until n).map(i => (i, i + 1)).toDF("a_id", "b_id")

@@ -1,0 +1,144 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13: the cap-off clique fast path (no Window/observe plumbing on
+  * the verified-pair default), large-star/small-star connected
+  * components (O(log n) rounds on adversarial chains), the
+  * full-width band-mask fix, and stable observe names.
+  */
+class Round13OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsOf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+
+  test("cap-off fast path: maxBucket = Int.MaxValue plans NO Window and " +
+      "NO CollectMetrics; the capped path plans both") {
+    val docs = docsOf((0L until 20L).map(i => (i, s"doc $i body " +
+      (0 to 6).map(j => s"t${i}_$j").mkString(" "))))
+    val fast = Dedup.minhashCandidatesPortable(docs, "doc_id", "text",
+      shingleN = 3, bands = 4, rowsPerBand = 4, maxBucket = Int.MaxValue)
+    val fastPlan = fast.queryExecution.optimizedPlan.toString
+    assert(!fastPlan.contains("Window") &&
+      !fastPlan.contains("CollectMetrics"),
+      s"uncapped path must carry zero cap plumbing:\n$fastPlan")
+    val capped = Dedup.minhashCandidatesPortable(docs, "doc_id", "text",
+      shingleN = 3, bands = 4, rowsPerBand = 4, maxBucket = 0)
+    val cappedPlan = capped.queryExecution.optimizedPlan.toString
+    assert(cappedPlan.contains("Window") &&
+      cappedPlan.contains("CollectMetrics"),
+      s"capped path lost its count/observe machinery:\n$cappedPlan")
+  }
+
+  test("cap-off fast path produces the identical pair set as the " +
+      "explicit huge-cap clique") {
+    // families of exact dups => same buckets in every band; a huge
+    // FINITE cap (old shape, cap never engages) must equal the
+    // Int.MaxValue fast path bit-for-bit
+    val docs = docsOf((0L until 24L).map { i =>
+      (i, s"family${i % 4} alpha bravo charlie delta echo foxtrot " +
+        "golf hotel india juliet")
+    })
+    def pairs(maxBucket: Int) =
+      Dedup.minhashCandidatesPortable(docs, "doc_id", "text",
+          shingleN = 3, bands = 8, rowsPerBand = 2, maxBucket = maxBucket)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaFast = pairs(Int.MaxValue)
+    val viaHugeCap = pairs(1000000)
+    assert(viaFast == viaHugeCap && viaFast.nonEmpty)
+  }
+
+  test("observe metric name is the stable per-generator label") {
+    val captured = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        qe.observedMetrics.keys.filter(_.startsWith("lsh_cap_"))
+          .foreach(captured.add)
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val spam = docsOf((0L until 300L).map(i => (i, "identical spam wall")))
+      Dedup.minhashCandidates(spam, "doc_id", "text",
+        shingleN = 3, bands = 8, rowsPerBand = 2).count()
+      val deadline = System.currentTimeMillis() + 20000
+      while (!captured.contains("lsh_cap_minhash") &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(captured.contains("lsh_cap_minhash"),
+        s"expected the stable observe name, got $captured")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("phashBandMasks: maxHamming = 0 at full 64-bit width yields the " +
+      "single all-ones mask, never an all-zero band") {
+    for (n <- Seq(2L, 1000L, 10000000L, 1L << 40)) {
+      val masks = Dedup.phashBandMasks(n, maxHamming = 0, hashBits = 64)
+      assert(masks.forall(_ != 0L),
+        s"n=$n produced an all-zero band mask: $masks")
+      // t = 0 means exact equality: every returned band must cover all
+      // 64 bits, so two sigs collide iff they are identical
+      assert(masks.forall(_ == -1L), s"n=$n masks $masks")
+    }
+    // the 60-bit variant was never at risk (shift < 64) — pin it anyway
+    val m60 = Dedup.phashBandMasks(1000000L, maxHamming = 0, hashBits = 60)
+    assert(m60.forall(_ == (1L << 60) - 1L))
+  }
+
+  test("simhashCandidates(maxHamming = 0) = exact-signature groups " +
+      "(the path the 64-bit mask bug would have exploded)") {
+    val docs = docsOf(Seq(
+      (0L, "alpha bravo charlie delta"), (1L, "alpha bravo charlie delta"),
+      (2L, "totally different text body here"),
+      (3L, "yet another unrelated document")))
+    val pairs = Dedup.simhashCandidates(docs, "doc_id", "text",
+        maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("duplicateClusters: 200-deep chain converges within 2*log2(n) " +
+      "star rounds with exact components") {
+    val n = 200L
+    val nodes = (1L to n).toDF("doc_id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    // 2*ceil(log2(200)) = 16: plain min-propagation would need ~200
+    // rounds; large-star/small-star must land far inside this budget
+    val out = Dedup.duplicateClusters(nodes, edges, "doc_id", maxIter = 16)
+      .collect()
+    assert(out.length == 200 && out.map(_.getLong(1)).toSet == Set(1L))
+  }
+
+  // (random-graph equivalence vs a driver union-find is already pinned
+  // by AsofClusterSpec "duplicateClusters matches union-find on random
+  // graphs" — the star rewrite runs under that same property)
+
+  test("d_minhash_nfc negative control: composed/decomposed twins are " +
+      "verified near-dups ONLY under the NFC projection") {
+    // the d_minhash_nfc fixture shape in miniature: every 'e' spelled
+    // precomposed vs decomposed + a distinct tag token per variant
+    val base = "the quick template delivers test sentences every week " +
+      "near the red fence"
+    val variants = Seq(
+      (0L, base.replace("e", "\u00e9") + " veven"),
+      (1L, base.replace("e", "e\u0301") + " vodd")).toDF("vid", "raw")
+    def dups(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashDuplicatesPortable(df, "vid", "text",
+          threshold = 0.3, shingleN = 3, bands = 4, rowsPerBand = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val raw = dups(variants.select($"vid", $"raw".as("text")))
+    assert(!raw.contains((0L, 1L)),
+      "byte-level minhash must NOT pair the spelling twins")
+    val nfc = dups(variants.select($"vid",
+      graft.functions.text.unicode_normalize($"raw", "NFC").as("text")))
+    assert(nfc == Set((0L, 1L)),
+      s"NFC-projected minhash must verify the twin pair, got $nfc")
+  }
+}

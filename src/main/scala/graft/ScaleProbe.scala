@@ -44,6 +44,7 @@ object ScaleProbe {
     "t_unicode_normalize",
     "d_lsh_bucket_cap", "d_exact_nfc", "d_minhash_nfc",
     "probe_bucket_stats_heavy", "probe_semdedup_heavy",
+    "probe_semdedup_2level_heavy",
     "probe_lsh_spam", "probe_leakproof_uncapped")
 
   /** Documents inflated COPIES× in-plan (ids stay unique under any
@@ -63,6 +64,20 @@ object ScaleProbe {
         concat(col("text"), lit(" heavytag"), col("copy")).as("text"))
   }
 
+  /** Embeddings inflated 8× (one component perturbed per copy — the
+    * scaled-dir builder's pattern) for the two semdedup probes, so the
+    * flat-vs-two-level assignment comparison runs on one corpus.
+    */
+  private def inflateEmb(s: SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.embeddings(s, d).crossJoin(broadcast(
+        s.range(0, 8L).toDF("copy")))
+      .select((col("vec_id") * 8 + col("copy")).as("vec_id"),
+        expr("transform(embedding, (x, i) -> " +
+          "CAST(x + CAST(copy AS FLOAT) * CAST(0.001 AS FLOAT) * " +
+          "CAST(CASE WHEN i = 0 THEN 1 ELSE 0 END AS FLOAT) AS FLOAT))")
+          .as("embedding"))
+
   /** Probe-ONLY workloads (timing evidence, no oracle — they exist
     * because their registry counterparts are capped or sized for
     * oracle tractability, so the at-scale shape would otherwise never
@@ -81,9 +96,14 @@ object ScaleProbe {
     *    6×-inflated spammed corpus — the monitoring pass at a
     *    denominator that clears the clamp floor.
     *  - `probe_semdedup_heavy`: `Dedup.semDedupAuto` over 8×-inflated
-    *    embeddings (one component perturbed per copy, the scaled-dir
-    *    builder's pattern) — auto cluster derivation + assignment +
-    *    within-cell pairwise at a real denominator.
+    *    embeddings — auto cluster derivation + FLAT assignment +
+    *    within-cell pairwise at a real denominator. Expected
+    *    super-linear while k ∝ n (the O(n·k) assignment term — kept
+    *    as the measured motivation for the two-level path below).
+    *  - `probe_semdedup_2level_heavy`: `Dedup.semDedupHierarchical`
+    *    over the SAME inflated corpus — the O(n·√k) two-level
+    *    assignment; its ratio staying near-linear while the flat probe
+    *    goes super-linear is the measured payoff.
     *  - `probe_leakproof_uncapped`: the full banded-join + connected-
     *    components + split composition of `curate_leakproof_split`
     *    WITHOUT the doc_id < 1500 oracle cap.
@@ -113,18 +133,12 @@ object ScaleProbe {
           max(col("bkt_n")).as("max_bucket"),
           sum(when(col("capped"), 1L).otherwise(0L)).as("n_capped"))
     }),
-    "probe_semdedup_heavy" -> ((s: SparkSession, d: String) => {
-      val emb = Tables.embeddings(s, d)
-      val inflated = emb.crossJoin(broadcast(
-          s.range(0, 8L).toDF("copy")))
-        .select((col("vec_id") * 8 + col("copy")).as("vec_id"),
-          expr("transform(embedding, (x, i) -> " +
-            "CAST(x + CAST(copy AS FLOAT) * CAST(0.001 AS FLOAT) * " +
-            "CAST(CASE WHEN i = 0 THEN 1 ELSE 0 END AS FLOAT) AS FLOAT))")
-            .as("embedding"))
-      graft.dedup.Dedup.semDedupAuto(inflated, "vec_id", "embedding",
-        threshold = 0.5)
-    }),
+    "probe_semdedup_heavy" -> ((s: SparkSession, d: String) =>
+      graft.dedup.Dedup.semDedupAuto(inflateEmb(s, d), "vec_id",
+        "embedding", threshold = 0.5)),
+    "probe_semdedup_2level_heavy" -> ((s: SparkSession, d: String) =>
+      graft.dedup.Dedup.semDedupHierarchical(inflateEmb(s, d), "vec_id",
+        "embedding", threshold = 0.5)),
     "probe_leakproof_uncapped" -> ((s: SparkSession, d: String) =>
       graft.queries.Round11Queries.leakproofSplit(s, d, None)))
 

@@ -746,6 +746,90 @@ object OracleGen {
          |    (count(*) + ${occupancy - 1}) // $occupancy))
          |  FROM embeddings)""".stripMargin, threshold)
 
+  /** Two-level SemDeDup replay (`Dedup.semDedupHierarchical`): BOTH
+    * centroid sets from the shared deterministic Lloyd recipe (sub
+    * level at the occupancy-derived k, super level at
+    * clamp(⌈√k⌉, 2, 256) — IEEE sqrt + ceil, bit-identical across
+    * engines), then the hierarchical routing replayed exactly: every
+    * sub-centroid argmaxes over the supers (cos DESC, sid DESC — the
+    * fused kernel's tie-break), every vector argmaxes over the supers
+    * that won ≥ 1 sub, then over only its super's subs; within-cell
+    * pruning identical to [[semDedupSql]].
+    */
+  def semDedup2LevelSql(dim: Int, occupancy: Long,
+                        threshold: String): String = {
+    def cos(a: String, b: String) = cosArr(a, b, dim)
+    val kExpr = s"greatest(2, least(65536, " +
+      s"(count(*) + ${occupancy - 1}) // $occupancy))"
+    val kLimit = s"(SELECT $kExpr FROM embeddings)"
+    val sLimit = s"(SELECT greatest(2, least(256, " +
+      s"CAST(ceil(sqrt($kExpr)) AS BIGINT))) FROM embeddings)"
+    def lloyd(pfx: String, limit: String, idName: String): String =
+      s"""${pfx}cent0 AS MATERIALIZED (
+         |  SELECT row_number() OVER (
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl,
+         |    embedding AS cvec
+         |  FROM (SELECT vec_id, embedding FROM ktrain
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         |        LIMIT $limit)),
+         |${pfx}a1 AS MATERIALIZED (
+         |  SELECT vec_id, embedding, cl FROM (
+         |    SELECT e.vec_id, e.embedding, c.cl,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos("e.embedding", "c.cvec")} DESC,
+         |          c.cl DESC) AS rn
+         |    FROM ktrain e CROSS JOIN ${pfx}cent0 c) WHERE rn = 1),
+         |${pfx}upd AS MATERIALIZED (
+         |  SELECT cl, i.i AS dim,
+         |    CAST(round(avg(CAST(embedding[i.i + 1] AS DOUBLE)), 6)
+         |      AS FLOAT) AS v
+         |  FROM ${pfx}a1 CROSS JOIN (SELECT unnest(range($dim)) AS i) i
+         |  GROUP BY cl, i.i),
+         |${pfx}cent AS MATERIALIZED (
+         |  SELECT cl AS $idName, list(v ORDER BY dim) AS cvec
+         |  FROM ${pfx}upd GROUP BY cl)""".stripMargin
+    s"""WITH ktrain AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT ${graft.similarity.Knn.TrainSampleN}),
+       |${lloyd("", kLimit, "cid")},
+       |${lloyd("s", sLimit, "sid")},
+       |submap AS MATERIALIZED (
+       |  SELECT cid, cvec, sid FROM (
+       |    SELECT c.cid, c.cvec, s.sid,
+       |      row_number() OVER (PARTITION BY c.cid
+       |        ORDER BY ${cos("c.cvec", "s.cvec")} DESC, s.sid DESC)
+       |        AS rn
+       |    FROM cent c CROSS JOIN scent s) WHERE rn = 1),
+       |effsup AS (
+       |  SELECT sid, cvec AS svec FROM scent
+       |  WHERE sid IN (SELECT DISTINCT sid FROM submap)),
+       |vsup AS MATERIALIZED (
+       |  SELECT vec_id, embedding, sid FROM (
+       |    SELECT e.vec_id, e.embedding, s.sid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos("e.embedding", "s.svec")} DESC,
+       |          s.sid DESC) AS rn
+       |    FROM embeddings e CROSS JOIN effsup s) WHERE rn = 1),
+       |cells AS MATERIALIZED (
+       |  SELECT vec_id, embedding, cid AS cell FROM (
+       |    SELECT v.vec_id, v.embedding, m.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cos("v.embedding", "m.cvec")} DESC,
+       |          m.cid DESC) AS rn
+       |    FROM vsup v JOIN submap m USING (sid)) WHERE rn = 1),
+       |rm AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(${cos("a.embedding", "b.embedding")}, 6)
+       |    >= $threshold)
+       |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+       |  (r.vec_id IS NULL) AS kept
+       |FROM cells c LEFT JOIN rm r ON c.vec_id = r.vec_id
+       |ORDER BY c.vec_id""".stripMargin
+  }
+
   private def semDedupSqlWithLimit(dim: Int, nClustersLimit: String,
                                    threshold: String): String =
     s"""WITH ${kmeansCellsCtes(dim, nClustersLimit)},

@@ -51,5 +51,32 @@ object Round13Queries {
       },
       Some(OracleGen.minhashNfcSql(shingleN = 3, bands = 4,
         rowsPerBand = 4, threshold = 0.3, maxDocId = 1000L))),
+
+    Q("d_semdedup_2level",
+      "SemDeDup with TWO-LEVEL (hierarchical) cell assignment under " +
+        "the exact oracle — the scale answer to the flat path's " +
+        "O(n·k) assignment term (k grows with the corpus under the " +
+        "occupancy derivation, so flat assignment is ~quadratic until " +
+        "the 65536-cell cap; probe_semdedup_heavy measures ~20x at 8x " +
+        "data): vectors argmax over clamp(ceil(sqrt(k)), 2, 256) " +
+        "SUPER-centroids first, then over only the sub-centroids " +
+        "whose own nearest super matches — O(n·sqrt(k)) total, the " +
+        "IVF coarse-quantizer pattern applied to SemDeDup (what " +
+        "production faiss deployments run). Both centroid sets come " +
+        "from the shared deterministic Lloyd recipe, the sub-to-super " +
+        "map rides the same fused argmax kernel, supers that win no " +
+        "sub are excluded so no vector is ever dropped, and DuckDB " +
+        "replays the ENTIRE two-level routing (both trainings, both " +
+        "argmax tie-breaks, the within-cell prune) — the hierarchical " +
+        "approximation itself is pinned cross-engine, not just its " +
+        "flat baseline.",
+      (s, d) => {
+        import s.implicits._
+        graft.dedup.Dedup.semDedupHierarchical(Tables.embeddings(s, d),
+            "vec_id", "embedding", threshold = 0.5)
+          .orderBy($"vec_id")
+      },
+      Some(OracleGen.semDedup2LevelSql(dim = 64, occupancy = 128,
+        threshold = "0.5"))),
   )
 }

@@ -120,6 +120,37 @@ class Round13OpsSpec extends AnyFunSuite {
   // by AsofClusterSpec "duplicateClusters matches union-find on random
   // graphs" — the star rewrite runs under that same property)
 
+  test("semDedupHierarchical: no vector dropped, twins co-assigned and " +
+      "pruned, cells are sub-centroid ids") {
+    // 4 well-separated direction families × 60 vectors + exact twins:
+    // big enough that k = ceil(240/128) = 2 sub-cells and 2 supers, so
+    // the two-level routing genuinely routes
+    val dim = 8
+    val vecs = (0L until 240L).map { i =>
+      val fam = (i % 4).toInt
+      val v = Array.tabulate(dim)(j =>
+        if (j == fam * 2) 1.0f
+        else if (j == fam * 2 + 1) (0.1f * ((i % 7) + 1))
+        else 0.001f * ((i + j) % 5))
+      (i, v)
+    }
+    // plant an exact twin pair inside family 0 (ids 1000, 1001 copy id 0)
+    val all = vecs ++ Seq((1000L, vecs.head._2.clone()),
+      (1001L, vecs.head._2.clone()))
+    val df = all.toDF("vec_id", "embedding")
+    val out = Dedup.semDedupHierarchical(df, "vec_id", "embedding",
+        threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // no vector dropped by the routing — one output row per input
+    assert(out.length == all.length &&
+      out.map(_._1).toSet == all.map(_._1).toSet)
+    // identical vectors route identically (any deterministic argmax) and
+    // the lower id is kept, the twins dropped
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(0L)._2 == byId(1000L)._2 && byId(0L)._2 == byId(1001L)._2)
+    assert(byId(0L)._3 && !byId(1000L)._3 && !byId(1001L)._3)
+  }
+
   test("d_minhash_nfc negative control: composed/decomposed twins are " +
       "verified near-dups ONLY under the NFC projection") {
     // the d_minhash_nfc fixture shape in miniature: every 'e' spelled

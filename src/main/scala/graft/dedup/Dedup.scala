@@ -610,36 +610,33 @@ object Dedup {
     // set is never funneled through a fixed 8-partition loop; the count
     // reads the already-checkpointed edge set, not the (expensive)
     // candidate-generation plan.
-    val symBase = edges
-      .select(col("a_id").cast("long").as("src"),
-        col("b_id").cast("long").as("dst"))
-      .union(edges.select(col("b_id").cast("long").as("src"),
-        col("a_id").cast("long").as("dst")))
-    val (sym, width) =
+    // Edges kept DIRECTED large→small (hi > lo) from the start — built
+    // with greatest/least so the (possibly expensive) candidate-pair
+    // plan is traversed ONCE, where the former edges ∪ reversed-edges
+    // union executed it twice inside the first checkpoint. Deduped and
+    // partitioned by (hi, lo) — the SAME key the per-round dedup and
+    // the convergence diff use, so both ride this partitioning with no
+    // further exchange.
+    val rawBase = edges.select(
+        greatest(col("a_id").cast("long"), col("b_id").cast("long"))
+          .as("hi"),
+        least(col("a_id").cast("long"), col("b_id").cast("long"))
+          .as("lo"))
+      .filter(col("hi") =!= col("lo"))
+    val (e0, width) =
       if (loopPartitions > 0)
-        (symBase.repartition(loopPartitions, col("src"))
-          .localCheckpoint(), loopPartitions)
+        (rawBase.repartition(loopPartitions, col("hi"), col("lo"))
+          .dropDuplicates("hi", "lo").localCheckpoint(), loopPartitions)
       else {
-        val raw = symBase.localCheckpoint()
-        val w = autoLoopWidth(raw.count())
-        val s = raw.repartition(w, col("src")).localCheckpoint()
+        val raw = rawBase.localCheckpoint()
+        // autoLoopWidth is calibrated in SYMMETRIC edge rows (2|E|)
+        val w = autoLoopWidth(2L * raw.count())
+        val s = raw.repartition(w, col("hi"), col("lo"))
+          .dropDuplicates("hi", "lo").localCheckpoint()
         raw.unpersist()
         (s, w)
       }
-    // Edges kept DIRECTED large→small (hi > lo), deduped, and
-    // partitioned by (hi, lo) — the SAME key the per-round dedup and
-    // the convergence diff use, so both ride this partitioning with no
-    // further exchange. Each round costs exactly three shuffles: the
-    // symmetrized view by u (the large-star groupBy + join reuse that
-    // one exchange), the large-star output by hi (the small-star
-    // groupBy + join reuse it), and the round result by (hi, lo)
-    // (dedup aggregate + convergence full-outer both ride it).
-    var e = sym.filter(col("src") > col("dst"))
-      .select(col("src").as("hi"), col("dst").as("lo"))
-      .repartition(width, col("hi"), col("lo"))
-      .dropDuplicates("hi", "lo")
-      .localCheckpoint()
-    sym.unpersist()
+    var e = e0
     val wU = org.apache.spark.sql.expressions.Window
       .partitionBy(col("u"))
     val wHi = org.apache.spark.sql.expressions.Window

@@ -568,7 +568,12 @@ object Dedup {
     val buckets = sigs.select(col("id"), posexplode(array(
       masks.map(m => col("simhash").bitwiseAND(lit(m))): _*)))
       .toDF("id", "band", "band_hash")
-    cappedBucketPairs(buckets, maxBucket,
+    // the caller supplies the corpus count, so a derived cap is the
+    // LITERAL bucketCap(nDocs) — never the in-plan scalar, whose count
+    // aggregate would re-evaluate an un-checkpointed signature plan (a
+    // second full per-token hashing pass over the corpus)
+    val mb = if (maxBucket <= 0) bucketCap(nDocs) else maxBucket
+    cappedBucketPairs(buckets, mb,
       capFrom = sigs.select(col("id")), label = capLabel)
   }
 
@@ -990,11 +995,15 @@ object Dedup {
       proj, "vec_id", "vec", k)
     val sups = graft.similarity.Knn.kmeansCentroids(
       proj, "vec_id", "vec", nSuper)
-    if (subs.length < 2 || sups.length < 2)
-      // degenerate corpus (≤1 surviving centroid at either level):
-      // two-level routing is meaningless — flat semDedup is identical
-      return semDedup(proj, "vec_id", "vec",
-        math.max(subs.length, 1), threshold)
+    if (subs.isEmpty || sups.isEmpty)
+      // empty corpus: no centroids to route through — emit the schema
+      // over zero rows (the oracle's `cells` CTE is likewise empty).
+      // Single-survivor centroid sets at either level stay ON the
+      // two-level path (the argmax kernel handles 1-element centroid
+      // lists), keeping Spark and the oracle replay identical for
+      // degenerate corpora too.
+      return proj.select(col("vec_id"),
+        lit(null).cast("long").as("cell"), lit(true).as("kept"))
     // sub-centroid → super map: k rows through the SAME fused argmax
     // kernel every other assignment uses (oracle-replayable), collected
     // once (k ≤ 65536 — metadata-sized, like the centroids themselves)
@@ -1006,9 +1015,13 @@ object Dedup {
     val effSupIds = submap.map(_._1).toSet
     val effSups = sups.filter { case (sid, _) => effSupIds.contains(sid) }
     val bySuper = submap.toSeq.toDF("sup", "cid", "cvec")
+    // LEFT join: a null (or null-element) embedding makes the argmax
+    // null — the row must flow through with cell = null / kept = true
+    // (the flat [[semDedup]] path's behavior), never be dropped: one
+    // output row per input row is this op's schema contract
     val assigned = proj
       .withColumn("sup", vec_argmax_cosine(col("vec"), effSups))
-      .join(broadcast(bySuper), Seq("sup"))
+      .join(broadcast(bySuper), Seq("sup"), "left")
       .withColumn("cs", vec_cosine(col("vec"), col("cvec")))
       // max over (cosine, cid) structs = argmax with the cid-DESC tie
       // break the flat argmax kernel and the oracle replay both use;

@@ -649,35 +649,54 @@ object OracleGen {
     * cells ([[knnIvfKmeansTrainedOnSql]]); the `cells` assignment
     * always covers the full corpus.
     */
-  private def kmeansCellsCtes(dim: Int, nCellsLimit: String,
-                              trainWhere: String = ""): String = {
+  /** ONE Lloyd level (`<pfx>cent0` → `<pfx>a1` → `<pfx>upd` →
+    * `<pfx>cent(<idName>, cvec)`) over the shared `ktrain` sample — the
+    * single source of truth for the deterministic 2-pass recipe
+    * (md5-ordered seeds, cos-DESC/cl-DESC assignment tie-break,
+    * 6-dp-rounded float means). Used unprefixed by [[kmeansCellsCtes]]
+    * (IVF + flat-SemDeDup replays) and at two prefixes by
+    * [[semDedup2LevelSql]], so a recipe change propagates to every
+    * oracle at once.
+    */
+  private def lloydLevelCtes(dim: Int, limit: String, pfx: String,
+                             idName: String): String = {
     def cos(a: String, b: String) = cosArr(a, b, dim)
-    s"""ktrain AS MATERIALIZED (
-       |  SELECT vec_id, embedding FROM embeddings $trainWhere
-       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-       |  LIMIT ${graft.similarity.Knn.TrainSampleN}),
-       |cent0 AS MATERIALIZED (
+    s"""${pfx}cent0 AS MATERIALIZED (
        |  SELECT row_number() OVER (
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl,
        |    embedding AS cvec
        |  FROM (SELECT vec_id, embedding FROM ktrain
        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-       |        LIMIT $nCellsLimit)),
-       |a1 AS MATERIALIZED (
+       |        LIMIT $limit)),
+       |${pfx}a1 AS MATERIALIZED (
        |  SELECT vec_id, embedding, cl FROM (
        |    SELECT e.vec_id, e.embedding, c.cl,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cos("e.embedding", "c.cvec")} DESC,
        |          c.cl DESC) AS rn
-       |    FROM ktrain e CROSS JOIN cent0 c) WHERE rn = 1),
-       |upd AS MATERIALIZED (
+       |    FROM ktrain e CROSS JOIN ${pfx}cent0 c) WHERE rn = 1),
+       |${pfx}upd AS MATERIALIZED (
        |  SELECT cl, i.i AS dim,
        |    CAST(round(avg(CAST(embedding[i.i + 1] AS DOUBLE)), 6)
        |      AS FLOAT) AS v
-       |  FROM a1 CROSS JOIN (SELECT unnest(range($dim)) AS i) i
+       |  FROM ${pfx}a1 CROSS JOIN (SELECT unnest(range($dim)) AS i) i
        |  GROUP BY cl, i.i),
-       |cent AS MATERIALIZED (SELECT cl AS cid, list(v ORDER BY dim) AS cvec
-       |         FROM upd GROUP BY cl),
+       |${pfx}cent AS MATERIALIZED (
+       |  SELECT cl AS $idName, list(v ORDER BY dim) AS cvec
+       |  FROM ${pfx}upd GROUP BY cl)""".stripMargin
+  }
+
+  private def ktrainCte(trainWhere: String = ""): String =
+    s"""ktrain AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings $trainWhere
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT ${graft.similarity.Knn.TrainSampleN})""".stripMargin
+
+  private def kmeansCellsCtes(dim: Int, nCellsLimit: String,
+                              trainWhere: String = ""): String = {
+    def cos(a: String, b: String) = cosArr(a, b, dim)
+    s"""${ktrainCte(trainWhere)},
+       |${lloydLevelCtes(dim, nCellsLimit, "", "cid")},
        |cells AS MATERIALIZED (
        |  SELECT vec_id, embedding, cid AS cell FROM (
        |    SELECT c.vec_id, c.embedding, t.cid,
@@ -764,36 +783,9 @@ object OracleGen {
     val kLimit = s"(SELECT $kExpr FROM embeddings)"
     val sLimit = s"(SELECT greatest(2, least(256, " +
       s"CAST(ceil(sqrt($kExpr)) AS BIGINT))) FROM embeddings)"
-    def lloyd(pfx: String, limit: String, idName: String): String =
-      s"""${pfx}cent0 AS MATERIALIZED (
-         |  SELECT row_number() OVER (
-         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl,
-         |    embedding AS cvec
-         |  FROM (SELECT vec_id, embedding FROM ktrain
-         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-         |        LIMIT $limit)),
-         |${pfx}a1 AS MATERIALIZED (
-         |  SELECT vec_id, embedding, cl FROM (
-         |    SELECT e.vec_id, e.embedding, c.cl,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cos("e.embedding", "c.cvec")} DESC,
-         |          c.cl DESC) AS rn
-         |    FROM ktrain e CROSS JOIN ${pfx}cent0 c) WHERE rn = 1),
-         |${pfx}upd AS MATERIALIZED (
-         |  SELECT cl, i.i AS dim,
-         |    CAST(round(avg(CAST(embedding[i.i + 1] AS DOUBLE)), 6)
-         |      AS FLOAT) AS v
-         |  FROM ${pfx}a1 CROSS JOIN (SELECT unnest(range($dim)) AS i) i
-         |  GROUP BY cl, i.i),
-         |${pfx}cent AS MATERIALIZED (
-         |  SELECT cl AS $idName, list(v ORDER BY dim) AS cvec
-         |  FROM ${pfx}upd GROUP BY cl)""".stripMargin
-    s"""WITH ktrain AS MATERIALIZED (
-       |  SELECT vec_id, embedding FROM embeddings
-       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-       |  LIMIT ${graft.similarity.Knn.TrainSampleN}),
-       |${lloyd("", kLimit, "cid")},
-       |${lloyd("s", sLimit, "sid")},
+    s"""WITH ${ktrainCte()},
+       |${lloydLevelCtes(dim, kLimit, "", "cid")},
+       |${lloydLevelCtes(dim, sLimit, "s", "sid")},
        |submap AS MATERIALIZED (
        |  SELECT cid, cvec, sid FROM (
        |    SELECT c.cid, c.cvec, s.sid,

@@ -9,9 +9,58 @@ import org.apache.spark.sql.functions._
   * shingle hashes split composed/decomposed spellings of the same
   * visible text into disjoint bucket sets. Non-ASCII fixture chars use
   * \u escapes so the composed/decomposed distinction survives editor
-  * normalization (Round12Queries convention).
+  * normalization (Round12Queries convention). Second wave widens the
+  * graph-analytics family (previously triangle count + PageRank) with
+  * the two remaining iterative-subgraph shapes a dedup/curation
+  * pipeline leans on: k-core peeling (the dense-subgraph filter that
+  * isolates spam rings / bot cliques in a doc-share graph) and
+  * common-neighbor link prediction (the wedge-closure score behind
+  * "these two accounts co-occur suspiciously often").
   */
 object Round13Queries {
+
+  /** The co-activity graph shared by every `g_*` query (same
+    * derivation as `g_triangle_count` / `g_pagerank`, Round4Queries):
+    * users joined when they share an (event_type, minute) bucket,
+    * oriented a < b, distinct to kill bucket multiplicity. */
+  private def coactivityUnd(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val act = Tables.events(s, d)
+      .select($"user_id", $"event_type",
+        date_trunc("minute", $"ts").as("hr"))
+      .distinct()
+    val a2 = act.select($"user_id".as("u2"), $"event_type", $"hr")
+    act.join(a2,
+        act("event_type") === a2("event_type") &&
+          act("hr") === a2("hr") && act("user_id") < $"u2")
+      .select($"user_id".as("a"), $"u2".as("b")).distinct()
+  }
+
+  /** The shared CTE prefix replaying [[coactivityUnd]] + its
+    * bidirectional form in DuckDB (byte-identical to the
+    * `g_triangle_count` / `g_pagerank` oracles). */
+  private val coactivitySqlPrefix =
+    """act AS (
+      |  SELECT DISTINCT user_id, event_type,
+      |    date_trunc('minute', ts) AS hr
+      |  FROM events),
+      |und AS MATERIALIZED (
+      |  SELECT DISTINCT l.user_id AS a, r.user_id AS b
+      |  FROM act l JOIN act r
+      |    ON l.event_type = r.event_type AND l.hr = r.hr
+      |      AND l.user_id < r.user_id),
+      |bi AS MATERIALIZED (
+      |  SELECT a AS src, b AS dst FROM und
+      |  UNION ALL SELECT b, a FROM und)""".stripMargin
+
+  /** Peel rounds for `g_kcore`. The op is pinned as "R rounds of
+    * peeling", which equals the true k-core whenever the peel
+    * converges within R rounds (it does at every test SF — spec-
+    * asserted); if a pathological graph ever needed more, BOTH
+    * engines still compute the identical R-round object, so the
+    * hash gate cannot silently diverge. */
+  private[queries] val KcorePeelRounds = 6
 
   def all: Seq[Q] = Seq(
 
@@ -78,5 +127,89 @@ object Round13Queries {
       },
       Some(OracleGen.semDedup2LevelSql(dim = 64, occupancy = 128,
         threshold = "0.5"))),
+
+    Q("g_kcore",
+      "Graph analytics — 3-core decomposition of the co-activity " +
+        "graph by iterative peeling (drop every vertex with induced " +
+        "degree < 3, recompute, repeat): the dense-subgraph filter a " +
+        "curation pipeline runs on a doc-share / co-engagement graph " +
+        "to isolate spam rings from organic long-tail activity. " +
+        "All-integer, and the SAME iterative-join discipline as the " +
+        "CC operator: the (checkpointed) edge list is hash-partitioned " +
+        "by src ONCE, each round's induced-degree aggregation reuses " +
+        "that exchange, the shrinking alive set is the only thing " +
+        "re-shuffled, and each round is cut with localCheckpoint so " +
+        "the plan never doubles (the alive set feeds BOTH endpoint " +
+        "semi-joins). Early-exits at the fixpoint — peeling is " +
+        "monotone, so an unchanged survivor COUNT proves an unchanged " +
+        "set — and the fixpoint equals the oracle's fixed " +
+        "6-round unroll because post-convergence rounds are no-ops. " +
+        "Output: each 3-core member with its within-core degree.",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.Graph.kcore(coactivityUnd(s, d), k = 3,
+            maxRounds = KcorePeelRounds)
+          .select($"node".as("user_id"), $"core_deg")
+          .orderBy($"user_id")
+      },
+      Some {
+        // every p(i-1) is referenced TWICE by p(i): MATERIALIZED stops
+        // DuckDB's CTE inlining from exponentiating the unroll (2^R
+        // copies of the whole chain — OOMs even at sf0.001 without it)
+        def peel(i: Int) =
+          s"""p$i AS MATERIALIZED (
+             |  SELECT e.src AS node FROM bi e
+             |  JOIN p${i - 1} x ON e.src = x.node
+             |  JOIN p${i - 1} y ON e.dst = y.node
+             |  GROUP BY e.src HAVING count(*) >= 3)"""
+        val R = KcorePeelRounds
+        s"""WITH $coactivitySqlPrefix,
+           |p0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM bi),
+           |${(1 to R).map(peel).mkString(",\n")}
+           |SELECT e.src AS user_id, count(*) AS core_deg
+           |FROM bi e
+           |JOIN p$R x ON e.src = x.node
+           |JOIN p$R y ON e.dst = y.node
+           |GROUP BY e.src ORDER BY user_id""".stripMargin
+      }),
+
+    Q("g_link_predict",
+      "Graph analytics — common-neighbor link prediction over the " +
+        "co-activity graph: every NON-adjacent pair closing a wedge, " +
+        "scored by shared-neighbor count, top 100 under a total " +
+        "deterministic order (the co-occurrence anomaly score a " +
+        "curation pipeline uses to surface coordinated accounts). " +
+        "Wedge enumeration is the Σdeg² shape, so mid vertices above " +
+        "degree 64 are excluded FIRST (standard hub suppression — a " +
+        "super-hub's wedges carry no signal, exactly like stop-words " +
+        "in shingling; it is also what bounds the self-join at 100 TB: " +
+        "per-partition wedge fan-out is capped at 64² per mid). " +
+        "Existing edges drop via a co-oriented anti join (both sides " +
+        "a < b by construction), all-integer throughout.",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.Graph.commonNeighbors(
+            coactivityUnd(s, d).localCheckpoint(),
+            maxMidDegree = 64, minCommon = 1L)
+          .orderBy($"common".desc, $"u", $"w")
+          .limit(100)
+          .select($"u".as("user_a"), $"w".as("user_b"), $"common")
+      },
+      Some(s"""WITH $coactivitySqlPrefix,
+             |deg AS (SELECT src, count(*) AS deg FROM bi GROUP BY src),
+             |spokes AS (
+             |  SELECT b.src AS v, b.dst AS u
+             |  FROM bi b JOIN deg ON b.src = deg.src
+             |  WHERE deg.deg <= 64),
+             |wedges AS (
+             |  SELECT s1.u AS u, s2.u AS w, count(*) AS common
+             |  FROM spokes s1 JOIN spokes s2
+             |    ON s1.v = s2.v AND s1.u < s2.u
+             |  GROUP BY s1.u, s2.u)
+             |SELECT u AS user_a, w AS user_b, common
+             |FROM wedges
+             |WHERE NOT EXISTS (SELECT 1 FROM und
+             |  WHERE und.a = wedges.u AND und.b = wedges.w)
+             |ORDER BY common DESC, u, w LIMIT 100""".stripMargin)),
   )
 }

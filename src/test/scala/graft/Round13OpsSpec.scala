@@ -151,6 +151,61 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(byId(0L)._3 && !byId(1000L)._3 && !byId(1001L)._3)
   }
 
+  test("Graph.kcore: cascading peel isolates the K4, extra rounds are " +
+      "no-ops, and convergence fits the oracle's 6-round unroll") {
+    // P² path on 10..17 (each vertex tied to the next two): ends have
+    // degree 2 and drop in round 1, which pushes their neighbors below
+    // 3 — a genuine multi-round cascade that annihilates the whole
+    // path. The disjoint K4 on 1..4 is 3-regular and immune.
+    val path = (10L to 16L).map(i => (i, i + 1)) ++
+      (10L to 15L).map(i => (i, i + 2))
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    val und = (path ++ k4).toDF("a", "b")
+    val core = graft.ops.Graph.kcore(und, k = 3, maxRounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // fixed-round unroll ≡ fixpoint: more rounds change nothing (the
+    // property that makes the DuckDB 6-round oracle exact even though
+    // the Spark loop early-exits)
+    val more = graft.ops.Graph.kcore(und, k = 3, maxRounds = 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more == core)
+    // under-provisioned rounds = the partial peel, NOT an error: after
+    // 1 round only the two path ends (10, 17) are gone
+    val r1 = graft.ops.Graph.kcore(und, k = 3, maxRounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(r1 == ((11L to 16L).toSet ++ Set(1L, 2L, 3L, 4L)))
+  }
+
+  test("Graph.commonNeighbors: scores non-adjacent pairs only, honors " +
+      "minCommon, and hub suppression drops wedges through fat mids") {
+    // 1 and 2 both tie to mids 3 and 4 (common = 2, non-adjacent);
+    // 5 ties only to 3 (so (1,5) and (2,5) have common = 1); 3-4 edge
+    // makes (3, 4) adjacent even though they share neighbors 1 and 2
+    val und = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 5L),
+      (3L, 4L)).toDF("a", "b")
+    def scores(maxMid: Int, minCommon: Long) =
+      graft.ops.Graph.commonNeighbors(und, maxMid, minCommon)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+        .toMap
+    val s2 = scores(64, 2L)
+    assert(s2 == Map((1L, 2L) -> 2L),
+      s"adjacent (3,4) and sub-threshold pairs must be excluded: $s2")
+    // minCommon = 1 also surfaces the single-wedge pairs — including
+    // (4, 5) through mid 3 — but never an adjacent pair
+    val s1 = scores(64, 1L)
+    assert(s1((1L, 2L)) == 2L && s1((1L, 5L)) == 1L &&
+      s1((2L, 5L)) == 1L && s1((4L, 5L)) == 1L &&
+      !s1.contains((3L, 4L)) && !s1.contains((1L, 3L)))
+    // hub cap 3: mid 3 has degree 4 (1, 2, 4, 5) and is suppressed, so
+    // every remaining wedge routes through 4 (degree 3) — (1, 2) keeps
+    // one wedge, the 5-pairs vanish with their only mid
+    val capped = scores(3, 1L)
+    assert(capped == Map((1L, 2L) -> 1L),
+      s"fat mid 3 must be suppressed: $capped")
+  }
+
   test("d_minhash_nfc negative control: composed/decomposed twins are " +
       "verified near-dups ONLY under the NFC projection") {
     // the d_minhash_nfc fixture shape in miniature: every 'e' spelled

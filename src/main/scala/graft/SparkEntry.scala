@@ -87,7 +87,8 @@ object SparkEntry {
     "d_lsh_bucket_cap", "d_exact_nfc", "d_lsh_bucket_stats",
     "d_simhash_adaptive",
     // r13-new: same capped-from-birth policy
-    "d_minhash_nfc", "d_semdedup_2level", "g_kcore", "g_link_predict")
+    "d_minhash_nfc", "d_semdedup_2level", "g_kcore", "g_link_predict",
+    "j_interval_bucketized")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

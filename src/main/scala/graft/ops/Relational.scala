@@ -200,6 +200,47 @@ object Relational {
       .drop("__band")
   }
 
+  /** Interval-containment join (beyond-reference): each point row paired
+    * with every interval row whose `[startTs, endTs)` window contains its
+    * `pointTs` — NO equi key. Spark plans a bare non-equi join as
+    * BroadcastNestedLoopJoin (O(|points|·|intervals|) comparisons and a
+    * whole-side broadcast — both fatal at scale); bucketizing turns it
+    * into an equi join: each point lands in exactly ONE
+    * `bucketSeconds`-wide bucket, each interval replicates to every
+    * bucket its span overlaps (`sequence` over the bucket range —
+    * `bandJoin`'s fixed two-band trick generalized to variable-length
+    * intervals), and the exact range predicate filters the per-bucket
+    * candidates. One shuffle on the bucket; no duplicate pairs by
+    * construction (a point has one bucket, an interval covers it once).
+    * Interval replication is `len/bucketSeconds + 1` rows — pick the
+    * bucket near the TYPICAL interval length so replication stays O(1)
+    * per interval while per-bucket candidate sets stay small. Empty
+    * (`endTs` ≤ `startTs`) intervals and NULL endpoints drop out, exactly
+    * as they would under the naive predicate.
+    */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+                   pointTs: String, startTs: String, endTs: String,
+                   bucketSeconds: Long): DataFrame = {
+    require(points.columns.intersect(intervals.columns).isEmpty,
+      "points/intervals column names must be disjoint")
+    // NTZ timestamps (parquet default) cannot cast straight to long;
+    // the hop through TIMESTAMP is exact and monotone under the pinned
+    // UTC session zone — and bucketing only needs a monotone epoch map
+    // consistent across the three columns (the exact predicate below
+    // compares the ORIGINAL columns)
+    def sec(c: String) = col(c).cast("timestamp").cast("long")
+    val p = points.withColumn("__ibkt",
+      floor(sec(pointTs) / bucketSeconds))
+    val iv = intervals.filter(col(endTs) > col(startTs))
+      .withColumn("__ibkt", explode(sequence(
+        floor(sec(startTs) / bucketSeconds),
+        // [startTs, endTs): the last contained second is endTs − 1
+        floor((sec(endTs) - 1L) / bucketSeconds))))
+    p.join(iv, "__ibkt")
+      .filter(col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
+      .drop("__ibkt")
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, valueCols: Seq[String],
                strict: Boolean = true,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.Relational
 import org.apache.spark.sql.functions._
 
 /** Round-13 additions: NFC normalization composed into the NEAR-dup
@@ -211,5 +212,49 @@ object Round13Queries {
              |WHERE NOT EXISTS (SELECT 1 FROM und
              |  WHERE und.a = wedges.u AND und.b = wedges.w)
              |ORDER BY common DESC, u, w LIMIT 100""".stripMargin)),
+
+    Q("j_interval_bucketized",
+      "Keyless interval-containment join, bucketized " +
+        "(`Relational.intervalJoin`): every 1-in-97 order opens a " +
+        "7-day window [o_orderdate, +7d) and the join finds ALL " +
+        "lineitem shipments falling inside each window — no equi key, " +
+        "the shape Spark would otherwise plan as a " +
+        "BroadcastNestedLoopJoin (O(n·m) comparisons + a whole-side " +
+        "broadcast, both fatal at 100 TB). Bucketizing to 7-day " +
+        "buckets makes it an equi join: points hash to ONE bucket, " +
+        "each interval replicates to the ≤ 2 buckets its span " +
+        "overlaps, the exact range predicate prunes the per-bucket " +
+        "candidates, and the per-window rollup is partial-aggregated " +
+        "before its shuffle. The plan-level no-nested-loop guarantee " +
+        "is spec-pinned; DuckDB replays the naive range predicate " +
+        "(its IEJoin), so the bucketized rewrite is proven " +
+        "pair-for-pair against a genuinely different algorithm.",
+      (s, d) => {
+        import s.implicits._
+        val iv = Tables.table(s, d, "orders")
+          .filter($"o_orderkey" % 97 === 0)
+          .select($"o_orderkey".as("order_id"),
+            $"o_orderdate".as("win_start"),
+            ($"o_orderdate" + expr("INTERVAL 7 DAYS")).as("win_end"))
+        val pts = Tables.table(s, d, "lineitem")
+          .select($"l_orderkey", $"l_linenumber", $"l_shipdate")
+        Relational.intervalJoin(pts, iv, "l_shipdate", "win_start",
+            "win_end", bucketSeconds = 7L * 86400L)
+          .groupBy($"order_id")
+          .agg(count(lit(1)).as("n_ship"),
+            min($"l_shipdate").as("first_ship"),
+            max($"l_shipdate").as("last_ship"))
+          .orderBy($"order_id")
+      },
+      Some("""WITH iv AS (
+             |  SELECT o_orderkey AS order_id, o_orderdate AS win_start,
+             |    o_orderdate + INTERVAL 7 DAY AS win_end
+             |  FROM orders WHERE o_orderkey % 97 = 0)
+             |SELECT order_id, count(*) AS n_ship,
+             |  min(l_shipdate) AS first_ship,
+             |  max(l_shipdate) AS last_ship
+             |FROM iv JOIN lineitem
+             |  ON l_shipdate >= win_start AND l_shipdate < win_end
+             |GROUP BY order_id ORDER BY order_id""".stripMargin)),
   )
 }

@@ -206,6 +206,54 @@ class Round13OpsSpec extends AnyFunSuite {
       s"fat mid 3 must be suppressed: $capped")
   }
 
+  test("Relational.intervalJoin: pair-identical to the naive non-equi " +
+      "predicate on a randomized fixture, incl. boundary and empty " +
+      "intervals") {
+    val rnd = new scala.util.Random(13)
+    val W = 100L // bucketSeconds
+    val points = (0L until 300L).map(i =>
+      (i, new java.sql.Timestamp(rnd.nextLong(5000L) * 1000L)))
+      .toDF("p_id", "p_ts")
+    // interval lengths 0..6 buckets, including empty (len = 0) and
+    // exact-boundary (start/end on a bucket edge) cases
+    val intervals = (0L until 80L).map { i =>
+      val st = rnd.nextLong(5000L)
+      val len = rnd.nextLong(7L) * 100L * (if (i % 5 == 0) 0L else 1L)
+      (i, new java.sql.Timestamp(st * 1000L),
+        new java.sql.Timestamp((st + len) * 1000L))
+    }.toDF("iv_id", "iv_start", "iv_end")
+    val bucketized = graft.ops.Relational.intervalJoin(
+        points, intervals, "p_ts", "iv_start", "iv_end", W)
+      .select($"p_id", $"iv_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(intervals,
+        $"p_ts" >= $"iv_start" && $"p_ts" < $"iv_end")
+      .select($"p_id", $"iv_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketized == naive && naive.nonEmpty)
+  }
+
+  test("Relational.intervalJoin plans an equi join — never the " +
+      "BroadcastNestedLoopJoin the bare range predicate produces") {
+    val points = (0L until 10L).map(i =>
+      (i, new java.sql.Timestamp(i * 1000L))).toDF("p_id", "p_ts")
+    val intervals = Seq((0L,
+      new java.sql.Timestamp(0L), new java.sql.Timestamp(5000L)))
+      .toDF("iv_id", "iv_start", "iv_end")
+    val bucketized = graft.ops.Relational.intervalJoin(
+      points, intervals, "p_ts", "iv_start", "iv_end", 100L)
+    val plan = bucketized.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"bucketized interval join must be an equi join:\n$plan")
+    val naivePlan = points.join(intervals,
+        $"p_ts" >= $"iv_start" && $"p_ts" < $"iv_end")
+      .queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin"),
+      "control: the bare range predicate is expected to plan as BNLJ " +
+        s"(if Spark ever learns better, drop this control):\n$naivePlan")
+  }
+
   test("d_minhash_nfc negative control: composed/decomposed twins are " +
       "verified near-dups ONLY under the NFC projection") {
     // the d_minhash_nfc fixture shape in miniature: every 'e' spelled

@@ -88,7 +88,7 @@ object SparkEntry {
     "d_simhash_adaptive",
     // r13-new: same capped-from-birth policy
     "d_minhash_nfc", "d_semdedup_2level", "g_kcore", "g_link_predict",
-    "j_interval_bucketized")
+    "j_interval_bucketized", "curate_line_dedup")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

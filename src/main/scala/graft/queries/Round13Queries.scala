@@ -256,5 +256,68 @@ object Round13Queries {
              |FROM iv JOIN lineitem
              |  ON l_shipdate >= win_start AND l_shipdate < win_end
              |GROUP BY order_id ORDER BY order_id""".stripMargin)),
+
+    Q("curate_line_dedup",
+      "LINE-level boilerplate removal (the CCNet paragraph-dedup " +
+        "pass): every line whose document frequency is >= 2 is " +
+        "boilerplate and drops from every doc that carries it; each " +
+        "doc reports kept/removed line counts plus the md5 of its " +
+        "cleaned text with line ORDER preserved (null when everything " +
+        "was boilerplate — docs with exact-dup bodies exist in the " +
+        "corpus by construction). The fixture plants one universal " +
+        "promo line and a footer shared by doc_id % 7 around each " +
+        "body, so removal must distinguish corpus-wide, cohort, and " +
+        "unique lines. Shape at scale: explode to lines, ONE " +
+        "doc-frequency aggregation on the line key, tag lines by a " +
+        "co-partitioned join on the same key (no second derivation " +
+        "of the line set), then a per-doc rollup where order " +
+        "restoration is array_sort over (line_no, line) structs — " +
+        "no window, no driver state.",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select($"doc_id", $"text")
+        val lines = docs.select($"doc_id", posexplode(array(
+            lit("follow us on example social"),
+            $"text",
+            concat(lit("copyright footer "),
+              ($"doc_id" % 7).cast("string")))))
+          .toDF("doc_id", "line_no", "line")
+        val docFreq = lines.groupBy($"line")
+          .agg(countDistinct($"doc_id").as("df"))
+        lines.join(docFreq, "line")
+          .groupBy($"doc_id")
+          .agg(
+            sum(when($"df" < 2, 1L).otherwise(0L)).as("n_kept"),
+            sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_removed"),
+            // collect_list skips the null branch, so only kept lines
+            // enter; array_sort on (line_no, line) structs restores
+            // the original order (line_no is unique per doc)
+            array_sort(collect_list(when($"df" < 2,
+              struct($"line_no", $"line")))).as("arr"))
+          .select($"doc_id", $"n_kept", $"n_removed",
+            when($"n_kept" === 0L, lit(null).cast("string"))
+              .otherwise(md5(concat_ws("\n",
+                expr("transform(arr, x -> x.line)")))).as("clean_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH lines AS (
+             |  SELECT doc_id, 0 AS line_no,
+             |    'follow us on example social' AS line FROM documents
+             |  UNION ALL SELECT doc_id, 1, text FROM documents
+             |  UNION ALL SELECT doc_id, 2,
+             |    'copyright footer ' || CAST(doc_id % 7 AS VARCHAR)
+             |  FROM documents),
+             |freq AS (
+             |  SELECT line, count(DISTINCT doc_id) AS df
+             |  FROM lines GROUP BY line)
+             |SELECT l.doc_id,
+             |  CAST(sum(CASE WHEN f.df < 2 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_kept,
+             |  CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_removed,
+             |  md5(string_agg(CASE WHEN f.df < 2 THEN l.line END,
+             |    chr(10) ORDER BY l.line_no)) AS clean_md5
+             |FROM lines l JOIN freq f USING (line)
+             |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin)),
   )
 }

@@ -254,6 +254,30 @@ class Round13OpsSpec extends AnyFunSuite {
         s"(if Spark ever learns better, drop this control):\n$naivePlan")
   }
 
+  test("curate_line_dedup: corpus-wide vs cohort vs unique lines, " +
+      "incl. the all-boilerplate null-md5 path") {
+    // docs 1 and 8 share a body AND a footer cohort (both % 7 == 1):
+    // every one of their lines is boilerplate -> null clean_md5;
+    // doc 0 keeps body + footer (both unique), loses only the promo
+    val tmp = java.nio.file.Files
+      .createTempDirectory("linededup").toFile
+    try {
+      Seq((0L, "unique body zero"), (1L, "twin body"), (8L, "twin body"))
+        .toDF("doc_id", "text")
+        .write.parquet(s"${tmp.getAbsolutePath}/documents.parquet")
+      val out = SparkEntry.queries("curate_line_dedup")(
+          spark, tmp.getAbsolutePath)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), Option(r.getString(3)))).toMap
+      val expectedMd5 = java.security.MessageDigest.getInstance("MD5")
+        .digest("unique body zero\ncopyright footer 0".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(out(0L) == ((2L, 1L, Some(expectedMd5))))
+      assert(out(1L) == ((0L, 3L, None)) && out(8L) == ((0L, 3L, None)))
+    } finally graft.queries.Scratch.rmTree(tmp)
+  }
+
   test("d_minhash_nfc negative control: composed/decomposed twins are " +
       "verified near-dups ONLY under the NFC projection") {
     // the d_minhash_nfc fixture shape in miniature: every 'e' spelled

@@ -45,7 +45,14 @@ object ScaleProbe {
     "d_lsh_bucket_cap", "d_exact_nfc", "d_minhash_nfc",
     "probe_bucket_stats_heavy", "probe_semdedup_heavy",
     "probe_semdedup_2level_heavy",
-    "probe_lsh_spam", "probe_leakproof_uncapped")
+    "probe_lsh_spam", "probe_leakproof_uncapped",
+    // r13 second wave: the K×-scaled dir now also inflates events
+    // (disjoint per-copy user/time offsets → K disjoint graph copies)
+    // and lineitem (K× points against the SYMLINKED orders' fixed
+    // interval set), so the graph + interval + line-dedup ops carry
+    // measured ratios like everything else
+    "g_kcore", "g_link_predict", "j_interval_bucketized",
+    "probe_line_dedup_heavy")
 
   /** Documents inflated COPIES× in-plan (ids stay unique under any
     * further per-dir offset; text carries a per-copy tag so copies are
@@ -140,7 +147,13 @@ object ScaleProbe {
       graft.dedup.Dedup.semDedupHierarchical(inflateEmb(s, d), "vec_id",
         "embedding", threshold = 0.5)),
     "probe_leakproof_uncapped" -> ((s: SparkSession, d: String) =>
-      graft.queries.Round11Queries.leakproofSplit(s, d, None)))
+      graft.queries.Round11Queries.leakproofSplit(s, d, None)),
+    // the curate_line_dedup body over 6×-inflated docs: the natural
+    // corpus runs it in ~0.35 s — under the 0.5 s ratio clamp floor,
+    // where ratios are noise (the r12 lesson) — so the probe carries
+    // its own real denominator like probe_bucket_stats_heavy
+    "probe_line_dedup_heavy" -> ((s: SparkSession, d: String) =>
+      graft.queries.Round13Queries.lineDedup(inflateDocs(s, d, 6))))
 
   private def probeFn(name: String)
       : (SparkSession, String) => org.apache.spark.sql.DataFrame =
@@ -194,8 +207,43 @@ object ScaleProbe {
           .as("embedding"))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$scaled/embeddings.parquet")
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events").foreach { t =>
+    // events: K disjoint copies — user ids AND timestamps offset per
+    // copy (either alone is wrong: shared minutes across copies would
+    // grow per-bucket cliques ×K → K² edge blowup; shared users would
+    // collapse cross-copy pairs under the edge DISTINCT). The result is
+    // K disjoint co-activity subgraphs: edges, components, and peel
+    // work all scale ×K — the honest data model for the g_* probes.
+    // Built from the NORMALIZED frame (ts TIMESTAMP, micros) so the
+    // copy shift is plain integer arithmetic; Tables.events passes the
+    // written TimestampType column straight through on read.
+    val ev = Tables.events(spark, sfDir)
+    val (minTs, maxTs, maxUser, maxEvent) = {
+      val r = ev.agg(min(unix_micros($"ts")), max(unix_micros($"ts")),
+        max($"user_id"), max($"event_id")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    val spanUs = maxTs - minTs + 86400L * 1000000L
+    ev.crossJoin(broadcast(copies))
+      .select(($"user_id" + $"copy" * (maxUser + 1)).as("user_id"),
+        ($"event_id" + $"copy" * (maxEvent + 1)).as("event_id"),
+        $"event_type",
+        timestamp_micros(unix_micros($"ts") + $"copy" * spanUs).as("ts"),
+        $"value", $"props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$scaled/events.parquet")
+    // lineitem: K× points (keys re-offset; ship dates UNCHANGED so
+    // density grows ×K inside the same span) against the symlinked
+    // orders' FIXED interval set — the j_interval probe then measures
+    // the bucketized join under pure point growth, output ×K.
+    val li = Tables.table(spark, sfDir, "lineitem")
+    val maxOk = li.agg(max($"l_orderkey")).head().getLong(0) + 1
+    li.crossJoin(broadcast(copies))
+      .select(($"l_orderkey" + $"copy" * maxOk).as("l_orderkey"),
+        $"l_partkey", $"l_suppkey", $"l_linenumber", $"l_quantity",
+        $"l_extendedprice", $"l_discount", $"l_tax", $"l_returnflag",
+        $"l_linestatus", $"l_shipdate")
+      .write.mode(SaveMode.Overwrite).parquet(s"$scaled/lineitem.parquet")
+    Seq("region", "nation", "customer", "supplier", "part",
+      "orders").foreach { t =>
       java.nio.file.Files.createSymbolicLink(
         new java.io.File(scaled, s"$t.parquet").toPath,
         java.nio.file.Paths.get(s"$sfDir/$t.parquet"))

@@ -55,6 +55,42 @@ object Round13Queries {
       |  SELECT a AS src, b AS dst FROM und
       |  UNION ALL SELECT b, a FROM und)""".stripMargin
 
+  /** The `curate_line_dedup` body over any (doc_id, text) frame —
+    * single implementation for the registered query (natural corpus)
+    * and the `probe_line_dedup_heavy` scale probe (6×-inflated docs,
+    * so the probe's 1× denominator clears the ratio clamp floor).
+    * Plants one universal promo line and a doc_id % 7 footer cohort
+    * around each body; every line with document frequency ≥ 2 drops
+    * from every carrier; a doc whose every line was boilerplate
+    * reports a NULL cleaned-text md5 (string_agg-over-no-rows parity
+    * with the oracle).
+    */
+  private[graft] def lineDedup(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val lines = docs.select(col("doc_id"), posexplode(array(
+        lit("follow us on example social"),
+        col("text"),
+        concat(lit("copyright footer "),
+          (col("doc_id") % 7).cast("string")))))
+      .toDF("doc_id", "line_no", "line")
+    val docFreq = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    lines.join(docFreq, "line")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("df") < 2, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_removed"),
+        // collect_list skips the null branch, so only kept lines
+        // enter; array_sort on (line_no, line) structs restores
+        // the original order (line_no is unique per doc)
+        array_sort(collect_list(when(col("df") < 2,
+          struct(col("line_no"), col("line"))))).as("arr"))
+      .select(col("doc_id"), col("n_kept"), col("n_removed"),
+        when(col("n_kept") === 0L, lit(null).cast("string"))
+          .otherwise(md5(concat_ws("\n",
+            expr("transform(arr, x -> x.line)")))).as("clean_md5"))
+  }
+
   /** Peel rounds for `g_kcore`. The op is pinned as "R rounds of
     * peeling", which equals the true k-core whenever the peel
     * converges within R rounds (it does at every test SF — spec-
@@ -275,29 +311,7 @@ object Round13Queries {
         "no window, no driver state.",
       (s, d) => {
         import s.implicits._
-        val docs = Tables.documents(s, d).select($"doc_id", $"text")
-        val lines = docs.select($"doc_id", posexplode(array(
-            lit("follow us on example social"),
-            $"text",
-            concat(lit("copyright footer "),
-              ($"doc_id" % 7).cast("string")))))
-          .toDF("doc_id", "line_no", "line")
-        val docFreq = lines.groupBy($"line")
-          .agg(countDistinct($"doc_id").as("df"))
-        lines.join(docFreq, "line")
-          .groupBy($"doc_id")
-          .agg(
-            sum(when($"df" < 2, 1L).otherwise(0L)).as("n_kept"),
-            sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_removed"),
-            // collect_list skips the null branch, so only kept lines
-            // enter; array_sort on (line_no, line) structs restores
-            // the original order (line_no is unique per doc)
-            array_sort(collect_list(when($"df" < 2,
-              struct($"line_no", $"line")))).as("arr"))
-          .select($"doc_id", $"n_kept", $"n_removed",
-            when($"n_kept" === 0L, lit(null).cast("string"))
-              .otherwise(md5(concat_ws("\n",
-                expr("transform(arr, x -> x.line)")))).as("clean_md5"))
+        lineDedup(Tables.documents(s, d).select($"doc_id", $"text"))
           .orderBy($"doc_id")
       },
       Some("""WITH lines AS (

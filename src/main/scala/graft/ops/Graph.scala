@@ -39,39 +39,47 @@ object Graph {
   def kcore(und: DataFrame, k: Int, maxRounds: Int): DataFrame = {
     val s = und.sparkSession
     import s.implicits._
-    val bi = und.select($"a".as("src"), $"b".as("dst"))
-      .unionByName(und.select($"b".as("src"), $"a".as("dst")))
+    // und feeds BOTH unionByName branches — materialize it first so
+    // the (possibly expensive) upstream derivation runs once, then cut
+    // bi itself (every round traverses it twice)
+    val undM = und.localCheckpoint()
+    val bi = undM.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(undM.select($"b".as("src"), $"a".as("dst")))
       .repartition($"src").localCheckpoint()
-    def induced(alive: DataFrame) =
-      bi.join(alive, $"src" === $"node").drop("node")
-        .join(alive.select($"node".as("nd")), $"dst" === $"nd")
+    def inducedDeg(survivors: DataFrame) =
+      bi.join(survivors.select($"src".as("node")), $"src" === $"node")
+        .drop("node")
+        .join(survivors.select($"src".as("nd")), $"dst" === $"nd")
         .drop("nd")
-    // round 1 peels the FULL graph, where the alive semi-joins are
+        .groupBy($"src").agg(count(lit(1)).as("deg"))
+    // round 1 peels the FULL graph, where the survivor semi-joins are
     // no-ops — its degree pass runs straight over bi (saves two joins
     // and one checkpoint/count vs starting from an all-nodes frame)
     val degAll = bi.groupBy($"src").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     var n = degAll.count()
-    var alive = degAll.filter($"deg" >= k).select($"src".as("node"))
-      .localCheckpoint()
-    var m = alive.count()
+    // cur: (src, deg) survivors of the latest peel, deg = induced
+    // degree in the PRE-peel graph — at the fixpoint the pre-peel set
+    // IS the surviving set, so cur.deg is the within-core degree and
+    // the converged path returns it without another pass
+    var cur = degAll.filter($"deg" >= k).localCheckpoint()
+    var m = cur.count()
     var converged = m == n
     n = m
     var round = 1
     while (round < maxRounds && !converged) {
-      val next = induced(alive)
-        .groupBy($"src").agg(count(lit(1)).as("deg"))
-        .filter($"deg" >= k).select($"src".as("node"))
-        .localCheckpoint()
+      val next = inducedDeg(cur).filter($"deg" >= k).localCheckpoint()
       m = next.count()
       converged = m == n
       n = m
-      alive = next
+      cur = next
       round += 1
     }
-    induced(alive)
-      .groupBy($"src").agg(count(lit(1)).as("core_deg"))
-      .select($"src".as("node"), $"core_deg")
+    // only an exhausted round budget (un-converged) needs the final
+    // induced-degree recompute — cur.deg still describes the pre-peel
+    // graph there
+    val result = if (converged) cur else inducedDeg(cur)
+    result.select($"src".as("node"), $"deg".as("core_deg"))
   }
 
   /** Common-neighbor link prediction: for every NON-adjacent pair
@@ -88,8 +96,11 @@ object Graph {
       minCommon: Long): DataFrame = {
     val s = und.sparkSession
     import s.implicits._
-    val bi = und.select($"a".as("src"), $"b".as("dst"))
-      .unionByName(und.select($"b".as("src"), $"a".as("dst")))
+    // three traversals of und (two bi branches + the anti join) —
+    // materialize once, inside the op, so no caller has to know
+    val undM = und.localCheckpoint()
+    val bi = undM.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(undM.select($"b".as("src"), $"a".as("dst")))
     val lowDeg = bi.groupBy($"src").agg(count(lit(1)).as("deg"))
       .filter($"deg" <= maxMidDegree).select($"src".as("mid"))
     val spokes = bi.join(lowDeg, $"src" === $"mid")
@@ -98,6 +109,6 @@ object Graph {
         $"v" === $"v2" && $"u" < $"w")
       .groupBy($"u", $"w").agg(count(lit(1)).as("common"))
       .filter($"common" >= minCommon)
-      .join(und, $"u" === $"a" && $"w" === $"b", "left_anti")
+      .join(undM, $"u" === $"a" && $"w" === $"b", "left_anti")
   }
 }

@@ -223,19 +223,23 @@ object Relational {
                    bucketSeconds: Long): DataFrame = {
     require(points.columns.intersect(intervals.columns).isEmpty,
       "points/intervals column names must be disjoint")
-    // NTZ timestamps (parquet default) cannot cast straight to long;
-    // the hop through TIMESTAMP is exact and monotone under the pinned
-    // UTC session zone — and bucketing only needs a monotone epoch map
-    // consistent across the three columns (the exact predicate below
-    // compares the ORIGINAL columns)
-    def sec(c: String) = col(c).cast("timestamp").cast("long")
-    val p = points.withColumn("__ibkt",
-      floor(sec(pointTs) / bucketSeconds))
+    // Bucket arithmetic runs at FULL microsecond precision (Spark's
+    // timestamp resolution): a whole-second truncation would compute
+    // an interval ending at hh:00:00.500 as closing in the PREVIOUS
+    // bucket and silently drop its sub-second tail from the candidate
+    // set. unix_micros needs TIMESTAMP — the hop from NTZ (the parquet
+    // default) is exact and monotone under the pinned UTC session
+    // zone, and bucketing only needs a monotone epoch map consistent
+    // across the three columns (the exact predicate below compares
+    // the ORIGINAL columns).
+    def us(c: String) = unix_micros(col(c).cast("timestamp"))
+    val w = bucketSeconds * 1000000L
+    val p = points.withColumn("__ibkt", floor(us(pointTs) / w))
     val iv = intervals.filter(col(endTs) > col(startTs))
       .withColumn("__ibkt", explode(sequence(
-        floor(sec(startTs) / bucketSeconds),
-        // [startTs, endTs): the last contained second is endTs − 1
-        floor((sec(endTs) - 1L) / bucketSeconds))))
+        floor(us(startTs) / w),
+        // [startTs, endTs): the last contained microsecond is endTs − 1µs
+        floor((us(endTs) - 1L) / w))))
     p.join(iv, "__ibkt")
       .filter(col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
       .drop("__ibkt")

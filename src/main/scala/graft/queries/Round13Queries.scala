@@ -20,41 +20,6 @@ import org.apache.spark.sql.functions._
   */
 object Round13Queries {
 
-  /** The co-activity graph shared by every `g_*` query (same
-    * derivation as `g_triangle_count` / `g_pagerank`, Round4Queries):
-    * users joined when they share an (event_type, minute) bucket,
-    * oriented a < b, distinct to kill bucket multiplicity. */
-  private def coactivityUnd(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    val act = Tables.events(s, d)
-      .select($"user_id", $"event_type",
-        date_trunc("minute", $"ts").as("hr"))
-      .distinct()
-    val a2 = act.select($"user_id".as("u2"), $"event_type", $"hr")
-    act.join(a2,
-        act("event_type") === a2("event_type") &&
-          act("hr") === a2("hr") && act("user_id") < $"u2")
-      .select($"user_id".as("a"), $"u2".as("b")).distinct()
-  }
-
-  /** The shared CTE prefix replaying [[coactivityUnd]] + its
-    * bidirectional form in DuckDB (byte-identical to the
-    * `g_triangle_count` / `g_pagerank` oracles). */
-  private val coactivitySqlPrefix =
-    """act AS (
-      |  SELECT DISTINCT user_id, event_type,
-      |    date_trunc('minute', ts) AS hr
-      |  FROM events),
-      |und AS MATERIALIZED (
-      |  SELECT DISTINCT l.user_id AS a, r.user_id AS b
-      |  FROM act l JOIN act r
-      |    ON l.event_type = r.event_type AND l.hr = r.hr
-      |      AND l.user_id < r.user_id),
-      |bi AS MATERIALIZED (
-      |  SELECT a AS src, b AS dst FROM und
-      |  UNION ALL SELECT b, a FROM und)""".stripMargin
-
   /** The `curate_line_dedup` body over any (doc_id, text) frame —
     * single implementation for the registered query (natural corpus)
     * and the `probe_line_dedup_heavy` scale probe (6×-inflated docs,
@@ -93,10 +58,11 @@ object Round13Queries {
 
   /** Peel rounds for `g_kcore`. The op is pinned as "R rounds of
     * peeling", which equals the true k-core whenever the peel
-    * converges within R rounds (it does at every test SF — spec-
-    * asserted); if a pathological graph ever needed more, BOTH
+    * converges within R rounds; if a graph ever needed more, BOTH
     * engines still compute the identical R-round object, so the
-    * hash gate cannot silently diverge. */
+    * hash gate cannot silently diverge either way (the fixed-round ≡
+    * fixpoint property is spec-pinned on a cascading fixture in
+    * Round13OpsSpec). */
   private[queries] val KcorePeelRounds = 6
 
   def all: Seq[Q] = Seq(
@@ -184,7 +150,7 @@ object Round13Queries {
         "Output: each 3-core member with its within-core degree.",
       (s, d) => {
         import s.implicits._
-        graft.ops.Graph.kcore(coactivityUnd(s, d), k = 3,
+        graft.ops.Graph.kcore(Coactivity.und(s, d), k = 3,
             maxRounds = KcorePeelRounds)
           .select($"node".as("user_id"), $"core_deg")
           .orderBy($"user_id")
@@ -200,7 +166,8 @@ object Round13Queries {
              |  JOIN p${i - 1} y ON e.dst = y.node
              |  GROUP BY e.src HAVING count(*) >= 3)"""
         val R = KcorePeelRounds
-        s"""WITH $coactivitySqlPrefix,
+        s"""WITH ${Coactivity.sqlUnd},
+           |${Coactivity.sqlBi},
            |p0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM bi),
            |${(1 to R).map(peel).mkString(",\n")}
            |SELECT e.src AS user_id, count(*) AS core_deg
@@ -225,14 +192,14 @@ object Round13Queries {
         "a < b by construction), all-integer throughout.",
       (s, d) => {
         import s.implicits._
-        graft.ops.Graph.commonNeighbors(
-            coactivityUnd(s, d).localCheckpoint(),
+        graft.ops.Graph.commonNeighbors(Coactivity.und(s, d),
             maxMidDegree = 64, minCommon = 1L)
           .orderBy($"common".desc, $"u", $"w")
           .limit(100)
           .select($"u".as("user_a"), $"w".as("user_b"), $"common")
       },
-      Some(s"""WITH $coactivitySqlPrefix,
+      Some(s"""WITH ${Coactivity.sqlUnd},
+             |${Coactivity.sqlBi},
              |deg AS (SELECT src, count(*) AS deg FROM bi GROUP BY src),
              |spokes AS (
              |  SELECT b.src AS v, b.dst AS u

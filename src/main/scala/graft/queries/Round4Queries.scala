@@ -818,18 +818,9 @@ object Round4Queries {
         "the closure fan-out.",
       (s, d) => {
         import s.implicits._
-        val act = Tables.events(s, d)
-          .select($"user_id", $"event_type",
-            date_trunc("minute", $"ts").as("hr"))
-          .distinct()
-        val a2 = act.select($"user_id".as("u2"), $"event_type", $"hr")
-        val edges = act.join(a2,
-            act("event_type") === a2("event_type") &&
-              act("hr") === a2("hr") && act("user_id") < $"u2")
-          .select($"user_id".as("a"), $"u2".as("b")).distinct()
-          // the closure references edges 3x — materialize once (11k rows),
-          // or the whole bucket-join + distinct subtree runs 3 times
-          .localCheckpoint()
+        // the closure references edges 3x — materialize once (11k rows),
+        // or the whole bucket-join + distinct subtree runs 3 times
+        val edges = Coactivity.und(s, d).localCheckpoint()
         val e2 = edges.select($"a".as("b2"), $"b".as("c"))
         val e3 = edges.select($"a".as("a3"), $"b".as("c3"))
         val tri = edges.join(e2, $"b" === $"b2")
@@ -837,19 +828,11 @@ object Round4Queries {
           .select($"a", $"b", $"c")
         tri.agg(count(lit(1)).as("n_triangles"))
       },
-      Some("""WITH act AS (
-             |  SELECT DISTINCT user_id, event_type,
-             |    date_trunc('minute', ts) AS hr
-             |  FROM events),
-             |edges AS (
-             |  SELECT DISTINCT l.user_id AS a, r.user_id AS b
-             |  FROM act l JOIN act r
-             |    ON l.event_type = r.event_type AND l.hr = r.hr
-             |      AND l.user_id < r.user_id)
+      Some(s"""WITH ${Coactivity.sqlUnd}
              |SELECT count(*) AS n_triangles
-             |FROM edges e1
-             |JOIN edges e2 ON e1.b = e2.a
-             |JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b""".stripMargin)),
+             |FROM und e1
+             |JOIN und e2 ON e1.b = e2.a
+             |JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b""".stripMargin)),
 
     Q("o44_dq_audit",
       "Data-quality audit suite (dbt-test style): key uniqueness, " +
@@ -1121,15 +1104,7 @@ object Round4Queries {
         "with edge-set-width partitioning like the CC operator.",
       (s, d) => {
         import s.implicits._
-        val act = Tables.events(s, d)
-          .select($"user_id", $"event_type",
-            date_trunc("minute", $"ts").as("hr"))
-          .distinct()
-        val a2 = act.select($"user_id".as("u2"), $"event_type", $"hr")
-        val und = act.join(a2,
-            act("event_type") === a2("event_type") &&
-              act("hr") === a2("hr") && act("user_id") < $"u2")
-          .select($"user_id".as("a"), $"u2".as("b")).distinct()
+        val und = Coactivity.und(s, d).localCheckpoint()
         val bi = und.select($"a".as("src"), $"b".as("dst"))
           .unionByName(und.select($"b".as("src"), $"a".as("dst")))
           .localCheckpoint()
@@ -1160,18 +1135,8 @@ object Round4Queries {
              |  SELECT deg.src AS node,
              |    150000 + (85 * COALESCE(c$i.inc, 0)) // 100 AS rank
              |  FROM deg LEFT JOIN c$i ON deg.src = c$i.node)"""
-        s"""WITH act AS (
-           |  SELECT DISTINCT user_id, event_type,
-           |    date_trunc('minute', ts) AS hr
-           |  FROM events),
-           |und AS (
-           |  SELECT DISTINCT l.user_id AS a, r.user_id AS b
-           |  FROM act l JOIN act r
-           |    ON l.event_type = r.event_type AND l.hr = r.hr
-           |      AND l.user_id < r.user_id),
-           |bi AS (
-           |  SELECT a AS src, b AS dst FROM und
-           |  UNION ALL SELECT b, a FROM und),
+        s"""WITH ${Coactivity.sqlUnd},
+           |${Coactivity.sqlBi},
            |deg AS (SELECT src, count(*) AS deg FROM bi GROUP BY src),
            |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank
            |  FROM deg),

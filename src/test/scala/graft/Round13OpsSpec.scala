@@ -211,17 +211,42 @@ class Round13OpsSpec extends AnyFunSuite {
       "intervals") {
     val rnd = new scala.util.Random(13)
     val W = 100L // bucketSeconds
-    val points = (0L until 300L).map(i =>
-      (i, new java.sql.Timestamp(rnd.nextLong(5000L) * 1000L)))
-      .toDF("p_id", "p_ts")
-    // interval lengths 0..6 buckets, including empty (len = 0) and
-    // exact-boundary (start/end on a bucket edge) cases
-    val intervals = (0L until 80L).map { i =>
-      val st = rnd.nextLong(5000L)
+    // SUB-SECOND millis everywhere: whole-second bucket arithmetic
+    // would close an interval ending at hh:mm:ss.500 one bucket early
+    // and silently drop its tail's matches (the bug class this spec
+    // guards — points keep sub-second parts too so boundary compares
+    // exercise microsecond resolution)
+    // interval lengths 0..6 buckets, including empty (len = 0),
+    // exact-boundary (start/end on a bucket edge), and sub-second
+    // overhang (end = edge + fractional second) cases; every 4th
+    // interval is bucket-ALIGNED so aligned-end + overhang (the exact
+    // configuration whole-second arithmetic gets wrong) is guaranteed
+    // present, not left to chance
+    val ivRows = (0L until 80L).map { i =>
+      val st = if (i % 4 == 0) rnd.nextLong(50L) * 100L
+               else rnd.nextLong(5000L)
       val len = rnd.nextLong(7L) * 100L * (if (i % 5 == 0) 0L else 1L)
-      (i, new java.sql.Timestamp(st * 1000L),
-        new java.sql.Timestamp((st + len) * 1000L))
+      val overhangMs = if (i % 3 == 0) rnd.nextLong(1000L) else 0L
+      (i, st * 1000L, (st + len) * 1000L +
+        (if (len == 0L) 0L else overhangMs))
+    }
+    val intervals = ivRows.map { case (i, sMs, eMs) =>
+      (i, new java.sql.Timestamp(sMs), new java.sql.Timestamp(eMs))
     }.toDF("iv_id", "iv_start", "iv_end")
+    // adversarial witnesses per interval: one point just INSIDE the
+    // end (in the sub-second tail when an overhang exists — under
+    // whole-second bucketing that tail's bucket is never generated)
+    // and one exactly AT the end (outside, must never match)
+    val witnesses = ivRows.zipWithIndex.flatMap {
+      case ((_, _, eMs), j) => Seq(
+        (1000L + 2 * j, new java.sql.Timestamp(eMs - 1L)),
+        (1001L + 2 * j, new java.sql.Timestamp(eMs)))
+    }
+    val points = ((0L until 300L).map(i =>
+      (i, new java.sql.Timestamp(
+        rnd.nextLong(5000L) * 1000L + rnd.nextLong(1000L)))) ++
+      witnesses)
+      .toDF("p_id", "p_ts")
     val bucketized = graft.ops.Relational.intervalJoin(
         points, intervals, "p_ts", "iv_start", "iv_end", W)
       .select($"p_id", $"iv_id")

@@ -52,7 +52,7 @@ object ScaleProbe {
     // interval set), so the graph + interval + line-dedup ops carry
     // measured ratios like everything else
     "g_kcore", "g_link_predict", "j_interval_bucketized",
-    "probe_line_dedup_heavy")
+    "probe_line_dedup_heavy", "probe_winnow_heavy")
 
   /** Documents inflated COPIES× in-plan (ids stay unique under any
     * further per-dir offset; text carries a per-copy tag so copies are
@@ -153,7 +153,14 @@ object ScaleProbe {
     // where ratios are noise (the r12 lesson) — so the probe carries
     // its own real denominator like probe_bucket_stats_heavy
     "probe_line_dedup_heavy" -> ((s: SparkSession, d: String) =>
-      graft.queries.Round13Queries.lineDedup(inflateDocs(s, d, 6))))
+      graft.queries.Round13Queries.lineDedup(inflateDocs(s, d, 6))),
+    // winnowing over 6×-inflated docs (same rationale: the natural
+    // corpus runs ~0.6 s, too close to the 0.5 s clamp floor to trust
+    // under load); the probe materializes the full fingerprint set —
+    // the gram explode + windowed min + distinct, rows ∝ total chars
+    "probe_winnow_heavy" -> ((s: SparkSession, d: String) =>
+      graft.queries.Round13Queries.winnowFingerprints(
+        inflateDocs(s, d, 6))))
 
   private def probeFn(name: String)
       : (SparkSession, String) => org.apache.spark.sql.DataFrame =

@@ -56,6 +56,60 @@ object Round13Queries {
             expr("transform(arr, x -> x.line)")))).as("clean_md5"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm) over any (doc_id, text) frame: normalize (lowercase,
+    * whitespace-collapse, cap at 2000 chars), hash every k=8-char
+    * gram to a 40-bit md5 prefix, then keep the MINIMUM hash of every
+    * w=4-gram window (leftmost-min tie-break), distinct per doc.
+    * Guarantee: any shared substring of length ≥ k+w−1 = 11 NORMALIZED
+    * chars between two docs yields at least one shared fingerprint —
+    * the partial-overlap detector whole-doc hashing (t_fingerprint)
+    * cannot provide. (hash, position) ride ONE exact BIGINT
+    * `hash·4096 + pos` (40+12 bits < 2⁵²) so the windowed min is a
+    * plain `min()` in both engines — no struct-min / min_by
+    * portability hazard. Returns (doc_id, fp) where fp is the
+    * combined value; position decodes as fp % 4096.
+    */
+  private[graft] def winnowFingerprints(
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val normed = docs.select(col("doc_id"),
+      substring(regexp_replace(lower(trim(col("text"))), "\\s+", " "),
+        1, 2000).as("t"))
+      // Spark sequence(0, negative) DESCENDS instead of being empty —
+      // sub-k docs must not reach it (they have no grams anyway)
+      .filter(length(col("t")) >= 8)
+      // the per-gram hashing below is ~chars × (md5 + conv) of work:
+      // left in the scan stage it runs at the PARQUET SPLIT's
+      // parallelism (a single-file corpus = one core — measured 5×
+      // slower than linear on the 6× probe). Repartitioning the cheap
+      // (doc_id, t) rows first spreads it, and the sliding-window min
+      // needs this exact hash distribution anyway, so the window adds
+      // NO second exchange.
+      .repartition(col("doc_id"))
+    val grams = normed
+      .select(col("doc_id"),
+        (length(col("t")).cast("long") - 11L).as("max_j"),
+        explode(sequence(lit(0L), length(col("t")).cast("long") - 8L))
+          .as("i"),
+        col("t"))
+      .select(col("doc_id"), col("max_j"), col("i"),
+        (expr("conv(substring(md5(substring(t, CAST(i + 1 AS INT), 8))" +
+            ", 1, 10), 16, 10)")
+          .cast("long") * 4096L + col("i")).as("combined"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(0, 3)
+    grams
+      .select(col("doc_id"), col("i"), col("max_j"),
+        min(col("combined")).over(w).as("fp"))
+      // MOSS uses FULL windows only: the last w−1 gram positions open
+      // truncated windows (max_j = len − k − w + 1 − 1 in 0-based form)
+      .filter(col("i") <= col("max_j"))
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+
   /** Peel rounds for `g_kcore`. The op is pinned as "R rounds of
     * peeling", which equals the true k-core whenever the peel
     * converges within R rounds; if a graph ever needed more, BOTH
@@ -300,5 +354,58 @@ object Round13Queries {
              |    chr(10) ORDER BY l.line_no)) AS clean_md5
              |FROM lines l JOIN freq f USING (line)
              |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin)),
+
+    Q("t_winnow_fingerprint",
+      "Winnowing document fingerprints (Schleimer/Wilkerson/Aiken — " +
+        "the MOSS algorithm): 40-bit md5 hashes of every 8-char gram " +
+        "of the normalized text, the MINIMUM kept per 4-gram window " +
+        "(leftmost-min tie-break), distinct per doc — the guarantee " +
+        "is that ANY shared run of >= 11 normalized chars between two " +
+        "docs shares at least one fingerprint (spec-pinned), which " +
+        "whole-doc hashing (t_fingerprint) cannot detect. (hash, pos) " +
+        "ride one exact BIGINT hash*4096+pos so the windowed min is a " +
+        "plain min() in both engines. Per doc: fingerprint count + an " +
+        "order-independent md5 rollup of the sorted set. Shape at " +
+        "scale: explode to grams (rows ~ chars), ONE doc_id shuffle " +
+        "shared by the sliding-window min and the final rollup; " +
+        "selection density ~= 2/(w+1) of grams, the winnowing bound.",
+      (s, d) => {
+        import s.implicits._
+        winnowFingerprints(
+            Tables.documents(s, d).select($"doc_id", $"text"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_fp"),
+            md5(concat_ws("-",
+              expr("transform(array_sort(collect_list(fp)), " +
+                "x -> CAST(x AS STRING))"))).as("fp_rollup"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id,
+             |    substr(regexp_replace(lower(trim(text)), '\s+', ' ',
+             |      'g'), 1, 2000) AS t
+             |  FROM documents),
+             |sized AS (SELECT doc_id, t FROM docs WHERE length(t) >= 8),
+             |grams0 AS (
+             |  SELECT doc_id, t, length(t) - 11 AS max_j,
+             |    unnest(range(0, length(t) - 7)) AS i
+             |  FROM sized),
+             |grams AS (
+             |  SELECT doc_id, max_j, i,
+             |    CAST(concat('0x', substr(md5(substr(t,
+             |      CAST(i + 1 AS INT), 8)), 1, 10)) AS BIGINT)
+             |      * 4096 + i AS combined
+             |  FROM grams0),
+             |wins AS (
+             |  SELECT doc_id, i, max_j,
+             |    min(combined) OVER (PARTITION BY doc_id ORDER BY i
+             |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+             |  FROM grams),
+             |fps AS (
+             |  SELECT DISTINCT doc_id, fp FROM wins WHERE i <= max_j)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+             |  md5(string_agg(CAST(fp AS VARCHAR), '-' ORDER BY fp))
+             |    AS fp_rollup
+             |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -303,6 +303,35 @@ class Round13OpsSpec extends AnyFunSuite {
     } finally graft.queries.Scratch.rmTree(tmp)
   }
 
+  test("winnowFingerprints: the MOSS guarantee — docs sharing >= " +
+      "k+w-1 = 11 normalized chars share a fingerprint; disjoint " +
+      "docs don't; density respects the winnowing bound") {
+    val shared = "zqxjkvwpyg mbtfh"  // 16 chars, well over the bound
+    val docs = Seq(
+      (0L, s"aaaa bbbb $shared cccc dddd"),
+      (1L, s"eeee ffff gggg $shared hhhh"),
+      (2L, "totally disjoint content with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val fps = graft.queries.Round13Queries.winnowFingerprints(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).view
+      // decode: position rides the low 12 bits, the HASH is the
+      // comparable part across docs
+      .mapValues(_.map(_._2 / 4096L).toSet).toMap
+    assert((byDoc(0L) & byDoc(1L)).nonEmpty,
+      "planted 16-char shared run must yield a shared fingerprint")
+    assert((byDoc(0L) & byDoc(2L)).isEmpty &&
+      (byDoc(1L) & byDoc(2L)).isEmpty,
+      "disjoint docs must not collide at 40-bit hashes on this fixture")
+    // winnowing selects >= 1 fingerprint per window and at most one
+    // new per position: count is within [windows/w, windows] per doc
+    val t0 = "aaaa bbbb zqxjkvwpyg mbtfh cccc dddd"
+    val nWindows = t0.length - 8 - 3 + 1
+    val n0 = fps.count(_._1 == 0L)
+    assert(n0 >= nWindows / 4 && n0 <= nWindows,
+      s"density out of winnowing bounds: $n0 of $nWindows windows")
+  }
+
   test("d_minhash_nfc negative control: composed/decomposed twins are " +
       "verified near-dups ONLY under the NFC projection") {
     // the d_minhash_nfc fixture shape in miniature: every 'e' spelled

@@ -89,7 +89,7 @@ object SparkEntry {
     // r13-new: same capped-from-birth policy
     "d_minhash_nfc", "d_semdedup_2level", "g_kcore", "g_link_predict",
     "j_interval_bucketized", "curate_line_dedup",
-    "t_winnow_fingerprint")
+    "t_winnow_fingerprint", "e_knn_mips")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

@@ -59,6 +59,28 @@ object OracleGen {
        |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Brute-force MIPS top-k (`Knn.mipsTopK`): rank on the bit-identical
+    * dot-product expansion — same left-to-right term chain the codegen'd
+    * `vec_dot` kernel accumulates, same reasoning as [[knnBruteSql]]'s
+    * cosine (a builtin's own accumulation order could rank near-equal
+    * scores differently).
+    */
+  def knnMipsSql(dim: Int, k: Int, maxQueryId: Long): String = {
+    val d = dotTerms("q", "e", dim)
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+       |           WHERE vec_id < $maxQueryId),
+       |pairs AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    ($d) AS dot
+       |  FROM q CROSS JOIN embeddings e
+       |  WHERE e.vec_id <> q.query_id)
+       |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank
+       |FROM (SELECT query_id, neighbor_id,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY dot DESC, neighbor_id) AS rn
+       |      FROM pairs) t
+       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Random-hyperplane LSH bucket (`VectorKernels.bucket`): bit p = sign of
     * Σ_i x_i·s(i,p) with s(i,p) = ±1 from splitmix64 parity. The signs are
     * computed HERE from the same `mix` the codegen'd kernel calls, and

@@ -407,5 +407,30 @@ object Round13Queries {
              |  md5(string_agg(CAST(fp AS VARCHAR), '-' ORDER BY fp))
              |    AS fp_rollup
              |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("e_knn_mips",
+      "Similarity: brute-force MAX-INNER-PRODUCT top-k (MIPS) — the " +
+        "retrieval semantics of recommendation / reranker scores, " +
+        "where vector MAGNITUDE is signal (unlike the cosine family, " +
+        "a longer vector can dominate every query; the negative " +
+        "control that cosine and MIPS rankings genuinely differ on " +
+        "unnormalized vectors is spec-pinned). Execution shape = " +
+        "e_knn_brute: broadcast queries, corpus streams, codegen'd " +
+        "vec_dot kernel, one window per query; ranks compare on the " +
+        "bit-identical dot-product expansion in DuckDB. At scale MIPS " +
+        "reduces to cosine ANN by norm augmentation " +
+        "x' = [x, sqrt(M^2 - |x|^2)], q' = [q, 0] (spec-pinned " +
+        "property), so the existing IVF/LSH/PQ serving paths apply " +
+        "unchanged; this is their exact baseline.",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        graft.similarity.Knn.mipsTopK(emb, emb.filter($"vec_id" < 10),
+            "vec_id", "embedding", k = 5)
+          .select($"query_id", $"neighbor_id", $"rank".cast("long")
+            .as("rank"))
+          .orderBy($"query_id", $"rank")
+      },
+      Some(OracleGen.knnMipsSql(dim = 64, k = 5, maxQueryId = 10))),
   )
 }

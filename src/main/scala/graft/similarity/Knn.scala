@@ -110,6 +110,33 @@ object Knn {
         round(col("cosine_raw"), 6).as("cosine"))
   }
 
+  /** Brute-force MAX-INNER-PRODUCT top-k (MIPS) — the retrieval
+    * semantics of recommendation / reranking scores, where vector
+    * MAGNITUDE is signal: unlike cosine, a longer vector can dominate
+    * every query. Same execution shape as [[bruteForceTopK]]
+    * (broadcast queries, corpus streams, codegen'd `vec_dot`, one
+    * window per query). MIPS reduces to cosine ANN via the standard
+    * norm augmentation x' = [x, sqrt(M² − ‖x‖²)], q' = [q, 0]
+    * (spec-pinned property), so the IVF/LSH/PQ serving paths apply
+    * unchanged at scale; this operator is their exact baseline.
+    */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot_raw", dot(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_raw").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("dot_raw"), 6).as("dot"))
+  }
+
   /** IVF-style ANN: a small deterministic centroid sample partitions the
     * corpus into data-adaptive cells (unlike LSH's data-oblivious planes);
     * each query probes the `nProbe` nearest cells.

@@ -332,6 +332,51 @@ class Round13OpsSpec extends AnyFunSuite {
       s"density out of winnowing bounds: $n0 of $nWindows windows")
   }
 
+  test("mipsTopK: magnitude wins MIPS but not cosine, and the norm " +
+      "augmentation reduces MIPS to cosine ANN exactly") {
+    import graft.similarity.Knn
+    // corpus: b points the same direction as the query but SHORT;
+    // c points 45 degrees off but LONG — cosine prefers b, MIPS c
+    val q = Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (0L, Array(0.1f, 0.0f, 0.0f, 0.0f)),       // aligned, short
+      (1L, Array(3.0f, 3.0f, 0.0f, 0.0f)),       // off-angle, long
+      (2L, Array(0.05f, 0.02f, 0.0f, 0.0f)))     // filler
+      .toDF("vec_id", "embedding")
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getInt(2) -> r.getLong(1)).toMap
+    val mips = ranks(Knn.mipsTopK(corpus, q, "vec_id", "embedding", 3))
+    val cos = ranks(
+      Knn.bruteForceTopK(corpus, q, "vec_id", "embedding", 3))
+    assert(mips(1) == 1L && cos(1) == 0L,
+      s"MIPS must rank the long vector first, cosine the aligned one:" +
+        s" mips=$mips cos=$cos")
+    // norm augmentation: x' = [x, sqrt(M^2 - |x|^2)], q' = [q, 0] —
+    // cosine ranking over the augmented space == MIPS ranking (the
+    // reduction that lets the IVF/LSH serving paths answer MIPS)
+    def aug(rows: Seq[(Long, Array[Float])], qSide: Boolean) = {
+      val m2 = rows.map(_._2.map(x => x * x.toDouble).sum).max
+      rows.map { case (id, v) =>
+        val extra =
+          if (qSide) 0.0f
+          else math.sqrt(m2 - v.map(x => x * x.toDouble).sum).toFloat
+        (id, v :+ extra)
+      }
+    }
+    val corpusRows = Seq(
+      0L -> Array(0.1f, 0.0f, 0.0f, 0.0f),
+      1L -> Array(3.0f, 3.0f, 0.0f, 0.0f),
+      2L -> Array(0.05f, 0.02f, 0.0f, 0.0f))
+    val qRows = Seq(100L -> Array(1.0f, 0.0f, 0.0f, 0.0f))
+    val augCos = ranks(Knn.bruteForceTopK(
+      aug(corpusRows, qSide = false).toDF("vec_id", "embedding"),
+      aug(qRows, qSide = true).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 3))
+    assert(augCos == mips,
+      s"augmented-cosine ranking must equal MIPS: $augCos vs $mips")
+  }
+
   test("d_minhash_nfc negative control: composed/decomposed twins are " +
       "verified near-dups ONLY under the NFC projection") {
     // the d_minhash_nfc fixture shape in miniature: every 'e' spelled

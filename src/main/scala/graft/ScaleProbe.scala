@@ -52,7 +52,8 @@ object ScaleProbe {
     // interval set), so the graph + interval + line-dedup ops carry
     // measured ratios like everything else
     "g_kcore", "g_link_predict", "j_interval_bucketized",
-    "probe_line_dedup_heavy", "probe_winnow_heavy")
+    "probe_line_dedup_heavy", "probe_winnow_heavy",
+    "probe_coactivity_spam")
 
   /** Documents inflated COPIES× in-plan (ids stay unique under any
     * further per-dir offset; text carries a per-copy tag so copies are
@@ -160,7 +161,26 @@ object ScaleProbe {
     // the gram explode + windowed min + distinct, rows ∝ total chars
     "probe_winnow_heavy" -> ((s: SparkSession, d: String) =>
       graft.queries.Round13Queries.winnowFingerprints(
-        inflateDocs(s, d, 6))))
+        inflateDocs(s, d, 6))),
+    // flash-crowd minute against the co-activity graph derivation:
+    // every 8th event is remapped to ONE (event_type, minute) bucket —
+    // and because the K×-scaled events keep event_id ≡ 0 (mod 8) rows
+    // in every copy, the spam bucket grows ×K while the organic
+    // subgraphs stay disjoint. Uncapped, that bucket alone emits
+    // O((Kn/8)²) edges (K² blowup); with the occupancy guard it is
+    // dropped pre-join and the ratio stays ~linear. The probe the
+    // disjoint-subgraph data model could never produce (SCALE.md:
+    // g_* probes deliberately avoid cross-copy buckets).
+    "probe_coactivity_spam" -> ((s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+      val spam = pmod(col("event_id"), lit(8L)) === 0L
+      val spammed = ev.select(col("user_id"),
+        when(spam, lit("flashcrowd")).otherwise(col("event_type"))
+          .as("event_type"),
+        when(spam, to_timestamp(lit("2024-01-01 00:00:00")))
+          .otherwise(col("ts")).as("ts"))
+      graft.queries.Coactivity.undFromEvents(s, spammed)
+    }))
 
   private def probeFn(name: String)
       : (SparkSession, String) => org.apache.spark.sql.DataFrame =
@@ -243,11 +263,12 @@ object ScaleProbe {
     // the bucketized join under pure point growth, output ×K.
     val li = Tables.table(spark, sfDir, "lineitem")
     val maxOk = li.agg(max($"l_orderkey")).head().getLong(0) + 1
+    // FULL schema carried through (column list derived from it): any
+    // future lineitem-touching probe sees the same columns as the
+    // natural dir — only the key is re-offset
     li.crossJoin(broadcast(copies))
-      .select(($"l_orderkey" + $"copy" * maxOk).as("l_orderkey"),
-        $"l_partkey", $"l_suppkey", $"l_linenumber", $"l_quantity",
-        $"l_extendedprice", $"l_discount", $"l_tax", $"l_returnflag",
-        $"l_linestatus", $"l_shipdate")
+      .select(($"l_orderkey" + $"copy" * maxOk).as("l_orderkey") +:
+        li.columns.filter(_ != "l_orderkey").map(col).toSeq: _*)
       .write.mode(SaveMode.Overwrite).parquet(s"$scaled/lineitem.parquet")
     Seq("region", "nation", "customer", "supplier", "part",
       "orders").foreach { t =>

@@ -13,37 +13,94 @@ import org.apache.spark.sql.functions._
   * a divergence here would KEEP every per-query oracle green while
   * the "co-activity graph" quietly meant different graphs — exactly
   * the failure mode sharing removes.
+  *
+  * HOT-BUCKET GUARD: the bucket self-join emits O(k²) edges for a
+  * k-user bucket, and a flash-crowd minute (an outage page, a viral
+  * drop) is quadratic at ANY bucket granularity — the same skewed-key
+  * class the LSH candidate generators cap
+  * ([[graft.dedup.Dedup.bucketCap]]). Buckets whose occupancy exceeds
+  * the corpus-derived cap (`greatest(64, 8·bitlen(n_act+1))`, the
+  * shared formula, derived IN-PLAN from the activity count) are
+  * EXCLUDED from edge formation: a flash-crowd bucket carries no
+  * pairwise co-activity signal — membership is driven by the external
+  * event, not by any relationship between the members — exactly like
+  * a stop-word in shingling, and star-reduction does NOT apply here
+  * because triangles/degrees are not star-preserved (unlike connected
+  * components). Filtering ONE side of the self-join suffices: a pair
+  * needs its left row in an under-cap bucket and the right row shares
+  * that bucket by the join condition — so the hot bucket's O(k²)
+  * output AND its O(k²) join work are both gone, while a pair that
+  * ALSO co-occurs in any under-cap bucket still surfaces (multi-band
+  * LSH semantics). The guard is OBSERVABLE: a `coactivity_cap`
+  * observe (max_bucket + over_cap_rows) rides the guarded branch —
+  * it appears once in the plan — through the standard
+  * QueryExecutionListener observed-metrics channel. The cap never
+  * engages on natural data at any measured SF (max natural bucket 6
+  * at sf0.1 vs derived cap 136); the DuckDB prefix replays the
+  * identical occupancy window + cap formula, so the guard itself is
+  * under every `g_*` oracle.
   */
-private[queries] object Coactivity {
+private[graft] object Coactivity {
 
-  /** Undirected edge list `(a, b)`, a < b, distinct. NOT
-    * checkpointed — consumers that traverse it more than once
-    * materialize it themselves (or via ops that do). */
-  def und(s: SparkSession, d: String): DataFrame = {
+  /** Undirected edge list `(a, b)`, a < b, distinct, hot buckets
+    * dropped. NOT checkpointed — consumers that traverse it more than
+    * once materialize it themselves (or via ops that do). */
+  def und(s: SparkSession, d: String): DataFrame =
+    undFromEvents(s, Tables.events(s, d))
+
+  /** [[und]] over a caller-supplied events frame (user_id, event_type,
+    * ts ...) — the seam the planted hot-minute spec and the
+    * flash-crowd scale probe drive. Plan shape: one exchange on
+    * (event_type, hr) serves the occupancy Window AND the self-join's
+    * left side; the cap is a broadcast 1-row aggregate (no
+    * construction-time job). */
+  def undFromEvents(s: SparkSession, events: DataFrame): DataFrame = {
     import s.implicits._
-    val act = Tables.events(s, d)
+    val act = events
       .select($"user_id", $"event_type",
         date_trunc("minute", $"ts").as("hr"))
       .distinct()
-    val a2 = act.select($"user_id".as("u2"), $"event_type", $"hr")
-    act.join(a2,
-        act("event_type") === a2("event_type") &&
-          act("hr") === a2("hr") && act("user_id") < $"u2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type", $"hr")
+    val counted = act.repartition($"event_type", $"hr")
+      .withColumn("occ", count(lit(1)).over(w))
+      .crossJoin(broadcast(graft.dedup.Dedup.inPlanCap(act)))
+      .observe("coactivity_cap",
+        max($"occ").as("max_bucket"),
+        sum(when($"occ" > $"bkt_cap", 1L).otherwise(0L))
+          .as("over_cap_rows"))
+    val l = counted.filter($"occ" <= $"bkt_cap")
+    val a2 = act.select($"user_id".as("u2"), $"event_type".as("et2"),
+      $"hr".as("hr2"))
+    l.join(a2,
+        $"event_type" === $"et2" && $"hr" === $"hr2" &&
+          $"user_id" < $"u2")
       .select($"user_id".as("a"), $"u2".as("b")).distinct()
   }
 
-  /** DuckDB CTE prefix replaying [[und]]: `act` + `und`. `und` is
-    * MATERIALIZED — every consumer references it at least twice, and
-    * DuckDB's CTE inlining would otherwise re-derive the bucket
-    * self-join per reference. */
+  /** DuckDB CTE prefix replaying [[und]]: `act` + the occupancy-
+    * guarded `und` (identical cap formula — `greatest(64,
+    * 8·length(bin(n+1)))` over the activity count — and the same
+    * one-sided filter). `und` is MATERIALIZED — every consumer
+    * references it at least twice, and DuckDB's CTE inlining would
+    * otherwise re-derive the bucket self-join per reference. */
   val sqlUnd: String =
     """act AS (
       |  SELECT DISTINCT user_id, event_type,
       |    date_trunc('minute', ts) AS hr
       |  FROM events),
+      |ccap AS (
+      |  SELECT greatest(64, 8 * length(bin(count(*) + 1))) AS bkt_cap
+      |  FROM act),
+      |actg AS (
+      |  SELECT user_id, event_type, hr FROM (
+      |    SELECT user_id, event_type, hr,
+      |      count(*) OVER (PARTITION BY event_type, hr) AS occ
+      |    FROM act)
+      |  WHERE occ <= (SELECT bkt_cap FROM ccap)),
       |und AS MATERIALIZED (
       |  SELECT DISTINCT l.user_id AS a, r.user_id AS b
-      |  FROM act l JOIN act r
+      |  FROM actg l JOIN act r
       |    ON l.event_type = r.event_type AND l.hr = r.hr
       |      AND l.user_id < r.user_id)""".stripMargin
 

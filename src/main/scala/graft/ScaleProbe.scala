@@ -53,7 +53,15 @@ object ScaleProbe {
     // measured ratios like everything else
     "g_kcore", "g_link_predict", "j_interval_bucketized",
     "probe_line_dedup_heavy", "probe_winnow_heavy",
-    "probe_coactivity_spam")
+    "probe_coactivity_spam",
+    // r14: the MIPS serving path (linear: one assignment scan + fixed
+    // probe fan-out) and the winnowing pair detector. NOTE the
+    // overlap probe is OUTPUT-bound by design: the K×-scaled corpus
+    // contains K-sized near-dup cliques by construction (each doc's
+    // K copies share ~every fingerprint), so the TRUE pair count —
+    // any detector's output — grows ~K²; the honest flatness measure
+    // is seconds per output row, not the raw ratio (see SCALE.md).
+    "e_knn_mips_ivf", "t_winnow_overlap", "j_interval_autowidth")
 
   /** Documents inflated COPIES× in-plan (ids stay unique under any
     * further per-dir offset; text carries a per-copy tag so copies are

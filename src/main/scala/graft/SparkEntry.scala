@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{ExtendedQueries, PipelineQueries, Q, Round4Queries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, Round9Queries, Round10Queries, Round10bQueries, Round11Queries, Round12Queries, Round13Queries, StarQueries}
+import graft.queries.{ExtendedQueries, PipelineQueries, Q, Round4Queries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, Round9Queries, Round10Queries, Round10bQueries, Round11Queries, Round12Queries, Round13Queries, Round14Queries, StarQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,7 +18,8 @@ object SparkEntry {
       ExtendedQueries.all ++ Round4Queries.all ++ Round5Queries.all ++
       Round6Queries.all ++ Round7Queries.all ++ Round8Queries.all ++
       Round9Queries.all ++ Round10Queries.all ++ Round10bQueries.all ++
-      Round11Queries.all ++ Round12Queries.all ++ Round13Queries.all
+      Round11Queries.all ++ Round12Queries.all ++ Round13Queries.all ++
+      Round14Queries.all
     val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(",")}")
     all
@@ -89,7 +90,9 @@ object SparkEntry {
     // r13-new: same capped-from-birth policy
     "d_minhash_nfc", "d_semdedup_2level", "g_kcore", "g_link_predict",
     "j_interval_bucketized", "curate_line_dedup",
-    "t_winnow_fingerprint", "e_knn_mips")
+    "t_winnow_fingerprint", "e_knn_mips",
+    // r14-new: same capped-from-birth policy
+    "e_knn_mips_ivf", "t_winnow_overlap", "j_interval_autowidth")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

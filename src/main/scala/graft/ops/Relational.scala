@@ -220,7 +220,32 @@ object Relational {
     */
   def intervalJoin(points: DataFrame, intervals: DataFrame,
                    pointTs: String, startTs: String, endTs: String,
-                   bucketSeconds: Long): DataFrame = {
+                   bucketSeconds: Long): DataFrame =
+    intervalJoinImpl(points, intervals, pointTs, startTs, endTs,
+      Some(bucketSeconds))
+
+  /** [[intervalJoin]] with the bucket width DERIVED IN-PLAN from the
+    * interval-span distribution: width = max span (floored at 1 s), a
+    * broadcast 1-row aggregate cross-joined to both sides — so every
+    * interval replicates to at most 2 buckets BY CONSTRUCTION at any
+    * data shape (the `bandJoin` guarantee generalized), and no caller
+    * has to guess a width that a span outlier would turn into
+    * span/width-fold replication. Trade-off: one outlier-wide interval
+    * widens every bucket, growing per-bucket point candidate sets —
+    * callers with a heavy-tailed span distribution and a known typical
+    * span should pass an explicit width instead (replication is then
+    * span/width + 1 per interval). The result is width-INVARIANT
+    * either way; only the plan shape moves.
+    */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+                   pointTs: String, startTs: String,
+                   endTs: String): DataFrame =
+    intervalJoinImpl(points, intervals, pointTs, startTs, endTs, None)
+
+  private def intervalJoinImpl(points: DataFrame, intervals: DataFrame,
+                               pointTs: String, startTs: String,
+                               endTs: String,
+                               bucketSeconds: Option[Long]): DataFrame = {
     require(points.columns.intersect(intervals.columns).isEmpty,
       "points/intervals column names must be disjoint")
     // Bucket arithmetic runs at FULL microsecond precision (Spark's
@@ -233,13 +258,36 @@ object Relational {
     // across the three columns (the exact predicate below compares
     // the ORIGINAL columns).
     def us(c: String) = unix_micros(col(c).cast("timestamp"))
-    val w = bucketSeconds * 1000000L
-    val p = points.withColumn("__ibkt", floor(us(pointTs) / w))
-    val iv = intervals.filter(col(endTs) > col(startTs))
-      .withColumn("__ibkt", explode(sequence(
-        floor(us(startTs) / w),
+    // exact integer FLOOR division: x − pmod(x, w) is the largest
+    // multiple of w ≤ x (pmod ≥ 0 even for negative epochs), and `div`
+    // on the exact multiple is exact at any magnitude. The previous
+    // `floor(x / w)` routed through DOUBLE and could assign epochs
+    // beyond 2^53 µs (~year 2255) to a shifted bucket — that was
+    // still DROP-FREE (IEEE division is monotone and both sides share
+    // the map, so a point's bucket always lies inside its interval's
+    // replicated [b(start), b(end−1)] range), but exactness removes
+    // the analysis burden and a column-typed width needs `div` anyway
+    def fdiv(x: Column, w: Column): Column =
+      call_function("div", x - pmod(x, w), w)
+    val live = intervals.filter(col(endTs) > col(startTs))
+    val (p0, iv0, w) = bucketSeconds match {
+      case Some(s) => (points, live, lit(s * 1000000L))
+      case None =>
+        // in-plan width scalar (the inPlanCap pattern): max live span,
+        // ≥ 1 s; a broadcast 1-row aggregate — no construction-time job
+        val widthDf = broadcast(live.agg(greatest(lit(1000000L),
+          max(us(endTs) - us(startTs))).as("__iw")))
+        (points.crossJoin(widthDf), live.crossJoin(widthDf),
+          col("__iw"))
+    }
+    // __iw is consumed by the bucket expressions and dropped on each
+    // side BEFORE the join (it would otherwise ride both sides into an
+    // ambiguous output column)
+    val p = p0.withColumn("__ibkt", fdiv(us(pointTs), w)).drop("__iw")
+    val iv = iv0.withColumn("__ibkt", explode(sequence(
+        fdiv(us(startTs), w),
         // [startTs, endTs): the last contained microsecond is endTs − 1µs
-        floor((us(endTs) - 1L) / w))))
+        fdiv(us(endTs) - 1L, w)))).drop("__iw")
     p.join(iv, "__ibkt")
       .filter(col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
       .drop("__ibkt")

@@ -81,6 +81,63 @@ object OracleGen {
        |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** MIPS through the IVF serving path (`Knn.mipsIvfTopK`): the ENTIRE
+    * norm-augmentation reduction replayed — M² = max corpus norm² (the
+    * same left-to-right dot chain `vec_dot` accumulates, so the max is
+    * bit-identical), corpus x' = [x, CAST(sqrt(M²−‖x‖²) AS FLOAT)],
+    * query q' = [q, 0] — then the verbatim [[knnIvfSql]] pipeline
+    * (md5-ordered centroids → argmax cells → nProbe routing → ranked
+    * augmented-cosine) over the dim+1 vectors. Both engines construct
+    * the augmented float from the identical double, so the routing and
+    * ranks are hash-exact: the hierarchical serving path itself is
+    * pinned, the way semDedup2LevelSql pins two-level routing.
+    */
+  def knnMipsIvfSql(dim: Int, nCells: Int, nProbe: Int, k: Int,
+                    maxQueryId: Long): String = {
+    val d = dim + 1
+    val normE = dotTerms("e", "e", dim)
+    val cosCT = cosExpr("c", "t", d)
+    val cosQT = cosExpr("a", "t", d)
+    val cosQC = cosExpr("q", "c", d)
+    s"""WITH m2 AS (SELECT max($normE) AS m2 FROM embeddings e),
+       |aug AS (
+       |  SELECT e.vec_id, list_append(e.embedding,
+       |    CAST(sqrt(m2.m2 - ($normE)) AS FLOAT)) AS embedding
+       |  FROM embeddings e CROSS JOIN m2),
+       |augq AS (
+       |  SELECT e.vec_id, list_append(e.embedding,
+       |    CAST(0.0 AS FLOAT)) AS embedding
+       |  FROM embeddings e WHERE e.vec_id < $maxQueryId),
+       |cent AS (
+       |  SELECT vec_id AS cid, embedding FROM aug
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCells),
+       |cells AS (
+       |  SELECT vec_id, embedding, cid AS cell FROM (
+       |    SELECT c.vec_id, c.embedding, t.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY $cosCT DESC, t.cid DESC) AS rn
+       |    FROM aug c CROSS JOIN cent t) x
+       |  WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, embedding, cid AS cell FROM (
+       |    SELECT a.vec_id, a.embedding, t.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |        ORDER BY $cosQT DESC, t.cid DESC) AS rn
+       |    FROM augq a CROSS JOIN cent t) x
+       |  WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    $cosQC AS cos
+       |  FROM qprobe q JOIN cells c USING (cell)
+       |  WHERE c.vec_id <> q.query_id)
+       |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank
+       |FROM (SELECT query_id, neighbor_id,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, neighbor_id) AS rn
+       |      FROM scored) t
+       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Random-hyperplane LSH bucket (`VectorKernels.bucket`): bit p = sign of
     * Σ_i x_i·s(i,p) with s(i,p) = ±1 from splitmix64 parity. The signs are
     * computed HERE from the same `mix` the codegen'd kernel calls, and

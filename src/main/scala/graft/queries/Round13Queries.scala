@@ -110,6 +110,37 @@ object Round13Queries {
       .distinct()
   }
 
+  /** DuckDB CTE chain replaying [[winnowFingerprints]] up through the
+    * per-doc fingerprint set `fps (doc_id, fp)` — shared by the
+    * per-doc rollup oracle (`t_winnow_fingerprint`) and the cross-doc
+    * overlap-pair oracle (`t_winnow_overlap`) so the fingerprint
+    * definition cannot fork between them (the Coactivity.sqlUnd
+    * discipline). */
+  private[queries] val winnowFpsCtes: String =
+    """docs AS (
+      |  SELECT doc_id,
+      |    substr(regexp_replace(lower(trim(text)), '\s+', ' ',
+      |      'g'), 1, 2000) AS t
+      |  FROM documents),
+      |sized AS (SELECT doc_id, t FROM docs WHERE length(t) >= 8),
+      |grams0 AS (
+      |  SELECT doc_id, t, length(t) - 11 AS max_j,
+      |    unnest(range(0, length(t) - 7)) AS i
+      |  FROM sized),
+      |grams AS (
+      |  SELECT doc_id, max_j, i,
+      |    CAST(concat('0x', substr(md5(substr(t,
+      |      CAST(i + 1 AS INT), 8)), 1, 10)) AS BIGINT)
+      |      * 4096 + i AS combined
+      |  FROM grams0),
+      |wins AS (
+      |  SELECT doc_id, i, max_j,
+      |    min(combined) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |  FROM grams),
+      |fps AS (
+      |  SELECT DISTINCT doc_id, fp FROM wins WHERE i <= max_j)""".stripMargin
+
   /** Peel rounds for `g_kcore`. The op is pinned as "R rounds of
     * peeling", which equals the true k-core whenever the peel
     * converges within R rounds; if a graph ever needed more, BOTH
@@ -380,29 +411,7 @@ object Round13Queries {
                 "x -> CAST(x AS STRING))"))).as("fp_rollup"))
           .orderBy($"doc_id")
       },
-      Some("""WITH docs AS (
-             |  SELECT doc_id,
-             |    substr(regexp_replace(lower(trim(text)), '\s+', ' ',
-             |      'g'), 1, 2000) AS t
-             |  FROM documents),
-             |sized AS (SELECT doc_id, t FROM docs WHERE length(t) >= 8),
-             |grams0 AS (
-             |  SELECT doc_id, t, length(t) - 11 AS max_j,
-             |    unnest(range(0, length(t) - 7)) AS i
-             |  FROM sized),
-             |grams AS (
-             |  SELECT doc_id, max_j, i,
-             |    CAST(concat('0x', substr(md5(substr(t,
-             |      CAST(i + 1 AS INT), 8)), 1, 10)) AS BIGINT)
-             |      * 4096 + i AS combined
-             |  FROM grams0),
-             |wins AS (
-             |  SELECT doc_id, i, max_j,
-             |    min(combined) OVER (PARTITION BY doc_id ORDER BY i
-             |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-             |  FROM grams),
-             |fps AS (
-             |  SELECT DISTINCT doc_id, fp FROM wins WHERE i <= max_j)
+      Some(s"""WITH $winnowFpsCtes
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
              |  md5(string_agg(CAST(fp AS VARCHAR), '-' ORDER BY fp))
              |    AS fp_rollup

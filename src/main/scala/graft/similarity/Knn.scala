@@ -137,6 +137,37 @@ object Knn {
         round(col("dot_raw"), 6).as("dot"))
   }
 
+  /** MIPS SERVED through the IVF path via the norm-augmentation
+    * reduction — the registered proof that the approximate serving
+    * tier answers max-inner-product, not just cosine: corpus vectors
+    * become x' = [x, √(M² − ‖x‖²)] with M² = max corpus norm²
+    * (derived IN-PLAN as a broadcast 1-row aggregate — no
+    * construction-time job beyond the centroid take the IVF build
+    * already runs), queries become q' = [q, 0]. Every augmented
+    * corpus vector has norm M, so augmented-cosine order ≡ dot order
+    * and [[ivfTopK]]'s cell routing, probe explosion, and ranked
+    * scoring apply UNCHANGED (the spec additionally pins
+    * nProbe = nCells ⇒ ranks identical to [[mipsTopK]] brute).
+    * ‖x‖² is the same codegen'd `vec_dot` the brute path scores with,
+    * so M² − ‖x‖² is exactly 0 (not epsilon-negative) for the longest
+    * vector, and the oracle replays the augmentation bit-for-bit.
+    */
+  def mipsIvfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, nCells: Int = 16,
+                  nProbe: Int = 2): DataFrame = {
+    val m2 = corpus.agg(
+      max(dot(col(vecCol), col(vecCol))).as("__m2"))
+    val augC = corpus.crossJoin(broadcast(m2))
+      .select(col(idCol),
+        concat(col(vecCol).cast("array<float>"),
+          array(sqrt(col("__m2") - dot(col(vecCol), col(vecCol)))
+            .cast("float"))).as(vecCol))
+    val augQ = queries.select(col(idCol),
+      concat(col(vecCol).cast("array<float>"),
+        array(lit(0.0f))).as(vecCol))
+    ivfTopK(augC, augQ, idCol, vecCol, k, nCells, nProbe)
+  }
+
   /** IVF-style ANN: a small deterministic centroid sample partitions the
     * corpus into data-adaptive cells (unlike LSH's data-oblivious planes);
     * each query probes the `nProbe` nearest cells.

@@ -601,6 +601,15 @@ object Dedup {
     * rows; `localCheckpoint` truncates the iterative lineage so plans
     * don't grow unboundedly — the classic Spark iterative-algorithm
     * trap.
+    *
+    * CONTRACT: `edges` must reference only ids present in `nodes`
+    * (edges ⊆ nodes × nodes). The star rounds compute component roots
+    * over ALL edge endpoints, so a stray endpoint outside `nodes`
+    * would not only label itself — it can BECOME `cluster_id` for the
+    * nodes it touches (the root is the minimum over the whole
+    * component, known or not). Every in-repo caller derives edges
+    * from the same id universe as nodes; callers composing external
+    * edge lists must semi-join them against `nodes` first.
     */
   def duplicateClusters(nodes: DataFrame, edges: DataFrame, idCol: String,
                         maxIter: Int = 25,

@@ -228,6 +228,34 @@ class Round14OpsSpec extends AnyFunSuite {
       s"the point-interval join must be an equi join:\n$plan")
   }
 
+  test("composing two same-label capped generators in ONE plan fails " +
+      "FAST at analysis (duplicate CollectMetrics name), and distinct " +
+      "capLabels compose cleanly — the documented contract") {
+    import graft.dedup.Dedup
+    def docs(tag: String) = (0L until 12L).map(i =>
+      (i, s"$tag doc $i " + (0 to 6).map(j => s"$tag${i}_$j")
+        .mkString(" "))).toDF("doc_id", "text")
+    // different corpora -> the two observe nodes are NOT sameResult,
+    // so the default shared label must be rejected at analysis, not
+    // discovered as a mystery failure mid-job
+    val a = Dedup.minhashCandidates(docs("aa"), "doc_id", "text",
+      shingleN = 3, bands = 4, rowsPerBand = 2, maxBucket = 0)
+    val b = Dedup.minhashCandidates(docs("bb"), "doc_id", "text",
+      shingleN = 3, bands = 4, rowsPerBand = 2, maxBucket = 0)
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      a.unionByName(b).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("observ") ||
+      ex.getMessage.toLowerCase.contains("metrics"),
+      s"expected the duplicate-metrics analysis error, got: " +
+        s"${ex.getMessage.take(200)}")
+    // the workaround the Scaladoc prescribes: distinct labels
+    val b2 = Dedup.minhashCandidates(docs("bb"), "doc_id", "text",
+      shingleN = 3, bands = 4, rowsPerBand = 2, maxBucket = 0,
+      capLabel = "minhash_b")
+    assert(a.unionByName(b2).collect() != null)
+  }
+
   test("coactivity guard: a pair sharing BOTH a hot and an under-cap " +
       "bucket still surfaces (multi-band semantics, no lost signal)") {
     // users 0 and 1 are in the 70-user hot minute AND a private bucket

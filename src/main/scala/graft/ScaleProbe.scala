@@ -61,7 +61,31 @@ object ScaleProbe {
     // K copies share ~every fingerprint), so the TRUE pair count —
     // any detector's output — grows ~K²; the honest flatness measure
     // is seconds per output row, not the raw ratio (see SCALE.md).
-    "e_knn_mips_ivf", "t_winnow_overlap", "j_interval_autowidth")
+    "e_knn_mips_ivf", "t_winnow_overlap", "j_interval_autowidth",
+    // r14 second wave: the KMV sketch rides the inflated events table
+    // (per-copy user offsets → K× distinct users per group); RRF's
+    // cost is its two brute rankers over the K× embeddings corpus;
+    // BM25/LPA/overlap-scrub ride the inflated documents/events.
+    // NOTE overlap-scrub on the K×-scaled corpus is OUTPUT-bound like
+    // the winnow probes: each doc's K copies share every shingle, so
+    // the K× corpus is ~100% duplicated runs — covered-set and
+    // rebuild work legitimately grow with the duplication the corpus
+    // actually contains
+    "agg_kmv_distinct", "e_hybrid_rrf", "t_bm25_topk",
+    "g_labelprop", "curate_overlap_scrub",
+    // r14 third wave: modularity rides the same inflated events as
+    // the other g_* probes; the sketch set-ops query is sketch-side
+    // work (k-row summaries per group) over the K× distinct users
+    "g_modularity", "agg_kmv_setops",
+    // r14 fourth wave: interval×interval overlap. The registry query
+    // joins orders against orders and the scaled dir SYMLINKS orders,
+    // so the K× measurement lives in probe_interval_overlap_heavy
+    // (in-plan K× interval copies with disjoint time offsets — true
+    // pairs grow ~K×, so the probe measures the bucketized join).
+    // stream_kmv_sketch is deliberately NOT probed: the streaming
+    // family's fixed micro-batch floors dominate its small compute
+    // (the documented convention for all stream_* queries)
+    "probe_interval_overlap_heavy")
 
   /** Documents inflated COPIES× in-plan (ids stay unique under any
     * further per-dir offset; text carries a per-copy tag so copies are
@@ -179,6 +203,32 @@ object ScaleProbe {
     // dropped pre-join and the ratio stays ~linear. The probe the
     // disjoint-subgraph data model could never produce (SCALE.md:
     // g_* probes deliberately avoid cross-copy buckets).
+    // interval×interval overlap at K×: the A side derives its
+    // intervals from LINEITEM (which the scaled dir inflates K× with
+    // natural shipdates), the B side from the symlinked orders' fixed
+    // window set — so true pairs grow ~K× (one side fixed) and the
+    // probe measures the bucketized join + the exactly-once
+    // later-start dedup, not quadratic output densification. The
+    // registry query itself (orders × orders) can't be K×-probed:
+    // the scaled dir symlinks orders.
+    "probe_interval_overlap_heavy" -> ((s: SparkSession, d: String) => {
+      val a = Tables.table(s, d, "lineitem")
+        .filter(pmod(col("l_orderkey") * 7 + col("l_linenumber"),
+          lit(17L)) === 0)
+        .select(
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("a_id"),
+          col("l_shipdate").as("a_start"),
+          (col("l_shipdate") + expr("INTERVAL 3 DAYS")).as("a_end"))
+      val b = Tables.table(s, d, "orders")
+        .filter(pmod(col("o_orderkey"), lit(89L)) === 0)
+        .select(col("o_orderkey").as("b_id"),
+          col("o_orderdate").as("b_start"),
+          (col("o_orderdate") + expr("INTERVAL 11 DAYS")).as("b_end"))
+      graft.ops.Relational.intervalOverlapJoin(a, b,
+          "a_start", "a_end", "b_start", "b_end")
+        .groupBy(col("b_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+    }),
     "probe_coactivity_spam" -> ((s: SparkSession, d: String) => {
       val ev = Tables.events(s, d)
       val spam = pmod(col("event_id"), lit(8L)) === 0L

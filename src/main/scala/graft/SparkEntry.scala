@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{ExtendedQueries, PipelineQueries, Q, Round4Queries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, Round9Queries, Round10Queries, Round10bQueries, Round11Queries, Round12Queries, Round13Queries, Round14Queries, StarQueries}
+import graft.queries.{ExtendedQueries, PipelineQueries, Q, Round4Queries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, Round9Queries, Round10Queries, Round10bQueries, Round11Queries, Round12Queries, Round13Queries, Round14Queries, Round14bQueries, StarQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,7 +19,7 @@ object SparkEntry {
       Round6Queries.all ++ Round7Queries.all ++ Round8Queries.all ++
       Round9Queries.all ++ Round10Queries.all ++ Round10bQueries.all ++
       Round11Queries.all ++ Round12Queries.all ++ Round13Queries.all ++
-      Round14Queries.all
+      Round14Queries.all ++ Round14bQueries.all
     val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(",")}")
     all
@@ -92,7 +92,11 @@ object SparkEntry {
     "j_interval_bucketized", "curate_line_dedup",
     "t_winnow_fingerprint", "e_knn_mips",
     // r14-new: same capped-from-birth policy
-    "e_knn_mips_ivf", "t_winnow_overlap", "j_interval_autowidth")
+    "e_knn_mips_ivf", "t_winnow_overlap", "j_interval_autowidth",
+    // r14 second wave: same capped-from-birth policy
+    "agg_kmv_distinct", "e_hybrid_rrf", "t_bm25_topk",
+    "g_labelprop", "curate_overlap_scrub", "g_modularity",
+    "agg_kmv_setops", "stream_kmv_sketch", "j_interval_overlap")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

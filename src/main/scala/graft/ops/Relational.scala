@@ -293,6 +293,54 @@ object Relational {
       .drop("__ibkt")
   }
 
+  /** Keyless interval × interval OVERLAP join — pairs where
+    * [lStart, lEnd) ∩ [rStart, rEnd) ≠ ∅, i.e. lStart < rEnd &&
+    * rStart < lEnd — bucketized into an equi join (the naive two-sided
+    * range predicate plans as BroadcastNestedLoopJoin). Both sides
+    * replicate to the buckets their span covers; candidates meet in
+    * shared buckets; the exact predicate filters; and each true pair
+    * is DEDUPLICATED WITHOUT a distinct: a pair is kept only in the
+    * bucket containing max(lStart, rStart) — the later start, which
+    * lies inside BOTH intervals exactly when they overlap — so every
+    * overlapping pair survives in exactly one bucket and the join
+    * never shuffles duplicate pairs to a dedup stage. The bucket
+    * width is derived IN-PLAN as the max span across BOTH sides
+    * (floored at 1 s, broadcast 1-row aggregates), so every interval
+    * replicates to ≤ 2 buckets by construction; bucket indices ride
+    * the same exact integer floor division as [[intervalJoin]].
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          lStart: String, lEnd: String,
+                          rStart: String, rEnd: String): DataFrame = {
+    require(left.columns.intersect(right.columns).isEmpty,
+      "left/right column names must be disjoint")
+    def us(c: String) = unix_micros(col(c).cast("timestamp"))
+    def fdiv(x: Column, w: Column): Column =
+      call_function("div", x - pmod(x, w), w)
+    val l0 = left.filter(col(lEnd) > col(lStart))
+    val r0 = right.filter(col(rEnd) > col(rStart))
+    val widthDf = broadcast(
+      l0.agg(max(us(lEnd) - us(lStart)).as("__wl"))
+        .crossJoin(r0.agg(max(us(rEnd) - us(rStart)).as("__wr")))
+        .select(greatest(lit(1000000L), col("__wl"), col("__wr"))
+          .as("__iw")))
+    // __iw survives on the LEFT side through the join: the pair-dedup
+    // bucket test needs the width after the equi join
+    val lb = l0.crossJoin(widthDf)
+      .withColumn("__ibkt", explode(sequence(
+        fdiv(us(lStart), col("__iw")),
+        fdiv(us(lEnd) - 1L, col("__iw")))))
+    val rb = r0.crossJoin(widthDf)
+      .withColumn("__ibkt", explode(sequence(
+        fdiv(us(rStart), col("__iw")),
+        fdiv(us(rEnd) - 1L, col("__iw"))))).drop("__iw")
+    lb.join(rb, "__ibkt")
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(col("__ibkt") ===
+        fdiv(greatest(us(lStart), us(rStart)), col("__iw")))
+      .drop("__ibkt", "__iw")
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, valueCols: Seq[String],
                strict: Boolean = true,

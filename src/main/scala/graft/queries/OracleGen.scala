@@ -81,6 +81,56 @@ object OracleGen {
        |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Reciprocal-rank fusion of the brute cosine and brute MIPS
+    * rankings (`Round14bQueries.hybridRrf`): both per-query top-`kEach`
+    * lists replayed on their bit-identical expansions ([[knnBruteSql]]
+    * / [[knnMipsSql]] reasoning), FULL OUTER joined per (query,
+    * neighbor), fused as 1/(60+rank) with an absent rank contributing
+    * exactly 0.0 — a FIXED two-term float chain (each term one
+    * int→double cast, one add, one divide), so the fused score is
+    * bit-identical cross-engine; re-ranked (score desc, neighbor asc),
+    * top `kOut` kept.
+    */
+  def hybridRrfSql(dim: Int, kEach: Int, kOut: Int,
+                   maxQueryId: Long): String = {
+    val cos = cosExpr("q", "e", dim)
+    val d = dotTerms("q", "e", dim)
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+       |           WHERE vec_id < $maxQueryId),
+       |cpairs AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    $cos AS s FROM q CROSS JOIN embeddings e
+       |  WHERE e.vec_id <> q.query_id),
+       |crank AS (SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY s DESC, neighbor_id) AS rnk
+       |  FROM cpairs QUALIFY rnk <= $kEach),
+       |dpairs AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    ($d) AS s FROM q CROSS JOIN embeddings e
+       |  WHERE e.vec_id <> q.query_id),
+       |drank AS (SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY s DESC, neighbor_id) AS rnk
+       |  FROM dpairs QUALIFY rnk <= $kEach),
+       |fused AS (SELECT
+       |    COALESCE(c.query_id, d.query_id) AS query_id,
+       |    COALESCE(c.neighbor_id, d.neighbor_id) AS neighbor_id,
+       |    (CASE WHEN c.rnk IS NULL THEN 0.0
+       |       ELSE 1.0 / (60.0 + CAST(c.rnk AS DOUBLE)) END
+       |     + CASE WHEN d.rnk IS NULL THEN 0.0
+       |       ELSE 1.0 / (60.0 + CAST(d.rnk AS DOUBLE)) END)
+       |      AS rrf_score
+       |  FROM crank c FULL OUTER JOIN drank d
+       |    ON c.query_id = d.query_id
+       |    AND c.neighbor_id = d.neighbor_id)
+       |SELECT query_id, CAST(rn AS BIGINT) AS rrf_rank, neighbor_id,
+       |  rrf_score
+       |FROM (SELECT query_id, neighbor_id, rrf_score,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY rrf_score DESC, neighbor_id) AS rn
+       |      FROM fused) t
+       |WHERE rn <= $kOut ORDER BY query_id, rrf_rank""".stripMargin
+  }
+
   /** MIPS through the IVF serving path (`Knn.mipsIvfTopK`): the ENTIRE
     * norm-augmentation reduction replayed — M² = max corpus norm² (the
     * same left-to-right dot chain `vec_dot` accumulates, so the max is

@@ -1,0 +1,925 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-14 second wave — the retrieval/sketch operators a
+  * training-data pipeline composes on top of the existing families:
+  * a mergeable KMV distinct sketch (the distributed approx-distinct
+  * whose merge step is provable, unlike HLL whose registers are
+  * engine-private), reciprocal-rank fusion of two retrieval rankings
+  * (the standard hybrid-search combiner), and — in later waves of
+  * this file — BM25 lexical retrieval and duplicated-substring
+  * scrubbing.
+  */
+object Round14bQueries {
+
+  /** 2^60 — the KMV hash space: 15 hex chars of md5, the repo's
+    * md5-prefix→BIGINT convention (winnowing uses 10 chars / 40 bits;
+    * a distinct sketch wants more headroom against collisions).
+    */
+  private val KmvSpace = 1152921504606846976L
+  private val KmvK = 64
+
+  /** BM25 query set: (query_id, slot, term). Slots are the FIXED
+    * summation positions — the fused score is the literal chain
+    * (c1 + c2) + c3, never a SUM over a variable row set, so the
+    * float result is bit-identical cross-engine (the e_knn dot-chain
+    * discipline applied to lexical scoring). 'dup' is the corpus's
+    * one rare term (df ≈ 5% of docs) so the idf weighting is
+    * exercised, not just constant.
+    */
+  private[graft] val Bm25Terms: Seq[(Long, Int, String)] = Seq(
+    (1L, 1, "dup"), (1L, 2, "spark"), (1L, 3, "customer"),
+    (2L, 1, "window"), (2L, 2, "merge"), (2L, 3, "dup"),
+    (3L, 1, "batch"), (3L, 2, "the"), (3L, 3, "vector"))
+
+  /** BM25 lexical top-k (k1 = 1.2, b = 0.75) with two deliberate,
+    * documented exactness choices:
+    *
+    *  - **idf is bit-length-quantized**: idf = bitlen(⌊2(N+1) /
+    *    (2·df+1)⌋) ≈ ⌊log2((N+0.5+0.5)/(df+0.5))⌋ + 1 — factor-of-2
+    *    idf buckets via the same `length(bin(...))` integer discipline
+    *    the LSH cap formula rides. The standard ln-idf is a
+    *    transcendental whose last ulp varies by libm, which a
+    *    hash-exact oracle regime cannot admit (the t_tfidf_top
+    *    "float idf ranks are engine-order traps" rule, solved by
+    *    quantization instead of avoidance).
+    *  - **tf normalization is an exact integer ratio**: with
+    *    k1 = 6/5 and b = 3/4, multiplying numerator and denominator
+    *    by 20·S·N (S = corpus tokens, N = docs) clears every
+    *    fraction: contribution = idf · 44·S·tf / (20·S·tf + 6·S +
+    *    18·N·dl) — two BIGINT expressions, each cast to double once,
+    *    ONE divide, ONE multiply. (BIGINT is ample headroom at test
+    *    scale; a 100 TB corpus would lift the two products to
+    *    DECIMAL(38) — same plan.)
+    *
+    * Per-doc scores exist only for docs containing ≥ 1 query term
+    * (the postings filter — at scale this is the inverted-list
+    * pushdown: the token explode feeds ONE filtered aggregation, and
+    * the df/scalars sides are broadcast-sized).
+    */
+  private[graft] def bm25TopK(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      terms: Seq[(Long, Int, String)], k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val toks = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val scalars = broadcast(dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("s_tokens")))
+    val termList = terms.map(_._3).distinct
+    val tf = toks.filter(col("tok").isin(termList: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val qt = broadcast(terms.toDF("query_id", "slot", "tok"))
+    val scored = tf.join(qt, "tok")
+      .join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(scalars)
+      .withColumn("idf",
+        length(bin(expr("(2 * (n_docs + 1)) div (2 * df + 1)")))
+          .cast("long"))
+      .withColumn("c", col("idf").cast("double") *
+        ((lit(44L) * col("s_tokens") * col("tf")).cast("double") /
+          (lit(20L) * col("s_tokens") * col("tf")
+            + lit(6L) * col("s_tokens")
+            + lit(18L) * col("n_docs") * col("dl")).cast("double")))
+    val piv = scored.groupBy(col("query_id"), col("doc_id"))
+      .agg(
+        coalesce(max(when(col("slot") === 1, col("c"))), lit(0.0))
+          .as("c1"),
+        coalesce(max(when(col("slot") === 2, col("c"))), lit(0.0))
+          .as("c2"),
+        coalesce(max(when(col("slot") === 3, col("c"))), lit(0.0))
+          .as("c3"))
+      .withColumn("score", col("c1") + col("c2") + col("c3"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    piv.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("rank").cast("long").as("rank"), col("doc_id"),
+        col("score"))
+  }
+
+  /** The BM25 oracle: the identical pipeline in DuckDB — same
+    * quantized idf (`length(bin(...))` with `//`, floor ≡ truncation
+    * on the all-positive operands), same integer-cleared tf ratio,
+    * same fixed c1+c2+c3 chain, same (score desc, doc asc) ranking.
+    */
+  private def bm25Sql(terms: Seq[(Long, Int, String)], k: Int): String = {
+    val values = terms.map { case (q, s, t) => s"($q, $s, '$t')" }
+      .mkString(", ")
+    val inList = terms.map(_._3).distinct.map(t => s"'$t'")
+      .mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |sc AS (SELECT count(*) AS n_docs,
+       |         CAST(sum(dl) AS BIGINT) AS s_tokens FROM dl),
+       |qt(query_id, slot, tok) AS (VALUES $values),
+       |tf AS (
+       |  SELECT doc_id, tok, count(*) AS tf FROM toks
+       |  WHERE tok IN ($inList) GROUP BY doc_id, tok),
+       |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       |scored AS (
+       |  SELECT q.query_id, q.slot, t.doc_id,
+       |    CAST(length(bin((2 * (sc.n_docs + 1)) // (2 * d.df + 1)))
+       |      AS BIGINT) AS idf,
+       |    CAST(length(bin((2 * (sc.n_docs + 1)) // (2 * d.df + 1)))
+       |        AS DOUBLE)
+       |      * (CAST(44 * sc.s_tokens * t.tf AS DOUBLE)
+       |        / CAST(20 * sc.s_tokens * t.tf + 6 * sc.s_tokens
+       |            + 18 * sc.n_docs * l.dl AS DOUBLE)) AS c
+       |  FROM tf t JOIN qt q USING (tok) JOIN dfreq d USING (tok)
+       |    JOIN dl l USING (doc_id) CROSS JOIN sc),
+       |piv AS (
+       |  SELECT query_id, doc_id,
+       |    coalesce(max(CASE WHEN slot = 1 THEN c END), 0.0) AS c1,
+       |    coalesce(max(CASE WHEN slot = 2 THEN c END), 0.0) AS c2,
+       |    coalesce(max(CASE WHEN slot = 3 THEN c END), 0.0) AS c3
+       |  FROM scored GROUP BY query_id, doc_id)
+       |SELECT CAST(query_id AS BIGINT) AS query_id,
+       |  CAST(rn AS BIGINT) AS rank, doc_id, score
+       |FROM (SELECT query_id, doc_id, c1 + c2 + c3 AS score,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY c1 + c2 + c3 DESC, doc_id) AS rn
+       |      FROM piv) t
+       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Synchronous label-propagation rounds for `g_labelprop`. Pinned
+    * as an R-round object, the [[Round13Queries.KcorePeelRounds]]
+    * discipline: equals converged LPA whenever propagation settles
+    * within R rounds, and if a graph ever needed more, BOTH engines
+    * still compute the identical R-round labels — the hash gate
+    * cannot silently diverge either way.
+    */
+  private[graft] val LabelPropRounds = 4
+
+  /** Community detection via synchronous label propagation over an
+    * undirected edge list (a, b): every node starts labeled with
+    * itself; each round every node adopts the MOST FREQUENT label
+    * among its neighbors, ties broken by smallest label (the
+    * deterministic variant — classic LPA tie-breaks randomly, which
+    * no replayable engine can admit). Unlike min-label propagation
+    * (= connected components, [[graft.dedup.Dedup.duplicateClusters]])
+    * the mode update respects local density, so two cliques joined by
+    * one bridge edge keep separate communities where CC merges them
+    * (spec-pinned).
+    *
+    * Iterative discipline (the kcore/CC rules): the bidirectional
+    * edge list is hash-partitioned ONCE on the probe side and
+    * localCheckpoint'd; each round is one join + ONE exchange on v
+    * (the mode count and its argmax window share the repartition);
+    * per-round localCheckpoint truncates the growing lineage.
+    */
+  /** The node → community mapping after `rounds` synchronous LPA
+    * rounds — the seam `g_modularity` shares, so the community
+    * assignment cannot fork between the rollup query and the quality
+    * metric. */
+  private[graft] def labelPropLabels(
+      s: org.apache.spark.sql.SparkSession,
+      und: org.apache.spark.sql.DataFrame, rounds: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val u = und.localCheckpoint()
+    val bi = u.select($"a".as("v"), $"b".as("u"))
+      .unionByName(u.select($"b".as("v"), $"a".as("u")))
+      .repartition($"u").localCheckpoint()
+    var labels = bi.select($"v".as("node")).distinct()
+      .select($"node", $"node".as("lbl")).localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"v").orderBy($"n".desc, $"lbl".asc)
+    for (_ <- 1 to rounds) {
+      labels = bi.join(labels, $"u" === $"node")
+        .repartition($"v")
+        .groupBy($"v", $"lbl").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"v".as("node"), $"lbl")
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  private[graft] def labelProp(s: org.apache.spark.sql.SparkSession,
+      und: org.apache.spark.sql.DataFrame, rounds: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    labelPropLabels(s, und, rounds)
+      .groupBy($"lbl").agg(count(lit(1)).as("n_nodes"),
+        min($"node").as("min_node"))
+      .select($"lbl".as("community"), $"n_nodes", $"min_node")
+  }
+
+  /** The unrolled R-round LPA CTE chain (after [[Coactivity.sqlUnd]] +
+    * sqlBi): per round one neighbor-label count + one argmax
+    * (count desc, label asc). Every l_i is MATERIALIZED — each is
+    * referenced by the next round's count, and DuckDB's CTE inlining
+    * would exponentiate the chain (the g_kcore lesson). Shared by the
+    * `g_labelprop` and `g_modularity` oracles — one community
+    * definition, two consumers.
+    */
+  private def lpaCtes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""c$i AS (
+         |  SELECT bi.src AS v, l${i - 1}.lbl, count(*) AS n
+         |  FROM bi JOIN l${i - 1} ON bi.dst = l${i - 1}.node
+         |  GROUP BY bi.src, l${i - 1}.lbl),
+         |l$i AS MATERIALIZED (
+         |  SELECT v AS node, lbl FROM (
+         |    SELECT v, lbl, ROW_NUMBER() OVER (PARTITION BY v
+         |      ORDER BY n DESC, lbl) AS rn FROM c$i)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""${Coactivity.sqlUnd},
+       |${Coactivity.sqlBi},
+       |l0 AS MATERIALIZED (
+       |  SELECT node, node AS lbl FROM
+       |    (SELECT DISTINCT src AS node FROM bi)),
+       |$roundCtes""".stripMargin
+  }
+
+  private def labelPropSql(rounds: Int): String =
+    s"""WITH ${lpaCtes(rounds)}
+       |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+       |  min(node) AS min_node
+       |FROM l$rounds GROUP BY lbl ORDER BY community""".stripMargin
+
+  /** Newman modularity of the R-round LPA assignment, EXACT:
+    * Q = Σ_c [e_c/m − (d_c/2m)²] = Σ_c (4·m·e_c − d_c²) / (4m²) —
+    * the numerator stays in BIGINT (per-community `q_num`), the
+    * single global double division happens once, so the quality
+    * metric rides the hash gate without a transcendental or a
+    * variable-order float sum. (BIGINT holds d_c² up to m ≈ 1.5·10⁹
+    * edges; a 100 TB graph lifts the two products to DECIMAL(38) —
+    * same plan.)
+    */
+  private[graft] def modularity(s: org.apache.spark.sql.SparkSession,
+      und: org.apache.spark.sql.DataFrame, rounds: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val u = und.localCheckpoint()
+    val lab = labelPropLabels(s, u, rounds)
+    val m = broadcast(u.agg(count(lit(1)).as("m")))
+    val la = lab.select($"node".as("na"), $"lbl".as("la"))
+    val lb = lab.select($"node".as("nb"), $"lbl".as("lb"))
+    val ein = u.join(la, $"a" === $"na").join(lb, $"b" === $"nb")
+      .filter($"la" === $"lb")
+      .groupBy($"la".as("c")).agg(count(lit(1)).as("e_in"))
+    val deg = u.select($"a".as("v")).unionByName(u.select($"b".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("d"))
+    val dc = deg.join(lab, $"v" === $"node")
+      .groupBy($"lbl".as("c"))
+      .agg(sum($"d").as("d_tot"), count(lit(1)).as("n_nodes"))
+    val per = dc.join(ein, Seq("c"), "left")
+      .crossJoin(m)
+      .select($"c", $"n_nodes",
+        coalesce($"e_in", lit(0L)).as("e_in"), $"d_tot", $"m")
+      .withColumn("q_num",
+        lit(4L) * $"m" * $"e_in" - $"d_tot" * $"d_tot")
+    val tot = broadcast(per.agg(sum($"q_num").as("q_tot"),
+      max($"m").as("m2")))
+    per.crossJoin(tot)
+      .select($"c".as("community"), $"n_nodes", $"e_in", $"d_tot",
+        $"q_num",
+        ($"q_tot".cast("double") /
+          (lit(4L) * $"m2" * $"m2").cast("double")).as("modularity"))
+  }
+
+  private def modularitySql(rounds: Int): String =
+    s"""WITH ${lpaCtes(rounds)},
+       |mm AS (SELECT count(*) AS m FROM und),
+       |lab AS (SELECT node, lbl FROM l$rounds),
+       |ein AS (
+       |  SELECT la.lbl AS c, count(*) AS e_in
+       |  FROM und JOIN lab la ON und.a = la.node
+       |    JOIN lab lb ON und.b = lb.node
+       |  WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+       |deg AS (
+       |  SELECT v, count(*) AS d FROM (
+       |    SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+       |  GROUP BY v),
+       |dc AS (
+       |  SELECT lab.lbl AS c, CAST(sum(deg.d) AS BIGINT) AS d_tot,
+       |    count(*) AS n_nodes
+       |  FROM deg JOIN lab ON deg.v = lab.node GROUP BY lab.lbl),
+       |per AS (
+       |  SELECT dc.c, dc.n_nodes,
+       |    coalesce(ein.e_in, 0) AS e_in, dc.d_tot, mm.m,
+       |    4 * mm.m * coalesce(ein.e_in, 0) - dc.d_tot * dc.d_tot
+       |      AS q_num
+       |  FROM dc LEFT JOIN ein ON dc.c = ein.c CROSS JOIN mm),
+       |tot AS (SELECT CAST(sum(q_num) AS BIGINT) AS q_tot,
+       |          max(m) AS m2 FROM per)
+       |SELECT per.c AS community, CAST(per.n_nodes AS BIGINT) AS n_nodes,
+       |  CAST(per.e_in AS BIGINT) AS e_in, per.d_tot,
+       |  CAST(per.q_num AS BIGINT) AS q_num,
+       |  CAST(tot.q_tot AS DOUBLE) / CAST(4 * tot.m2 * tot.m2 AS DOUBLE)
+       |    AS modularity
+       |FROM per CROSS JOIN tot ORDER BY community""".stripMargin
+
+  /** Alignment-free duplicated-RUN scrub — the exact-substring dedup
+    * of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better") in its remove-the-span form: every positional
+    * 8-token sliding shingle occurring in ≥ 2 DISTINCT docs marks its
+    * 8 positions duplicated; overlapping-or-adjacent marked runs merge
+    * into islands (gaps-and-islands over the start positions); marked
+    * tokens are removed and the text rebuilt from the survivors in
+    * order. The existing `curate_span_scrub` is CHUNK-ALIGNED
+    * (non-overlapping 8-token blocks) — a duplicated run straddling a
+    * chunk boundary is invisible to it; the sliding form catches
+    * duplicated runs at ANY alignment, which is the actual Lee et al.
+    * guarantee.
+    *
+    * Scale shape: hot-shingle discovery is ONE distinct + groupBy on
+    * the shingle key (no pair join anywhere — a k-doc-shared run
+    * costs k flag rows, never k², so no cap is needed); the covered
+    * set is ≤ 8 rows per duplicated start (bounded linear); the
+    * rebuild is the curate_line_dedup array_sort order restoration.
+    * At 100 TB the shingle strings would shuffle as xxhash64 keys
+    * (the d_substring_spans note) — same plan.
+    */
+  private[graft] def overlapScrub(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("toks"))
+    val toks = base.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("p", "tok")))
+    val sh = base.filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 8), " +
+          "i -> struct(i AS i, array_join(slice(toks, i + 1, 8), ' ') " +
+          "AS sh))")).as("x"))
+      .select(col("doc_id"), col("x.i").as("i"), col("x.sh").as("sh"))
+    val hot = sh.select(col("doc_id"), col("sh")).distinct()
+      .groupBy(col("sh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("sh"))
+    val starts = sh.join(hot, "sh").select(col("doc_id"), col("i"))
+    val covered = starts
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + 7)).as("p"))
+      .distinct()
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+    val reb = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(p, tok))), " +
+            "x -> x.tok)"), " ").as("scrubbed"))
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val isl = starts
+      .withColumn("prev", lag(col("i"), 1).over(wl))
+      .withColumn("brk",
+        when(col("prev").isNull || col("i") - col("prev") > 8, 1L)
+          .otherwise(0L))
+      .groupBy(col("doc_id")).agg(sum(col("brk")).as("n_islands"))
+    val dup = covered.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_tokens"))
+    base.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .join(isl, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .join(reb, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        // NULL-vs-empty parity (the curate_line_dedup lesson): a doc
+        // whose every token is covered has NO kept rows — emit the
+        // empty-string signature explicitly on both engines
+        Digest.strSig(coalesce(col("scrubbed"), lit("")))
+          .as("scrub_sig"))
+  }
+
+  private val overlapScrubSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, u.i AS i,
+       |    array_to_string(toks[u.i + 1 : u.i + 8], ' ') AS sh
+       |  FROM t, unnest(range(0, len(toks) - 7)) AS u(i)
+       |  WHERE len(toks) >= 8),
+       |hot AS (
+       |  SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM sh)
+       |  GROUP BY sh HAVING count(*) >= 2),
+       |starts AS (SELECT doc_id, i FROM sh JOIN hot USING (sh)),
+       |covered AS (
+       |  SELECT DISTINCT doc_id, u.p AS p
+       |  FROM starts, unnest(range(i, i + 8)) AS u(p)),
+       |toksp AS (
+       |  SELECT doc_id, u.p AS p, toks[u.p + 1] AS tok
+       |  FROM t, unnest(range(0, len(toks))) AS u(p)),
+       |kept AS (
+       |  SELECT tp.doc_id, tp.p, tp.tok FROM toksp tp
+       |  ANTI JOIN covered c ON tp.doc_id = c.doc_id AND tp.p = c.p),
+       |reb AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    array_to_string(list(tok ORDER BY p), ' ') AS scrubbed
+       |  FROM kept GROUP BY doc_id),
+       |isl AS (
+       |  SELECT doc_id, CAST(sum(brk) AS BIGINT) AS n_islands FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+       |          IS NULL
+       |        OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 8
+       |        THEN 1 ELSE 0 END AS brk
+       |    FROM starts) GROUP BY doc_id),
+       |dup AS (SELECT doc_id, count(*) AS n_dup FROM covered
+       |        GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(isl.n_islands, 0) AS BIGINT) AS n_islands,
+       |  CAST(coalesce(dup.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+       |  CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+       |  ${Digest.strSigSql("coalesce(reb.scrubbed, '')")} AS scrub_sig
+       |FROM t LEFT JOIN isl USING (doc_id)
+       |  LEFT JOIN dup USING (doc_id)
+       |  LEFT JOIN reb USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+
+  /** KMV (k-minimum-values) distinct sketch per group over any
+    * (event_type, user_id) frame: the k smallest distinct 60-bit md5
+    * hashes per group, estimate (k−1)·2^60/h_k when ≥ k distinct
+    * hashes exist, the exact count below k. Emitted twice from one
+    * plan — computed globally and as 8 per-shard sketches merged —
+    * because the merge is a THEOREM (the global k smallest hashes are
+    * a subset of the union of per-shard k smallest, so re-taking k
+    * smallest after the union reproduces the global sketch exactly),
+    * which is what makes the sketch distributable: per-partition
+    * sketches combine with zero approximation loss. The k-min
+    * aggregation is the bounded [[graft.functions.TopKAgg]] buffer
+    * (map-side partials cap at k entries per group).
+    */
+  private[graft] def kmvSketch(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val topk = graft.functions.TopKAgg.topK(KmvK)
+    val h = events.select(col("event_type"),
+      pmod(col("user_id"), lit(8L)).as("shard"),
+      expr("CAST(conv(substring(md5(cast(user_id AS string)), 1, " +
+        "15), 16, 10) AS BIGINT)").as("h"))
+    // KMV is defined over DISTINCT hash values; v = -h makes the
+    // descending TopKAgg buffer hold the k SMALLEST hashes
+    // (ascending h), id carries the hash itself
+    val glob = h.select(col("event_type"), col("h")).distinct()
+      .groupBy(col("event_type"))
+      .agg(topk(negate(col("h")), col("h")).as("mins"),
+        count(lit(1)).as("exact_distinct"))
+    // the merge path: per-shard k-min sketches, then union +
+    // re-sketch
+    val sharded = h.select(col("event_type"), col("shard"), col("h"))
+      .distinct()
+      .groupBy(col("event_type"), col("shard"))
+      .agg(topk(negate(col("h")), col("h")).as("mins"))
+      .select(col("event_type"), explode(col("mins.id")).as("h"))
+      .distinct()
+      .groupBy(col("event_type"))
+      .agg(topk(negate(col("h")), col("h")).as("mins"),
+        count(lit(1)).as("n_union"))
+    def est(mins: org.apache.spark.sql.Column,
+            n: org.apache.spark.sql.Column) =
+      when(n < KmvK, n.cast("double"))
+        .otherwise(lit((KmvK - 1).toDouble) *
+          lit(KmvSpace).cast("double") /
+          element_at(mins, KmvK).getField("id").cast("double"))
+    glob.join(sharded.select(col("event_type").as("et2"),
+          col("mins").as("mins_merged"), col("n_union")),
+        col("event_type") === col("et2"))
+      .select(col("event_type"), col("exact_distinct"),
+        est(col("mins"), col("exact_distinct")).as("kmv_est"),
+        est(col("mins_merged"), col("n_union")).as("kmv_est_merged"))
+  }
+
+  /** Sketch ALGEBRA over per-group KMV sketches — union and
+    * intersection cardinality estimates for every group pair computed
+    * from the k-min arrays ONLY (never rescanning the raw data):
+    * the union of two k-min sketches re-truncated to k IS the k-min
+    * sketch of the union (the same theorem [[kmvSketch]]'s merge
+    * column witnesses), so |A∪B| estimates exactly like a first-class
+    * sketch; |A∩B| follows by inclusion–exclusion as the FIXED chain
+    * (est_a + est_b) − est_union. Each estimate falls back to the
+    * exact count below k (a sub-k sketch is the complete hash set,
+    * and two complete sets union to a complete set). This is the
+    * 100 TB interactive-analytics story: pairwise overlap of
+    * arbitrarily large groups answered from k-row summaries.
+    */
+  private[graft] def kmvSetOps(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val topk = graft.functions.TopKAgg.topK(KmvK)
+    val h = events.select(col("event_type"),
+        expr("CAST(conv(substring(md5(cast(user_id AS string)), 1, " +
+          "15), 16, 10) AS BIGINT)").as("h"))
+      .distinct()
+    val sk = h.groupBy(col("event_type"))
+      .agg(topk(negate(col("h")), col("h")).as("mins"),
+        count(lit(1)).as("nd"))
+      .select(col("event_type"),
+        expr("transform(mins, x -> x.id)").as("mins"), col("nd"))
+    val x = sk.select(col("event_type").as("et_a"),
+      col("mins").as("ma"), col("nd").as("na"))
+    val y = sk.select(col("event_type").as("et_b"),
+      col("mins").as("mb"), col("nd").as("nb"))
+    def est(n: org.apache.spark.sql.Column,
+            hk: org.apache.spark.sql.Column) =
+      when(n < KmvK, n.cast("double"))
+        .otherwise(lit((KmvK - 1).toDouble) *
+          lit(KmvSpace).cast("double") / hk.cast("double"))
+    x.join(y, col("et_a") < col("et_b"))
+      .withColumn("un", array_sort(array_union(col("ma"), col("mb"))))
+      .withColumn("nu", size(col("un")).cast("long"))
+      .withColumn("est_a",
+        est(col("na"), element_at(col("ma"), KmvK)))
+      .withColumn("est_b",
+        est(col("nb"), element_at(col("mb"), KmvK)))
+      .withColumn("union_est",
+        est(col("nu"), element_at(col("un"), KmvK)))
+      .select(col("et_a"), col("et_b"), col("union_est"),
+        ((col("est_a") + col("est_b")) - col("union_est"))
+          .as("intersect_est"))
+  }
+
+  private val kmvSetOpsSql: String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT event_type,
+       |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+       |      1, 15)) AS BIGINT) AS h
+       |  FROM events),
+       |sk AS (
+       |  SELECT event_type,
+       |    list_sort(list(h ORDER BY h))[:$KmvK] AS mins,
+       |    count(*) AS nd
+       |  FROM h GROUP BY event_type),
+       |pairs AS (
+       |  SELECT x.event_type AS et_a, y.event_type AS et_b,
+       |    x.mins AS ma, y.mins AS mb, x.nd AS na, y.nd AS nb,
+       |    list_sort(list_distinct(x.mins || y.mins)) AS un
+       |  FROM sk x JOIN sk y ON x.event_type < y.event_type),
+       |est AS (
+       |  SELECT et_a, et_b,
+       |    CASE WHEN na < $KmvK THEN CAST(na AS DOUBLE)
+       |      ELSE CAST(${KmvK - 1} AS DOUBLE)
+       |        * CAST($KmvSpace AS DOUBLE) / CAST(ma[$KmvK] AS DOUBLE)
+       |    END AS est_a,
+       |    CASE WHEN nb < $KmvK THEN CAST(nb AS DOUBLE)
+       |      ELSE CAST(${KmvK - 1} AS DOUBLE)
+       |        * CAST($KmvSpace AS DOUBLE) / CAST(mb[$KmvK] AS DOUBLE)
+       |    END AS est_b,
+       |    CASE WHEN len(un) < $KmvK THEN CAST(len(un) AS DOUBLE)
+       |      ELSE CAST(${KmvK - 1} AS DOUBLE)
+       |        * CAST($KmvSpace AS DOUBLE) / CAST(un[$KmvK] AS DOUBLE)
+       |    END AS union_est
+       |  FROM pairs)
+       |SELECT et_a, et_b, union_est,
+       |  (est_a + est_b) - union_est AS intersect_est
+       |FROM est ORDER BY et_a, et_b""".stripMargin
+
+  /** Reciprocal-rank fusion of the brute cosine and brute MIPS
+    * rankings over one corpus: per query the top-`kEach` list from
+    * each ranker, FULL OUTER merged per (query, neighbor), fused as
+    * 1/(60+rank) with an absent rank contributing exactly 0.0 (the
+    * standard RRF convention — presence in either list suffices),
+    * re-ranked (score desc, neighbor asc), top `kOut` kept. The
+    * fused score is a FIXED two-term float chain (one int→double
+    * cast, one add, one divide per term), so it is bit-identical
+    * cross-engine; 60 is the conventional RRF smoothing constant.
+    */
+  private[graft] def hybridRrf(corpus: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String, kEach: Int, kOut: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val cosR = graft.similarity.Knn
+      .bruteForceTopK(corpus, queries, idCol, vecCol, kEach)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").as("rank_cos"))
+    val dotR = graft.similarity.Knn
+      .mipsTopK(corpus, queries, idCol, vecCol, kEach)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").as("rank_dot"))
+    val fused = cosR.join(dotR, Seq("query_id", "neighbor_id"),
+        "full_outer")
+      .select(col("query_id"), col("neighbor_id"),
+        (when(col("rank_cos").isNull, lit(0.0))
+          .otherwise(lit(1.0) /
+            (lit(60.0) + col("rank_cos").cast("double")))
+        + when(col("rank_dot").isNull, lit(0.0))
+          .otherwise(lit(1.0) /
+            (lit(60.0) + col("rank_dot").cast("double"))))
+          .as("rrf_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("neighbor_id"))
+    fused.withColumn("rrf_rank", row_number().over(w))
+      .filter(col("rrf_rank") <= kOut)
+      .select(col("query_id"),
+        col("rrf_rank").cast("long").as("rrf_rank"),
+        col("neighbor_id"), col("rrf_score"))
+  }
+
+  def all: Seq[Q] = Seq(
+
+    Q("agg_kmv_distinct",
+      "Mergeable KMV (k-minimum-values) distinct sketch per group — " +
+        "the distributed approx-COUNT-DISTINCT whose merge is " +
+        "PROVABLE: the k smallest distinct 60-bit md5 hashes per " +
+        "event_type, estimate (k-1)*2^60/h_k (exact count below k). " +
+        "Emitted TWICE from one plan: computed globally, and computed " +
+        "as 8 per-shard sketches merged (union of per-shard k-mins " +
+        "superset-contains the global k-mins, so re-taking k smallest " +
+        "after the union is EXACTLY the global sketch) — the two " +
+        "columns are equal BY THEOREM, which is the 100 TB story: " +
+        "per-partition sketches combine without approximation loss. " +
+        "The k-min aggregation is the bounded TopKAgg buffer (map-side " +
+        "partials cap at k entries, so huge groups shuffle k rows per " +
+        "partition, not all); the estimate is a fixed int->double " +
+        "cast + one multiply + one divide, bit-identical cross-engine. " +
+        "sf0.001 has 15 distinct users per type (below k) so the " +
+        "exact-count branch is exercised there, the sketch branch at " +
+        "the larger SFs.",
+      (s, d) => {
+        import s.implicits._
+        kmvSketch(Tables.events(s, d).select($"event_type", $"user_id"))
+          .orderBy($"event_type")
+      },
+      Some(s"""WITH h AS (
+             |  SELECT DISTINCT event_type,
+             |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+             |      1, 15)) AS BIGINT) AS h
+             |  FROM events),
+             |ranked AS (
+             |  SELECT event_type, h,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+             |      AS rn,
+             |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+             |  FROM h),
+             |gk AS (
+             |  SELECT event_type, max(nd) AS nd,
+             |    max(CASE WHEN rn = $KmvK THEN h END) AS hk
+             |  FROM ranked WHERE rn <= $KmvK GROUP BY event_type),
+             |hs AS (
+             |  SELECT DISTINCT event_type, user_id % 8 AS shard,
+             |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+             |      1, 15)) AS BIGINT) AS h
+             |  FROM events),
+             |sr AS (
+             |  SELECT event_type, h,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type, shard
+             |      ORDER BY h) AS rn
+             |  FROM hs),
+             |un AS (SELECT DISTINCT event_type, h FROM sr
+             |       WHERE rn <= $KmvK),
+             |ur AS (
+             |  SELECT event_type, h,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+             |      AS rn,
+             |    COUNT(*) OVER (PARTITION BY event_type) AS nu
+             |  FROM un),
+             |mg AS (
+             |  SELECT event_type, max(nu) AS nu,
+             |    max(CASE WHEN rn = $KmvK THEN h END) AS hk
+             |  FROM ur WHERE rn <= $KmvK GROUP BY event_type)
+             |SELECT g.event_type,
+             |  CAST(g.nd AS BIGINT) AS exact_distinct,
+             |  CASE WHEN g.nd < $KmvK THEN CAST(g.nd AS DOUBLE)
+             |    ELSE CAST(${KmvK - 1} AS DOUBLE)
+             |      * CAST($KmvSpace AS DOUBLE) / CAST(g.hk AS DOUBLE)
+             |  END AS kmv_est,
+             |  CASE WHEN m.nu < $KmvK THEN CAST(m.nu AS DOUBLE)
+             |    ELSE CAST(${KmvK - 1} AS DOUBLE)
+             |      * CAST($KmvSpace AS DOUBLE) / CAST(m.hk AS DOUBLE)
+             |  END AS kmv_est_merged
+             |FROM gk g JOIN mg m USING (event_type)
+             |ORDER BY g.event_type""".stripMargin)),
+
+    Q("e_hybrid_rrf",
+      "Hybrid retrieval: reciprocal-rank fusion of the brute cosine " +
+        "ranking (angle signal) and the brute MIPS ranking (magnitude " +
+        "signal) — the standard combiner for lexical+vector or " +
+        "multi-scorer search, and on unnormalized vectors the two " +
+        "rankings genuinely differ (spec-pinned since e_knn_mips). " +
+        "Per query: top-10 from each ranker, FULL OUTER merge per " +
+        "(query, neighbor), score = 1/(60+rank_cos) + 1/(60+rank_dot) " +
+        "with an absent rank contributing exactly 0.0 — a FIXED " +
+        "two-term float chain, bit-identical cross-engine — then " +
+        "re-rank (score desc, neighbor asc), top-5 kept. Rank lists " +
+        "are k rows per query (broadcast-sized), so the fusion join " +
+        "is trivially local at any corpus scale; the expensive part " +
+        "stays in the rankers, which scale via the IVF/LSH/PQ " +
+        "serving paths already registered.",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        hybridRrf(emb, emb.filter($"vec_id" < 10), "vec_id",
+            "embedding", kEach = 10, kOut = 5)
+          .orderBy($"query_id", $"rrf_rank")
+      },
+      Some(OracleGen.hybridRrfSql(dim = 64, kEach = 10, kOut = 5,
+        maxQueryId = 10))),
+
+    Q("t_bm25_topk",
+      "BM25 lexical retrieval (k1=1.2, b=0.75): per-query top-10 docs " +
+        "over an inverted-list-shaped plan — the token explode feeds " +
+        "ONE aggregation filtered to the query terms (the postings " +
+        "pushdown), df/query-terms/corpus-scalars are broadcast-sized, " +
+        "and only docs containing >= 1 query term are scored. Two " +
+        "documented exactness choices make the ranking hash-exact " +
+        "cross-engine: idf is BIT-LENGTH-QUANTIZED (factor-of-2 idf " +
+        "buckets via length(bin(2(N+1) div (2 df+1))) — ln-idf is a " +
+        "transcendental whose last ulp varies by libm), and the tf " +
+        "normalization is the exact integer ratio 44 S tf / (20 S tf " +
+        "+ 6 S + 18 N dl) (k1=6/5, b=3/4 cleared over 20 S N), cast " +
+        "to double ONCE each side of a single divide; the per-query " +
+        "score is the FIXED chain (c1+c2)+c3 over slot-pivoted " +
+        "contributions, never a SUM over a variable row set — the " +
+        "e_knn dot-chain discipline applied to lexical scoring. The " +
+        "'dup' term (df ~5% of docs) exercises real idf variation.",
+      (s, d) => {
+        import s.implicits._
+        bm25TopK(s, Tables.documents(s, d).select($"doc_id", $"text"),
+            Bm25Terms, k = 10)
+          .orderBy($"query_id", $"rank")
+      },
+      Some(bm25Sql(Bm25Terms, k = 10))),
+
+    Q("g_labelprop",
+      "Community detection via synchronous label propagation over the " +
+        "co-activity graph — 4 pinned rounds, every node adopting the " +
+        "MOST FREQUENT neighbor label (ties to the smallest label: " +
+        "the deterministic LPA variant; classic LPA tie-breaks " +
+        "randomly, which no replayable engine can admit). The mode " +
+        "update respects local density, so it is NOT connected " +
+        "components: two cliques joined by one bridge edge keep " +
+        "separate communities where min-label propagation merges " +
+        "them (spec-pinned). Iterative discipline per the kcore/CC " +
+        "operators: edge list bidirectionalized + hash-partitioned " +
+        "once, one join + ONE exchange per round (the mode count and " +
+        "its argmax window share the repartition), per-round " +
+        "localCheckpoint. Oracle = the 4-round unrolled MATERIALIZED " +
+        "CTE chain over the shared co-activity prefix.",
+      (s, d) => {
+        import s.implicits._
+        labelProp(s, Coactivity.und(s, d), LabelPropRounds)
+          .orderBy($"community")
+      },
+      Some(labelPropSql(LabelPropRounds))),
+
+    Q("curate_overlap_scrub",
+      "Alignment-free duplicated-RUN scrub (exact substring dedup in " +
+        "its remove-the-span form, Lee et al. 2021): every positional " +
+        "8-token SLIDING shingle occurring in >= 2 distinct docs marks " +
+        "its positions; overlapping-or-adjacent marked runs merge into " +
+        "islands (gaps-and-islands windows, both engines); marked " +
+        "tokens are removed and the text rebuilt in order " +
+        "(array_sort order restoration + the NULL-vs-empty md5 parity " +
+        "for fully-duplicated docs). curate_span_scrub is CHUNK-" +
+        "aligned — a duplicated run straddling a chunk boundary is " +
+        "invisible to it; the sliding form catches runs at ANY " +
+        "alignment, the actual Lee et al. guarantee. No pair join " +
+        "anywhere: a k-doc-shared run costs k flag rows, never k^2, " +
+        "so this needs no hot-bucket cap.",
+      (s, d) => {
+        import s.implicits._
+        overlapScrub(Tables.documents(s, d).select($"doc_id", $"text"))
+          .orderBy($"doc_id")
+      },
+      Some(overlapScrubSql)),
+
+    Q("g_modularity",
+      "Newman modularity of the 4-round LPA community assignment, " +
+        "EXACT: Q = sum_c (4 m e_c - d_c^2) / (4 m^2) — per-community " +
+        "numerators stay BIGINT (q_num column), the ONE global double " +
+        "division happens once via broadcast 1-row aggregates (no " +
+        "variable-order float sum, no transcendental), so the " +
+        "community-QUALITY metric rides the hash gate. Shares the LPA " +
+        "label derivation with g_labelprop through labelPropLabels / " +
+        "lpaCtes — one community definition, two consumers (the " +
+        "Coactivity sharing rule). e_in via two co-keyed label joins " +
+        "on the checkpointed edge list; degrees from one union-all " +
+        "rollup. Bridged-clique fixture pins Q = 286/676 in the spec.",
+      (s, d) => {
+        import s.implicits._
+        modularity(s, Coactivity.und(s, d), LabelPropRounds)
+          .orderBy($"community")
+      },
+      Some(modularitySql(LabelPropRounds))),
+
+    Q("agg_kmv_setops",
+      "Sketch ALGEBRA: union and intersection cardinality estimates " +
+        "for every event_type pair computed from the per-group KMV " +
+        "k-min arrays ONLY — never rescanning raw data. Union of two " +
+        "k-min sketches re-truncated to k IS the sketch of the union " +
+        "(the kmvSketch merge theorem), so |A u B| estimates like a " +
+        "first-class sketch; |A n B| by inclusion-exclusion as the " +
+        "FIXED chain (est_a + est_b) - est_union; each estimate falls " +
+        "back to the exact count below k (sub-k sketches are complete " +
+        "hash sets). The 100 TB story: pairwise overlap of arbitrarily " +
+        "large groups answered from k-row summaries — the sketches " +
+        "shuffle 64 BIGINTs per group, the pair join is " +
+        "groups-squared rows of 64-element arrays, data-free.",
+      (s, d) => {
+        import s.implicits._
+        kmvSetOps(Tables.events(s, d).select($"event_type", $"user_id"))
+          .orderBy($"et_a", $"et_b")
+      },
+      Some(kmvSetOpsSql)),
+
+    Q("stream_kmv_sketch",
+      "STREAMING KMV distinct sketch — the batch sketch run through " +
+        "flatMapGroupsWithState with BOUNDED k-long state per group " +
+        "(the k smallest distinct hashes; a duplicate of a kept hash " +
+        "is caught by membership, a hash above the running k-th min " +
+        "provably cannot enter the sketch, so skipping it is exact). " +
+        "k-min of a set is arrival-order-INSENSITIVE by theorem, so a " +
+        "run over the full corpus must reproduce the batch KMV row " +
+        "for row — the oracle pins exactly that, including the same " +
+        "fixed (k-1)*2^60/h_k chain computed JVM-side (IEEE-identical " +
+        "to the Spark/DuckDB expression). This is what makes the " +
+        "sketch the streaming approx-distinct at 100 TB: per-group " +
+        "state is 64 longs forever, where exact streaming distinct " +
+        "state grows with cardinality.",
+      (s, d) => {
+        import s.implicits._
+        val schema = Tables.eventsRaw(s, d).schema
+        val out = graft.streaming.Streams.runToMemoryAppend(s,
+            s"stream_kmv_${System.nanoTime()}") { scoped =>
+          val stream = graft.streaming.Streams.fileStream(scoped,
+            s"$d/events.*", schema, maxFilesPerTrigger = Int.MaxValue)
+          graft.streaming.Streams.streamingKmv(stream, KmvK, KmvSpace)
+        }
+        out.orderBy($"event_type")
+      },
+      Some(s"""WITH h AS (
+             |  SELECT DISTINCT event_type,
+             |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+             |      1, 15)) AS BIGINT) AS h
+             |  FROM events),
+             |ranked AS (
+             |  SELECT event_type, h,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+             |      AS rn,
+             |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+             |  FROM h),
+             |gk AS (
+             |  SELECT event_type, max(nd) AS nd,
+             |    max(CASE WHEN rn = $KmvK THEN h END) AS hk
+             |  FROM ranked WHERE rn <= $KmvK GROUP BY event_type)
+             |SELECT event_type,
+             |  CAST(least(nd, $KmvK) AS BIGINT) AS n_mins,
+             |  CASE WHEN nd < $KmvK THEN CAST(nd AS DOUBLE)
+             |    ELSE CAST(${KmvK - 1} AS DOUBLE)
+             |      * CAST($KmvSpace AS DOUBLE) / CAST(hk AS DOUBLE)
+             |  END AS kmv_est
+             |FROM gk ORDER BY event_type""".stripMargin)),
+
+    Q("j_interval_overlap",
+      "Keyless interval x interval OVERLAP join (a_start < b_end AND " +
+        "b_start < a_end) via Relational.intervalOverlapJoin: both " +
+        "sides bucketized (width = max span across BOTH sides, derived " +
+        "in-plan, so every interval replicates to <= 2 buckets by " +
+        "construction), candidates meet in shared buckets, and each " +
+        "true pair is deduplicated WITHOUT a distinct — kept only in " +
+        "the bucket containing max(a_start, b_start), which lies " +
+        "inside both intervals exactly when they overlap, so every " +
+        "pair survives in exactly one bucket and no dedup shuffle " +
+        "exists. The naive predicate plans as BroadcastNestedLoopJoin " +
+        "(spec-pinned control, like j_interval_bucketized); the " +
+        "oracle replays the naive predicate through DuckDB's IEJoin — " +
+        "a genuinely different algorithm pinning the rewrite " +
+        "pair-for-pair. 7-day windows (1-in-97 orders) against " +
+        "11-day windows (1-in-89 orders), deliberately unaligned.",
+      (s, d) => {
+        import s.implicits._
+        val a = Tables.table(s, d, "orders")
+          .filter($"o_orderkey" % 97 === 0)
+          .select($"o_orderkey".as("a_id"),
+            $"o_orderdate".as("a_start"),
+            ($"o_orderdate" + expr("INTERVAL 7 DAYS")).as("a_end"))
+        val b = Tables.table(s, d, "orders")
+          .filter($"o_orderkey" % 89 === 0)
+          .select($"o_orderkey".as("b_id"),
+            $"o_orderdate".as("b_start"),
+            ($"o_orderdate" + expr("INTERVAL 11 DAYS")).as("b_end"))
+        graft.ops.Relational.intervalOverlapJoin(a, b,
+            "a_start", "a_end", "b_start", "b_end")
+          .groupBy($"a_id")
+          .agg(count(lit(1)).as("n_overlap"), min($"b_id").as("first_b"))
+          .orderBy($"a_id")
+      },
+      Some("""WITH a AS (
+             |  SELECT o_orderkey AS a_id, o_orderdate AS a_start,
+             |    o_orderdate + INTERVAL 7 DAY AS a_end
+             |  FROM orders WHERE o_orderkey % 97 = 0),
+             |b AS (
+             |  SELECT o_orderkey AS b_id, o_orderdate AS b_start,
+             |    o_orderdate + INTERVAL 11 DAY AS b_end
+             |  FROM orders WHERE o_orderkey % 89 = 0)
+             |SELECT a_id, count(*) AS n_overlap, min(b_id) AS first_b
+             |FROM a JOIN b ON a_start < b_end AND b_start < a_end
+             |GROUP BY a_id ORDER BY a_id""".stripMargin)),
+  )
+}

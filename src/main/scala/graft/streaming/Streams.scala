@@ -10,6 +10,13 @@ import org.apache.spark.sql.types.StructType
   */
 case class SessionState(lastTs: Long, sessions: Long, events: Long)
 
+/** Per-group KMV sketch state carried across micro-batches: the k
+  * smallest DISTINCT hashes seen so far, ascending — at most k longs
+  * per group, the bounded-state property that makes the sketch
+  * streamable where an exact distinct count would need unbounded
+  * state. */
+case class KmvState(mins: Seq[Long])
+
 /** Structured Streaming equivalents for the reference's batch dataflow
   * (SURVEY.md §2.7): arriving dataset files become a file-source stream;
   * per-dataset builds are stateless maps; global merges run incrementally.
@@ -103,6 +110,64 @@ object Streams {
           Iterator((uid, sessions, nEvents))
       }
       .toDF("user_id", "n_sessions", "n_events")
+  }
+
+  /** Streaming KMV distinct sketch per group via
+    * `flatMapGroupsWithState`: bounded k-long state per group (the
+    * [[KmvState]] insert keeps the k smallest DISTINCT hashes — a
+    * duplicate of a kept hash is caught by membership, and any hash
+    * above the current k-th minimum cannot enter the sketch, so
+    * ignoring it is exact, not approximate). The emitted estimate is
+    * the same fixed (k−1)·2^60/h_k chain as the batch sketch
+    * (IEEE-identical in JVM/Spark/DuckDB), with the exact count below
+    * k — so a run over the full corpus must reproduce the BATCH KMV
+    * row for row, which is what the oracle pins: the sketch is
+    * order-insensitive BY THEOREM (k-min of a set does not depend on
+    * arrival order), and this query is that theorem run through the
+    * streaming engine's state machinery.
+    */
+  /** One KMV insert: keep `mins` the ascending k smallest DISTINCT
+    * values seen. A duplicate of a kept value is caught by membership;
+    * a value ≥ the running k-th minimum of a full sketch provably
+    * cannot belong to the k smallest, so skipping it is exact. Folding
+    * any sequence through this equals sorted-distinct-take-k of the
+    * whole sequence (order-insensitivity — property-spec-pinned).
+    */
+  private[graft] def kmvInsert(mins: Vector[Long], h: Long,
+                               k: Int): Vector[Long] =
+    if ((mins.size >= k && h >= mins.last) || mins.contains(h)) mins
+    else {
+      val idx = mins.indexWhere(_ > h) match {
+        case -1 => mins.size
+        case n => n
+      }
+      ((mins.take(idx) :+ h) ++ mins.drop(idx)).take(k)
+    }
+
+  def streamingKmv(events: DataFrame, k: Int,
+                   kmvSpace: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("event_type",
+        "CAST(conv(substring(md5(cast(user_id AS string)), 1, 15), " +
+          "16, 10) AS BIGINT) AS h")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KmvState, (String, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (et, it, state) =>
+          var mins = state.getOption.map(_.mins.toVector)
+            .getOrElse(Vector.empty[Long])
+          it.foreach { case (_, h) => mins = kmvInsert(mins, h, k) }
+          state.update(KmvState(mins))
+          val est =
+            if (mins.size < k) mins.size.toDouble
+            else (k - 1).toDouble * kmvSpace.toDouble /
+              mins.last.toDouble
+          Iterator((et, mins.size.toLong, est))
+      }
+      .toDF("event_type", "n_mins", "kmv_est")
   }
 
   /** Run a streaming aggregation to completion against a static directory

@@ -85,7 +85,17 @@ object ScaleProbe {
     // stream_kmv_sketch is deliberately NOT probed: the streaming
     // family's fixed micro-batch floors dominate its small compute
     // (the documented convention for all stream_* queries)
-    "probe_interval_overlap_heavy")
+    "probe_interval_overlap_heavy",
+    // r14 fifth wave: filtered IVF (one assignment scan over the
+    // filtered subset + fixed probe fan-out), the 2-D grid radius
+    // self-join (9x|points| shuffle; the K x-scaled embeddings keep
+    // natural coordinates so neighbor density — and true pair count —
+    // grows with K: output-bound like the winnow probes), and the
+    // count-min sketch (two scans + a 1024-cell rollup)
+    "e_knn_filtered_ivf", "j_spatial_grid", "agg_cms_topk",
+    // r14 sixth wave: both are one-explode/one-agg text passes over
+    // the K× documents
+    "curate_gopher_rules", "t_collocations")
 
   /** Documents inflated COPIES× in-plan (ids stay unique under any
     * further per-dir offset; text carries a per-copy tag so copies are
@@ -289,7 +299,11 @@ object ScaleProbe {
         expr("transform(embedding, (x, i) -> " +
           "CAST(x + CAST(copy AS FLOAT) * CAST(0.001 AS FLOAT) * " +
           "CAST(CASE WHEN i = 0 THEN 1 ELSE 0 END AS FLOAT) AS FLOAT))")
-          .as("embedding"))
+          .as("embedding"),
+        // FULL natural schema (the lineitem ADVICE lesson): a probe
+        // touching a column the copy dropped fails with a
+        // missing-column error that looks like a query bug
+        $"label")
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$scaled/embeddings.parquet")
     // events: K disjoint copies — user ids AND timestamps offset per

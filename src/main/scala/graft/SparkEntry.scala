@@ -96,7 +96,9 @@ object SparkEntry {
     // r14 second wave: same capped-from-birth policy
     "agg_kmv_distinct", "e_hybrid_rrf", "t_bm25_topk",
     "g_labelprop", "curate_overlap_scrub", "g_modularity",
-    "agg_kmv_setops", "stream_kmv_sketch", "j_interval_overlap")
+    "agg_kmv_setops", "stream_kmv_sketch", "j_interval_overlap",
+    "e_knn_filtered_ivf", "j_spatial_grid", "agg_cms_topk",
+    "curate_gopher_rules", "t_collocations")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

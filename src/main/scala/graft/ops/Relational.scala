@@ -341,6 +341,47 @@ object Relational {
       .drop("__ibkt", "__iw")
   }
 
+  /** Keyless 2-D radius self-join (all pairs within `eps` Euclidean
+    * distance) via GRID bucketing — the spatial analogue of the
+    * interval joins: each point lands in cell (⌊x/eps⌋, ⌊y/eps⌋); the
+    * LEFT side additionally probes its 3×3 cell neighborhood (9
+    * replicated rows), the right side stays single-cell, so every
+    * candidate pair meets exactly once (the right cell is unique and
+    * the orientation filter keeps one direction) — no distinct, no
+    * double-count. The exact predicate dx²+dy² ≤ eps² filters
+    * candidates; a true pair's cells differ by ≤ 1 in each axis BY
+    * construction (|dx| ≤ eps spans at most one cell boundary), so
+    * the 3×3 probe is lossless. The naive predicate is a cross join;
+    * this plans as one equi join on the cell key, shuffle ∝ 9×|points|.
+    */
+  def gridNeighborJoin(points: DataFrame, idCol: String, xCol: String,
+                       yCol: String, eps: Double): DataFrame = {
+    require(eps > 0, s"eps must be positive, got $eps")
+    def cellOf(c: Column) = floor(c.cast("double") / lit(eps))
+    val base = points.select(col(idCol).as("__gid"),
+      col(xCol).cast("double").as("__gx"),
+      col(yCol).cast("double").as("__gy"))
+    val nbr9 = (for (dx <- -1 to 1; dy <- -1 to 1)
+      yield s"array(${dx}L, ${dy}L)").mkString("array(", ", ", ")")
+    val probe = base
+      .withColumn("__dxy", explode(expr(nbr9)))
+      .select(col("__gid").as("a_id"), col("__gx").as("ax"),
+        col("__gy").as("ay"),
+        (cellOf(col("__gx")) + col("__dxy")(0)).as("cx"),
+        (cellOf(col("__gy")) + col("__dxy")(1)).as("cy"))
+    val target = base.select(col("__gid").as("b_id"),
+      col("__gx").as("bx"), col("__gy").as("by"),
+      cellOf(col("__gx")).as("cx2"), cellOf(col("__gy")).as("cy2"))
+    probe.join(target,
+        col("cx") === col("cx2") && col("cy") === col("cy2") &&
+          col("a_id") < col("b_id"))
+      .filter((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+        (col("ay") - col("by")) * (col("ay") - col("by")) <=
+        lit(eps * eps))
+      .select(col("a_id"), col("b_id"), col("ax"), col("ay"),
+        col("bx"), col("by"))
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, valueCols: Seq[String],
                strict: Boolean = true,

@@ -81,6 +81,51 @@ object OracleGen {
        |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** FILTERED IVF search over a SHARED index
+    * (`Round14bQueries`' `e_knn_filtered_ivf`): centroids are taken
+    * from the FULL corpus (`cent` has no predicate — the index is
+    * built once, not per predicate), while cell assignment + scoring
+    * run over the predicate-restricted subset only (assignment is a
+    * pure map, so filtering before it equals filtering after). The
+    * rest is the verbatim [[knnIvfSql]] pipeline.
+    */
+  def knnIvfFilteredSql(dim: Int, nCells: Int, nProbe: Int, k: Int,
+                        maxQueryId: Long, corpusPred: String): String = {
+    val cosCT = cosExpr("c", "t", dim)
+    val cosQT = cosExpr("a", "t", dim)
+    val cosQC = cosExpr("q", "c", dim)
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cid, embedding FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCells),
+       |cells AS (
+       |  SELECT vec_id, embedding, cid AS cell FROM (
+       |    SELECT c.vec_id, c.embedding, t.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY $cosCT DESC, t.cid DESC) AS rn
+       |    FROM (SELECT * FROM embeddings WHERE $corpusPred) c
+       |    CROSS JOIN cent t) x
+       |  WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, embedding, cid AS cell FROM (
+       |    SELECT a.vec_id, a.embedding, t.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |        ORDER BY $cosQT DESC, t.cid DESC) AS rn
+       |    FROM (SELECT * FROM embeddings WHERE vec_id < $maxQueryId) a
+       |    CROSS JOIN cent t) x
+       |  WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    $cosQC AS cos
+       |  FROM qprobe q JOIN cells c USING (cell)
+       |  WHERE c.vec_id <> q.query_id)
+       |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank
+       |FROM (SELECT query_id, neighbor_id,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, neighbor_id) AS rn
+       |      FROM scored) t
+       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Reciprocal-rank fusion of the brute cosine and brute MIPS
     * rankings (`Round14bQueries.hybridRrf`): both per-query top-`kEach`
     * lists replayed on their bit-identical expansions ([[knnBruteSql]]

@@ -921,5 +921,285 @@ object Round14bQueries {
              |SELECT a_id, count(*) AS n_overlap, min(b_id) AS first_b
              |FROM a JOIN b ON a_start < b_end AND b_start < a_end
              |GROUP BY a_id ORDER BY a_id""".stripMargin)),
+
+    Q("e_knn_filtered_ivf",
+      "FILTERED vector search over a SHARED index — the vector-DB " +
+        "serving pattern where a metadata predicate (label = 3) " +
+        "restricts candidates but the IVF index is built ONCE on the " +
+        "full corpus, not per predicate: centroids come from " +
+        "Knn.md5Centroids on the UNfiltered corpus, while cell " +
+        "assignment + probe scoring run over the filtered subset " +
+        "through the unchanged ivfTopKWithCentroids (assignment is a " +
+        "pure map, so filter-before-assign equals filter-after). The " +
+        "oracle replays exactly that asymmetry (cent unfiltered, " +
+        "cells filtered). Filtered search needs MORE probes than " +
+        "unfiltered for equal recall (candidates thin out per cell) — " +
+        "registered at nProbe=6 of 16; the spec pins nProbe=nCells " +
+        "ranks EXACTLY equal to brute-over-filtered-subset.",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val cents = graft.similarity.Knn
+          .md5Centroids(emb, "vec_id", "embedding", nCells = 16)
+        graft.similarity.Knn.ivfTopKWithCentroids(
+            emb.filter($"label" === 3), emb.filter($"vec_id" < 10),
+            "vec_id", "embedding", k = 5, cents.toSeq, nProbe = 6)
+          .select($"query_id", $"neighbor_id",
+            $"rank".cast("long").as("rank"))
+          .orderBy($"query_id", $"rank")
+      },
+      Some(OracleGen.knnIvfFilteredSql(dim = 64, nCells = 16,
+        nProbe = 6, k = 5, maxQueryId = 10, corpusPred = "label = 3"))),
+
+    Q("j_spatial_grid",
+      "Keyless 2-D radius self-join via GRID bucketing " +
+        "(Relational.gridNeighborJoin) — the spatial analogue of the " +
+        "interval joins: points land in (floor(x/eps), floor(y/eps)) " +
+        "cells, the left side probes its 3x3 neighborhood (lossless: " +
+        "a true pair's cells differ by <= 1 per axis since |dx| <= " +
+        "eps), the right side stays single-cell so every pair meets " +
+        "EXACTLY once (no distinct), the exact dx^2+dy^2 <= eps^2 " +
+        "predicate filters. Naive is a cross join (quadratic); this " +
+        "is one equi join on the cell key, shuffle proportional to " +
+        "9x|points|. Points = the first two embedding components; " +
+        "output = per-point epsilon-neighbor counts including zeros. " +
+        "The oracle IS the naive quadratic join — a different " +
+        "algorithm pinning the grid rewrite pair for pair.",
+      (s, d) => {
+        import s.implicits._
+        val pts = Tables.embeddings(s, d).select($"vec_id",
+          element_at($"embedding", 1).as("x"),
+          element_at($"embedding", 2).as("y"))
+        val pairs = graft.ops.Relational.gridNeighborJoin(
+          pts, "vec_id", "x", "y", eps = 0.05)
+        val cnt = pairs.select($"a_id".as("id"))
+          .unionByName(pairs.select($"b_id".as("id")))
+          .groupBy($"id").agg(count(lit(1)).as("n"))
+        pts.select($"vec_id").join(cnt, $"vec_id" === $"id", "left")
+          .select($"vec_id", coalesce($"n", lit(0L)).as("n_neighbors"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+             |    CAST(embedding[2] AS DOUBLE) AS y
+             |  FROM embeddings),
+             |pairs AS (
+             |  SELECT a.id AS a_id, b.id AS b_id
+             |  FROM p a JOIN p b ON a.id < b.id
+             |    AND (a.x - b.x) * (a.x - b.x)
+             |      + (a.y - b.y) * (a.y - b.y) <= 0.05 * 0.05),
+             |cnt AS (
+             |  SELECT id, count(*) AS n FROM (
+             |    SELECT a_id AS id FROM pairs
+             |    UNION ALL SELECT b_id FROM pairs)
+             |  GROUP BY id)
+             |SELECT p.id AS vec_id,
+             |  CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_neighbors
+             |FROM p LEFT JOIN cnt USING (id)
+             |ORDER BY vec_id""".stripMargin)),
+
+    Q("agg_cms_topk",
+      "Count-min sketch — the mergeable counting sketch beside KMV's " +
+        "distinct sketch: d=4 hash rows x w=256 columns of BIGINT " +
+        "counts (the cells are pure SUMS, so per-partition sketches " +
+        "merge by addition — the 100 TB counting story), key column " +
+        "via md5(row:key), estimate = min over the 4 rows' cells. " +
+        "The estimate can only OVERCOUNT (collisions add, never " +
+        "subtract — spec-pinned est >= true on every key); w is " +
+        "deliberately small so collisions are exercised on natural " +
+        "data rather than vacuously absent. Emitted per user_id < 20 " +
+        "beside the exact count, both integer-exact cross-engine.",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select($"user_id")
+        val rows = broadcast(s.range(0, 4L).toDF("r"))
+        def cellCol = expr("pmod(CAST(conv(substring(md5(concat(" +
+          "CAST(r AS string), ':', CAST(user_id AS string))), 1, 15)" +
+          ", 16, 10) AS BIGINT), 256)")
+        val cells = ev.crossJoin(rows)
+          .select($"r", cellCol.as("c"))
+          .groupBy($"r", $"c").agg(count(lit(1)).as("n"))
+        val q = ev.filter($"user_id" < 20)
+          .groupBy($"user_id").agg(count(lit(1)).as("true_n"))
+        q.crossJoin(rows)
+          .select($"user_id", $"true_n", $"r", cellCol.as("c"))
+          .join(broadcast(cells), Seq("r", "c"))
+          .groupBy($"user_id", $"true_n")
+          .agg(min($"n").as("cms_est"))
+          .select($"user_id", $"true_n", $"cms_est")
+          .orderBy($"user_id")
+      },
+      Some("""WITH rows4 AS (SELECT unnest(range(0, 4)) AS r),
+             |h AS (
+             |  SELECT r, CAST(concat('0x', substr(md5(
+             |      CAST(r AS VARCHAR) || ':' ||
+             |      CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             |    % 256 AS c, user_id
+             |  FROM events CROSS JOIN rows4),
+             |cells AS (SELECT r, c, count(*) AS n FROM h
+             |          GROUP BY r, c),
+             |q AS (SELECT user_id, count(*) AS true_n FROM events
+             |      WHERE user_id < 20 GROUP BY user_id),
+             |qh AS (
+             |  SELECT q.user_id, q.true_n, rows4.r,
+             |    CAST(concat('0x', substr(md5(
+             |      CAST(rows4.r AS VARCHAR) || ':' ||
+             |      CAST(q.user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             |      % 256 AS c
+             |  FROM q CROSS JOIN rows4)
+             |SELECT qh.user_id, CAST(qh.true_n AS BIGINT) AS true_n,
+             |  CAST(min(cells.n) AS BIGINT) AS cms_est
+             |FROM qh JOIN cells USING (r, c)
+             |GROUP BY qh.user_id, qh.true_n
+             |ORDER BY qh.user_id""".stripMargin)),
+
+    Q("curate_gopher_rules",
+      "The published Gopher quality-filter rules (Rae et al. 2021, " +
+        "App. A) as per-doc integer-exact predicates — every ratio " +
+        "threshold CROSS-MULTIPLIED so no float division exists: " +
+        "word count in [50, 100000]; mean word length in [3, 10] " +
+        "(3*n_words <= sum_word_chars <= 10*n_words); words-with-an-" +
+        "alphabetic-char fraction >= 0.80 (5*n_alpha >= 4*n_words); " +
+        "hash/ellipsis symbol-to-word ratio <= 0.1 (10*n_sym <= " +
+        "n_words); >= 2 stop words from the published 8-word list. " +
+        "Output = per-doc rule booleans + the conjunction, so " +
+        "downstream corpus curation is one filter on `keep` — and " +
+        "the per-rule columns make filter ATTRIBUTION queryable " +
+        "(which rule kills how much corpus), the part production " +
+        "pipelines actually monitor. One token explode -> one " +
+        "aggregation; no joins.",
+      (s, d) => {
+        import s.implicits._
+        val stopList = Seq("the", "be", "to", "of", "and", "that",
+          "have", "with")
+        val toks = Tables.documents(s, d)
+          .select($"doc_id", $"text",
+            explode(split(trim($"text"), "\\s+")).as("tok"))
+        val agg = toks.groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(length($"tok")).as("word_chars"),
+            sum(when($"tok".rlike("[a-zA-Z]"), 1L).otherwise(0L))
+              .as("n_alpha"),
+            sum(when($"tok".isin(stopList: _*), 1L).otherwise(0L))
+              .as("n_stop"),
+            // '#' or '...' occurrences across the doc's tokens —
+            // `div`, not `/`: Column./ on ints is DOUBLE division,
+            // DuckDB's `//` is integer (all operands non-negative so
+            // floor ≡ truncate); literal replace() on both engines
+            sum(expr("(length(tok) - length(replace(tok, '#', '')))" +
+              " + (length(tok) - length(replace(tok, '...', '')))" +
+              " div 3").cast("long")).as("n_sym"))
+        agg.select($"doc_id", $"n_words",
+            ($"n_words" >= 50L && $"n_words" <= 100000L).as("wc_ok"),
+            (lit(3L) * $"n_words" <= $"word_chars" &&
+              $"word_chars" <= lit(10L) * $"n_words")
+              .as("mean_len_ok"),
+            (lit(5L) * $"n_alpha" >= lit(4L) * $"n_words")
+              .as("alpha_ok"),
+            (lit(10L) * $"n_sym" <= $"n_words").as("symbol_ok"),
+            ($"n_stop" >= 2L).as("stopword_ok"))
+          .withColumn("keep", $"wc_ok" && $"mean_len_ok" &&
+            $"alpha_ok" && $"symbol_ok" && $"stopword_ok")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents),
+             |agg AS (
+             |  SELECT doc_id, count(*) AS n_words,
+             |    CAST(sum(length(tok)) AS BIGINT) AS word_chars,
+             |    CAST(sum(CASE WHEN regexp_matches(tok, '[a-zA-Z]')
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+             |    CAST(sum(CASE WHEN tok IN ('the','be','to','of',
+             |      'and','that','have','with') THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_stop,
+             |    CAST(sum((length(tok) -
+             |        length(replace(tok, '#', '')))
+             |      + (length(tok) -
+             |        length(replace(tok, '...', ''))) // 3)
+             |      AS BIGINT) AS n_sym
+             |  FROM toks GROUP BY doc_id)
+             |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+             |  (n_words >= 50 AND n_words <= 100000) AS wc_ok,
+             |  (3 * n_words <= word_chars
+             |    AND word_chars <= 10 * n_words) AS mean_len_ok,
+             |  (5 * n_alpha >= 4 * n_words) AS alpha_ok,
+             |  (10 * n_sym <= n_words) AS symbol_ok,
+             |  (n_stop >= 2) AS stopword_ok,
+             |  ((n_words >= 50 AND n_words <= 100000)
+             |    AND (3 * n_words <= word_chars
+             |      AND word_chars <= 10 * n_words)
+             |    AND (5 * n_alpha >= 4 * n_words)
+             |    AND (10 * n_sym <= n_words)
+             |    AND (n_stop >= 2)) AS keep
+             |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    Q("t_collocations",
+      "Collocation mining: corpus-wide top-15 adjacent-token bigrams " +
+        "by LIFT = P(ab)/(P(a)P(b)) with min support 5 — the " +
+        "association statistic behind phrase detection (word2vec-" +
+        "style phrase merging uses exactly this shape). Exactness: " +
+        "lift is monotone in the integer cross-product n_ab*N_uni^2 " +
+        "/ (n_a*n_b*N_bi)... emitted as ONE double division of two " +
+        "BIGINT products (n_ab*N_uni*N_uni as numerator work divided " +
+        "by n_a*n_b*N_bi) — a single fixed float op, no " +
+        "transcendental (PMI = log(lift) would be libm-variant; " +
+        "lift ranks identically). Ties broken by the bigram text. " +
+        "Plan: one explode for unigram counts, one windowed lead for " +
+        "bigrams (both reuse the doc_id partitioning), counts join " +
+        "on broadcast-sized vocab frames.",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"p")
+        val toks = Tables.documents(s, d)
+          .select($"doc_id",
+            posexplode(split(trim($"text"), "\\s+")).as(Seq("p", "tok")))
+        val uni = toks.groupBy($"tok").agg(count(lit(1)).as("n"))
+        val nUni = broadcast(uni.agg(sum($"n").as("n_uni")))
+        val bi = toks
+          .withColumn("nxt", lead($"tok", 1).over(w))
+          .filter($"nxt".isNotNull)
+          .groupBy($"tok", $"nxt").agg(count(lit(1)).as("n_ab"))
+        val nBi = broadcast(bi.agg(sum($"n_ab").as("n_bi")))
+        bi.filter($"n_ab" >= 5L)
+          .join(broadcast(uni.select($"tok".as("t1"), $"n".as("n_a"))),
+            $"tok" === $"t1")
+          .join(broadcast(uni.select($"tok".as("t2"), $"n".as("n_b"))),
+            $"nxt" === $"t2")
+          .crossJoin(nUni).crossJoin(nBi)
+          .select(concat($"tok", lit(" "), $"nxt").as("bigram"),
+            $"n_ab",
+            (($"n_ab" * $"n_uni" * $"n_uni").cast("double") /
+              ($"n_a" * $"n_b" * $"n_bi").cast("double")).as("lift"))
+          .orderBy($"lift".desc, $"bigram")
+          .limit(15)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, u.p AS p, toks[u.p + 1] AS tok
+             |  FROM (SELECT doc_id,
+             |          string_split_regex(trim(text), '\s+') AS toks
+             |        FROM documents) t,
+             |    unnest(range(0, len(toks))) AS u(p)),
+             |uni AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+             |nu AS (SELECT CAST(sum(n) AS BIGINT) AS n_uni FROM uni),
+             |bi AS (
+             |  SELECT tok, nxt, count(*) AS n_ab FROM (
+             |    SELECT doc_id, tok,
+             |      lead(tok) OVER (PARTITION BY doc_id ORDER BY p)
+             |        AS nxt
+             |    FROM toks) x
+             |  WHERE nxt IS NOT NULL GROUP BY tok, nxt),
+             |nb AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_bi FROM bi)
+             |SELECT bi.tok || ' ' || bi.nxt AS bigram,
+             |  CAST(n_ab AS BIGINT) AS n_ab,
+             |  CAST(n_ab * nu.n_uni * nu.n_uni AS DOUBLE)
+             |    / CAST(a.n * b.n * nb.n_bi AS DOUBLE) AS lift
+             |FROM bi JOIN uni a ON bi.tok = a.tok
+             |  JOIN uni b ON bi.nxt = b.tok
+             |  CROSS JOIN nu CROSS JOIN nb
+             |WHERE n_ab >= 5
+             |ORDER BY lift DESC, bigram LIMIT 15""".stripMargin)),
   )
 }

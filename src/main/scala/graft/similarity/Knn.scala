@@ -178,6 +178,19 @@ object Knn {
     * corpus is written partitioned/bucketed by `cell` so probes prune
     * partitions. Queries explode ×nProbe on the broadcast side only.
     */
+  /** The md5-ordered deterministic centroid sample [[ivfTopK]] trains
+    * on — public so compositions (e.g. FILTERED search over a SHARED
+    * index) can take centroids from the FULL corpus and serve a
+    * predicate-restricted subset through [[ivfTopKWithCentroids]]:
+    * the index is built once, not per predicate. */
+  def md5Centroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   nCells: Int): Array[(Long, Array[Float])] = corpus
+    .select(col(idCol).cast("long").as("cid"),
+      col(vecCol).cast("array<float>").as("cvec"))
+    .orderBy(md5(col("cid").cast("string")), col("cid"))
+    .limit(nCells)
+    .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16,
               nProbe: Int = 2, logOccupancy: Boolean = false): DataFrame = {
@@ -189,12 +202,7 @@ object Knn {
     // assignment becomes a PURE MAP over the corpus (greatest over nCells
     // scored structs — no join, no shuffle; at rest the corpus is written
     // partitioned by this `cell` column).
-    val centroids: Array[(Long, Array[Float])] = corpus
-      .select(col(idCol).cast("long").as("cid"),
-        col(vecCol).cast("array<float>").as("cvec"))
-      .orderBy(md5(col("cid").cast("string")), col("cid"))
-      .limit(nCells)
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val centroids = md5Centroids(corpus, idCol, vecCol, nCells)
     // degenerate corpora: 0 centroids -> brute force is the only sensible
     // answer; 1 centroid -> everything lands in that single cell
     if (centroids.length < 2)

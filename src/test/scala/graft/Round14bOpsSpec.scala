@@ -441,6 +441,158 @@ class Round14bOpsSpec extends AnyFunSuite {
       s"the interval-overlap join must be an equi join:\n$plan")
   }
 
+  // ---------------- filtered IVF ----------------
+
+  test("filtered IVF at nProbe = nCells equals brute force over the " +
+      "filtered subset exactly — and the index is SHARED (centroids " +
+      "come from the full corpus, not the predicate's subset)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val cents = graft.similarity.Knn
+      .md5Centroids(emb, "vec_id", "embedding", nCells = 16)
+    val centLabels = emb.filter($"vec_id".isin(
+        cents.map(_._1).toSeq: _*))
+      .select($"label").as[Int].collect().toSet
+    assert(centLabels.exists(_ != 3),
+      "centroids must sample the FULL corpus — an all-label-3 " +
+        "centroid set means the index was built per predicate")
+    val filtered = emb.filter($"label" === 3)
+    val qs = emb.filter($"vec_id" < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"rank", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exhaustive = rows(graft.similarity.Knn.ivfTopKWithCentroids(
+      filtered, qs, "vec_id", "embedding", 5, cents.toSeq,
+      nProbe = 16))
+    val brute = rows(graft.similarity.Knn.bruteForceTopK(
+      filtered, qs, "vec_id", "embedding", 5))
+    assert(exhaustive == brute,
+      "probing every cell must degenerate to exact filtered brute")
+  }
+
+  // ---------------- grid radius join ----------------
+
+  test("gridNeighborJoin equals the naive quadratic radius join pair " +
+      "for pair on random points — each pair exactly once — and the " +
+      "boundary (dist == eps) and cell-straddling pairs are kept") {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 150).map(i =>
+      (i.toLong, rnd.nextDouble() * 0.4 - 0.2,
+        rnd.nextDouble() * 0.4 - 0.2))
+    // planted: exact-eps pair (ids 900, 901) and a cell-straddling
+    // pair hugging a multiple-of-eps boundary (ids 902, 903)
+    val eps = 0.05
+    // x1 = 0.0 so dx is the LITERAL double 0.05 and dx*dx equals
+    // eps*eps bit for bit (0.3+eps would carry rounding past eps)
+    val planted = Seq((900L, 0.0, 0.3), (901L, eps, 0.3),
+      (902L, 0.0999, 0.0), (903L, 0.1001, 0.0))
+    val pts = (base ++ planted).toDF("id", "x", "y")
+    val got = graft.ops.Relational
+      .gridNeighborJoin(pts, "id", "x", "y", eps)
+      .select($"a_id", $"b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val naive = pts.as("a").join(pts.as("b"),
+        col("a.id") < col("b.id") &&
+          (col("a.x") - col("b.x")) * (col("a.x") - col("b.x")) +
+          (col("a.y") - col("b.y")) * (col("a.y") - col("b.y"))
+          <= lit(eps * eps))
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.sorted == naive.sorted,
+      s"grid ${got.size} pairs vs naive ${naive.size}")
+    assert(got.size == got.distinct.size,
+      "3x3-probe x single-cell-target must yield each pair once")
+    assert(got.contains((900L, 901L)),
+      "a pair at EXACTLY eps distance must be kept (<=)")
+    assert(got.contains((902L, 903L)),
+      "a pair straddling a cell boundary must be found by the " +
+        "neighborhood probe")
+  }
+
+  // ---------------- Gopher rules ----------------
+
+  test("Gopher rules: each rule trips on its planted violator and " +
+      "ONLY that rule trips (attribution), and the conjunction " +
+      "keeps the clean doc") {
+    val clean = (1 to 60).map(i => s"word$i").mkString(" ") +
+      " the of and"  // 63 words, all alpha, 3 stop words
+    val docs = Seq(
+      (1L, clean),
+      (2L, (1 to 10).map(i => s"w$i").mkString(" ")),   // too short
+      (3L, clean.replace("word", "superduperlongword")), // mean len > 10
+      (4L, (1 to 60).map(_ => "1234").mkString(" ") + " the of and"),
+      (5L, (1 to 60).map(_ => "#").mkString(" ") + " the of and"),
+      (6L, (1 to 63).map(i => s"word$i").mkString(" ")) // no stops
+    ).toDF("doc_id", "text")
+    // drive the registered fn by writing the fixture as a parquet dir
+    val tmp = java.nio.file.Files
+      .createTempDirectory("gopher_fixture").toFile
+    docs.write.mode("overwrite")
+      .parquet(s"${tmp.getAbsolutePath}/documents.parquet")
+    val rows = graft.SparkEntry
+      .queries("curate_gopher_rules")(spark, tmp.getAbsolutePath)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6),
+        r.getBoolean(7)))).toMap
+    // (wc, mean_len, alpha, symbol, stopword, keep)
+    assert(rows(1L) == ((true, true, true, true, true, true)))
+    assert(rows(2L)._1 == false && rows(2L)._6 == false)
+    assert(rows(3L)._2 == false && rows(3L)._1,
+      s"doc3 must fail ONLY mean-length: ${rows(3L)}")
+    assert(rows(4L)._3 == false && rows(4L)._1 && rows(4L)._2,
+      s"doc4 (all-numeric words) must fail ONLY alpha: ${rows(4L)}")
+    assert(rows(5L)._4 == false,
+      s"doc5 (hash soup) must fail the symbol ratio: ${rows(5L)}")
+    assert(rows(6L)._5 == false && rows(6L)._1,
+      s"doc6 must fail ONLY stop-words: ${rows(6L)}")
+  }
+
+  // ---------------- collocations ----------------
+
+  test("collocation lift: rows come back lift-descending and the top " +
+      "bigram's lift equals an independent driver-side replay from " +
+      "raw unigram/bigram counts") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("t_collocations")(spark, d)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 15)
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sortBy(-_).toSeq,
+      "rows must come back lift-descending")
+    // independent replay of the top row's lift from raw counts
+    val (bigram, nAb, lift) = rows.head
+    val Array(w1, w2) = bigram.split(" ")
+    val toks = Tables.documents(spark, d)
+      .select($"doc_id", posexplode(split(trim($"text"), "\\s+"))
+        .as(Seq("p", "tok")))
+    val nUni = toks.count()
+    val nA = toks.filter($"tok" === w1).count()
+    val nB = toks.filter($"tok" === w2).count()
+    val nBi = toks.groupBy($"doc_id").agg(count(lit(1)).as("c"))
+      .agg(sum($"c" - 1L)).as[Long].head()
+    val expected = (nAb * nUni * nUni).toDouble /
+      (nA * nB * nBi).toDouble
+    assert(lift == expected,
+      s"top bigram '$bigram': lift $lift != replayed $expected")
+  }
+
+  // ---------------- count-min sketch ----------------
+
+  test("CMS never undercounts: est >= true for every queried key on " +
+      "natural data, with equality exactly when the key's 4 cells " +
+      "are collision-free") {
+    val rows = graft.SparkEntry
+      .queries("agg_cms_topk")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, t, e) =>
+      assert(e >= t, s"CMS undercounted key $k: est $e < true $t — " +
+        "impossible for a min-of-sums sketch; the hash derivation " +
+        "must have diverged between build and query")
+    }
+  }
+
   /** 2-D fixture where cosine (angle) and MIPS (magnitude) genuinely
     * disagree: queries near the x-axis; corpus has a long vector at
     * 45 degrees (dot winner) and short vectors hugging the x-axis

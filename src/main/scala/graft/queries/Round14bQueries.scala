@@ -64,6 +64,17 @@ object Round14bQueries {
       terms: Seq[(Long, Int, String)], k: Int)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    // NO materialization points, deliberately (measured, r14): the
+    // multi-consumed frames here end at EXCHANGES (dl's shuffle agg
+    // feeds both the corpus scalars and the scoring join), and Spark
+    // collapses identical exchange subtrees within one physical plan
+    // (ReusedExchange) — the repeated branch is computed ONCE per
+    // job already. localCheckpoint variants measured SLOWER at every
+    // size (toks: 1.5x; dl: 1.7x at sf0.1) because the eager
+    // materialization splits the pipeline into extra jobs and writes
+    // block storage for work the plan would have shared anyway. The
+    // g_kcore checkpoint lesson is about ITERATIVE loops whose plans
+    // grow per round — not single-plan DAGs with shared exchanges.
     val toks = docs.select(col("doc_id"),
       explode(split(trim(col("text")), "\\s+")).as("tok"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
@@ -186,9 +197,17 @@ object Round14bQueries {
   private[graft] def labelPropLabels(
       s: org.apache.spark.sql.SparkSession,
       und: org.apache.spark.sql.DataFrame, rounds: Int)
+      : org.apache.spark.sql.DataFrame =
+    labelPropLabelsOn(s, und.localCheckpoint(), rounds)
+
+  /** [[labelPropLabels]] over an ALREADY-MATERIALIZED edge list — the
+    * seam `modularity` uses so its own localCheckpoint of the edges
+    * is not eagerly re-checkpointed a second time. */
+  private def labelPropLabelsOn(
+      s: org.apache.spark.sql.SparkSession,
+      u: org.apache.spark.sql.DataFrame, rounds: Int)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val u = und.localCheckpoint()
     val bi = u.select($"a".as("v"), $"b".as("u"))
       .unionByName(u.select($"b".as("v"), $"a".as("u")))
       .repartition($"u").localCheckpoint()
@@ -266,7 +285,7 @@ object Round14bQueries {
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val u = und.localCheckpoint()
-    val lab = labelPropLabels(s, u, rounds)
+    val lab = labelPropLabelsOn(s, u, rounds)
     val m = broadcast(u.agg(count(lit(1)).as("m")))
     val la = lab.select($"node".as("na"), $"lbl".as("la"))
     val lb = lab.select($"node".as("nb"), $"lbl".as("lb"))
@@ -348,6 +367,17 @@ object Round14bQueries {
     */
   private[graft] def overlapScrub(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // NO materialization points, deliberately (measured, r14): the
+    // expensive multi-consumed subtrees either end at exchanges the
+    // plan SHARES via ReusedExchange (the hot-shingle aggregation
+    // under both `covered` and `isl`) or are map-only derivations
+    // (base/sh) that fuse into their consumers' stages for less than
+    // their storage cost. Every checkpoint variant measured slower —
+    // base+sh: 9x at 1x / 40x at 8x data; starts alone: 13x at 1x
+    // (starts is NOT small on this corpus: a 31-word vocabulary makes
+    // most 8-token shingles duplicated). The g_kcore checkpoint
+    // lesson is about ITERATIVE loops whose plans grow per round —
+    // not single-plan DAGs with shared exchanges.
     val base = docs.select(col("doc_id"),
       split(trim(col("text")), "\\s+").as("toks"))
     val toks = base.select(col("doc_id"),
@@ -972,8 +1002,12 @@ object Round14bQueries {
           element_at($"embedding", 2).as("y"))
         val pairs = graft.ops.Relational.gridNeighborJoin(
           pts, "vec_id", "x", "y", eps = 0.05)
-        val cnt = pairs.select($"a_id".as("id"))
-          .unionByName(pairs.select($"b_id".as("id")))
+        // ONE traversal of the pair join: exploding both endpoints
+        // from each pair row (a union of two selects would plan the
+        // 9x-explode equi join twice — the branches differ in
+        // projection, so exchange reuse cannot collapse them)
+        val cnt = pairs
+          .select(explode(array($"a_id", $"b_id")).as("id"))
           .groupBy($"id").agg(count(lit(1)).as("n"))
         pts.select($"vec_id").join(cnt, $"vec_id" === $"id", "left")
           .select($"vec_id", coalesce($"n", lit(0L)).as("n_neighbors"))
@@ -1140,12 +1174,14 @@ object Round14bQueries {
         "by LIFT = P(ab)/(P(a)P(b)) with min support 5 — the " +
         "association statistic behind phrase detection (word2vec-" +
         "style phrase merging uses exactly this shape). Exactness: " +
-        "lift is monotone in the integer cross-product n_ab*N_uni^2 " +
-        "/ (n_a*n_b*N_bi)... emitted as ONE double division of two " +
-        "BIGINT products (n_ab*N_uni*N_uni as numerator work divided " +
-        "by n_a*n_b*N_bi) — a single fixed float op, no " +
-        "transcendental (PMI = log(lift) would be libm-variant; " +
-        "lift ranks identically). Ties broken by the bigram text. " +
+        "lift = n_ab*N_uni*N_uni / (n_a*n_b*N_bi) emitted as ONE " +
+        "double division of two BIGINT products — a single fixed " +
+        "float op, no transcendental (PMI = log(lift) would be " +
+        "libm-variant; lift ranks identically). BIGINT holds the " +
+        "numerator to N_uni ~ 1.3e9 tokens at min-support 5; a " +
+        "larger corpus lifts both products to DECIMAL(38) — same " +
+        "plan (the bm25/modularity headroom note). Ties broken by " +
+        "the bigram text. " +
         "Plan: one explode for unigram counts, one windowed lead for " +
         "bigrams (both reuse the doc_id partitioning), counts join " +
         "on broadcast-sized vocab frames.",

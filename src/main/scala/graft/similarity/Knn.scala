@@ -168,16 +168,6 @@ object Knn {
     ivfTopK(augC, augQ, idCol, vecCol, k, nCells, nProbe)
   }
 
-  /** IVF-style ANN: a small deterministic centroid sample partitions the
-    * corpus into data-adaptive cells (unlike LSH's data-oblivious planes);
-    * each query probes the `nProbe` nearest cells.
-    *
-    * Scale path: centroid selection is a tiny deterministic sample
-    * (hash-ordered take(k) — metadata-sized, broadcast as literals);
-    * assignment is one scan with the codegen'd cosine kernel; at rest the
-    * corpus is written partitioned/bucketed by `cell` so probes prune
-    * partitions. Queries explode ×nProbe on the broadcast side only.
-    */
   /** The md5-ordered deterministic centroid sample [[ivfTopK]] trains
     * on — public so compositions (e.g. FILTERED search over a SHARED
     * index) can take centroids from the FULL corpus and serve a
@@ -191,6 +181,16 @@ object Knn {
     .limit(nCells)
     .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
 
+  /** IVF-style ANN: a small deterministic centroid sample partitions the
+    * corpus into data-adaptive cells (unlike LSH's data-oblivious planes);
+    * each query probes the `nProbe` nearest cells.
+    *
+    * Scale path: centroid selection is a tiny deterministic sample
+    * (hash-ordered take(k) — metadata-sized, broadcast as literals);
+    * assignment is one scan with the codegen'd cosine kernel; at rest the
+    * corpus is written partitioned/bucketed by `cell` so probes prune
+    * partitions. Queries explode ×nProbe on the broadcast side only.
+    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16,
               nProbe: Int = 2, logOccupancy: Boolean = false): DataFrame = {

@@ -19,6 +19,39 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Observed-metrics channel (Dataset.observe): every guarded
+    // operator (coactivity_cap, winnow_cap, lsh_cap_*,
+    // interval_occupancy, grid_cell_occupancy, …) reports its
+    // occupancy / cap counters here; the bench AGGREGATES them into
+    // BENCH_FULL.json so a cap engaging on natural data is committed
+    // evidence, not a runtime-only signal (r14 ADVICE). Per metric
+    // name, the MAX of each numeric field across all runs is kept —
+    // caps and occupancies are "did it ever engage / how hot" facts.
+    val observed = new java.util.concurrent.ConcurrentHashMap[
+      String, Map[String, Long]]()
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            d: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            val fields = row.schema.fieldNames.zipWithIndex.collect {
+              case (f, i) if !row.isNullAt(i) => row.get(i) match {
+                case n: Long => Some(f -> n)
+                case n: Int => Some(f -> n.toLong)
+                case _ => None
+              }
+            }.flatten.toMap
+            observed.merge(name, fields,
+              (a, b) => (a.keySet ++ b.keySet).map { k =>
+                k -> math.max(a.getOrElse(k, Long.MinValue),
+                  b.getOrElse(k, Long.MinValue))
+              }.toMap)
+          }
+        override def onFailure(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      })
     // warmup: exercise scan + shuffle + codegen paths once
     try {
       SparkEntry.queries("q1_agg")(spark, sfDir).count()
@@ -99,8 +132,23 @@ object Bench {
         "\"" + k + "\":" + (if (ok) f"""{"sec":$v%.3f,"runs":$rs,"load":$ls}"""
           else s"""{"sec":-1,"runs":$rs,"load":$ls}""")
       }
+    // guard-engagement digest: any *over_cap*/*capped* counter > 0 is
+    // a cap that ENGAGED on this corpus — surfaced as a first-class
+    // list so evidence readers don't have to scan the metric map
+    import scala.jdk.CollectionConverters._
+    val obsMap = observed.asScala.toSeq.sortBy(_._1)
+    val engaged = obsMap.collect { case (name, fs)
+        if fs.exists { case (f, v) =>
+          (f.contains("over_cap") || f.contains("n_capped")) && v > 0L } =>
+      "\"" + name + "\""
+    }.mkString("[", ",", "]")
+    val obsJson = obsMap.map { case (name, fs) =>
+      "\"" + name + "\":" + fs.toSeq.sortBy(_._1)
+        .map { case (f, v) => "\"" + f + "\":" + v }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","load_start":$loadStart%.1f,"load_end":$loadEnd%.1f,"queries":${fullEntries.mkString("{", ",\n", "}")}}""" + "\n")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","load_start":$loadStart%.1f,"load_end":$loadEnd%.1f,"caps_engaged":$engaged,"observed":$obsJson,"queries":${fullEntries.mkString("{", ",\n", "}")}}""" + "\n")
     // The harness captures only the LAST ~2000 chars of stdout; a JSON
     // line longer than that loses its head and never parses. Emit the
     // queries map slowest-first, truncated to a hard budget (the slowest

@@ -222,72 +222,141 @@ object Relational {
                    pointTs: String, startTs: String, endTs: String,
                    bucketSeconds: Long): DataFrame =
     intervalJoinImpl(points, intervals, pointTs, startTs, endTs,
-      Some(bucketSeconds))
+      bucketSeconds)
 
-  /** [[intervalJoin]] with the bucket width DERIVED IN-PLAN from the
-    * interval-span distribution: width = max span (floored at 1 s), a
-    * broadcast 1-row aggregate cross-joined to both sides — so every
-    * interval replicates to at most 2 buckets BY CONSTRUCTION at any
-    * data shape (the `bandJoin` guarantee generalized), and no caller
-    * has to guess a width that a span outlier would turn into
-    * span/width-fold replication. Trade-off: one outlier-wide interval
-    * widens every bucket, growing per-bucket point candidate sets —
-    * callers with a heavy-tailed span distribution and a known typical
-    * span should pass an explicit width instead (replication is then
-    * span/width + 1 per interval). The result is width-INVARIANT
-    * either way; only the plan shape moves.
+  /** Internal working-column names injected (and dropped) by the
+    * interval/grid joins. Caller frames must not already use them —
+    * a collision would be silently clobbered/dropped, so the joins
+    * reject it up front (the explicit-failure style of the rest of
+    * this file). */
+  private val reservedCols =
+    Seq("__iw", "__ibkt", "__tier", "__tiers", "__ltier", "__rtier",
+      "__occ")
+
+  private def requireNoReserved(df: DataFrame, side: String): Unit = {
+    val hit = df.columns.intersect(reservedCols)
+    require(hit.isEmpty,
+      s"$side contains reserved internal column(s) ${hit.mkString(",")}" +
+        " — rename before calling the interval/grid joins")
+  }
+
+  // Bucket arithmetic runs at FULL microsecond precision (Spark's
+  // timestamp resolution): a whole-second truncation would compute
+  // an interval ending at hh:00:00.500 as closing in the PREVIOUS
+  // bucket and silently drop its sub-second tail from the candidate
+  // set. unix_micros needs TIMESTAMP — the hop from NTZ (the parquet
+  // default) is exact and monotone under the pinned UTC session
+  // zone, and bucketing only needs a monotone epoch map consistent
+  // across the columns (the exact predicate always compares the
+  // ORIGINAL columns).
+  private def usOf(c: String): Column =
+    unix_micros(col(c).cast("timestamp"))
+
+  /** Home tier of a span: the smallest t ≥ 20 with span ≤ 2^t µs
+    * (tier 20 ≈ 1.05 s is the width floor). Pure per-row integer
+    * arithmetic — length(bin(x)) is bitlen(x) for x ≥ 1, and
+    * bitlen(span−1) is exactly ⌈log2 span⌉ for span ≥ 2. */
+  private def tierOf(spanUs: Column): Column =
+    greatest(lit(20), length(bin(spanUs - 1L))).cast("int")
+
+  /** Bucket index of epoch-µs x in tier t: floor(x / 2^t) as an
+    * ARITHMETIC right shift — exact floor division at any magnitude,
+    * negative (pre-1970) epochs included. */
+  private def bktOf(x: Column, tier: Column): Column =
+    call_function("shiftright", x, tier)
+
+  /** [[intervalJoin]] with the bucket layout DERIVED IN-PLAN from the
+    * interval-span distribution — SPAN-TIERED power-of-two bucketing
+    * (the classic tiered interval index, e.g. HiveMind/Postgres-style
+    * multi-resolution time indexes): every interval lands in its HOME
+    * tier t = ⌈log2 span⌉ (clamped ≥ 20, i.e. a ~1 s width floor),
+    * where its span covers at most 2 buckets of width 2^t µs BY
+    * CONSTRUCTION; points replicate to every DISTINCT home tier
+    * present (a broadcast 1-row collect_set — at most 44 tiers
+    * mathematically, 1-3 on real data) and meet each interval in
+    * exactly one (tier, bucket) key. Unlike the previous max-span
+    * single width, ONE year-long outlier among hour-long intervals
+    * now occupies its own coarse tier instead of inflating every
+    * bucket toward cartesian candidate volume: a tier's intervals
+    * have spans within 2× of its bucket width, so per-bucket interval
+    * occupancy tracks LOCAL density, never the global max span.
+    * Degradation is observable: the bucketized interval branch
+    * carries an `interval_occupancy` observe (max intervals per
+    * bucket + replicated rows + max tier) surfaced through the
+    * standard QueryExecutionListener channel (Bench aggregates it
+    * into BENCH_FULL.json). The join result is layout-INVARIANT;
+    * only the plan shape moves — the IEJoin oracle pins that.
     */
   def intervalJoin(points: DataFrame, intervals: DataFrame,
                    pointTs: String, startTs: String,
                    endTs: String): DataFrame =
-    intervalJoinImpl(points, intervals, pointTs, startTs, endTs, None)
+    tieredContainmentJoin(points, intervals, pointTs, startTs, endTs,
+      "interval_occupancy")
+
+  private def tieredContainmentJoin(points: DataFrame,
+                                    intervals: DataFrame,
+                                    pointTs: String, startTs: String,
+                                    endTs: String,
+                                    obsName: String): DataFrame = {
+    require(points.columns.intersect(intervals.columns).isEmpty,
+      "points/intervals column names must be disjoint")
+    requireNoReserved(points, "points")
+    requireNoReserved(intervals, "intervals")
+    val live = intervals.filter(col(endTs) > col(startTs))
+    val ivT = live.withColumn("__tier",
+      tierOf(usOf(endTs) - usOf(startTs)))
+    // in-plan tier universe (the inPlanCap pattern): a broadcast 1-row
+    // aggregate — no construction-time job. NOTE the intervals subtree
+    // is evaluated twice in the final plan (tier-set agg + join side);
+    // the interval side is the small side of this join by contract
+    // (pass the big side as `points`).
+    val tiersDf = broadcast(ivT.agg(
+      sort_array(collect_set(col("__tier"))).as("__tiers")))
+    val p = points.crossJoin(tiersDf)
+      .withColumn("__tier", explode(col("__tiers"))).drop("__tiers")
+      .withColumn("__ibkt", bktOf(usOf(pointTs), col("__tier")))
+    // per-bucket occupancy Window: partitionBy = the join keys, so the
+    // window's exchange IS the join's interval-side exchange (no extra
+    // shuffle); the observe rides the branch once.
+    val w = Window.partitionBy(col("__tier"), col("__ibkt"))
+    val iv = ivT
+      .withColumn("__ibkt", explode(sequence(
+        bktOf(usOf(startTs), col("__tier")),
+        // [startTs, endTs): the last contained microsecond is endTs − 1µs
+        bktOf(usOf(endTs) - 1L, col("__tier")))))
+      .withColumn("__occ", count(lit(1)).over(w))
+      .observe(obsName,
+        max(col("__occ")).as("max_bucket_intervals"),
+        count(lit(1)).as("bucket_rows"),
+        max(col("__tier")).cast("long").as("max_tier"))
+      .drop("__occ")
+    p.join(iv, Seq("__tier", "__ibkt"))
+      .filter(col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
+      .drop("__tier", "__ibkt")
+  }
 
   private def intervalJoinImpl(points: DataFrame, intervals: DataFrame,
                                pointTs: String, startTs: String,
                                endTs: String,
-                               bucketSeconds: Option[Long]): DataFrame = {
+                               bucketSeconds: Long): DataFrame = {
     require(points.columns.intersect(intervals.columns).isEmpty,
       "points/intervals column names must be disjoint")
-    // Bucket arithmetic runs at FULL microsecond precision (Spark's
-    // timestamp resolution): a whole-second truncation would compute
-    // an interval ending at hh:00:00.500 as closing in the PREVIOUS
-    // bucket and silently drop its sub-second tail from the candidate
-    // set. unix_micros needs TIMESTAMP — the hop from NTZ (the parquet
-    // default) is exact and monotone under the pinned UTC session
-    // zone, and bucketing only needs a monotone epoch map consistent
-    // across the three columns (the exact predicate below compares
-    // the ORIGINAL columns).
-    def us(c: String) = unix_micros(col(c).cast("timestamp"))
+    requireNoReserved(points, "points")
+    requireNoReserved(intervals, "intervals")
+    def us(c: String) = usOf(c)
     // exact integer FLOOR division: x − pmod(x, w) is the largest
     // multiple of w ≤ x (pmod ≥ 0 even for negative epochs), and `div`
-    // on the exact multiple is exact at any magnitude. The previous
-    // `floor(x / w)` routed through DOUBLE and could assign epochs
-    // beyond 2^53 µs (~year 2255) to a shifted bucket — that was
-    // still DROP-FREE (IEEE division is monotone and both sides share
-    // the map, so a point's bucket always lies inside its interval's
-    // replicated [b(start), b(end−1)] range), but exactness removes
-    // the analysis burden and a column-typed width needs `div` anyway
+    // on the exact multiple is exact at any magnitude (`floor(x / w)`
+    // would route through DOUBLE and shift buckets past 2^53 µs).
     def fdiv(x: Column, w: Column): Column =
       call_function("div", x - pmod(x, w), w)
     val live = intervals.filter(col(endTs) > col(startTs))
-    val (p0, iv0, w) = bucketSeconds match {
-      case Some(s) => (points, live, lit(s * 1000000L))
-      case None =>
-        // in-plan width scalar (the inPlanCap pattern): max live span,
-        // ≥ 1 s; a broadcast 1-row aggregate — no construction-time job
-        val widthDf = broadcast(live.agg(greatest(lit(1000000L),
-          max(us(endTs) - us(startTs))).as("__iw")))
-        (points.crossJoin(widthDf), live.crossJoin(widthDf),
-          col("__iw"))
-    }
-    // __iw is consumed by the bucket expressions and dropped on each
-    // side BEFORE the join (it would otherwise ride both sides into an
-    // ambiguous output column)
-    val p = p0.withColumn("__ibkt", fdiv(us(pointTs), w)).drop("__iw")
-    val iv = iv0.withColumn("__ibkt", explode(sequence(
+    val w = lit(bucketSeconds * 1000000L)
+    val p = points.withColumn("__ibkt", fdiv(us(pointTs), w))
+    val iv = live.withColumn("__ibkt", explode(sequence(
         fdiv(us(startTs), w),
         // [startTs, endTs): the last contained microsecond is endTs − 1µs
-        fdiv(us(endTs) - 1L, w)))).drop("__iw")
+        fdiv(us(endTs) - 1L, w))))
     p.join(iv, "__ibkt")
       .filter(col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
       .drop("__ibkt")
@@ -295,50 +364,46 @@ object Relational {
 
   /** Keyless interval × interval OVERLAP join — pairs where
     * [lStart, lEnd) ∩ [rStart, rEnd) ≠ ∅, i.e. lStart < rEnd &&
-    * rStart < lEnd — bucketized into an equi join (the naive two-sided
-    * range predicate plans as BroadcastNestedLoopJoin). Both sides
-    * replicate to the buckets their span covers; candidates meet in
-    * shared buckets; the exact predicate filters; and each true pair
-    * is DEDUPLICATED WITHOUT a distinct: a pair is kept only in the
-    * bucket containing max(lStart, rStart) — the later start, which
-    * lies inside BOTH intervals exactly when they overlap — so every
-    * overlapping pair survives in exactly one bucket and the join
-    * never shuffles duplicate pairs to a dedup stage. The bucket
-    * width is derived IN-PLAN as the max span across BOTH sides
-    * (floored at 1 s, broadcast 1-row aggregates), so every interval
-    * replicates to ≤ 2 buckets by construction; bucket indices ride
-    * the same exact integer floor division as [[intervalJoin]].
+    * rStart < lEnd — decomposed into TWO span-tiered point-in-interval
+    * joins (the classic stabbing decomposition): two half-open
+    * intervals overlap exactly when the LATER start lies inside the
+    * other interval, so
+    *   (1) pairs with rStart ≥ lStart  =  right-STARTS stabbing left
+    *       intervals (rStart ∈ [lStart, lEnd)), and
+    *   (2) pairs with rStart < lStart  =  left-STARTS stabbing right
+    *       intervals (lStart ∈ [rStart, rEnd)), ties excluded — they
+    *       are already in (1)
+    * partition the overlap set, so the union is exact with NO distinct
+    * and no pair-dedup rule. Each leg is [[intervalJoin]]'s tiered
+    * equi join, where only the POINT side (a start column — one row
+    * per distinct home tier) replicates across tiers and every
+    * interval stays in its ≤ 2 home-tier buckets. This is what makes
+    * the op span-outlier-robust: an upward-replication scheme (both
+    * sides meeting in the coarser home tier) would pull EVERY fine
+    * interval into the outlier's tier-wide buckets and re-create the
+    * cartesian collapse this round removed — measured on the planted
+    * 1000× outlier fixture: ~400 intervals per bucket upward vs ≤ a
+    * handful here. Per-leg bucket occupancy is observable via the
+    * `interval_overlap_occupancy_l` / `_r` observes (the
+    * [[intervalJoin]] metric, one per leg).
     */
   def intervalOverlapJoin(left: DataFrame, right: DataFrame,
                           lStart: String, lEnd: String,
                           rStart: String, rEnd: String): DataFrame = {
     require(left.columns.intersect(right.columns).isEmpty,
       "left/right column names must be disjoint")
-    def us(c: String) = unix_micros(col(c).cast("timestamp"))
-    def fdiv(x: Column, w: Column): Column =
-      call_function("div", x - pmod(x, w), w)
+    requireNoReserved(left, "left")
+    requireNoReserved(right, "right")
+    // dead (empty) intervals must not act as stabbing POINTS either:
+    // the naive predicate pairs nothing with an empty interval
     val l0 = left.filter(col(lEnd) > col(lStart))
     val r0 = right.filter(col(rEnd) > col(rStart))
-    val widthDf = broadcast(
-      l0.agg(max(us(lEnd) - us(lStart)).as("__wl"))
-        .crossJoin(r0.agg(max(us(rEnd) - us(rStart)).as("__wr")))
-        .select(greatest(lit(1000000L), col("__wl"), col("__wr"))
-          .as("__iw")))
-    // __iw survives on the LEFT side through the join: the pair-dedup
-    // bucket test needs the width after the equi join
-    val lb = l0.crossJoin(widthDf)
-      .withColumn("__ibkt", explode(sequence(
-        fdiv(us(lStart), col("__iw")),
-        fdiv(us(lEnd) - 1L, col("__iw")))))
-    val rb = r0.crossJoin(widthDf)
-      .withColumn("__ibkt", explode(sequence(
-        fdiv(us(rStart), col("__iw")),
-        fdiv(us(rEnd) - 1L, col("__iw"))))).drop("__iw")
-    lb.join(rb, "__ibkt")
-      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
-      .filter(col("__ibkt") ===
-        fdiv(greatest(us(lStart), us(rStart)), col("__iw")))
-      .drop("__ibkt", "__iw")
+    val later = tieredContainmentJoin(r0, l0, rStart, lStart, lEnd,
+      "interval_overlap_occupancy_l")
+    val earlier = tieredContainmentJoin(l0, r0, lStart, rStart, rEnd,
+      "interval_overlap_occupancy_r")
+      .filter(col(lStart) > col(rStart))
+    later.unionByName(earlier.select(later.columns.map(col): _*))
   }
 
   /** Keyless 2-D radius self-join (all pairs within `eps` Euclidean
@@ -353,10 +418,29 @@ object Relational {
     * construction (|dx| ≤ eps spans at most one cell boundary), so
     * the 3×3 probe is lossless. The naive predicate is a cross join;
     * this plans as one equi join on the cell key, shuffle ∝ 9×|points|.
+    *
+    * CAP-EXEMPT under the verified-pair contract (the
+    * `minhashDuplicates` precedent, r12): a dense cell — a spatial
+    * flash crowd — makes the cell equi join O(k²) per cell, but every
+    * in-radius pair is a TRUE answer the caller asked for, so a
+    * drop-cap or star-reduction would change the result, not just the
+    * plan (star-reduction preserves connected components, not pair
+    * sets — consumers that only need components, like
+    * [[graft.dedup.Dedup.duplicateClusters]]-style clustering, should
+    * cap upstream of THIS op on their own density model). A k-point
+    * dense cluster inherently has Θ(k²) in-radius pairs; the honest
+    * scale levers are a smaller `eps` or a pre-aggregation to
+    * per-cell counts. Density is OBSERVABLE: the single-cell target
+    * branch carries a `grid_cell_occupancy` observe (max points per
+    * cell + total cells rows) through the standard
+    * QueryExecutionListener channel — the window's partitioning is
+    * the join key, so its exchange IS the target side's join
+    * exchange (no extra shuffle).
     */
   def gridNeighborJoin(points: DataFrame, idCol: String, xCol: String,
                        yCol: String, eps: Double): DataFrame = {
     require(eps > 0, s"eps must be positive, got $eps")
+    requireNoReserved(points, "points")
     def cellOf(c: Column) = floor(c.cast("double") / lit(eps))
     val base = points.select(col(idCol).as("__gid"),
       col(xCol).cast("double").as("__gx"),
@@ -369,9 +453,15 @@ object Relational {
         col("__gy").as("ay"),
         (cellOf(col("__gx")) + col("__dxy")(0)).as("cx"),
         (cellOf(col("__gy")) + col("__dxy")(1)).as("cy"))
+    val wCell = Window.partitionBy(col("cx2"), col("cy2"))
     val target = base.select(col("__gid").as("b_id"),
       col("__gx").as("bx"), col("__gy").as("by"),
       cellOf(col("__gx")).as("cx2"), cellOf(col("__gy")).as("cy2"))
+      .withColumn("__occ", count(lit(1)).over(wCell))
+      .observe("grid_cell_occupancy",
+        max(col("__occ")).as("max_cell_points"),
+        count(lit(1)).as("cell_rows"))
+      .drop("__occ")
     probe.join(target,
         col("cx") === col("cx2") && col("cy") === col("cy2") &&
           col("a_id") < col("b_id"))

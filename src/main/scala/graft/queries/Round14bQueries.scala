@@ -490,8 +490,14 @@ object Round14bQueries {
   private[graft] def kmvSketch(events: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val topk = graft.functions.TopKAgg.topK(KmvK)
+    // shard via `%` (truncated remainder), NOT pmod: the DuckDB oracle
+    // shards with `user_id % 8`, and Spark's `%` is the same truncated
+    // remainder for every sign — pmod would silently diverge on a
+    // negative id (r14 ADVICE). The shard is only a grouping key, so a
+    // negative shard value is harmless; what matters is that both
+    // engines compute the IDENTICAL partition of ids.
     val h = events.select(col("event_type"),
-      pmod(col("user_id"), lit(8L)).as("shard"),
+      (col("user_id") % lit(8L)).as("shard"),
       expr("CAST(conv(substring(md5(cast(user_id AS string)), 1, " +
         "15), 16, 10) AS BIGINT)").as("h"))
     // KMV is defined over DISTINCT hash values; v = -h makes the

@@ -125,6 +125,18 @@ object Streams {
     * order-insensitive BY THEOREM (k-min of a set does not depend on
     * arrival order), and this query is that theorem run through the
     * streaming engine's state machinery.
+    *
+    * SINGLE-TRIGGER CONTRACT (Append mode): this op emits one row per
+    * group per MICRO-BATCH, so a run-to-completion sink only holds one
+    * row per group when the whole input lands in ONE batch. Callers
+    * must build the source with `maxFilesPerTrigger = Int.MaxValue`
+    * and drain through [[runToMemoryAppend]], which ASSERTS the
+    * single-batch expectation (`requireSingleBatch = true`) — an
+    * incremental-trigger caller would accumulate stale per-group rows
+    * in the sink and must dedup by latest batch itself. A true
+    * incremental consumer should read the per-batch rows as a
+    * changelog (each row IS the group's current sketch — later batches
+    * supersede earlier ones), which is the production shape anyway.
     */
   /** One KMV insert: keep `mins` the ascending k smallest DISTINCT
     * values seen. A duplicate of a kept value is caught by membership;

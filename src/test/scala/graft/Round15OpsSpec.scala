@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-15 hardening of the keyless-join family: span-TIERED
+  * bucketing for the auto-width interval joins (the r14 verdict's one
+  * perf-weak finding — a single span outlier must no longer collapse
+  * the bucketing toward cartesian candidate volume), occupancy
+  * observability on the interval and grid joins, and the
+  * reserved-internal-column guards.
+  */
+class Round15OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(us: Long) = new java.sql.Timestamp(us / 1000L)
+  private val T0 = 1700000000000000L // epoch µs, well past 2^50
+
+  /** Capture one named observe row emitted by running `df.count()`,
+    * via the standard QueryExecutionListener channel. */
+  private def observedRow(name: String)(
+      df: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Row = {
+    val captured =
+      new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.Row]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        qe.observedMetrics.get(name).foreach(captured.add)
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      df.count()
+      val deadline = System.currentTimeMillis() + 20000
+      while (captured.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(!captured.isEmpty, s"observe '$name' never arrived")
+      captured.peek()
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  /** 500 deterministic 1-hour windows tiling one month, plus ONE
+    * ~1000× span outlier covering the whole range — the planted shape
+    * the r14 verdict called for (natural spans are fixed 7/11-day
+    * windows and cannot exercise span skew). */
+  private def outlierIntervals = {
+    val hour = 3600L * 1000000L
+    val month = 30L * 24L * hour
+    val step = month / 500L
+    val rows = (0 until 500).map { i =>
+      (i.toLong, ts(T0 + i * step), ts(T0 + i * step + hour))
+    } :+ ((999L, ts(T0 - hour), ts(T0 + 1000L * hour)))
+    rows.toDF("win_id", "win_start", "win_end")
+  }
+
+  private def pointsOverMonth = {
+    val month = 30L * 24L * 3600L * 1000000L
+    (0 until 5000).map { i =>
+      (i.toLong, ts(T0 + (month / 5000L) * i + (i % 97) * 1001L))
+    }.toDF("p_id", "p_ts")
+  }
+
+  test("intervalJoin auto-width: pair-identical to the naive " +
+      "containment predicate under a planted 1000x span outlier") {
+    val got = graft.ops.Relational.intervalJoin(
+        pointsOverMonth, outlierIntervals,
+        "p_ts", "win_start", "win_end")
+      .select($"p_id", $"win_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val naive = pointsOverMonth.join(outlierIntervals,
+        $"p_ts" >= $"win_start" && $"p_ts" < $"win_end")
+      .select($"p_id", $"win_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(naive.nonEmpty && got == naive,
+      s"${got.size} pairs vs naive ${naive.size}")
+    assert(got.size == got.distinct.size, "duplicate candidate pairs")
+  }
+
+  test("intervalJoin auto-width: the span outlier is ISOLATED in its " +
+      "own coarse tier — per-bucket interval occupancy stays local " +
+      "(the old max-span width packed all 500 windows into ~2 " +
+      "outlier-wide buckets)") {
+    val row = observedRow("interval_occupancy") {
+      graft.ops.Relational.intervalJoin(
+        pointsOverMonth, outlierIntervals,
+        "p_ts", "win_start", "win_end")
+    }
+    val maxOcc = row.getAs[Long]("max_bucket_intervals")
+    // hour-long windows live in tier 32 (2^32 µs ≈ 71.6 min buckets,
+    // ~600 buckets across the month, ≤ 2 rows per interval): a few
+    // per bucket. Under the replaced max-span width the 500 windows
+    // all landed in the outlier-wide buckets → occupancy ~500.
+    assert(maxOcc <= 16L,
+      s"span outlier must not inflate bucket occupancy: $maxOcc")
+    assert(row.getAs[Long]("max_tier") >= 40L,
+      "the outlier must occupy a coarse tier of its own")
+  }
+
+  test("intervalOverlapJoin: pair-identical + exactly-once under the " +
+      "planted outlier on BOTH sides, occupancy stays local") {
+    val a = outlierIntervals.select($"win_id".as("a_id"),
+      $"win_start".as("a_start"), $"win_end".as("a_end"))
+    val b = outlierIntervals.select(($"win_id" + 10000L).as("b_id"),
+      // shift by 17 minutes so overlaps are non-trivial
+      ($"win_start" + expr("INTERVAL 17 MINUTES")).as("b_start"),
+      ($"win_end" + expr("INTERVAL 17 MINUTES")).as("b_end"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select($"a_id", $"b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = pairs(graft.ops.Relational.intervalOverlapJoin(
+      a, b, "a_start", "a_end", "b_start", "b_end"))
+    val naive = pairs(a.join(b,
+      $"a_start" < $"b_end" && $"b_start" < $"a_end"))
+    assert(naive.nonEmpty && got.sorted == naive.sorted,
+      s"${got.size} pairs vs naive ${naive.size}")
+    assert(got.size == got.distinct.size,
+      "a pair must survive in exactly one stabbing leg/bucket")
+    // both stabbing legs keep intervals in HOME tiers only — an
+    // upward-replication design measured ~400 here (every fine
+    // interval pulled into the outlier's tier-wide buckets)
+    Seq("interval_overlap_occupancy_l",
+        "interval_overlap_occupancy_r").foreach { m =>
+      val row = observedRow(m) {
+        graft.ops.Relational.intervalOverlapJoin(
+          a, b, "a_start", "a_end", "b_start", "b_end")
+      }
+      assert(row.getAs[Long]("max_bucket_intervals") <= 16L,
+        s"$m occupancy ${row.getAs[Long]("max_bucket_intervals")}")
+    }
+  }
+
+  test("intervalJoin tier-boundary straddle: spans of exactly 2^k and " +
+      "2^k+1 µs, points at start / end−1µs / end — half-open " +
+      "containment matches naive at every edge") {
+    val spans = Seq(1L << 22, (1L << 22) + 1L, 1L << 30, (1L << 30) + 1L,
+      1000001L)
+    val iv = spans.zipWithIndex.map { case (s, i) =>
+      // starts deliberately NOT bucket-aligned
+      val st = T0 + i * (1L << 33) + 12345L
+      (i.toLong, ts(st), ts(st + s))
+    }.toDF("win_id", "win_start", "win_end")
+    val pts = spans.zipWithIndex.flatMap { case (s, i) =>
+      val st = T0 + i * (1L << 33) + 12345L
+      Seq(st, st + s - 1000L, st + s, st + s / 2).zipWithIndex.map {
+        case (t, j) => (i * 10L + j, ts(t))
+      }
+    }.toDF("p_id", "p_ts")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select($"p_id", $"win_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val got = pairs(graft.ops.Relational.intervalJoin(
+      pts, iv, "p_ts", "win_start", "win_end"))
+    val naive = pairs(pts.join(iv,
+      $"p_ts" >= $"win_start" && $"p_ts" < $"win_end"))
+    assert(naive.nonEmpty && got == naive)
+  }
+
+  test("reserved internal columns are rejected up front, not " +
+      "silently clobbered") {
+    val pts = Seq((1L, ts(T0))).toDF("p_id", "p_ts")
+    val ivBad = Seq((1L, ts(T0), ts(T0 + 1000000L), 5))
+      .toDF("win_id", "win_start", "win_end", "__ibkt")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Relational.intervalJoin(pts, ivBad,
+        "p_ts", "win_start", "win_end")
+    }
+    assert(e.getMessage.contains("__ibkt"))
+    val ptsBad = Seq((1L, ts(T0), 7)).toDF("p_id", "p_ts", "__tier")
+    intercept[IllegalArgumentException] {
+      graft.ops.Relational.intervalJoin(ptsBad,
+        Seq((1L, ts(T0), ts(T0 + 1000000L)))
+          .toDF("win_id", "win_start", "win_end"),
+        "p_ts", "win_start", "win_end")
+    }
+    val badGrid = Seq((1L, 0.0, 0.0, 1)).toDF("id", "x", "y", "__occ")
+    intercept[IllegalArgumentException] {
+      graft.ops.Relational.gridNeighborJoin(badGrid, "id", "x", "y",
+        eps = 0.1)
+    }
+  }
+
+  test("gridNeighborJoin density is observable: a planted 40-point " +
+      "dense cell reports max_cell_points = 40 and still returns " +
+      "every true pair (cap-EXEMPT verified-pair contract)") {
+    val eps = 0.1
+    // 40 points inside one eps-cell + 60 isolated points far apart
+    val dense = (0 until 40).map(i =>
+      (i.toLong, 0.01 + (i % 8) * 0.001, 0.01 + (i / 8) * 0.001))
+    val sparse = (0 until 60).map(i =>
+      (100L + i, 10.0 + i * 5.0, -10.0 - i * 5.0))
+    val pts = (dense ++ sparse).toDF("id", "x", "y")
+    val row = observedRow("grid_cell_occupancy") {
+      graft.ops.Relational.gridNeighborJoin(pts, "id", "x", "y", eps)
+    }
+    assert(row.getAs[Long]("max_cell_points") == 40L,
+      s"expected the planted flash crowd: $row")
+    val got = graft.ops.Relational
+      .gridNeighborJoin(pts, "id", "x", "y", eps)
+      .select($"a_id", $"b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val naive = pts.toDF("i1", "x1", "y1")
+      .join(pts.toDF("i2", "x2", "y2"), $"i1" < $"i2" &&
+        ($"x1" - $"x2") * ($"x1" - $"x2") +
+          ($"y1" - $"y2") * ($"y1" - $"y2") <= eps * eps)
+      .select($"i1", $"i2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == naive && got.size == 40 * 39 / 2,
+      s"${got.size} vs naive ${naive.size}")
+  }
+}

@@ -95,7 +95,24 @@ object ScaleProbe {
     "e_knn_filtered_ivf", "j_spatial_grid", "agg_cms_topk",
     // r14 sixth wave: both are one-explode/one-agg text passes over
     // the K× documents
-    "curate_gopher_rules", "t_collocations")
+    "curate_gopher_rules", "t_collocations",
+    // r15: the at-rest winnow serve path (build + serve both scale
+    // with the K× corpus; output-bound like the other winnow probes —
+    // cross-copy near-dup cliques make TRUE pair count grow ~K²) and
+    // the decimal-lifted BM25 (same plan as t_bm25_topk);
+    // j_spatial_dbscan is deliberately probed via probe_dbscan_heavy
+    // (disjoint spatial planes) instead of the scaled dir, whose
+    // near-coincident embedding copies densify cells ×K and make the
+    // output itself quadratic (the j_spatial_grid caveat)
+    "t_winnow_at_rest", "t_bm25_decimal",
+    // r15 heavy tier for the near-clamp-floor queries (the r14
+    // verdict item: their natural t1 ≈ 0.1-0.6 s sits on the 0.5 s
+    // ratio clamp floor where ratios are noise) + the planted
+    // span-outlier interval probe the natural fixed-width windows
+    // can never exercise
+    "probe_bm25_heavy", "probe_collocations_heavy",
+    "probe_spatial_heavy", "probe_dbscan_heavy",
+    "probe_interval_outlier")
 
   /** Documents inflated COPIES× in-plan (ids stay unique under any
     * further per-dir offset; text carries a per-copy tag so copies are
@@ -248,7 +265,67 @@ object ScaleProbe {
         when(spam, to_timestamp(lit("2024-01-01 00:00:00")))
           .otherwise(col("ts")).as("ts"))
       graft.queries.Coactivity.undFromEvents(s, spammed)
+    }),
+    // r15 heavy tier: the registered bodies over 6×-inflated docs so
+    // the 1× denominator clears the 0.5 s clamp floor with real work
+    "probe_bm25_heavy" -> ((s: SparkSession, d: String) =>
+      graft.queries.Round14bQueries.bm25TopK(s, inflateDocs(s, d, 6),
+        graft.queries.Round14bQueries.Bm25Terms, k = 10)),
+    "probe_collocations_heavy" -> ((s: SparkSession, d: String) =>
+      graft.queries.Round14bQueries.collocationsTop(s,
+        inflateDocs(s, d, 6), minSupport = 5L, k = 15)),
+    // spatial probes over DISJOINT planes (x offset ≫ any eps per
+    // copy): true pair count and grid work both grow ×copies — the
+    // honest linear data model (the g_* disjoint-subgraph pattern);
+    // the scaled dir's near-coincident copies would instead densify
+    // every cell ×K and make output itself quadratic
+    "probe_spatial_heavy" -> ((s: SparkSession, d: String) =>
+      graft.ops.Relational.gridNeighborJoin(
+        inflateEmbPlanes(s, d, 6), "vec_id", "x", "y", eps = 0.05)),
+    "probe_dbscan_heavy" -> ((s: SparkSession, d: String) =>
+      graft.queries.Round15Queries.dbscan(
+        inflateEmbPlanes(s, d, 6), "vec_id", eps = 0.02, minPts = 4L)),
+    // planted span outlier (the r14 verdict's skew shape — natural
+    // spans are fixed 7/11-day windows): one decade-wide interval
+    // rides with the 11-day windows; it contains EVERY lineitem point
+    // (output grows by +|points|, linear), and under the replaced
+    // max-span width derivation it widened every bucket to 10 years —
+    // per-bucket candidates ≈ |points|·|intervals| (cartesian
+    // collapse). The tiered layout isolates it in its own coarse tier,
+    // so this probe's ratio staying ~linear IS the r15 fix's evidence.
+    "probe_interval_outlier" -> ((s: SparkSession, d: String) => {
+      val iv = Tables.table(s, d, "orders")
+        .filter(pmod(col("o_orderkey"), lit(89L)) === 0)
+        .select(col("o_orderkey").as("order_id"),
+          col("o_orderdate").cast("timestamp").as("win_start"),
+          (col("o_orderdate") + expr("INTERVAL 11 DAYS"))
+            .cast("timestamp").as("win_end"))
+        .unionByName(s.sql(
+          "SELECT CAST(-1 AS BIGINT) AS order_id, " +
+            "TIMESTAMP'1990-01-01 00:00:00' AS win_start, " +
+            "TIMESTAMP'2000-01-01 00:00:00' AS win_end"))
+      val pts = Tables.table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"))
+      graft.ops.Relational.intervalJoin(pts, iv, "l_shipdate",
+          "win_start", "win_end")
+        .groupBy(col("order_id"))
+        .agg(count(lit(1)).as("n_ship"))
     }))
+
+  /** Embeddings inflated `copies`× into DISJOINT 2-D planes (first
+    * component offset by 1000·copy — far beyond any probe eps), id
+    * space re-offset: the spatial probes' linear data model.
+    */
+  private def inflateEmbPlanes(s: SparkSession, d: String,
+      copies: Int): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    emb.crossJoin(broadcast(s.range(0, copies.toLong).toDF("copy")))
+      .select((col("vec_id") * copies + col("copy")).as("vec_id"),
+        (element_at(col("embedding"), 1).cast("double")
+          + col("copy").cast("double") * 1000.0).as("x"),
+        element_at(col("embedding"), 2).cast("double").as("y"))
+  }
 
   private def probeFn(name: String)
       : (SparkSession, String) => org.apache.spark.sql.DataFrame =
@@ -349,10 +426,11 @@ object ScaleProbe {
         java.nio.file.Paths.get(s"$sfDir/$t.parquet"))
     }
 
-    def time(name: String, dir: String, runs: Int): Double = {
+    def time(name: String, dir: String, runs: Int): (Double, Long) = {
+      var rows = 0L
       def once: Double = {
         val t0 = System.nanoTime()
-        probeFn(name)(spark, dir).count()
+        rows = probeFn(name)(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }
       val rs = Seq.fill(runs)(once)
@@ -361,7 +439,7 @@ object ScaleProbe {
       // state, the first question when a ratio looks super-linear
       System.err.println(f"[probe] $name $dir runs " +
         rs.map(r => f"$r%.2f").mkString("/"))
-      rs.min
+      (rs.min, rows)
     }
     println(f"${"query"}%-24s ${"1x"}%8s ${s"${k}x"}%8s ratio")
     val attempts = selectedProbes(guard).map { q =>
@@ -371,20 +449,32 @@ object ScaleProbe {
         // so it gets min-of-3 while the K× side keeps min-of-2 (it is
         // K× the cost and sits in the numerator, where noise only
         // OVERSTATES a ratio the clamp below already bounds)
-        val t1 = time(q, sfDir, runs = 3)
-        val tk = time(q, scaled.getAbsolutePath, runs = 2)
+        val (t1, rows1) = time(q, sfDir, runs = 3)
+        val (tk, rowsk) = time(q, scaled.getAbsolutePath, runs = 2)
         println(f"$q%-24s $t1%8.2f $tk%8.2f ${ratio(t1, tk)}%5.1fx")
-        Right((q, t1, tk))
+        Right((q, t1, tk, rows1, rowsk))
       } catch {
         case e: Exception =>
           println(s"$q FAILED: ${e.getMessage.take(120)}")
           Left(q)
       }
     }
-    val measured = attempts.collect { case Right(t) => t }
+    val measured = attempts.collect {
+      case Right((q, t1, tk, _, _)) => (q, t1, tk) }
     val failedProbes = attempts.collect { case Left(q) => q }
-    val json = measured.map { case (q, t1, tk) =>
-      f""""$q":{"t1":$t1%.3f,"tk":$tk%.3f,"ratio":${ratio(t1, tk)}%.3f}"""
+    // rows1/rowsk + ratio_per_outrow carry the OUTPUT-growth
+    // normalization in the committed evidence itself (r14 verdict: the
+    // output-bound probes — winnow/overlap-scrub/lsh_spam — re-argue
+    // "true pairs grow ~K², seconds per output row is the flatness
+    // measure" every round; now the per-row ratio is a recorded
+    // column). Extra fields sit BEFORE t1 so the guard's regex over
+    // the committed baseline keeps matching its t1/tk/ratio tail.
+    val json = attempts.collect {
+      case Right((q, t1, tk, rows1, rowsk)) =>
+        val perRow =
+          if (rows1 > 0 && rowsk > 0) (tk / rowsk) / (t1.max(0.5) / rows1)
+          else ratio(t1, tk)
+        f""""$q":{"rows1":$rows1,"rowsk":$rowsk,"ratio_per_outrow":$perRow%.3f,"t1":$t1%.3f,"tk":$tk%.3f,"ratio":${ratio(t1, tk)}%.3f}"""
     }.mkString("{\"k\":" + k + ",\"sf\":\"" + sfDir + "\",\"queries\":{",
       ",\n", "}}")
     java.nio.file.Files.writeString(

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{ExtendedQueries, PipelineQueries, Q, Round4Queries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, Round9Queries, Round10Queries, Round10bQueries, Round11Queries, Round12Queries, Round13Queries, Round14Queries, Round14bQueries, StarQueries}
+import graft.queries.{ExtendedQueries, PipelineQueries, Q, Round4Queries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, Round9Queries, Round10Queries, Round10bQueries, Round11Queries, Round12Queries, Round13Queries, Round14Queries, Round14bQueries, Round15Queries, StarQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,7 +19,7 @@ object SparkEntry {
       Round6Queries.all ++ Round7Queries.all ++ Round8Queries.all ++
       Round9Queries.all ++ Round10Queries.all ++ Round10bQueries.all ++
       Round11Queries.all ++ Round12Queries.all ++ Round13Queries.all ++
-      Round14Queries.all ++ Round14bQueries.all
+      Round14Queries.all ++ Round14bQueries.all ++ Round15Queries.all
     val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(",")}")
     all
@@ -98,7 +98,9 @@ object SparkEntry {
     "g_labelprop", "curate_overlap_scrub", "g_modularity",
     "agg_kmv_setops", "stream_kmv_sketch", "j_interval_overlap",
     "e_knn_filtered_ivf", "j_spatial_grid", "agg_cms_topk",
-    "curate_gopher_rules", "t_collocations")
+    "curate_gopher_rules", "t_collocations",
+    // r15: same capped-from-birth policy
+    "t_winnow_at_rest", "t_bm25_decimal", "j_spatial_dbscan")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

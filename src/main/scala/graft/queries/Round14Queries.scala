@@ -39,7 +39,6 @@ object Round14Queries {
     */
   private[graft] def winnowOverlap(docs: org.apache.spark.sql.DataFrame,
       minShared: Long): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // cross-doc matching is on the HASH part only — position (the low
     // 12 bits) is doc-local MOSS metadata, and joining on the combined
     // value would (a) miss every overlap whose shared run sits at
@@ -52,17 +51,35 @@ object Round14Queries {
     // frames): the gram-explode + md5 + window derivation feeds both
     // self-join sides and would otherwise run twice per query — and
     // that matches MOSS semantics, which builds the fingerprint index
-    // once and then queries it (our at-rest ANN layouts do the same).
+    // once and then queries it (t_winnow_at_rest runs the SAME serve
+    // body over the index written to a bucketed at-rest layout).
     val fps = Round13Queries.winnowFingerprints(docs)
       .select(col("doc_id"), expr("fp div 4096").as("fp"))
       .distinct()
       .localCheckpoint()
-    val parted = fps.repartition(col("fp"))
+    winnowOverlapPairs(fps.repartition(col("fp")),
+      docs.select(col("doc_id")), minShared)
+  }
+
+  /** The winnowing-overlap SERVE body: frequency-count + boilerplate
+    * cap + fp self-join + shared-count rollup over an ALREADY-BUILT
+    * fingerprint index `fps (doc_id, fp)` — shared by the in-flight
+    * detector ([[winnowOverlap]], index checkpointed per run) and the
+    * at-rest query (index read from a bucketed table layout, whose
+    * scan-provided hash partitioning on fp satisfies the frequency
+    * Window AND both self-join sides with ZERO exchange). Callers own
+    * the fp distribution: pass a frame whose partitioning clusters by
+    * fp (repartition or bucketed scan).
+    */
+  private[graft] def winnowOverlapPairs(
+      fps: org.apache.spark.sql.DataFrame,
+      capFrom: org.apache.spark.sql.DataFrame,
+      minShared: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("fp"))
-    val counted = parted
+    val counted = fps
       .withColumn("df", count(lit(1)).over(w))
-      .crossJoin(broadcast(
-        graft.dedup.Dedup.inPlanCap(docs.select(col("doc_id")))))
+      .crossJoin(broadcast(graft.dedup.Dedup.inPlanCap(capFrom)))
       .observe("winnow_cap",
         max(col("df")).as("max_fp_df"),
         sum(when(col("df") > col("bkt_cap"), 1L).otherwise(0L))
@@ -161,22 +178,27 @@ object Round14Queries {
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     Q("j_interval_autowidth",
-      "Keyless interval-containment join with the bucket width DERIVED " +
-        "IN-PLAN (`Relational.intervalJoin`, no-width overload): " +
-        "j_interval_bucketized requires the caller to pick " +
+      "Keyless interval-containment join with the bucket layout " +
+        "DERIVED IN-PLAN (`Relational.intervalJoin`, no-width " +
+        "overload): j_interval_bucketized requires the caller to pick " +
         "bucketSeconds — a span outlier turns a too-narrow choice " +
-        "into span/width-fold interval replication. Here the width is " +
-        "the MAX live span (floored at 1 s), a broadcast 1-row " +
-        "aggregate cross-joined to both sides, so every interval " +
-        "replicates to at most 2 buckets BY CONSTRUCTION at any data " +
-        "shape, and bucket indices ride exact integer floor-division " +
-        "(x - pmod(x,w)) div w — exact at any epoch magnitude, no " +
-        "double rounding. The join result is width-INVARIANT, so the " +
-        "oracle is DuckDB's IEJoin over the naive range predicate — " +
-        "a genuinely different algorithm pinning the derived-width " +
-        "rewrite pair-for-pair. Windows here are 11 days over every " +
-        "1-in-89 order, deliberately unaligned with the derived " +
-        "bucket so interval-bucket straddling is exercised.",
+        "into span/width-fold interval replication. Here the layout " +
+        "is SPAN-TIERED (r15): every interval lands in its home " +
+        "power-of-two tier t = ceil(log2 span) (floored at ~1 s) " +
+        "covering <= 2 buckets of width 2^t us BY CONSTRUCTION, and " +
+        "points probe the in-plan tier universe (a broadcast 1-row " +
+        "collect_set, 1-3 tiers on real data) — so ONE span outlier " +
+        "occupies its own coarse tier instead of inflating every " +
+        "bucket toward cartesian candidate volume (the r14 verdict's " +
+        "perf-weak finding against the previous max-span width). " +
+        "Bucket indices are arithmetic right-shifts — exact floor " +
+        "division at any epoch magnitude; per-bucket occupancy rides " +
+        "the interval_occupancy observe. The join result is " +
+        "layout-INVARIANT, so the oracle is DuckDB's IEJoin over the " +
+        "naive range predicate — a genuinely different algorithm " +
+        "pinning the tiered rewrite pair-for-pair. Windows here are " +
+        "11 days over every 1-in-89 order, deliberately unaligned " +
+        "with the tier-32/40 bucket grid so straddling is exercised.",
       (s, d) => {
         import s.implicits._
         val iv = Tables.table(s, d, "orders")

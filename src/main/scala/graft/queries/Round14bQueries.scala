@@ -59,9 +59,43 @@ object Round14bQueries {
     * pushdown: the token explode feeds ONE filtered aggregation, and
     * the df/scalars sides are broadcast-sized).
     */
+  /** The t_collocations body over any (doc_id, text) frame — shared
+    * with `probe_collocations_heavy` so the probe measures exactly the
+    * registered plan at a real denominator. */
+  private[graft] def collocationsTop(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame, minSupport: Long, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"p")
+    val toks = docs
+      .select($"doc_id",
+        posexplode(split(trim($"text"), "\\s+")).as(Seq("p", "tok")))
+    val uni = toks.groupBy($"tok").agg(count(lit(1)).as("n"))
+    val nUni = broadcast(uni.agg(sum($"n").as("n_uni")))
+    val bi = toks
+      .withColumn("nxt", lead($"tok", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .groupBy($"tok", $"nxt").agg(count(lit(1)).as("n_ab"))
+    val nBi = broadcast(bi.agg(sum($"n_ab").as("n_bi")))
+    bi.filter($"n_ab" >= minSupport)
+      .join(broadcast(uni.select($"tok".as("t1"), $"n".as("n_a"))),
+        $"tok" === $"t1")
+      .join(broadcast(uni.select($"tok".as("t2"), $"n".as("n_b"))),
+        $"nxt" === $"t2")
+      .crossJoin(nUni).crossJoin(nBi)
+      .select(concat($"tok", lit(" "), $"nxt").as("bigram"),
+        $"n_ab",
+        (($"n_ab" * $"n_uni" * $"n_uni").cast("double") /
+          ($"n_a" * $"n_b" * $"n_bi").cast("double")).as("lift"))
+      .orderBy($"lift".desc, $"bigram")
+      .limit(k)
+  }
+
   private[graft] def bm25TopK(s: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame,
-      terms: Seq[(Long, Int, String)], k: Int)
+      terms: Seq[(Long, Int, String)], k: Int,
+      decimalLift: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     // NO materialization points, deliberately (measured, r14): the
@@ -92,11 +126,32 @@ object Round14bQueries {
       .withColumn("idf",
         length(bin(expr("(2 * (n_docs + 1)) div (2 * df + 1)")))
           .cast("long"))
-      .withColumn("c", col("idf").cast("double") *
-        ((lit(44L) * col("s_tokens") * col("tf")).cast("double") /
-          (lit(20L) * col("s_tokens") * col("tf")
-            + lit(6L) * col("s_tokens")
-            + lit(18L) * col("n_docs") * col("dl")).cast("double")))
+      .withColumn("c", col("idf").cast("double") * {
+        // the two scorer products, in BIGINT (default — ample headroom
+        // at test scale) or lifted to DECIMAL so a 100 TB corpus's
+        // products can exceed 2^63 without changing the plan shape or
+        // the result: explicit operand widths 9/18 keep every product
+        // inside DECIMAL(38) in BOTH engines (Spark grows p1+p2+1
+        // capped at 38; DuckDB grows w1+w2 and ERRORS past 38 —
+        // 9+18=27, +9=36 stays legal), and an integer-valued decimal
+        // casts to the same IEEE double as the equal BIGINT, so the
+        // lifted ranking is bit-identical (t_bm25_decimal pins it
+        // cross-engine against the same corpus).
+        def d9(c: org.apache.spark.sql.Column) = c.cast("decimal(9,0)")
+        def d18(c: org.apache.spark.sql.Column) = c.cast("decimal(18,0)")
+        val (num, den) =
+          if (!decimalLift)
+            (lit(44L) * col("s_tokens") * col("tf"),
+              lit(20L) * col("s_tokens") * col("tf")
+                + lit(6L) * col("s_tokens")
+                + lit(18L) * col("n_docs") * col("dl"))
+          else
+            (d9(lit(44L)) * d18(col("s_tokens")) * d9(col("tf")),
+              d9(lit(20L)) * d18(col("s_tokens")) * d9(col("tf"))
+                + d9(lit(6L)) * d18(col("s_tokens"))
+                + d9(lit(18L)) * d9(col("n_docs")) * d9(col("dl")))
+        num.cast("double") / den.cast("double")
+      })
     val piv = scored.groupBy(col("query_id"), col("doc_id"))
       .agg(
         coalesce(max(when(col("slot") === 1, col("c"))), lit(0.0))
@@ -121,11 +176,32 @@ object Round14bQueries {
     * on the all-positive operands), same integer-cleared tf ratio,
     * same fixed c1+c2+c3 chain, same (score desc, doc asc) ranking.
     */
-  private def bm25Sql(terms: Seq[(Long, Int, String)], k: Int): String = {
+  private[graft] def bm25Sql(terms: Seq[(Long, Int, String)], k: Int,
+      decimalLift: Boolean = false): String = {
     val values = terms.map { case (q, s, t) => s"($q, $s, '$t')" }
       .mkString(", ")
     val inList = terms.map(_._3).distinct.map(t => s"'$t'")
       .mkString(", ")
+    // the same operand-width discipline as the Spark side: 9/18-digit
+    // casts keep every product ≤ DECIMAL(36) (DuckDB multiplies widths
+    // additively and rejects results past 38)
+    val (num, den) =
+      if (!decimalLift)
+        ("CAST(44 * sc.s_tokens * t.tf AS DOUBLE)",
+          """CAST(20 * sc.s_tokens * t.tf + 6 * sc.s_tokens
+            |            + 18 * sc.n_docs * l.dl AS DOUBLE)""".stripMargin)
+      else
+        ("""CAST(CAST(44 AS DECIMAL(9,0))
+           |        * CAST(sc.s_tokens AS DECIMAL(18,0))
+           |        * CAST(t.tf AS DECIMAL(9,0)) AS DOUBLE)""".stripMargin,
+          """CAST(CAST(20 AS DECIMAL(9,0))
+            |        * CAST(sc.s_tokens AS DECIMAL(18,0))
+            |        * CAST(t.tf AS DECIMAL(9,0))
+            |      + CAST(6 AS DECIMAL(9,0))
+            |        * CAST(sc.s_tokens AS DECIMAL(18,0))
+            |      + CAST(18 AS DECIMAL(9,0))
+            |        * CAST(sc.n_docs AS DECIMAL(9,0))
+            |        * CAST(l.dl AS DECIMAL(9,0)) AS DOUBLE)""".stripMargin)
     s"""WITH toks AS (
        |  SELECT doc_id,
        |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
@@ -144,9 +220,8 @@ object Round14bQueries {
        |      AS BIGINT) AS idf,
        |    CAST(length(bin((2 * (sc.n_docs + 1)) // (2 * d.df + 1)))
        |        AS DOUBLE)
-       |      * (CAST(44 * sc.s_tokens * t.tf AS DOUBLE)
-       |        / CAST(20 * sc.s_tokens * t.tf + 6 * sc.s_tokens
-       |            + 18 * sc.n_docs * l.dl AS DOUBLE)) AS c
+       |      * ($num
+       |        / $den) AS c
        |  FROM tf t JOIN qt q USING (tok) JOIN dfreq d USING (tok)
        |    JOIN dl l USING (doc_id) CROSS JOIN sc),
        |piv AS (
@@ -914,18 +989,22 @@ object Round14bQueries {
 
     Q("j_interval_overlap",
       "Keyless interval x interval OVERLAP join (a_start < b_end AND " +
-        "b_start < a_end) via Relational.intervalOverlapJoin: both " +
-        "sides bucketized (width = max span across BOTH sides, derived " +
-        "in-plan, so every interval replicates to <= 2 buckets by " +
-        "construction), candidates meet in shared buckets, and each " +
-        "true pair is deduplicated WITHOUT a distinct — kept only in " +
-        "the bucket containing max(a_start, b_start), which lies " +
-        "inside both intervals exactly when they overlap, so every " +
-        "pair survives in exactly one bucket and no dedup shuffle " +
-        "exists. The naive predicate plans as BroadcastNestedLoopJoin " +
-        "(spec-pinned control, like j_interval_bucketized); the " +
-        "oracle replays the naive predicate through DuckDB's IEJoin — " +
-        "a genuinely different algorithm pinning the rewrite " +
+        "b_start < a_end) via Relational.intervalOverlapJoin — the " +
+        "STABBING decomposition (r15): two half-open intervals " +
+        "overlap exactly when the LATER start lies inside the other " +
+        "interval, so the op is TWO span-tiered point-in-interval " +
+        "legs (right starts stabbing left intervals, ties included; " +
+        "left starts stabbing right intervals, ties excluded) whose " +
+        "union is exact WITHOUT a distinct or pair-dedup rule. Each " +
+        "leg keeps intervals in their <= 2 home-tier buckets and " +
+        "replicates only the start POINTS across the in-plan tier " +
+        "universe, so a span outlier cannot pull the fine intervals " +
+        "into its coarse buckets (the r14 verdict's perf-weak " +
+        "finding; per-leg occupancy rides the " +
+        "interval_overlap_occupancy_l/_r observes). The naive " +
+        "predicate plans as BroadcastNestedLoopJoin (spec-pinned " +
+        "control); the oracle replays it through DuckDB's IEJoin — a " +
+        "genuinely different algorithm pinning the rewrite " +
         "pair-for-pair. 7-day windows (1-in-97 orders) against " +
         "11-day windows (1-in-89 orders), deliberately unaligned.",
       (s, d) => {
@@ -1176,6 +1255,7 @@ object Round14bQueries {
              |FROM agg ORDER BY doc_id""".stripMargin)),
 
     Q("t_collocations",
+      // body in [[collocationsTop]] (shared with the heavy probe)
       "Collocation mining: corpus-wide top-15 adjacent-token bigrams " +
         "by LIFT = P(ab)/(P(a)P(b)) with min support 5 — the " +
         "association statistic behind phrase detection (word2vec-" +
@@ -1191,33 +1271,9 @@ object Round14bQueries {
         "Plan: one explode for unigram counts, one windowed lead for " +
         "bigrams (both reuse the doc_id partitioning), counts join " +
         "on broadcast-sized vocab frames.",
-      (s, d) => {
-        import s.implicits._
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy($"doc_id").orderBy($"p")
-        val toks = Tables.documents(s, d)
-          .select($"doc_id",
-            posexplode(split(trim($"text"), "\\s+")).as(Seq("p", "tok")))
-        val uni = toks.groupBy($"tok").agg(count(lit(1)).as("n"))
-        val nUni = broadcast(uni.agg(sum($"n").as("n_uni")))
-        val bi = toks
-          .withColumn("nxt", lead($"tok", 1).over(w))
-          .filter($"nxt".isNotNull)
-          .groupBy($"tok", $"nxt").agg(count(lit(1)).as("n_ab"))
-        val nBi = broadcast(bi.agg(sum($"n_ab").as("n_bi")))
-        bi.filter($"n_ab" >= 5L)
-          .join(broadcast(uni.select($"tok".as("t1"), $"n".as("n_a"))),
-            $"tok" === $"t1")
-          .join(broadcast(uni.select($"tok".as("t2"), $"n".as("n_b"))),
-            $"nxt" === $"t2")
-          .crossJoin(nUni).crossJoin(nBi)
-          .select(concat($"tok", lit(" "), $"nxt").as("bigram"),
-            $"n_ab",
-            (($"n_ab" * $"n_uni" * $"n_uni").cast("double") /
-              ($"n_a" * $"n_b" * $"n_bi").cast("double")).as("lift"))
-          .orderBy($"lift".desc, $"bigram")
-          .limit(15)
-      },
+      (s, d) => collocationsTop(s,
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        minSupport = 5L, k = 15),
       Some("""WITH toks AS (
              |  SELECT doc_id, u.p AS p, toks[u.p + 1] AS tok
              |  FROM (SELECT doc_id,

@@ -185,6 +185,53 @@ class Round15OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dbscan on a planted geometry: two separated blobs cluster " +
+      "apart, the far point is noise, and a border point takes the " +
+      "MIN cluster among its core neighbors") {
+    // blob A: 7 collinear points 0.01 apart (each sees the 6 others —
+    // core at minPts = 6); blob B: same, 10 units away; border: at
+    // (0.155, 0) — within 0.095 of core 6 ONLY (next core is 0.105
+    // away, both 0.005 clear of eps — no float-boundary ties), so 1
+    // neighbor + self = 2 < 6 → border of cluster 0; noise at (50,50)
+    val pts = (
+      (0 until 7).map(i => (i.toLong, i * 0.01, 0.0)) ++
+      (0 until 7).map(i => (10L + i, 10.0 + i * 0.01, 0.0)) ++
+      Seq((100L, 0.155, 0.0), (200L, 50.0, 50.0))
+    ).toDF("vec_id", "x", "y")
+    val got = graft.queries.Round15Queries
+      .dbscan(pts, "vec_id", eps = 0.1, minPts = 6L)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toMap
+    (0 until 7).foreach { i =>
+      assert(got(i.toLong) == ("core", 0L), s"blob A $i: ${got(i.toLong)}")
+    }
+    (0 until 7).foreach { i =>
+      assert(got(10L + i) == ("core", 10L), s"blob B $i: ${got(10L + i)}")
+    }
+    assert(got(200L) == ("noise", -1L))
+    assert(got(100L) == ("border", 0L), s"border: ${got(100L)}")
+  }
+
+  test("t_bm25_decimal equals t_bm25_topk bit-for-bit on the natural " +
+      "corpus — the DECIMAL(38) lift changes headroom, not results") {
+    val d = "/root/testdata/sf0.001"
+    def rows(name: String) = graft.SparkEntry.queries(name)(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)))).toSeq
+    assert(rows("t_bm25_decimal") == rows("t_bm25_topk"))
+  }
+
+  test("t_winnow_at_rest equals t_winnow_overlap row-for-row — the " +
+      "bucketed at-rest layout is invisible to results") {
+    val d = "/root/testdata/sf0.001"
+    def rows(name: String) = graft.SparkEntry.queries(name)(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(rows("t_winnow_at_rest") == rows("t_winnow_overlap"))
+  }
+
   test("gridNeighborJoin density is observable: a planted 40-point " +
       "dense cell reports max_cell_points = 40 and still returns " +
       "every true pair (cap-EXEMPT verified-pair contract)") {

@@ -112,7 +112,14 @@ object ScaleProbe {
     // can never exercise
     "probe_bm25_heavy", "probe_collocations_heavy",
     "probe_spatial_heavy", "probe_dbscan_heavy",
-    "probe_interval_outlier")
+    "probe_interval_outlier",
+    // r15 second wave: bottom-k sampling rides the K× documents (the
+    // bounded TopKAgg buffer is the point — k rows per partition per
+    // stratum regardless of stratum size); CUSUM rides the K× events
+    // (per-user windows; the scaled dir's disjoint user copies give
+    // K× independent series); recall-eval rides the K× embeddings
+    // (brute ranker is the linear-cost term, 10 fixed queries)
+    "p_bottomk_sample", "w_cusum_changepoint", "e_ann_recall_eval")
 
   /** Documents inflated COPIES× in-plan (ids stay unique under any
     * further per-dir offset; text carries a per-copy tag so copies are
@@ -313,18 +320,36 @@ object ScaleProbe {
         .agg(count(lit(1)).as("n_ship"))
     }))
 
-  /** Embeddings inflated `copies`× into DISJOINT 2-D planes (first
-    * component offset by 1000·copy — far beyond any probe eps), id
-    * space re-offset: the spatial probes' linear data model.
+  /** Embeddings inflated `copies`× and spread into DISJOINT 2-D planes
+    * of ~2000 points each (the natural corpus density): plane =
+    * md5-hash(vec_id) mod P with P = total/2000 derived in-plan, x
+    * offset 1000·plane (far beyond any probe eps). Hash-spreading is
+    * load-bearing: the SCALED probe dir's own K× copies are
+    * NEAR-COINCIDENT (component-0 perturbed by 0.001·copy, inside any
+    * probe eps), so any deterministic-by-copy planing leaves them in
+    * one cell and densifies it ×K — pair volume ×K², which is how the
+    * r15 32× sweep OOM'd probe_dbscan_heavy's pair checkpoint (~500 M
+    * materialized rows). Hash planes split coincident copies across
+    * planes, so per-plane density stays ~natural and pair count/work
+    * scale ~linearly with total points — the honest data model.
     */
   private def inflateEmbPlanes(s: SparkSession, d: String,
       copies: Int): org.apache.spark.sql.DataFrame = {
     val emb = Tables.embeddings(s, d)
-    emb.crossJoin(broadcast(s.range(0, copies.toLong).toDF("copy")))
+    val inflated = emb
+      .crossJoin(broadcast(s.range(0, copies.toLong).toDF("copy")))
       .select((col("vec_id") * copies + col("copy")).as("vec_id"),
-        (element_at(col("embedding"), 1).cast("double")
-          + col("copy").cast("double") * 1000.0).as("x"),
+        element_at(col("embedding"), 1).cast("double").as("x0"),
         element_at(col("embedding"), 2).cast("double").as("y"))
+    val planes = broadcast(inflated.agg(
+      greatest(lit(1L), (count(lit(1)) / lit(2000L)).cast("long"))
+        .as("__planes")))
+    inflated.crossJoin(planes)
+      .select(col("vec_id"),
+        (col("x0") + pmod(expr("CAST(conv(substring(md5(cast(vec_id " +
+            "AS string)), 1, 15), 16, 10) AS BIGINT)"), col("__planes"))
+          .cast("double") * 1000.0).as("x"),
+        col("y"))
   }
 
   private def probeFn(name: String)

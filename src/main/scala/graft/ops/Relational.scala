@@ -267,8 +267,8 @@ object Relational {
 
   /** [[intervalJoin]] with the bucket layout DERIVED IN-PLAN from the
     * interval-span distribution — SPAN-TIERED power-of-two bucketing
-    * (the classic tiered interval index, e.g. HiveMind/Postgres-style
-    * multi-resolution time indexes): every interval lands in its HOME
+    * (the multi-resolution grid form of the classic interval-tree /
+    * segment-tree decomposition): every interval lands in its HOME
     * tier t = ⌈log2 span⌉ (clamped ≥ 20, i.e. a ~1 s width floor),
     * where its span covers at most 2 buckets of width 2^t µs BY
     * CONSTRUCTION; points replicate to every DISTINCT home tier

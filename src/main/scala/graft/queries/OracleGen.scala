@@ -781,6 +781,73 @@ object OracleGen {
        |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** ANN recall evaluation (`e_ann_recall_eval`): the [[knnBruteSql]]
+    * exact ranks LEFT-joined against the [[knnIvfSql]] approximate
+    * ranks per query — recall@k = hits/k, counted in BIGINT with ONE
+    * double division at the end. Both pipelines are the verbatim CTE
+    * chains of their standalone oracles (renamed to coexist in one
+    * WITH), so this query pins the evaluation harness itself: an
+    * engine serving ANN must be able to measure its own recall
+    * in-plan, and both engines must agree on every per-query hit
+    * count exactly.
+    */
+  def annRecallSql(dim: Int, nCells: Int, nProbe: Int, k: Int,
+                   maxQueryId: Long): String = {
+    val cosB = cosExpr("q", "e", dim)
+    val cosCT = cosExpr("c", "t", dim)
+    val cosQT = cosExpr("a", "t", dim)
+    val cosQC = cosExpr("q", "c", dim)
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+       |           WHERE vec_id < $maxQueryId),
+       |bpairs AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    $cosB AS cos
+       |  FROM q CROSS JOIN embeddings e
+       |  WHERE e.vec_id <> q.query_id),
+       |brute AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM (SELECT query_id, neighbor_id,
+       |          ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY cos DESC, neighbor_id) AS rn
+       |        FROM bpairs) t
+       |  WHERE rn <= $k),
+       |cent AS (
+       |  SELECT vec_id AS cid, embedding FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCells),
+       |cells AS (
+       |  SELECT vec_id, embedding, cid AS cell FROM (
+       |    SELECT c.vec_id, c.embedding, t.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY $cosCT DESC, t.cid DESC) AS rn
+       |    FROM embeddings c CROSS JOIN cent t) x
+       |  WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, embedding, cid AS cell FROM (
+       |    SELECT a.vec_id, a.embedding, t.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |        ORDER BY $cosQT DESC, t.cid DESC) AS rn
+       |    FROM (SELECT * FROM embeddings WHERE vec_id < $maxQueryId) a
+       |    CROSS JOIN cent t) x
+       |  WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    $cosQC AS cos
+       |  FROM qprobe q JOIN cells c USING (cell)
+       |  WHERE c.vec_id <> q.query_id),
+       |ivf AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM (SELECT query_id, neighbor_id,
+       |          ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY cos DESC, neighbor_id) AS rn
+       |        FROM scored) t
+       |  WHERE rn <= $k)
+       |SELECT b.query_id,
+       |  CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+       |  CAST(count(i.neighbor_id) AS DOUBLE) / $k.0 AS recall_at_k
+       |FROM brute b LEFT JOIN ivf i
+       |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+       |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
+  }
+
   /** IVF replay seeded by the 2-pass Lloyd k-means centroids (the
     * kmeansLloydSql recipe at `nCells` clusters): md5-ordered seed set →
     * argmax-cosine assignment → per-(cluster, dim) 6-dp-rounded float

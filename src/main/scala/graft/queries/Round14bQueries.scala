@@ -78,6 +78,17 @@ object Round14bQueries {
       .filter($"nxt".isNotNull)
       .groupBy($"tok", $"nxt").agg(count(lit(1)).as("n_ab"))
     val nBi = broadcast(bi.agg(sum($"n_ab").as("n_bi")))
+    // lift = n_ab·N·N / (n_a·n_b·N_bi) with the 3-factor BIGINT
+    // products SPLIT into a decimal pair product × one more factor —
+    // the r15 32× probe corpus (192× tokens) overflowed the single
+    // BIGINT product n_ab·N² exactly as the headroom note predicted,
+    // so the lift is now computed as the FIXED two-multiply chain
+    // (CAST(dec(18)·dec(18) AS DOUBLE) · CAST(x AS DOUBLE)) / (same
+    // shape): pair products stay exact in DECIMAL(37) at any corpus
+    // a 60-bit count can describe, each converts to double exactly
+    // once, and both engines execute the identical op order — the
+    // cross-engine contract needs a FIXED chain, not a single op.
+    def d18(c: org.apache.spark.sql.Column) = c.cast("decimal(18,0)")
     bi.filter($"n_ab" >= minSupport)
       .join(broadcast(uni.select($"tok".as("t1"), $"n".as("n_a"))),
         $"tok" === $"t1")
@@ -86,8 +97,10 @@ object Round14bQueries {
       .crossJoin(nUni).crossJoin(nBi)
       .select(concat($"tok", lit(" "), $"nxt").as("bigram"),
         $"n_ab",
-        (($"n_ab" * $"n_uni" * $"n_uni").cast("double") /
-          ($"n_a" * $"n_b" * $"n_bi").cast("double")).as("lift"))
+        (((d18($"n_ab") * d18($"n_uni")).cast("double") *
+            $"n_uni".cast("double")) /
+          ((d18($"n_a") * d18($"n_b")).cast("double") *
+            $"n_bi".cast("double"))).as("lift"))
       .orderBy($"lift".desc, $"bigram")
       .limit(k)
   }
@@ -1260,13 +1273,15 @@ object Round14bQueries {
         "by LIFT = P(ab)/(P(a)P(b)) with min support 5 — the " +
         "association statistic behind phrase detection (word2vec-" +
         "style phrase merging uses exactly this shape). Exactness: " +
-        "lift = n_ab*N_uni*N_uni / (n_a*n_b*N_bi) emitted as ONE " +
-        "double division of two BIGINT products — a single fixed " +
-        "float op, no transcendental (PMI = log(lift) would be " +
-        "libm-variant; lift ranks identically). BIGINT holds the " +
-        "numerator to N_uni ~ 1.3e9 tokens at min-support 5; a " +
-        "larger corpus lifts both products to DECIMAL(38) — same " +
-        "plan (the bm25/modularity headroom note). Ties broken by " +
+        "lift = n_ab*N_uni*N_uni / (n_a*n_b*N_bi) emitted as a FIXED " +
+        "float chain — each side's pair product exact in DECIMAL(18x" +
+        "18), one double multiply, one division; no transcendental " +
+        "(PMI = log(lift) would be libm-variant; lift ranks " +
+        "identically). The decimal pair products hold at any corpus " +
+        "a 60-bit count can describe — the r15 32x probe corpus " +
+        "(192x tokens) OVERFLOWED the previous single-BIGINT " +
+        "n_ab*N^2 product exactly as the old headroom note " +
+        "predicted, so the lift now ships lifted. Ties broken by " +
         "the bigram text. " +
         "Plan: one explode for unigram counts, one windowed lead for " +
         "bigrams (both reuse the doc_id partitioning), counts join " +
@@ -1292,8 +1307,12 @@ object Round14bQueries {
              |nb AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_bi FROM bi)
              |SELECT bi.tok || ' ' || bi.nxt AS bigram,
              |  CAST(n_ab AS BIGINT) AS n_ab,
-             |  CAST(n_ab * nu.n_uni * nu.n_uni AS DOUBLE)
-             |    / CAST(a.n * b.n * nb.n_bi AS DOUBLE) AS lift
+             |  (CAST(CAST(n_ab AS DECIMAL(18,0))
+             |      * CAST(nu.n_uni AS DECIMAL(18,0)) AS DOUBLE)
+             |    * CAST(nu.n_uni AS DOUBLE))
+             |  / (CAST(CAST(a.n AS DECIMAL(18,0))
+             |      * CAST(b.n AS DECIMAL(18,0)) AS DOUBLE)
+             |    * CAST(nb.n_bi AS DOUBLE)) AS lift
              |FROM bi JOIN uni a ON bi.tok = a.tok
              |  JOIN uni b ON bi.nxt = b.tok
              |  CROSS JOIN nu CROSS JOIN nb

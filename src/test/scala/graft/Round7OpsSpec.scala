@@ -56,9 +56,12 @@ class Round7OpsSpec extends AnyFunSuite {
     // probes not in the baseline are skipped, not errors
     assert(ScaleProbe.checkGuard(base, Seq(("new_q", 0.1, 9.9))).isEmpty)
     // the real committed baseline parses and covers the probe list
+    // (r15: probe rows lead with rows1/rowsk/ratio_per_outrow — the
+    // output-growth normalization — with the t1/tk/ratio tail the
+    // guard regex reads kept LAST, so match on the row key + brace)
     val committed = java.nio.file.Files.readString(
       java.nio.file.Paths.get("SCALE_RATIOS.json"))
-    val parsed = """"([a-z0-9_]+)":\{"t1"""".r
+    val parsed = """"([a-z0-9_]+)":\{"(?:t1|rows1)"""".r
       .findAllMatchIn(committed).map(_.group(1)).toSet
     assert(ScaleProbe.probes.toSet.subsetOf(parsed),
       s"baseline missing probes: ${ScaleProbe.probes.toSet -- parsed}")

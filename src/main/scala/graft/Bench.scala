@@ -31,10 +31,18 @@ object Bench {
       String, Map[String, Long]]()
     spark.listenerManager.register(
       new org.apache.spark.sql.util.QueryExecutionListener {
+        // anonymous org.apache.spark.sql.Observation instances (the CC
+        // convergence counters) carry UUID names — noise here; only
+        // NAMED operator observes are evidence
+        private val uuidName =
+          "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$".r
         override def onSuccess(fn: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
             d: Long): Unit =
-          qe.observedMetrics.foreach { case (name, row) =>
+          qe.observedMetrics
+            .filter { case (name, _) =>
+              uuidName.findFirstIn(name).isEmpty }
+            .foreach { case (name, row) =>
             val fields = row.schema.fieldNames.zipWithIndex.collect {
               case (f, i) if !row.isNullAt(i) => row.get(i) match {
                 case n: Long => Some(f -> n)

@@ -140,14 +140,23 @@ object Bench {
         "\"" + k + "\":" + (if (ok) f"""{"sec":$v%.3f,"runs":$rs,"load":$ls}"""
           else s"""{"sec":-1,"runs":$rs,"load":$ls}""")
       }
+    // observed metrics arrive on Spark's ASYNC listener bus — settle
+    // briefly so the final runs' rows are merged before the snapshot
+    // (a cap engaging only on the last query must not vanish from the
+    // committed evidence on a race)
+    Thread.sleep(3000)
     // guard-engagement digest: any *over_cap*/*capped* counter > 0 is
     // a cap that ENGAGED on this corpus — surfaced as a first-class
     // list so evidence readers don't have to scan the metric map
     import scala.jdk.CollectionConverters._
     val obsMap = observed.asScala.toSeq.sortBy(_._1)
+    // engagement fields by family: over_cap_rows/n_capped (drop-style
+    // guards), star_edges (the LSH caps' star-reduction counter —
+    // engagement there emits edges, not drops)
     val engaged = obsMap.collect { case (name, fs)
         if fs.exists { case (f, v) =>
-          (f.contains("over_cap") || f.contains("n_capped")) && v > 0L } =>
+          (f.contains("over_cap") || f.contains("n_capped") ||
+            f == "star_edges") && v > 0L } =>
       "\"" + name + "\""
     }.mkString("[", ",", "]")
     val obsJson = obsMap.map { case (name, fs) =>

@@ -492,8 +492,13 @@ object ScaleProbe {
     // output-bound probes — winnow/overlap-scrub/lsh_spam — re-argue
     // "true pairs grow ~K², seconds per output row is the flatness
     // measure" every round; now the per-row ratio is a recorded
-    // column). Extra fields sit BEFORE t1 so the guard's regex over
-    // the committed baseline keeps matching its t1/tk/ratio tail.
+    // column). The guard reads baselines through [[baselineRatios]],
+    // which accepts both this shape and the legacy t1-first rows —
+    // and the Round7OpsSpec guard test parses the COMMITTED file
+    // through that same function (the r15 lesson: a format change
+    // here silently emptied the old t1-anchored regex's parse and
+    // killed the tripwire while an independent test regex stayed
+    // green).
     val json = attempts.collect {
       case Right((q, t1, tk, rows1, rowsk)) =>
         val perRow =
@@ -542,12 +547,25 @@ object ScaleProbe {
     * ratios well under 2×; a reintroduced quadratic blows straight
     * past it at 8×.
     */
+  /** Parse a probe-baseline JSON (either the legacy t1-first row shape
+    * or the r15 shape with leading rows1/rowsk/ratio_per_outrow
+    * fields) into name → committed ratio. Public and spec-asserted
+    * against the COMMITTED SCALE_RATIOS.json: the r15 field addition
+    * silently zeroed the old t1-anchored regex's matches — an empty
+    * parse means the guard compares nothing and the tripwire is dead,
+    * which only a parse-the-real-file assertion catches.
+    */
+  def baselineRatios(baselineJson: String): Map[String, Double] = {
+    val ratioRe =
+      """"([^"]+)":\{[^{}]*?"t1":[^,]+,"tk":[^,]+,"ratio":([0-9.]+)\}"""
+        .r
+    ratioRe.findAllMatchIn(baselineJson)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
   def checkGuard(baselineJson: String,
                  measured: Seq[(String, Double, Double)]): Seq[String] = {
-    val ratioRe =
-      """"([^"]+)":\{"t1":[^,]+,"tk":[^,]+,"ratio":([0-9.]+)\}""".r
-    val baseRatios = ratioRe.findAllMatchIn(baselineJson)
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val baseRatios = baselineRatios(baselineJson)
     measured.flatMap { case (q, t1, tk) =>
       // Absolute floor: a probe whose 8× run finishes under 2 s is
       // overhead/noise-dominated on this host (sub-second probes swing

@@ -84,8 +84,8 @@ object Round14bQueries {
     // BIGINT product n_ab·N² exactly as the headroom note predicted,
     // so the lift is now computed as the FIXED two-multiply chain
     // (CAST(dec(18)·dec(18) AS DOUBLE) · CAST(x AS DOUBLE)) / (same
-    // shape): pair products stay exact in DECIMAL(37) at any corpus
-    // a 60-bit count can describe, each converts to double exactly
+    // shape): pair products stay exact in DECIMAL(37) while every
+    // count stays below 10^18, each converts to double exactly
     // once, and both engines execute the identical op order — the
     // cross-engine contract needs a FIXED chain, not a single op.
     def d18(c: org.apache.spark.sql.Column) = c.cast("decimal(18,0)")
@@ -159,10 +159,16 @@ object Round14bQueries {
                 + lit(6L) * col("s_tokens")
                 + lit(18L) * col("n_docs") * col("dl"))
           else
+            // n_docs rides d18, NOT d9: the 100 TB regime this lift
+            // exists for is ~5e10 docs, past DECIMAL(9)'s 1e9 ceiling
+            // (ANSI would throw; non-ANSI would NULL→0.0 while DuckDB
+            // errors — cross-engine divergence either way). Widths
+            // stay legal: Spark 9+18+1=28, +9+1=38; DuckDB 9+18=27,
+            // +9=36. tf/dl keep d9 (both ≤ doc length < 1e9).
             (d9(lit(44L)) * d18(col("s_tokens")) * d9(col("tf")),
               d9(lit(20L)) * d18(col("s_tokens")) * d9(col("tf"))
                 + d9(lit(6L)) * d18(col("s_tokens"))
-                + d9(lit(18L)) * d9(col("n_docs")) * d9(col("dl")))
+                + d9(lit(18L)) * d18(col("n_docs")) * d9(col("dl")))
         num.cast("double") / den.cast("double")
       })
     val piv = scored.groupBy(col("query_id"), col("doc_id"))
@@ -213,7 +219,7 @@ object Round14bQueries {
             |      + CAST(6 AS DECIMAL(9,0))
             |        * CAST(sc.s_tokens AS DECIMAL(18,0))
             |      + CAST(18 AS DECIMAL(9,0))
-            |        * CAST(sc.n_docs AS DECIMAL(9,0))
+            |        * CAST(sc.n_docs AS DECIMAL(18,0))
             |        * CAST(l.dl AS DECIMAL(9,0)) AS DOUBLE)""".stripMargin)
     s"""WITH toks AS (
        |  SELECT doc_id,
@@ -1277,8 +1283,8 @@ object Round14bQueries {
         "float chain — each side's pair product exact in DECIMAL(18x" +
         "18), one double multiply, one division; no transcendental " +
         "(PMI = log(lift) would be libm-variant; lift ranks " +
-        "identically). The decimal pair products hold at any corpus " +
-        "a 60-bit count can describe — the r15 32x probe corpus " +
+        "identically). The decimal pair products hold while every " +
+        "count stays below 10^18 — the r15 32x probe corpus " +
         "(192x tokens) OVERFLOWED the previous single-BIGINT " +
         "n_ab*N^2 product exactly as the old headroom note " +
         "predicted, so the lift now ships lifted. Ties broken by " +

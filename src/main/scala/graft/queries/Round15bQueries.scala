@@ -53,7 +53,8 @@ object Round15bQueries {
              |  FROM documents),
              |r AS (
              |  SELECT lang, doc_id,
-             |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+             |    ROW_NUMBER() OVER (PARTITION BY lang
+             |      ORDER BY h, doc_id DESC) AS rn
              |  FROM h)
              |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id
              |FROM r WHERE rn <= 16

@@ -33,11 +33,15 @@ class Round7OpsSpec extends AnyFunSuite {
 
   test("scale guard trips on >2x ratio regression, tolerates noise") {
     // baseline in the exact format ScaleProbe writes (committed as
-    // SCALE_RATIOS.json)
+    // SCALE_RATIOS.json): r15 rows lead with the output-normalization
+    // fields; "c" keeps the legacy t1-first shape so the parser stays
+    // compatible with pre-r15 committed baselines
     val base =
-      """{"k":8,"sf":"/x","queries":{"a":{"t1":0.300,"tk":0.600,"ratio":2.000},
-        |"b":{"t1":0.500,"tk":0.400,"ratio":0.800},
+      """{"k":8,"sf":"/x","queries":{"a":{"rows1":10,"rowsk":80,"ratio_per_outrow":0.250,"t1":0.300,"tk":0.600,"ratio":2.000},
+        |"b":{"rows1":5,"rowsk":5,"ratio_per_outrow":0.800,"t1":0.500,"tk":0.400,"ratio":0.800},
         |"c":{"t1":1.000,"tk":8.000,"ratio":8.000}}}""".stripMargin
+    assert(ScaleProbe.baselineRatios(base) ==
+      Map("a" -> 2.0, "b" -> 0.8, "c" -> 8.0))
     // denominator clamp: a noisy 0.1 s 1× sample must not fabricate a
     // 25× ratio (the r10 d_semdedup_auto artifact) — clamped to 0.5 s
     // the measured ratio is 5.0, under c's 16.0 threshold
@@ -55,16 +59,20 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(ScaleProbe.checkGuard(base, Seq(("a", 0.3, 1.9))).isEmpty)
     // probes not in the baseline are skipped, not errors
     assert(ScaleProbe.checkGuard(base, Seq(("new_q", 0.1, 9.9))).isEmpty)
-    // the real committed baseline parses and covers the probe list
-    // (r15: probe rows lead with rows1/rowsk/ratio_per_outrow — the
-    // output-growth normalization — with the t1/tk/ratio tail the
-    // guard regex reads kept LAST, so match on the row key + brace)
+    // the real committed baseline parses THROUGH THE GUARD'S OWN
+    // PARSER and covers the probe list — an independent regex here
+    // passed green in r15 while the guard's t1-anchored regex parsed
+    // the same file to an EMPTY map (dead tripwire); asserting the
+    // production parser on the production file closes that gap
     val committed = java.nio.file.Files.readString(
       java.nio.file.Paths.get("SCALE_RATIOS.json"))
-    val parsed = """"([a-z0-9_]+)":\{"(?:t1|rows1)"""".r
-      .findAllMatchIn(committed).map(_.group(1)).toSet
-    assert(ScaleProbe.probes.toSet.subsetOf(parsed),
-      s"baseline missing probes: ${ScaleProbe.probes.toSet -- parsed}")
+    val parsed = ScaleProbe.baselineRatios(committed)
+    assert(parsed.size >= ScaleProbe.probes.size,
+      s"guard parser sees only ${parsed.size} baseline rows")
+    assert(ScaleProbe.probes.toSet.subsetOf(parsed.keySet),
+      s"baseline missing probes: " +
+        s"${ScaleProbe.probes.toSet -- parsed.keySet}")
+    assert(parsed.values.forall(r => r >= 0.0 && r < 1000.0))
   }
 
   test("bloomPrunedJoinAuto equals the plain join exactly") {

@@ -119,7 +119,16 @@ object ScaleProbe {
     // (per-user windows; the scaled dir's disjoint user copies give
     // K× independent series); recall-eval rides the K× embeddings
     // (brute ranker is the linear-cost term, 10 fixed queries)
-    "p_bottomk_sample", "w_cusum_changepoint", "e_ann_recall_eval")
+    "p_bottomk_sample", "w_cusum_changepoint", "e_ann_recall_eval",
+    // r15 third wave: priority sampling rides the K× documents (the
+    // bounded buffer argument — 17 rows per partition per stratum);
+    // KMV join-size rides the K× events (K× distinct users, sketch
+    // stays 64 rows); the skyline rides the K× lineitem (per-bucket
+    // windows + a |buckets|-row broadcast); MMR rides the K×
+    // embeddings (the brute candidate stage is the linear-cost term;
+    // the greedy phase is corpus-size-independent by construction)
+    "p_priority_sample", "agg_kmv_joinsize", "o_skyline_pareto",
+    "e_mmr_diversify")
 
   /** Documents inflated COPIES× in-plan (ids stay unique under any
     * further per-dir offset; text carries a per-copy tag so copies are

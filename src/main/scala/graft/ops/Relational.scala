@@ -231,7 +231,8 @@ object Relational {
     * this file). */
   private val reservedCols =
     Seq("__iw", "__ibkt", "__tier", "__tiers", "__ltier", "__rtier",
-      "__occ")
+      "__occ", "__skx", "__sky", "__skb", "__skxn", "__my", "__gy",
+      "__by", "__laty")
 
   private def requireNoReserved(df: DataFrame, side: String): Unit = {
     val hit = df.columns.intersect(reservedCols)
@@ -470,6 +471,65 @@ object Relational {
         lit(eps * eps))
       .select(col("a_id"), col("b_id"), col("ax"), col("ay"),
         col("bx"), col("by"))
+  }
+
+  /** Distributed 2-D skyline (Pareto frontier, maximize both axes):
+    * keep the rows not STRICTLY dominated — p dominates q iff
+    * p.x ≥ q.x ∧ p.y ≥ q.y ∧ (p.x > q.x ∨ p.y > q.y). Duplicate
+    * (x,y) points do not dominate each other and all survive.
+    *
+    * Two-level plan (the scale point — a single global-ORDER-BY window
+    * would funnel every row through ONE task): rows hash into x-range
+    * buckets of width `bucketWidth`; within a bucket, two windows
+    * decide local domination exactly — `max(y) PARTITION BY x` kills
+    * same-x lower rows, and a running `max(y)` over strictly-greater
+    * x (RANGE frame on the negated x, so ASC everywhere — no
+    * engine-specific DESC-range semantics) kills in-bucket dominated
+    * rows. Cross-bucket domination only needs each bucket's max-y
+    * (|buckets| rows, aggregated then broadcast): every x in a later
+    * bucket is strictly greater than every x here, so a local
+    * survivor dies iff some later bucket's max-y ≥ its y. Work is one
+    * hash exchange + per-bucket sorts + a broadcast of |buckets|
+    * rows — no join, no global sort.
+    */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String,
+                bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    requireNoReserved(df, "df")
+    val base = df
+      .withColumn("__skx", col(xCol).cast("long"))
+      .withColumn("__sky", col(yCol).cast("long"))
+      .withColumn("__skb", expr(s"__skx div ${bucketWidth}L"))
+      .withColumn("__skxn", negate(col("__skx")))
+    // ONE exchange + ONE sort for the big side: both in-bucket checks
+    // share the (bucket, -x) window spec — same-x max is the PEER
+    // frame (RANGE CURRENT ROW..CURRENT ROW), strictly-greater-x max
+    // is the frame up to (-x)-1 — so they evaluate in a single
+    // WindowExec pass
+    val w = Window.partitionBy(col("__skb")).orderBy(col("__skxn"))
+    val local = base
+      .withColumn("__my",
+        max(col("__sky")).over(w.rangeBetween(Window.currentRow,
+          Window.currentRow)))
+      .withColumn("__gy",
+        max(col("__sky")).over(w.rangeBetween(Window.unboundedPreceding,
+          -1)))
+      .filter(col("__my") <= col("__sky") &&
+        (col("__gy").isNull || col("__gy") < col("__sky")))
+    // per-bucket max-y from the LOCAL SURVIVORS (the greatest-x row
+    // attaining a bucket's max y always survives both in-bucket
+    // checks, so the survivor max equals the bucket max), then for
+    // each bucket the max over STRICTLY later buckets (tiny:
+    // |buckets| rows — window + broadcast)
+    val wLater = Window.orderBy(negate(col("__skb")))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val bucketMax = local.groupBy(col("__skb"))
+      .agg(max(col("__sky")).as("__by"))
+      .withColumn("__laty", max(col("__by")).over(wLater))
+      .select(col("__skb"), col("__laty"))
+    local.join(broadcast(bucketMax), Seq("__skb"))
+      .filter(col("__laty").isNull || col("__laty") < col("__sky"))
+      .drop("__skb", "__skx", "__sky", "__skxn", "__my", "__gy", "__laty")
   }
 
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],

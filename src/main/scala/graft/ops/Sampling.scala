@@ -1,0 +1,155 @@
+package graft.ops
+
+import graft.functions.TopKAgg
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Weighted / sketch-based sampling primitives for corpus curation at
+  * 100 TB: priority sampling (weighted without replacement, mergeable)
+  * and KMV-based join-cardinality estimation. Both are built on the
+  * bounded [[TopKAgg]] buffer, so the exchange moves at most
+  * k × partitions rows per group no matter how large the input —
+  * the same scale argument as `p_bottomk_sample`.
+  *
+  * Determinism/cross-engine contract (the repo-wide rule): randomness
+  * is an md5 hash of the row key, priorities are computed by EXACT
+  * integer floor division (`div`) in a 44-bit fixed-point domain, and
+  * the only floating-point steps are single IEEE operations on
+  * exactly-representable operands — bit-identical in any engine.
+  */
+object Sampling {
+
+  /** 2^44 — the fixed-point scale of the priority domain. 44 hash bits
+    * keep `weight * SCALE` inside BIGINT for weights up to ~2^19 and
+    * make `SCALE.toDouble` (and any `h/SCALE`) exact. */
+  val PriorityScale: Long = 1L << 44
+
+  /** 44-bit uniform hash of `key` in [1, 2^44] (11 md5 hex chars + 1;
+    * the +1 avoids a zero divisor and keeps the domain exactly
+    * representable as a double). */
+  def hash44(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 11), 16, 10)
+      .cast("long") + lit(1L)
+
+  /** Priority sampling (Duffield, Lund, Thorup — "Priority sampling
+    * for estimation of arbitrary subset sums", JACM 2007): each item
+    * draws u ~ Uniform(0,1] from its key hash and gets priority
+    * q = w/u; the k highest-priority items per stratum are the sample,
+    * and with τ = the (k+1)-th priority, ŵ = max(w, τ) is an unbiased
+    * per-item estimator of w for ANY subset sum — the weighted
+    * counterpart of the bottom-k uniform sampler.
+    *
+    * Exactness: q is ranked in 44-bit fixed point as
+    * `(w * 2^44) div (h+1)` — BIGINT floor division, no float rank
+    * anywhere (two unequal rationals can floor to the same key; the
+    * deterministic (key, id) DESC tie order makes the sample
+    * well-defined and engine-independent). The reported τ and ŵ are
+    * each ONE exact IEEE step: τ = τ_scaled / 2^44 (power-of-two
+    * division, exact), ŵ = max(w, τ).
+    *
+    * Scale: the per-stratum top-(k+1) runs through the bounded
+    * [[TopKAgg]] buffer — map-side partials cap at k+1 entries per
+    * stratum, so a billion-row stratum shuffles k+1 rows per
+    * partition, never the stratum. The weight join-back touches only
+    * the ≤(k+1)·|strata| sampled ids (broadcast build side).
+    *
+    * Output: (stratum, rn, id, w, est) — the sample rank-ordered by
+    * priority; `est` is ŵ. Strata with ≤ k items emit every item with
+    * ŵ = w (τ = 0), matching the estimator's all-included case.
+    *
+    * Weight domain: w ≤ ~2^19 (per-document lengths/counts — any
+    * doc-level weight). Larger weights overflow the BIGINT fixed-point
+    * product and fail LOUDLY under ANSI arithmetic (the engine-wide
+    * explicit-failure posture); pre-scale such weights before sampling.
+    */
+  def prioritySample(df: DataFrame, stratumCol: String, idCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val keyed = df.select(
+      col(stratumCol).as("stratum"), col(idCol).as("id"),
+      col(weightCol).cast("long").as("w"),
+      hash44(col(idCol)).as("u"))
+      .withColumn("pk", expr(s"(w * ${PriorityScale}L) div u"))
+    val topk = TopKAgg.topK(k + 1)
+    val sample = keyed
+      .groupBy(col("stratum"))
+      .agg(topk(col("pk"), col("id")).as("top"))
+      .select(col("stratum"), posexplode(col("top")).as(Seq("pos", "kv")))
+      .select(col("stratum"), (col("pos") + 1L).cast("long").as("rn"),
+        col("kv.v").as("pk"), col("kv.id").as("id"))
+    val wTau = Window.partitionBy(col("stratum"))
+    val withTau = sample
+      .withColumn("tau_scaled", coalesce(
+        max(when(col("rn") === (k + 1), col("pk"))).over(wTau), lit(0L)))
+      .filter(col("rn") <= k)
+    // weight join-back: the sample is ≤ (k+1)·|strata| rows — broadcast
+    // it as the build side against the (arbitrarily large) input
+    val weights = df.select(col(idCol).as("id"),
+      col(weightCol).cast("long").as("w"))
+    weights.join(broadcast(withTau), Seq("id"))
+      .select(col("stratum"), col("rn"), col("id"), col("w"),
+        greatest(col("w").cast("double"),
+          col("tau_scaled").cast("double") / lit(PriorityScale.toDouble))
+          .as("est"))
+      .orderBy(col("stratum"), col("rn"))
+  }
+
+  /** KMV-sketch equi-join cardinality estimate: |A ⋈ B| = Σ_v fA(v)·fB(v)
+    * estimated from a bottom-k sample of the DISTINCT key union
+    * (Beyer et al. "On synopses for distinct-value estimation under
+    * multiset operations", SIGMOD 2007 — the threshold estimator
+    * Σ̂ = Σ_{sampled} g(v) / τ with τ = the k-th smallest normalized
+    * hash). The point at 100 TB: join size is known BEFORE running the
+    * join, from two count-aggregations and a k-row sketch.
+    *
+    * Exactness: the sample is the k smallest 44-bit hashes of the
+    * distinct union keys (bounded [[TopKAgg]] on the negated hash —
+    * mergeable, k rows per partition on the exchange); per-key
+    * fA·fB products and their sum S are BIGINT; the estimate is the
+    * two-step IEEE chain `(S * 2^44) / τ` written identically in both
+    * engines. Inputs with ≤ k distinct keys degrade to the exact sum
+    * (τ = 2^44 ⇒ estimate = S = Σ).
+    *
+    * Output: one row (k, tau_scaled, sampled_keys, exact, est, ratio)
+    * — `exact` computed alongside for evaluation-harness use (itself a
+    * scalable count-join, but the sketch path is the scale story).
+    */
+  def kmvJoinSize(a: DataFrame, b: DataFrame, keyCol: String,
+                  k: Int): DataFrame = {
+    require(k > 1, s"k must be > 1, got $k")
+    val fa = a.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("fa"))
+    val fb = b.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("fb"))
+    val exact = fa.join(fb, Seq("key"))
+      .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("exact"))
+    // bottom-k of the distinct key union: negate the hash so the
+    // descending TopKAgg buffer holds the k SMALLEST
+    val keys = a.select(col(keyCol).as("key"))
+      .unionByName(b.select(col(keyCol).as("key")))
+      .distinct()
+      .select(col("key"), hash44(col("key")).as("h"))
+    val topk = TopKAgg.topK(k)
+    val sketch = keys
+      .agg(topk(negate(col("h")), col("key")).as("mins"))
+      .select(posexplode(col("mins")).as(Seq("pos", "kv")))
+      .select((col("pos") + 1L).as("rn"), negate(col("kv.v")).as("h"),
+        col("kv.id").as("key"))
+    val tau = sketch.agg(
+      coalesce(max(when(col("rn") === k, col("h"))),
+        lit(PriorityScale)).as("tau_scaled"))
+    val s = sketch.filter(col("rn") < k)
+      .join(fa, Seq("key"), "left")
+      .join(fb, Seq("key"), "left")
+      .agg(coalesce(sum(coalesce(col("fa"), lit(0L)) *
+        coalesce(col("fb"), lit(0L))), lit(0L)).as("s"),
+        count(lit(1)).as("sampled_keys"))
+    s.crossJoin(tau).crossJoin(exact)
+      .select(lit(k.toLong).as("k"), col("tau_scaled"),
+        col("sampled_keys"), col("exact"),
+        ((col("s").cast("double") * lit(PriorityScale.toDouble)) /
+          col("tau_scaled").cast("double")).as("est"))
+      .withColumn("ratio", col("est") / col("exact").cast("double"))
+  }
+}

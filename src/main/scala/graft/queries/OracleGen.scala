@@ -1282,4 +1282,67 @@ object OracleGen {
        |      FROM rr) t
        |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
   }
+
+  /** MMR diversification (`Knn.mmrDiversify`): the greedy selection is
+    * unrolled into `kSel` chained CTE steps (no recursion — each step is
+    * an argmax window over the bounded candidate set). rel/sim replay the
+    * bit-identical cosine expansion; the MMR score uses the SAME two
+    * double literals the Spark side multiplies with (`lambdaLit` /
+    * `oneMinusLambdaLit` passed as source text — 1−0.7 recomputed in
+    * doubles would be 0.30000000000000004, a different constant).
+    */
+  def mmrSql(dim: Int, nQueries: Long, kCand: Int, kSel: Int,
+             lambdaLit: String, oneMinusLambdaLit: String): String = {
+    val relCos = cosExpr("q", "e", dim)
+    val simCos = cosExpr("a", "b", dim)
+    val rnCand = "ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY rel DESC, cid)"
+    val head =
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+         |           WHERE vec_id < $nQueries),
+         |pairs AS (SELECT q.query_id, e.vec_id AS cid, $relCos AS rel
+         |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+         |cand AS (SELECT query_id, cid, rel FROM (
+         |    SELECT query_id, cid, rel, $rnCand AS rn FROM pairs) t
+         |  WHERE rn <= $kCand),
+         |cv AS (SELECT c.query_id, c.cid, e.embedding
+         |  FROM cand c JOIN embeddings e ON e.vec_id = c.cid),
+         |sims AS (SELECT a.query_id, a.cid AS a_id, b.cid AS b_id,
+         |    $simCos AS sim
+         |  FROM cv a JOIN cv b
+         |    ON a.query_id = b.query_id AND a.cid <> b.cid),
+         |sel1 AS (SELECT query_id, 1 AS step, cid AS selected_id,
+         |    rel AS score FROM (
+         |    SELECT query_id, cid, rel, $rnCand AS rn FROM cand) t
+         |  WHERE rn = 1)""".stripMargin
+    val steps = (2 to kSel).map { t =>
+      val selu = (1 until t).map(i => s"SELECT * FROM sel$i")
+        .mkString(" UNION ALL ")
+      s"""selu$t AS ($selu),
+         |ms$t AS (SELECT s.query_id, s.a_id, max(s.sim) AS maxsim
+         |  FROM sims s JOIN selu$t p
+         |    ON p.query_id = s.query_id AND p.selected_id = s.b_id
+         |  GROUP BY s.query_id, s.a_id),
+         |mm$t AS (SELECT c.query_id, c.cid,
+         |    CAST($lambdaLit AS DOUBLE) * c.rel -
+         |    CAST($oneMinusLambdaLit AS DOUBLE) * m.maxsim AS mmr
+         |  FROM cand c JOIN ms$t m
+         |    ON m.query_id = c.query_id AND m.a_id = c.cid
+         |  WHERE NOT EXISTS (SELECT 1 FROM selu$t p
+         |    WHERE p.query_id = c.query_id AND p.selected_id = c.cid)),
+         |sel$t AS (SELECT query_id, $t AS step, cid AS selected_id,
+         |    mmr AS score FROM (
+         |    SELECT query_id, cid, mmr, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY mmr DESC, cid) AS rn
+         |    FROM mm$t) t WHERE rn = 1)""".stripMargin
+    }
+    val union = (1 to kSel).map(i => s"SELECT * FROM sel$i")
+      .mkString(" UNION ALL ")
+    (Seq(head) ++ steps).mkString(",\n") +
+      s"""
+         |SELECT query_id, CAST(step AS BIGINT) AS step, selected_id,
+         |  round(score, 6) AS score
+         |FROM ($union) u
+         |ORDER BY query_id, step""".stripMargin
+  }
 }

@@ -110,6 +110,89 @@ object Knn {
         round(col("cosine_raw"), 6).as("cosine"))
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998): from each query's `kCand` nearest candidates, greedily
+    * select `kSel` results balancing relevance against redundancy —
+    * step 1 takes the most relevant candidate, and each later step takes
+    * argmax of `mmrLambda·rel − (1−mmrLambda)·max_{s∈selected} sim(c,s)`.
+    * The standard answer-diversification layer over an ANN retriever
+    * (near-duplicate corpus hits otherwise fill the whole top-k).
+    *
+    * Scale: the expensive stage is the initial top-`kCand`, which is
+    * exactly the serving path (brute here as the exact baseline; the
+    * IVF/LSH tiers slot in unchanged). Everything after is bounded by
+    * the CANDIDATE set, not the corpus: the candidate frame and its
+    * kCand·(kCand−1) pairwise sims are localCheckpoint'd once
+    * (|Q|·kCand² rows), and each greedy step is a join/agg over those
+    * bounded frames — cost independent of corpus size, `kSel` plan-fixed
+    * steps, each step's result checkpointed so plans don't nest.
+    *
+    * Cross-engine exactness: rel and sim are the codegen'd fused cosine
+    * (bit-identical to the oracle's expansion); the MMR score is the
+    * fixed IEEE chain `λ·rel − (1−λ)·maxsim` with both coefficients as
+    * LITERALS on both sides (1−0.7 in doubles is 0.30000000000000004 —
+    * the caller passes λ and oneMinusLambda explicitly so both engines
+    * use the same two constants); ranks tie-break on candidate id.
+    */
+  def mmrDiversify(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, kCand: Int, kSel: Int,
+                   mmrLambda: Double, oneMinusLambda: Double): DataFrame = {
+    require(kCand >= kSel && kSel >= 1,
+      s"need kCand >= kSel >= 1, got kCand=$kCand kSel=$kSel")
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("c_vec"))
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("cid"))
+    val cand = c.join(q, col("query_id") =!= col("cid"))
+      .withColumn("rel", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rn", row_number().over(wRel))
+      .filter(col("rn") <= kCand)
+      .select(col("query_id"), col("cid"), col("rel"), col("c_vec"))
+      .localCheckpoint()
+    val sims = cand.select(col("query_id"), col("cid").as("a_id"),
+        col("c_vec").as("a_vec"))
+      .join(cand.select(col("query_id"), col("cid").as("b_id"),
+        col("c_vec").as("b_vec")), Seq("query_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("query_id"), col("a_id"), col("b_id"),
+        cosine(col("a_vec"), col("b_vec")).as("sim"))
+      .localCheckpoint()
+    val candLite = cand.select(col("query_id"), col("cid"), col("rel"))
+    var sel = candLite
+      .withColumn("rn", row_number().over(wRel))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), lit(1L).as("step"),
+        col("cid").as("selected_id"), col("rel").as("score"))
+      .localCheckpoint()
+    for (t <- 2 to kSel) {
+      val selKeys = sel.select(col("query_id").as("sq"),
+        col("selected_id").as("sid"))
+      val maxsim = sims
+        .join(selKeys, col("query_id") === col("sq") &&
+          col("b_id") === col("sid"))
+        .groupBy(col("query_id"), col("a_id"))
+        .agg(max(col("sim")).as("maxsim"))
+        .select(col("query_id").as("mq"), col("a_id"), col("maxsim"))
+      val wMmr = Window.partitionBy(col("query_id"))
+        .orderBy(col("mmr").desc, col("cid"))
+      val pick = candLite
+        .join(selKeys, col("query_id") === col("sq") &&
+          col("cid") === col("sid"), "left_anti")
+        .join(maxsim, col("query_id") === col("mq") &&
+          col("cid") === col("a_id"))
+        .select(col("query_id"), col("cid"),
+          (lit(mmrLambda) * col("rel") -
+            lit(oneMinusLambda) * col("maxsim")).as("mmr"))
+        .withColumn("rn", row_number().over(wMmr))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), lit(t.toLong).as("step"),
+          col("cid").as("selected_id"), col("mmr").as("score"))
+      sel = sel.unionByName(pick).localCheckpoint()
+    }
+    sel.orderBy(col("query_id"), col("step"))
+  }
+
   /** Brute-force MAX-INNER-PRODUCT top-k (MIPS) — the retrieval
     * semantics of recommendation / reranking scores, where vector
     * MAGNITUDE is signal: unlike cosine, a longer vector can dominate

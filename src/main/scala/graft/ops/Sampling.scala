@@ -62,6 +62,10 @@ object Sampling {
     * doc-level weight). Larger weights overflow the BIGINT fixed-point
     * product and fail LOUDLY under ANSI arithmetic (the engine-wide
     * explicit-failure posture); pre-scale such weights before sampling.
+    * Preconditions: stratum/id/weight must be NON-NULL (a NULL id or
+    * weight propagates a NULL priority into the non-nullable TopKAgg
+    * buffer and the job fails loudly mid-run — filter dirty rows
+    * first); ids need only be unique within a stratum.
     */
   def prioritySample(df: DataFrame, stratumCol: String, idCol: String,
                      weightCol: String, k: Int): DataFrame = {
@@ -84,10 +88,12 @@ object Sampling {
         max(when(col("rn") === (k + 1), col("pk"))).over(wTau), lit(0L)))
       .filter(col("rn") <= k)
     // weight join-back: the sample is ≤ (k+1)·|strata| rows — broadcast
-    // it as the build side against the (arbitrarily large) input
-    val weights = df.select(col(idCol).as("id"),
-      col(weightCol).cast("long").as("w"))
-    weights.join(broadcast(withTau), Seq("id"))
+    // it as the build side against the (arbitrarily large) input. Keyed
+    // on (stratum, id): ids need only be unique WITHIN a stratum — an
+    // id repeating across strata must not cross-match samples
+    val weights = df.select(col(stratumCol).as("stratum"),
+      col(idCol).as("id"), col(weightCol).cast("long").as("w"))
+    weights.join(broadcast(withTau), Seq("stratum", "id"))
       .select(col("stratum"), col("rn"), col("id"), col("w"),
         greatest(col("w").cast("double"),
           col("tau_scaled").cast("double") / lit(PriorityScale.toDouble))
@@ -108,8 +114,12 @@ object Sampling {
     * mergeable, k rows per partition on the exchange); per-key
     * fA·fB products and their sum S are BIGINT; the estimate is the
     * two-step IEEE chain `(S * 2^44) / τ` written identically in both
-    * engines. Inputs with ≤ k distinct keys degrade to the exact sum
-    * (τ = 2^44 ⇒ estimate = S = Σ).
+    * engines. Inputs with FEWER than k distinct keys degrade to the
+    * exact sum (no k-th hash ⇒ τ = 2^44 ⇒ estimate = S = Σ); at
+    * EXACTLY k keys the k-th hash becomes a real threshold and the
+    * output is an estimate over the k−1 keys below it. Keys must be
+    * NON-NULL (a NULL key propagates a NULL hash into the
+    * non-nullable TopKAgg buffer and fails loudly — filter first).
     *
     * Output: one row (k, tau_scaled, sampled_keys, exact, est, ratio)
     * — `exact` computed alongside for evaluation-harness use (itself a

@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object Round15cQueries {
 
-  /** 2^44 as a double literal — exact. */
-  private val ScaleD = "17592186044416.0"
-  private val ScaleL = "17592186044416"
+  /** The 44-bit fixed-point scale as SQL literals, derived from the
+    * single Scala-side constant so the engines cannot diverge (the
+    * mmrSql lambda-literal discipline). The double form is exact —
+    * 2^44 is a power of two. */
+  private val ScaleL = Sampling.PriorityScale.toString
+  private val ScaleD = s"$ScaleL.0"
 
   def all: Seq[Q] = Seq(
 

@@ -52,6 +52,22 @@ class Round15cOpsSpec extends AnyFunSuite {
     allIn.foreach(r => assert(r.getDouble(4) == r.getLong(3).toDouble))
   }
 
+  test("prioritySample: ids repeating ACROSS strata keep their own " +
+    "stratum's weight in the join-back (no cross-stratum bleed)") {
+    // same id in two strata with different weights: the sample row for
+    // each stratum must carry THAT stratum's weight, and row counts
+    // must not inflate (the join-back is keyed on (stratum, id))
+    val df = Seq(("A", 1L, 10L), ("B", 1L, 99L), ("A", 2L, 5L),
+      ("B", 3L, 7L)).toDF("src", "id", "w")
+    val out = Sampling.prioritySample(df, "src", "id", "w", k = 4)
+      .collect()
+    assert(out.length == 4) // every row sampled once, none duplicated
+    val wByStratumId = out.map(r =>
+      (r.getString(0), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(wByStratumId(("A", 1L)) == 10L)
+    assert(wByStratumId(("B", 1L)) == 99L)
+  }
+
   test("prioritySample: merge-invariant — identical sample under any " +
     "partitioning (the bounded-buffer mergeability contract)") {
     val df = (1L to 500L).map(id => ("s", id, 1L + id % 17L))
@@ -64,7 +80,8 @@ class Round15cOpsSpec extends AnyFunSuite {
     assert(run(1) == run(7))
   }
 
-  test("kmvJoinSize: <= k distinct keys degrades to the exact size") {
+  test("kmvJoinSize: fewer than k distinct keys degrades to the exact " +
+    "size; at exactly k the k-th hash becomes a real threshold") {
     val a = Seq((1L, "x"), (1L, "x"), (2L, "x"), (3L, "x"))
       .toDF("key", "pad")
     val b = Seq((1L, "y"), (2L, "y"), (2L, "y"), (4L, "y"))
@@ -74,6 +91,13 @@ class Round15cOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("exact") == 4L)
     assert(r.getAs[Double]("est") == 4.0) // τ = 2^44 ⇒ est = S = exact
     assert(r.getAs[Double]("ratio") == 1.0)
+    // boundary: EXACTLY k = 4 distinct union keys — the 4th-smallest
+    // hash is now a genuine threshold (τ < 2^44), the sum covers the
+    // k−1 keys below it, and the output is an estimate, not exact
+    val rb = Sampling.kmvJoinSize(a, b, "key", k = 4).collect()(0)
+    assert(rb.getAs[Long]("sampled_keys") == 3L)
+    assert(rb.getAs[Long]("tau_scaled") < Sampling.PriorityScale)
+    assert(rb.getAs[Double]("est") > 0.0)
   }
 
   test("kmvJoinSize: estimate tracks the exact size within 3x on a " +

@@ -128,7 +128,13 @@ object ScaleProbe {
     // embeddings (the brute candidate stage is the linear-cost term;
     // the greedy phase is corpus-size-independent by construction)
     "p_priority_sample", "agg_kmv_joinsize", "o_skyline_pareto",
-    "e_mmr_diversify")
+    "e_mmr_diversify",
+    // r15 fourth wave: MAD/winsorize ride the K× events (count-
+    // collapsed order statistics — the exchange carries distinct
+    // values per group, and the K× copies widen the value domain only
+    // sub-linearly); PPR rides the K disjoint co-activity subgraphs
+    // like the other g_* probes
+    "w_mad_outliers", "curate_winsorize", "g_ppr_seeds")
 
   /** Documents inflated COPIES× in-plan (ids stay unique under any
     * further per-dir offset; text carries a per-copy tag so copies are

@@ -111,4 +111,51 @@ object Graph {
       .filter($"common" >= minCommon)
       .join(undM, $"u" === $"a" && $"w" === $"b", "left_anti")
   }
+
+  /** Personalized PageRank from a seed set — rank every node by
+    * proximity to the seeds (seed-based corpus/user expansion, the
+    * curation move behind domain bootstrapping). Same EXACT
+    * integer-scaled discipline as the `g_pagerank` query (ranks
+    * scaled ×1e6, truncating `div`, damping 0.85), with the teleport
+    * mass (1e6·|V| split over the seeds) restarting ONLY at seeds —
+    * non-seeds start at 0 and earn rank solely through edges from the
+    * seed neighborhood. |V| and |S| are in-plan broadcast scalars;
+    * one dst-shuffle per iteration, edges/degrees checkpointed once.
+    * `seedMod`: seeds are the nodes with `node % seedMod == 0`
+    * (truncated `%`, matching SQL `%` at every sign; callers with an
+    * arbitrary seed frame can remap ids first). Requires ≥ 1 seed
+    * among the graph's nodes — zero seeds is a division by zero,
+    * failing loudly in BOTH engines rather than answering with an
+    * all-zero vector.
+    * Returns (node, rank). */
+  def pprSeeds(und: DataFrame, seedMod: Long, iters: Int): DataFrame = {
+    require(seedMod > 0, s"seedMod must be positive, got $seedMod")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val s = und.sparkSession
+    import s.implicits._
+    val undM = und.localCheckpoint()
+    val bi = undM.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(undM.select($"b".as("src"), $"a".as("dst")))
+      .localCheckpoint()
+    val deg = bi.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val consts = broadcast(deg.agg(count(lit(1)).as("nv"),
+      sum(when($"src" % seedMod === 0L, 1L).otherwise(0L)).as("ns")))
+    def seedTeleport(scale: Long) =
+      when($"node" % seedMod === 0L,
+        expr(s"(${scale}L * nv) div ns")).otherwise(0L)
+    var rank = deg.select($"src".as("node")).crossJoin(consts)
+      .select($"node", seedTeleport(1000000L).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = rank.join(deg, rank("node") === deg("src"))
+        .select($"node", expr("rank div deg").as("c"))
+      val inc = bi.join(contrib, $"src" === $"node")
+        .groupBy($"dst").agg(sum($"c").as("inc"))
+      rank = deg.select($"src".as("node")).crossJoin(consts)
+        .join(inc, $"node" === $"dst", "left")
+        .select($"node", (seedTeleport(150000L) +
+          expr("(85 * coalesce(inc, 0L)) div 100")).as("rank"))
+    }
+    rank
+  }
 }

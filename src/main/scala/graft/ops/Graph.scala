@@ -14,6 +14,19 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Bidirectional edge list of an undirected `(a, b)` frame — the one
+    * derivation every operator here starts from (checkpoint /
+    * repartition decisions stay at the call sites: kcore re-traverses
+    * bi every round and cuts+repartitions it, the single-pass ops
+    * don't). Callers pass an already-materialized frame when `und` is
+    * expensive. */
+  private def biOf(und: DataFrame): DataFrame = {
+    val s = und.sparkSession
+    import s.implicits._
+    und.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(und.select($"b".as("src"), $"a".as("dst")))
+  }
+
   /** k-core by iterative peeling: drop every vertex whose degree in
     * the surviving induced subgraph is < k, recompute, repeat. Returns
     * each surviving vertex with its within-core degree
@@ -43,9 +56,7 @@ object Graph {
     // the (possibly expensive) upstream derivation runs once, then cut
     // bi itself (every round traverses it twice)
     val undM = und.localCheckpoint()
-    val bi = undM.select($"a".as("src"), $"b".as("dst"))
-      .unionByName(undM.select($"b".as("src"), $"a".as("dst")))
-      .repartition($"src").localCheckpoint()
+    val bi = biOf(undM).repartition($"src").localCheckpoint()
     def inducedDeg(survivors: DataFrame) =
       bi.join(survivors.select($"src".as("node")), $"src" === $"node")
         .drop("node")
@@ -99,8 +110,7 @@ object Graph {
     // three traversals of und (two bi branches + the anti join) —
     // materialize once, inside the op, so no caller has to know
     val undM = und.localCheckpoint()
-    val bi = undM.select($"a".as("src"), $"b".as("dst"))
-      .unionByName(undM.select($"b".as("src"), $"a".as("dst")))
+    val bi = biOf(undM)
     val lowDeg = bi.groupBy($"src").agg(count(lit(1)).as("deg"))
       .filter($"deg" <= maxMidDegree).select($"src".as("mid"))
     val spokes = bi.join(lowDeg, $"src" === $"mid")
@@ -124,9 +134,10 @@ object Graph {
     * `seedMod`: seeds are the nodes with `node % seedMod == 0`
     * (truncated `%`, matching SQL `%` at every sign; callers with an
     * arbitrary seed frame can remap ids first). Requires ≥ 1 seed
-    * among the graph's nodes — zero seeds is a division by zero,
-    * failing loudly in BOTH engines rather than answering with an
-    * all-zero vector.
+    * among the graph's nodes, enforced by an EAGER require at
+    * construction (the teleport division hides inside a seed-only
+    * CASE branch, so both engines would otherwise lazily skip it and
+    * return a meaningless all-zero vector).
     * Returns (node, rank). */
   def pprSeeds(und: DataFrame, seedMod: Long, iters: Int): DataFrame = {
     require(seedMod > 0, s"seedMod must be positive, got $seedMod")
@@ -134,13 +145,27 @@ object Graph {
     val s = und.sparkSession
     import s.implicits._
     val undM = und.localCheckpoint()
-    val bi = undM.select($"a".as("src"), $"b".as("dst"))
-      .unionByName(undM.select($"b".as("src"), $"a".as("dst")))
-      .localCheckpoint()
+    val bi = biOf(undM).localCheckpoint()
     val deg = bi.groupBy($"src").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    val consts = broadcast(deg.agg(count(lit(1)).as("nv"),
-      sum(when($"src" % seedMod === 0L, 1L).otherwise(0L)).as("ns")))
+    val constsAgg = deg.agg(count(lit(1)).as("nv"),
+      sum(when($"src" % seedMod === 0L, 1L).otherwise(0L)).as("ns"))
+    // EAGER seed-count guard: the teleport division sits inside a
+    // seed-only when/CASE branch, so a zero-seed input would never
+    // reach it — both engines would lazily skip the division and
+    // return the meaningless all-zero vector. A 1-row driver action
+    // on the checkpointed deg is metadata-sized (the Knn centroid
+    // precedent) and makes the contract REAL.
+    val c0 = constsAgg.head()
+    // an EMPTY graph (zero nodes) is fine — the empty rank vector is
+    // the correct answer; only a NON-empty seedless graph is the
+    // meaningless-all-zero case the guard exists for
+    require(c0.getLong(0) == 0L ||
+      (!c0.isNullAt(1) && c0.getLong(1) > 0L),
+      s"pprSeeds: no seeds (node % $seedMod == 0) among " +
+        s"${c0.getLong(0)} nodes — an all-zero rank vector is " +
+        "meaningless; pick a seedMod that selects >= 1 node")
+    val consts = broadcast(constsAgg)
     def seedTeleport(scale: Long) =
       when($"node" % seedMod === 0L,
         expr(s"(${scale}L * nv) div ns")).otherwise(0L)

@@ -30,6 +30,13 @@ object RobustStats {
     * counts (ordered by value), and group totals. */
   private def cumCounts(df: DataFrame, groupCol: String,
                         valueCol: String): DataFrame = {
+    val vt = df.schema(valueCol).dataType
+    require(Seq("byte", "short", "integer", "long")
+        .contains(vt.typeName),
+      s"$valueCol is ${vt.typeName} — RobustStats is exact INTEGER " +
+        "order statistics; a fractional column would be silently " +
+        "truncated. Round/scale to an integral unit (e.g. cents) " +
+        "first.")
     val byG = Window.partitionBy(col(groupCol))
     val byV = byG.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -38,6 +45,10 @@ object RobustStats {
       .agg(count(lit(1)).as("__c"))
       .withColumn("__cum", sum(col("__c")).over(byV))
       .withColumn("__n", sum(col("__c")).over(byG))
+      // the reduced frame feeds 2-3 consumers in every caller
+      // (rank extraction + weighted aggregates) — materialize once;
+      // it is distinct-values-sized by construction
+      .localCheckpoint()
   }
 
   /** Median/MAD outlier summary per group: med2 = 2·median,
@@ -68,6 +79,7 @@ object RobustStats {
     val devCum = dev
       .withColumn("__cum", sum(col("__c")).over(byD))
       .withColumn("__n", sum(col("__c")).over(byG))
+      .localCheckpoint()
     val mad = devCum.groupBy(col(groupCol))
       .agg(max(col("__n")).as("n"),
         (min(when(col("__cum") >= expr("(__n + 1) div 2"),

@@ -143,8 +143,11 @@ object Round15dQueries {
         "non-seeds start at 0 and earn rank solely through edges from " +
         "the seed neighborhood. |V| and |S| are in-plan broadcast " +
         "scalars; 3 iterations, one dst-shuffle each, edges/degrees " +
-        "checkpointed once. `%` (not pmod) matches the oracle at " +
-        "every sign; user ids are non-negative here.",
+        "checkpointed once; a zero-seed graph fails an EAGER require " +
+        "at construction (the division hides in a seed-only CASE " +
+        "branch both engines would lazily skip). `%` (not pmod) " +
+        "matches the oracle at every sign; user ids are " +
+        "non-negative here.",
       (s, d) => {
         import s.implicits._
         graft.ops.Graph.pprSeeds(Coactivity.und(s, d), seedMod = 17L,

@@ -79,4 +79,23 @@ class Round15dOpsSpec extends AnyFunSuite {
       .collect().map(x => x.getLong(1)).toSet
     assert(r.size == 1 && r.head > 0L)
   }
+
+  test("pprSeeds: a seedless NON-empty graph fails the eager require; " +
+    "an empty graph returns the empty vector") {
+    val noSeeds = Seq((1L, 2L)).toDF("a", "b") // no node % 5 == 0
+    val e = intercept[IllegalArgumentException] {
+      Graph.pprSeeds(noSeeds, seedMod = 5L, iters = 1)
+    }
+    assert(e.getMessage.contains("no seeds"))
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Graph.pprSeeds(empty, seedMod = 5L, iters = 1).count() == 0L)
+  }
+
+  test("RobustStats rejects fractional value columns loudly") {
+    val df = Seq(("g", 1.5), ("g", 2.5)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      RobustStats.winsorize(df, "g", "v", 1L, 19L, 20L)
+    }
+    assert(e.getMessage.contains("INTEGER order statistics"))
+  }
 }

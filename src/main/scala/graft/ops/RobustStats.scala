@@ -45,10 +45,14 @@ object RobustStats {
       .agg(count(lit(1)).as("__c"))
       .withColumn("__cum", sum(col("__c")).over(byV))
       .withColumn("__n", sum(col("__c")).over(byG))
-      // the reduced frame feeds 2-3 consumers in every caller
-      // (rank extraction + weighted aggregates) — materialize once;
-      // it is distinct-values-sized by construction
-      .localCheckpoint()
+      // DELIBERATELY not checkpointed although 2-3 consumers re-derive
+      // it: the groupBy exchange is reused across consumers
+      // (ReusedExchange) and only the cheap post-shuffle windows
+      // recompute, while a localCheckpoint materializes an extra job
+      // per call — measured 0.69 s -> 2.03 s on w_mad_outliers at
+      // sf0.1 with checkpoints here and on the deviation frame (the
+      // bm25TopK/overlapScrub precedent: checkpoint exactly the
+      // multi-traversed EXPENSIVE subtree, and these are not)
   }
 
   /** Median/MAD outlier summary per group: med2 = 2·median,
@@ -79,7 +83,6 @@ object RobustStats {
     val devCum = dev
       .withColumn("__cum", sum(col("__c")).over(byD))
       .withColumn("__n", sum(col("__c")).over(byG))
-      .localCheckpoint()
     val mad = devCum.groupBy(col(groupCol))
       .agg(max(col("__n")).as("n"),
         (min(when(col("__cum") >= expr("(__n + 1) div 2"),

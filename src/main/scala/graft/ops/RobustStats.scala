@@ -23,6 +23,16 @@ import org.apache.spark.sql.functions._
   * rows — the single-task giant-group sort a naive rank window would
   * pay (the o_skyline_pareto lesson applied to order statistics).
   * Group keys and values must be NON-NULL.
+  *
+  * The reduction's effectiveness is the value domain's boundedness:
+  * integral units (cents, counts, lengths) quantize naturally, so a
+  * billion-row group collapses to at most |domain| rows. An
+  * (adversarial) all-distinct value column degenerates cumCounts to
+  * ~one row per input row — the naive shape with an extra groupBy. If
+  * such a column ever needs robust statistics at scale, quantize it
+  * first (the clamp/median of a pre-rounded column is the clamp/median
+  * of the column at the rounding resolution — same trade the rest of
+  * the engine makes for cross-engine exactness anyway).
   */
 object RobustStats {
 

@@ -134,7 +134,11 @@ object ScaleProbe {
     // values per group, and the K× copies widen the value domain only
     // sub-linearly); PPR rides the K disjoint co-activity subgraphs
     // like the other g_* probes
-    "w_mad_outliers", "curate_winsorize", "g_ppr_seeds")
+    "w_mad_outliers", "curate_winsorize", "g_ppr_seeds",
+    // r15 fifth wave: MMR-over-IVF rides the K× embeddings (the IVF
+    // assignment scan is the linear term; the greedy phase is
+    // candidate-bounded); BFS rides the K disjoint subgraphs
+    "e_mmr_ivf", "g_bfs_hops")
 
   /** Documents inflated COPIES× in-plan (ids stay unique under any
     * further per-dir offset; text carries a per-copy tag so copies are

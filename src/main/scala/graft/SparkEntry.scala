@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{ExtendedQueries, PipelineQueries, Q, Round4Queries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, Round9Queries, Round10Queries, Round10bQueries, Round11Queries, Round12Queries, Round13Queries, Round14Queries, Round14bQueries, Round15Queries, Round15bQueries, Round15cQueries, Round15dQueries, StarQueries}
+import graft.queries.{ExtendedQueries, PipelineQueries, Q, Round4Queries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, Round9Queries, Round10Queries, Round10bQueries, Round11Queries, Round12Queries, Round13Queries, Round14Queries, Round14bQueries, Round15Queries, Round15bQueries, Round15cQueries, Round15dQueries, Round15eQueries, StarQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,7 +20,8 @@ object SparkEntry {
       Round9Queries.all ++ Round10Queries.all ++ Round10bQueries.all ++
       Round11Queries.all ++ Round12Queries.all ++ Round13Queries.all ++
       Round14Queries.all ++ Round14bQueries.all ++ Round15Queries.all ++
-      Round15bQueries.all ++ Round15cQueries.all ++ Round15dQueries.all
+      Round15bQueries.all ++ Round15cQueries.all ++ Round15dQueries.all ++
+      Round15eQueries.all
     val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(",")}")
     all
@@ -107,7 +108,9 @@ object SparkEntry {
     "p_priority_sample", "agg_kmv_joinsize", "o_skyline_pareto",
     "e_mmr_diversify",
     // r15 fourth wave: same capped-from-birth policy
-    "w_mad_outliers", "curate_winsorize", "g_ppr_seeds")
+    "w_mad_outliers", "curate_winsorize", "g_ppr_seeds",
+    // r15 fifth wave: same capped-from-birth policy
+    "e_mmr_ivf", "g_bfs_hops")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

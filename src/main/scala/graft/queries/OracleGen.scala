@@ -1294,17 +1294,74 @@ object OracleGen {
   def mmrSql(dim: Int, nQueries: Long, kCand: Int, kSel: Int,
              lambdaLit: String, oneMinusLambdaLit: String): String = {
     val relCos = cosExpr("q", "e", dim)
-    val simCos = cosExpr("a", "b", dim)
     val rnCand = "ROW_NUMBER() OVER (PARTITION BY query_id " +
       "ORDER BY rel DESC, cid)"
-    val head =
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+    val candCtes =
+      s"""q AS (SELECT vec_id AS query_id, embedding FROM embeddings
          |           WHERE vec_id < $nQueries),
          |pairs AS (SELECT q.query_id, e.vec_id AS cid, $relCos AS rel
          |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
          |cand AS (SELECT query_id, cid, rel FROM (
          |    SELECT query_id, cid, rel, $rnCand AS rn FROM pairs) t
-         |  WHERE rn <= $kCand),
+         |  WHERE rn <= $kCand)""".stripMargin
+    mmrBody(candCtes, dim, kSel, lambdaLit, oneMinusLambdaLit)
+  }
+
+  /** MMR over the IVF serving path (`Knn.mmrDiversifyIvf`): the
+    * candidate CTEs are the [[knnIvfSql]] chain verbatim (md5
+    * centroids, argmax cells, nProbe routing) truncated at rank ≤
+    * kCand with RAW scores, feeding the SAME greedy unroll as
+    * [[mmrSql]] — the oracle-side proof that diversification composes
+    * with the ANN tier, not just the brute scan.
+    */
+  def mmrIvfSql(dim: Int, nQueries: Long, kCand: Int, kSel: Int,
+                nCells: Int, nProbe: Int, lambdaLit: String,
+                oneMinusLambdaLit: String): String = {
+    val cosCT = cosExpr("c", "t", dim)
+    val cosQT = cosExpr("a", "t", dim)
+    val cosQC = cosExpr("q", "c", dim)
+    val candCtes =
+      s"""cent AS (
+         |  SELECT vec_id AS cid, embedding FROM embeddings
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCells),
+         |cells AS (
+         |  SELECT vec_id, embedding, cid AS cell FROM (
+         |    SELECT c.vec_id, c.embedding, t.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+         |        ORDER BY $cosCT DESC, t.cid DESC) AS rn
+         |    FROM embeddings c CROSS JOIN cent t) x
+         |  WHERE rn = 1),
+         |qprobe AS (
+         |  SELECT vec_id AS query_id, embedding, cid AS cell FROM (
+         |    SELECT a.vec_id, a.embedding, t.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY $cosQT DESC, t.cid DESC) AS rn
+         |    FROM (SELECT * FROM embeddings WHERE vec_id < $nQueries) a
+         |    CROSS JOIN cent t) x
+         |  WHERE rn <= $nProbe),
+         |ivfsc AS (
+         |  SELECT q.query_id, c.vec_id AS cid, $cosQC AS rel
+         |  FROM qprobe q JOIN cells c USING (cell)
+         |  WHERE c.vec_id <> q.query_id),
+         |cand AS (SELECT query_id, cid, rel FROM (
+         |    SELECT query_id, cid, rel,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY rel DESC, cid) AS rn FROM ivfsc) t
+         |  WHERE rn <= $kCand)""".stripMargin
+    mmrBody(candCtes, dim, kSel, lambdaLit, oneMinusLambdaLit)
+  }
+
+  /** Shared MMR greedy unroll over a `cand(query_id, cid, rel)` CTE
+    * chain — sims from the candidates' vectors, then kSel chained
+    * argmax steps (see [[mmrSql]] for the literal-discipline note). */
+  private def mmrBody(candCtes: String, dim: Int, kSel: Int,
+                      lambdaLit: String,
+                      oneMinusLambdaLit: String): String = {
+    val simCos = cosExpr("a", "b", dim)
+    val rnCand = "ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY rel DESC, cid)"
+    val head =
+      s"""WITH $candCtes,
          |cv AS (SELECT c.query_id, c.cid, e.embedding
          |  FROM cand c JOIN embeddings e ON e.vec_id = c.cid),
          |sims AS (SELECT a.query_id, a.cid AS a_id, b.cid AS b_id,

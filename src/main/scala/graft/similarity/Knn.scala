@@ -149,7 +149,46 @@ object Knn {
       .withColumn("rn", row_number().over(wRel))
       .filter(col("rn") <= kCand)
       .select(col("query_id"), col("cid"), col("rel"), col("c_vec"))
-      .localCheckpoint()
+    mmrRerank(cand, kSel, mmrLambda, oneMinusLambda)
+  }
+
+  /** MMR over the IVF serving path — the candidate stage IS the tier
+    * swap the [[mmrDiversify]] scaladoc promises: the SAME greedy
+    * rerank runs over `ivfTopK`'s probe/score stage (md5 centroids,
+    * argmax cells, nProbe routing) instead of the brute scan. Proof by
+    * construction that diversification composes with any ranked
+    * retriever that can hand back (query, candidate, raw rel, vector).
+    */
+  def mmrDiversifyIvf(corpus: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, kCand: Int,
+                      kSel: Int, mmrLambda: Double,
+                      oneMinusLambda: Double, nCells: Int,
+                      nProbe: Int): DataFrame = {
+    require(kCand >= kSel && kSel >= 1,
+      s"need kCand >= kSel >= 1, got kCand=$kCand kSel=$kSel")
+    val centroids = md5Centroids(corpus, idCol, vecCol, nCells)
+    require(centroids.length >= 2,
+      s"IVF needs >= 2 centroids, corpus yielded ${centroids.length}")
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_raw").desc, col("neighbor_id"))
+    val cand = ivfScored(corpus, queries, idCol, vecCol,
+        centroids.toSeq, nProbe)
+      .withColumn("rn", row_number().over(wRel))
+      .filter(col("rn") <= kCand)
+      .select(col("query_id"), col("neighbor_id").as("cid"),
+        col("cosine_raw").as("rel"), col("c_vec"))
+    mmrRerank(cand, kSel, mmrLambda, oneMinusLambda)
+  }
+
+  /** The greedy MMR selection stage over a PRE-RANKED candidate frame
+    * `(query_id, cid, rel, c_vec)` — bounded by the candidate set, so
+    * any retriever tier (brute, IVF, LSH, at-rest) feeds it unchanged.
+    * Checkpoints the candidates and their pairwise sims once. */
+  def mmrRerank(candIn: DataFrame, kSel: Int, mmrLambda: Double,
+                oneMinusLambda: Double): DataFrame = {
+    val cand = candIn.localCheckpoint()
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("cid"))
     val sims = cand.select(col("query_id"), col("cid").as("a_id"),
         col("c_vec").as("a_vec"))
       .join(cand.select(col("query_id"), col("cid").as("b_id"),
@@ -304,6 +343,24 @@ object Knn {
                            centroids: Seq[(Long, Array[Float])],
                            nProbe: Int = 2,
                            logOccupancy: Boolean = false): DataFrame = {
+    val scored = ivfScored(corpus, queries, idCol, vecCol, centroids,
+      nProbe, logOccupancy)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_raw").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine_raw"), 6).as("cosine"))
+  }
+
+  /** The IVF probe/score stage BEFORE ranking — every (query,
+    * candidate) pair the probed cells yield, with the raw cosine and
+    * the candidate vector. The seam that feeds both the ranked top-k
+    * above and candidate-consuming rerankers ([[mmrDiversifyIvf]]). */
+  def ivfScored(corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String,
+                centroids: Seq[(Long, Array[Float])], nProbe: Int,
+                logOccupancy: Boolean = false): DataFrame = {
     def cellScores(vec: Column): Seq[Column] = centroids.map {
       case (cid, cvec) =>
         struct(cosine(vec, typedLit(cvec)).as("sim"), lit(cid).as("cid"))
@@ -340,15 +397,9 @@ object Knn {
           asc = false), 1, nProbe)))
       .withColumn("cell", col("__probe.cid"))
       .drop("__probe"))
-    val scored = c.join(q, Seq("cell"))
+    c.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine_raw", cosine(col("q_vec"), col("c_vec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine_raw").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cosine_raw"), 6).as("cosine"))
   }
 
   /** Probe/score/rank stage over an AT-REST cell-partitioned corpus dir

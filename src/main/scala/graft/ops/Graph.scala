@@ -139,41 +139,6 @@ object Graph {
     * CASE branch, so both engines would otherwise lazily skip it and
     * return a meaningless all-zero vector).
     * Returns (node, rank). */
-  /** Multi-source BFS hop distance from a seed set: for every node
-    * reachable within `maxHops` of any seed (node % seedMod == 0),
-    * the exact minimum hop count — the discrete companion of
-    * [[pprSeeds]] (PPR ranks by damped proximity; this answers "how
-    * far, exactly"). Pure integer min-propagation: each round joins
-    * the current distance frame to the edge list, adds 1, and takes
-    * the per-node min with the previous round — after round i the
-    * frame holds min-hops ≤ i EXACTLY, so a fixed-round unroll (the
-    * oracle form) is the identical object whether or not the frontier
-    * died earlier. One dst-shuffle + one min-agg per round,
-    * localCheckpoint per round (the CC/kcore loop discipline). A
-    * seedless graph returns the empty frame — correct BFS semantics
-    * (nothing is reachable), unlike pprSeeds' meaningless all-zero
-    * vector. Returns (node, dist). */
-  def bfsHops(und: DataFrame, seedMod: Long, maxHops: Int): DataFrame = {
-    require(seedMod > 0, s"seedMod must be positive, got $seedMod")
-    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val s = und.sparkSession
-    import s.implicits._
-    val undM = und.localCheckpoint()
-    val bi = biOf(undM).localCheckpoint()
-    var dist = bi.select($"src".as("node")).distinct()
-      .filter($"node" % seedMod === 0L)
-      .select($"node", lit(0L).as("dist"))
-      .localCheckpoint()
-    for (_ <- 1 to maxHops) {
-      val stepped = bi.join(dist, $"src" === $"node")
-        .select($"dst".as("node"), ($"dist" + 1L).as("dist"))
-      dist = dist.unionByName(stepped)
-        .groupBy($"node").agg(min($"dist").as("dist"))
-        .localCheckpoint()
-    }
-    dist
-  }
-
   def pprSeeds(und: DataFrame, seedMod: Long, iters: Int): DataFrame = {
     require(seedMod > 0, s"seedMod must be positive, got $seedMod")
     require(iters >= 1, s"iters must be >= 1, got $iters")
@@ -217,5 +182,45 @@ object Graph {
           expr("(85 * coalesce(inc, 0L)) div 100")).as("rank"))
     }
     rank
+  }
+
+  /** Multi-source BFS hop distance from a seed set: for every node
+    * reachable within `maxHops` of any seed (node % seedMod == 0),
+    * the exact minimum hop count — the discrete companion of
+    * [[pprSeeds]] (PPR ranks by damped proximity; this answers "how
+    * far, exactly"). Pure integer min-propagation: each round joins
+    * the current distance frame to the edge list, adds 1, and takes
+    * the per-node min with the previous round — after round i the
+    * frame holds min-hops ≤ i EXACTLY, so a fixed-round unroll (the
+    * oracle form) is the identical object whether or not the frontier
+    * died earlier. One dst-shuffle + one min-agg per round,
+    * localCheckpoint per round (the CC/kcore loop discipline). A
+    * seedless graph returns the empty frame — correct BFS semantics
+    * (nothing is reachable), unlike pprSeeds' meaningless all-zero
+    * vector. Returns (node, dist). */
+  def bfsHops(und: DataFrame, seedMod: Long, maxHops: Int): DataFrame = {
+    require(seedMod > 0, s"seedMod must be positive, got $seedMod")
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val s = und.sparkSession
+    import s.implicits._
+    val undM = und.localCheckpoint()
+    val bi = biOf(undM).localCheckpoint()
+    var dist = bi.select($"src".as("node")).distinct()
+      .filter($"node" % seedMod === 0L)
+      .select($"node", lit(0L).as("dist"))
+      .localCheckpoint()
+    for (i <- 1 to maxHops) {
+      // expand only the FRONTIER (nodes first settled last round):
+      // settled nodes can only produce dominated distances the min-agg
+      // would discard, so filtering them out changes shuffle volume,
+      // never the result — the min-hops <= i invariant is preserved
+      val frontier = dist.filter($"dist" === (i - 1L))
+      val stepped = bi.join(frontier, $"src" === $"node")
+        .select($"dst".as("node"), ($"dist" + 1L).as("dist"))
+      dist = dist.unionByName(stepped)
+        .groupBy($"node").agg(min($"dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist
   }
 }

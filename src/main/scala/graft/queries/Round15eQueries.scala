@@ -60,7 +60,7 @@ object Round15eQueries {
         def round(i: Int) =
           s"""e$i AS (SELECT bi.dst AS node, d${i - 1}.dist + 1 AS dist
              |  FROM bi JOIN d${i - 1} ON bi.src = d${i - 1}.node),
-             |d$i AS (SELECT node, min(dist) AS dist FROM (
+             |d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
              |    SELECT * FROM d${i - 1} UNION ALL SELECT * FROM e$i) u
              |  GROUP BY node)"""
         s"""WITH ${Coactivity.sqlUnd},

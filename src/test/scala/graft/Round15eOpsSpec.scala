@@ -33,13 +33,11 @@ class Round15eOpsSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
-  test("mmrDiversifyIvf candidates come from the probed cells only " +
-    "(a narrow probe can diverge from brute)") {
+  test("mmrDiversifyIvf candidates come from the probed cells only — " +
+    "every selection is provably an ivfScored candidate of its query") {
     val sf = TestSpark.sf
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter($"vec_id" < 8)
-    // sanity: the narrow-probe variant still returns exactly
-    // kSel rows per query with distinct selections
     val out = Knn.mmrDiversifyIvf(emb, q, "vec_id", "embedding",
         kCand = 8, kSel = 3, mmrLambda = 0.7, oneMinusLambda = 0.3,
         nCells = 8, nProbe = 2)
@@ -49,6 +47,24 @@ class Round15eOpsSpec extends AnyFunSuite {
       val ids = rows.map(_.getLong(2)).toSeq
       assert(ids.distinct == ids, s"query $qid re-selected")
     }
+    // PROVENANCE: the (query, candidate) universe of the narrow probe
+    // is ivfScored's probed-cell join — a regression silently feeding
+    // the reranker brute candidates would select pairs outside it
+    val cents = Knn.md5Centroids(emb, "vec_id", "embedding", 8)
+    val allowed = Knn.ivfScored(emb, q, "vec_id", "embedding",
+        cents.toSeq, nProbe = 2)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    out.foreach { r =>
+      assert(allowed.contains((r.getLong(0), r.getLong(2))),
+        s"selection ${(r.getLong(0), r.getLong(2))} not in the " +
+          "probed-cell candidate universe")
+    }
+    // and the narrow probe's universe is a STRICT subset of brute's
+    // all-pairs universe on this corpus, so the guard has teeth
+    val n = emb.count() - 1
+    assert(allowed.groupBy(_._1).values.exists(_.size < n),
+      "nProbe = 2 of 8 cells unexpectedly covered the whole corpus")
   }
 
   test("bfsHops: exact hop distances on a path graph, horizon cutoff, " +

@@ -496,6 +496,18 @@ object Relational {
                 bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     requireNoReserved(df, "df")
+    // same integral-type guard as RobustStats.cumCounts: dominance is
+    // decided on the CAST values, so a fractional axis would be
+    // truncated before comparison and could wrongly kill points
+    // ((1.9, 4) treated as same-x as (1.2, 5)) while the untruncated
+    // columns are returned. Pre-quantize fractional axes (the
+    // registered query rounds to cents).
+    Seq(xCol, yCol).foreach { c =>
+      val t = df.schema(c).dataType.typeName
+      require(Seq("byte", "short", "integer", "long").contains(t),
+        s"$c is $t — skyline2d compares exact INTEGER axes; " +
+          "round/scale fractional axes to an integral unit first.")
+    }
     val base = df
       .withColumn("__skx", col(xCol).cast("long"))
       .withColumn("__sky", col(yCol).cast("long"))

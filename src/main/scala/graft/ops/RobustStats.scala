@@ -53,6 +53,16 @@ object RobustStats {
     df.select(col(groupCol), col(valueCol).cast("long").as("__v"))
       .groupBy(col(groupCol), col("__v"))
       .agg(count(lit(1)).as("__c"))
+      // the degenerate domain made OBSERVABLE (r15 verdict): when the
+      // value column is near-all-distinct, the count-collapse buys
+      // nothing and the exchange carries ~one row per input row — the
+      // naive shape with an extra groupBy. distinct_rows ≈ total_rows
+      // in the bench's observed section is that degradation, visible
+      // in committed evidence instead of only in this comment;
+      // the fix stays the documented one (quantize the column first).
+      .observe("robust_stats_collapse",
+        count(lit(1)).as("distinct_rows"),
+        sum(col("__c")).cast("long").as("total_rows"))
       .withColumn("__cum", sum(col("__c")).over(byV))
       .withColumn("__n", sum(col("__c")).over(byG))
       // DELIBERATELY not checkpointed although 2-3 consumers re-derive
@@ -108,6 +118,29 @@ object RobustStats {
       .join(med, groupCol)
       .select(col(groupCol), col("n"), col("med2"), col("mad4"),
         col("n_outliers"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Nearest-rank quantile thresholds per group: for each numerator in
+    * `nums` (shared denominator `den`), the value at rank
+    * ceil(n·num/den) — the k-th order statistic located on the
+    * count-collapsed frame, never interpolated, so every threshold is
+    * a real value picked identically on every engine. Output:
+    * (group, n, q0..q{m-1}) ordered by group, one column per
+    * requested quantile. */
+  def quantiles(df: DataFrame, groupCol: String, valueCol: String,
+                nums: Seq[Long], den: Long): DataFrame = {
+    require(den > 0 && nums.nonEmpty &&
+      nums.forall(n => n >= 0 && n <= den),
+      s"need 0 <= num <= den for every num, got $nums / $den")
+    val cc = cumCounts(df, groupCol, valueCol)
+    val qCols = nums.zipWithIndex.map { case (num, i) =>
+      min(when(col("__cum") >=
+        expr(s"($num * __n + ${den - 1}) div $den"), col("__v")))
+        .as(s"q$i")
+    }
+    cc.groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n"), qCols: _*)
       .orderBy(col(groupCol))
   }
 

@@ -45,8 +45,14 @@ object Sampling {
     * anywhere (two unequal rationals can floor to the same key; the
     * deterministic (key, id) DESC tie order makes the sample
     * well-defined and engine-independent). The reported τ and ŵ are
-    * each ONE exact IEEE step: τ = τ_scaled / 2^44 (power-of-two
-    * division, exact), ŵ = max(w, τ).
+    * each ONE IEEE step per engine: τ = τ_scaled / 2^44. The
+    * power-of-two DIVISION never rounds, but τ_scaled itself can
+    * exceed 2^53 (w near 2^19 over a small hash draw pushes
+    * (w·2^44) div u toward 2^63), and there the long→double cast
+    * rounds — identically on both engines (same IEEE
+    * round-to-nearest-even conversion), so results stay bit-equal
+    * cross-engine even though the full chain is not exact.
+    * ŵ = max(w, τ).
     *
     * Scale: the per-stratum top-(k+1) runs through the bounded
     * [[TopKAgg]] buffer — map-side partials cap at k+1 entries per

@@ -183,7 +183,13 @@ object Knn {
   /** The greedy MMR selection stage over a PRE-RANKED candidate frame
     * `(query_id, cid, rel, c_vec)` — bounded by the candidate set, so
     * any retriever tier (brute, IVF, LSH, at-rest) feeds it unchanged.
-    * Checkpoints the candidates and their pairwise sims once. */
+    * Checkpoints the candidates and their pairwise sims once.
+    *
+    * Runs Spark actions at CONSTRUCTION time by design (the kcore/CC/
+    * Lloyd contract): each of the kSel greedy steps localCheckpoints
+    * the growing selection, so building the frame executes kSel
+    * candidate-bounded jobs — cost is |Q|·kCand² work independent of
+    * corpus size, never a data-sized driver collect. */
   def mmrRerank(candIn: DataFrame, kSel: Int, mmrLambda: Double,
                 oneMinusLambda: Double): DataFrame = {
     val cand = candIn.localCheckpoint()

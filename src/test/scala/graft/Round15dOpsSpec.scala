@@ -91,6 +91,59 @@ class Round15dOpsSpec extends AnyFunSuite {
     assert(Graph.pprSeeds(empty, seedMod = 5L, iters = 1).count() == 0L)
   }
 
+  test("robust_stats_collapse observe: planted ALL-DISTINCT column " +
+    "reports distinct_rows == total_rows (the degenerate domain made " +
+    "visible); a duplicated domain reports the collapse") {
+    def collapseRow(df: => org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.Row = {
+      val captured = new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.Row]()
+      val listener =
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(fn: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              d: Long): Unit =
+            qe.observedMetrics.get("robust_stats_collapse")
+              .foreach(captured.add)
+          override def onFailure(fn: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              e: Exception): Unit = ()
+        }
+      spark.listenerManager.register(listener)
+      try {
+        df.count()
+        val deadline = System.currentTimeMillis() + 20000
+        while (captured.isEmpty &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+        assert(!captured.isEmpty,
+          "observe 'robust_stats_collapse' never arrived")
+        captured.peek()
+      } finally spark.listenerManager.unregister(listener)
+    }
+    // adversarial: 1000 all-distinct values — the count-collapse buys
+    // nothing and the observe must SAY so (distinct == total)
+    val distinct = collapseRow(RobustStats.madOutliers(
+      (1L to 1000L).map(v => ("g", v, v)).toDF("g", "id", "v"),
+      "g", "v"))
+    assert(distinct.getAs[Long]("distinct_rows") == 1000L)
+    assert(distinct.getAs[Long]("total_rows") == 1000L)
+    // natural: 1000 rows over a 10-value domain — the exchange carries
+    // 10 rows, and the observe records the 100x reduction
+    val collapsed = collapseRow(RobustStats.winsorize(
+      (1L to 1000L).map(v => ("g", v, v % 10L)).toDF("g", "id", "v"),
+      "g", "v", 1L, 19L, 20L))
+    assert(collapsed.getAs[Long]("distinct_rows") == 10L)
+    assert(collapsed.getAs[Long]("total_rows") == 1000L)
+  }
+
+  test("skyline2d rejects fractional axis columns loudly") {
+    val df = Seq((1.5, 2L), (2.5, 1L)).toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Relational.skyline2d(df, "x", "y", bucketWidth = 10L)
+    }
+    assert(e.getMessage.contains("INTEGER axes"))
+  }
+
   test("RobustStats rejects fractional value columns loudly") {
     val df = Seq(("g", 1.5), ("g", 2.5)).toDF("g", "v")
     val e = intercept[IllegalArgumentException] {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{ExtendedQueries, PipelineQueries, Q, Round4Queries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, Round9Queries, Round10Queries, Round10bQueries, Round11Queries, Round12Queries, Round13Queries, Round14Queries, Round14bQueries, Round15Queries, Round15bQueries, Round15cQueries, Round15dQueries, Round15eQueries, StarQueries}
+import graft.queries.{ExtendedQueries, PipelineQueries, Q, Round4Queries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, Round9Queries, Round10Queries, Round10bQueries, Round11Queries, Round12Queries, Round13Queries, Round14Queries, Round14bQueries, Round15Queries, Round15bQueries, Round15cQueries, Round15dQueries, Round15eQueries, Round16Queries, StarQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,7 +21,7 @@ object SparkEntry {
       Round11Queries.all ++ Round12Queries.all ++ Round13Queries.all ++
       Round14Queries.all ++ Round14bQueries.all ++ Round15Queries.all ++
       Round15bQueries.all ++ Round15cQueries.all ++ Round15dQueries.all ++
-      Round15eQueries.all
+      Round15eQueries.all ++ Round16Queries.all
     val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(",")}")
     all
@@ -110,7 +110,9 @@ object SparkEntry {
     // r15 fourth wave: same capped-from-birth policy
     "w_mad_outliers", "curate_winsorize", "g_ppr_seeds",
     // r15 fifth wave: same capped-from-birth policy
-    "e_mmr_ivf", "g_bfs_hops")
+    "e_mmr_ivf", "g_bfs_hops",
+    // r16: same capped-from-birth policy
+    "curate_classifier_score", "curate_classifier_terciles")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

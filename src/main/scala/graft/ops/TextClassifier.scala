@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Learned quality-classifier INFERENCE — the fastText-style linear
+  * scorer every production curation pipeline pairs with its rule-based
+  * filters (CCNet uses a fastText LM filter, RefinedWeb and Gopher §A1
+  * pair rules with a trained quality classifier; the reference's own
+  * coverage notes name this as the one remaining stand-in).
+  *
+  * Model shape (Joulin et al. 2016, "Bag of Tricks for Efficient Text
+  * Classification"): a document is a bag of hashed token n-gram
+  * features; the score is a linear function of the feature counts,
+  * `logit = (Σ_f count_f · w[h(f)]) / n_feats`, thresholded for the
+  * keep/drop decision. Inference — the part that must run over 100 TB —
+  * is exactly: tokenize → hash features into [0, dim) → broadcast-join
+  * the dim-row weight table → one per-doc sum. No shuffle except the
+  * final doc-keyed aggregation (map-side combined), no UDF anywhere:
+  * tokenization is `split`, feature hashing is the engine's md5-prefix
+  * idiom, the dot product is a broadcast hash join + `sum`.
+  *
+  * Exactness discipline: weights are FIXED-POINT integers (trained
+  * float weights quantize to integer millis at export time — standard
+  * fastText quantization), so `dot` is an exact BIGINT; the keep
+  * decision `logit >= thrNum/thrDen` is the cross-multiplied integer
+  * comparison `thrDen·dot >= thrNum·n_feats` — no float division
+  * decides anything. The reported `score` is the single IEEE division
+  * dot/n_feats on exactly-representable operands (both < 2^53), which
+  * both engines evaluate to the same bits.
+  *
+  * Scale: the weight table is dim rows (2^20 for a production model) —
+  * always broadcastable; the feature stream is ~2 rows per token and
+  * never materializes per-doc vectors; the only exchange is the final
+  * groupBy(doc) partial-agg. A billion-doc corpus scores in one pass.
+  */
+object TextClassifier {
+
+  /** Hashed feature id in [0, dim): low 60 bits of md5, mod dim —
+    * the engine's established cross-engine hash (15 hex chars stay
+    * under 2^63; non-negative, so `%` ≡ pmod on both engines). */
+  def featureHash(feat: Column, dim: Int): Column =
+    conv(substring(md5(feat), 1, 15), 16, 10).cast("long") % dim.toLong
+
+  /** The same hash as DuckDB SQL over a feature expression. */
+  def featureHashSql(featExpr: String, dim: Int): String =
+    s"CAST(concat('0x', substr(md5($featExpr), 1, 15)) AS BIGINT) % $dim"
+
+  /** Deterministic stand-in weight table (fid, wgt) with
+    * wgt = h("w:"||fid) % 2001 − 1000 ∈ [−1000, 1000] fixed-point
+    * millis — the oracle-replayable stand-in for a TRAINED model's
+    * exported weights. In production the weights frame is
+    * `spark.read.parquet(modelDir)` (fastText export quantized to
+    * integer millis); inference below is identical either way — the
+    * stand-in exists so the driver's DuckDB oracle can rebuild the
+    * exact same model without shipping a binary. */
+  def standInWeights(s: SparkSession, dim: Int): DataFrame =
+    s.range(0, dim.toLong).select(col("id").as("fid"),
+      (conv(substring(md5(concat(lit("w:"), col("id").cast("string"))),
+        1, 15), 16, 10).cast("long") % 2001L - 1000L).as("wgt"))
+
+  /** The stand-in weight table as DuckDB SQL (CTE body). */
+  def standInWeightsSql(dim: Int): String =
+    s"""SELECT fid, ${featureHashSql("'w:' || CAST(fid AS VARCHAR)", 2001)}
+       | - 1000 AS wgt
+       |FROM (SELECT unnest(range(0, $dim)) AS fid)""".stripMargin
+
+  /** Per-doc unigram + adjacent-bigram feature stream (id, feat) —
+    * whitespace tokens plus space-joined adjacent pairs (tokens never
+    * contain whitespace, so the two families cannot collide). Built
+    * from the token ARRAY with `transform` — narrow, no per-doc
+    * window sort; the size()<2 guard exists because Spark's
+    * `sequence(1, 0)` is a DESCENDING sequence, not empty. */
+  def ngramFeatures(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      split(trim(col(textCol)), "\\s+").as("__toks"))
+    val bigrams = expr(
+      "CASE WHEN size(__toks) < 2 THEN array() " +
+        "ELSE transform(sequence(1, size(__toks) - 1), " +
+        "i -> concat(__toks[i - 1], ' ', __toks[i])) END")
+    toks.select(col(idCol),
+      explode(concat(col("__toks"), bigrams)).as("feat"))
+  }
+
+  /** Score every document: (id, n_feats, dot, score, keep) where
+    * dot = Σ w[h(feature)] over the doc's unigram+bigram stream,
+    * score = dot/n_feats (one IEEE step), and
+    * keep ⟺ thrDen·dot ≥ thrNum·n_feats (exact integers; n_feats ≥ 1
+    * always — split of an empty string yields one empty token).
+    * `weights` must be (fid, wgt) with dim rows — broadcast inside. */
+  def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
+                weights: DataFrame, dim: Int,
+                thrNum: Long, thrDen: Long): DataFrame = {
+    require(thrDen > 0, s"thrDen must be positive, got $thrDen")
+    val feats = ngramFeatures(docs, idCol, textCol)
+      .select(col(idCol), featureHash(col("feat"), dim).as("fid"))
+    feats.join(broadcast(weights), Seq("fid"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("wgt")).as("dot"))
+      .select(col(idCol), col("n_feats"), col("dot"),
+        (col("dot").cast("double") / col("n_feats").cast("double"))
+          .as("score"),
+        (lit(thrDen) * col("dot") >= lit(thrNum) * col("n_feats"))
+          .as("keep"))
+  }
+}

@@ -1,0 +1,131 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{RobustStats, TextClassifier}
+import org.apache.spark.sql.functions._
+
+/** Round-16 first wave: learned quality-classifier INFERENCE — the
+  * fastText-style hashed-n-gram linear scorer (the r15 verdict's
+  * top-ranked missing capability) and its CCNet-style head/middle/tail
+  * corpus bucketing, both replayed bit-for-bit by the DuckDB oracle.
+  */
+object Round16Queries {
+
+  /** Shared oracle prefix: the classifier score chain (tokens →
+    * unigram+bigram features → 60-bit md5 hash mod dim → stand-in
+    * weight join → per-doc BIGINT dot). Kept in ONE place so both
+    * registered queries replay the identical model. */
+  private def scoredSql(dim: Int): String =
+    s"""toks AS (
+       |  SELECT doc_id, u.p AS p, toks[u.p + 1] AS tok
+       |  FROM (SELECT doc_id,
+       |          string_split_regex(trim(text), '\\s+') AS toks
+       |        FROM documents) t,
+       |    unnest(range(0, len(toks))) AS u(p)),
+       |feats AS (
+       |  SELECT doc_id, tok AS feat FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, feat FROM (
+       |    SELECT doc_id, tok || ' ' || lead(tok) OVER
+       |        (PARTITION BY doc_id ORDER BY p) AS feat
+       |    FROM toks) b
+       |  WHERE feat IS NOT NULL),
+       |w AS (${TextClassifier.standInWeightsSql(dim)}),
+       |scored AS (
+       |  SELECT doc_id, count(*) AS n_feats,
+       |    CAST(sum(wgt) AS BIGINT) AS dot
+       |  FROM (SELECT doc_id,
+       |          ${TextClassifier.featureHashSql("feat", dim)} AS fid
+       |        FROM feats) h
+       |  JOIN w USING (fid)
+       |  GROUP BY doc_id)""".stripMargin
+
+  def all: Seq[Q] = Seq(
+
+    Q("curate_classifier_score",
+      "Learned quality-classifier inference (fastText shape, Joulin " +
+        "et al. 2016): per-doc score over hashed unigram+bigram " +
+        "features — tokenize, hash into [0,1024) via the engine's " +
+        "md5-prefix idiom, broadcast-join the fixed-point weight " +
+        "table, one per-doc sum. The keep decision logit >= 5/1000 " +
+        "is the cross-multiplied BIGINT comparison 1000*dot >= " +
+        "5*n_feats; `score` is the single IEEE division dot/n_feats " +
+        "on exactly-representable operands. Weights here are the " +
+        "deterministic stand-in table (oracle-rebuildable); a trained " +
+        "model drops in as a parquet read of its quantized export — " +
+        "the inference plan is identical. Plan: explode -> map-side " +
+        "broadcast join -> ONE doc-keyed exchange (partial-agg " +
+        "combined); the weight table is dim rows, broadcastable at " +
+        "any corpus size.",
+      (s, d) => {
+        import s.implicits._
+        TextClassifier.scoreDocs(
+            Tables.documents(s, d).select($"doc_id", $"text"),
+            "doc_id", "text",
+            TextClassifier.standInWeights(s, 1024), dim = 1024,
+            thrNum = 5L, thrDen = 1000L)
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH ${scoredSql(1024)}
+         |SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats, dot,
+         |  CAST(dot AS DOUBLE) / CAST(n_feats AS DOUBLE) AS score,
+         |  (1000 * dot >= 5 * n_feats) AS keep
+         |FROM scored ORDER BY doc_id""".stripMargin)),
+
+    Q("curate_classifier_terciles",
+      "CCNet-style corpus bucketing by classifier score (Wenzek et " +
+        "al. 2020 split their corpus into head/middle/tail by " +
+        "per-doc LM quality terciles): the per-doc dot from " +
+        "curate_classifier_score, QUANTIZED to 16-milli bins after a " +
+        "+2^31 shift (all operands non-negative, so Spark's " +
+        "truncating `div` and DuckDB's flooring `//` agree), then " +
+        "global nearest-rank terciles t1 = value at rank ceil(n/3), " +
+        "t2 at ceil(2n/3) located on the COUNT-COLLAPSED frame " +
+        "(RobustStats.quantiles — the exchange carries distinct " +
+        "quantized bins, not docs; quantization is exactly the " +
+        "documented cure for the near-all-distinct raw dot), and " +
+        "head = above t2 / middle = (t1, t2] / tail = <= t1. Output " +
+        "per bucket: doc count + exact bin sum + the thresholds.",
+      (s, d) => {
+        import s.implicits._
+        val scored = TextClassifier.scoreDocs(
+          Tables.documents(s, d).select($"doc_id", $"text"),
+          "doc_id", "text",
+          TextClassifier.standInWeights(s, 1024), dim = 1024,
+          thrNum = 5L, thrDen = 1000L)
+        val qz = scored.select($"doc_id",
+          expr("(dot + 2147483648) div 16").as("qv"))
+        val t = RobustStats.quantiles(qz.withColumn("__g", lit(0)),
+            "__g", "qv", nums = Seq(1L, 2L), den = 3L)
+          .select($"q0".as("t1"), $"q1".as("t2"))
+        qz.crossJoin(broadcast(t))
+          .select(when($"qv" > $"t2", "head")
+            .when($"qv" > $"t1", "middle")
+            .otherwise("tail").as("bucket"),
+            $"qv", $"t1", $"t2")
+          .groupBy($"bucket", $"t1", $"t2")
+          .agg(count(lit(1)).as("n_docs"), sum($"qv").as("sum_qv"))
+          .select($"bucket", $"n_docs", $"sum_qv", $"t1", $"t2")
+          .orderBy($"bucket")
+      },
+      Some(s"""WITH ${scoredSql(1024)},
+         |qz AS (SELECT doc_id,
+         |    (dot + 2147483648) // 16 AS qv FROM scored),
+         |cc AS (SELECT qv, count(*) AS c FROM qz GROUP BY qv),
+         |cw AS (SELECT qv,
+         |    sum(c) OVER (ORDER BY qv
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum,
+         |    sum(c) OVER () AS n FROM cc),
+         |t AS (SELECT
+         |    min(CASE WHEN cum >= (1 * n + 2) // 3 THEN qv END) AS t1,
+         |    min(CASE WHEN cum >= (2 * n + 2) // 3 THEN qv END) AS t2
+         |  FROM cw),
+         |b AS (SELECT CASE WHEN qv > t2 THEN 'head'
+         |      WHEN qv > t1 THEN 'middle' ELSE 'tail' END AS bucket,
+         |    qv, t1, t2 FROM qz, t)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(qv) AS BIGINT) AS sum_qv, t1, t2
+         |FROM b GROUP BY bucket, t1, t2 ORDER BY bucket""".stripMargin))
+  )
+}

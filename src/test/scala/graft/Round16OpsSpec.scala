@@ -1,0 +1,124 @@
+package graft
+
+import graft.ops.{RobustStats, TextClassifier}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-16 first wave: learned quality-classifier inference (hashed
+  * n-gram features, fixed-point linear scoring) and nearest-rank
+  * quantile thresholds — planted fixtures pinning the feature stream,
+  * the integer decision rule, and the rank arithmetic.
+  */
+class Round16OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ngramFeatures: unigrams + adjacent bigrams in order, single " +
+    "token yields no bigram, duplicate tokens preserved") {
+    val docs = Seq((1L, "a b c"), (2L, "solo"), (3L, "x x")).toDF("doc_id", "text")
+    val got = TextClassifier.ngramFeatures(docs, "doc_id", "text")
+      .as[(Long, String)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSeq).toMap
+    assert(got(1L) == Seq("a", "b", "c", "a b", "b c"))
+    assert(got(2L) == Seq("solo"))
+    assert(got(3L) == Seq("x", "x", "x x")) // dup unigrams both count
+  }
+
+  test("featureHash: deterministic, in [0, dim), and equal to the " +
+    "60-bit md5 prefix mod dim") {
+    val feats = Seq("the", "quick fox", "", "the").toDF("feat")
+    val rows = feats.select(col("feat"),
+      TextClassifier.featureHash(col("feat"), 64).as("fid"),
+      (conv(substring(md5(col("feat")), 1, 15), 16, 10)
+        .cast("long") % 64L).as("ref"))
+      .as[(String, Long, Long)].collect()
+    rows.foreach { case (f, fid, ref) =>
+      assert(fid == ref && fid >= 0L && fid < 64L, s"feat=$f")
+    }
+    // same input → same id (the two "the" rows)
+    val byFeat = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(byFeat("the").size == 1)
+  }
+
+  test("scoreDocs: dot is the exact weighted feature-count sum and " +
+    "keep is the cross-multiplied integer rule (negative dot exact)") {
+    val dim = 8
+    // planted model: w[fid] = 10*fid - 30 (negative weights exist)
+    val w = spark.range(0, dim.toLong)
+      .select(col("id").as("fid"), (col("id") * 10L - 30L).as("wgt"))
+    val docs = Seq((1L, "a b c"), (2L, "z")).toDF("doc_id", "text")
+    // expected dot from the SAME feature stream + hash (pins the
+    // join+agg plumbing against an independently assembled sum)
+    val expected = TextClassifier
+      .ngramFeatures(docs, "doc_id", "text")
+      .select(col("doc_id"),
+        (TextClassifier.featureHash(col("feat"), dim) * 10L - 30L)
+          .as("wgt"))
+      .groupBy("doc_id").agg(sum("wgt").as("dot"),
+        count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val got = TextClassifier.scoreDocs(docs, "doc_id", "text", w, dim,
+        thrNum = -3L, thrDen = 2L)
+      .select(col("doc_id"), col("n_feats"), col("dot"), col("keep"))
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(got.length == 2)
+    got.foreach { case (id, n, dot, keep) =>
+      assert((dot, n) == expected(id))
+      // keep ⟺ dot/n >= -3/2 ⟺ 2*dot >= -3*n
+      assert(keep == (2L * dot >= -3L * n), s"doc $id dot=$dot n=$n")
+    }
+  }
+
+  test("scoreDocs: score column is the single IEEE division dot/n") {
+    val w = TextClassifier.standInWeights(spark, 32)
+    val docs = Seq((7L, "alpha beta gamma")).toDF("doc_id", "text")
+    val r = TextClassifier
+      .scoreDocs(docs, "doc_id", "text", w, 32, 0L, 1L).collect()(0)
+    assert(r.getAs[Double]("score") ==
+      r.getAs[Long]("dot").toDouble / r.getAs[Long]("n_feats").toDouble)
+  }
+
+  test("standInWeights: dim rows, weights in [-1000, 1000], " +
+    "deterministic across builds") {
+    val w1 = TextClassifier.standInWeights(spark, 256)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val w2 = TextClassifier.standInWeights(spark, 256)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(w1.length == 256 && w1.sameElements(w2))
+    assert(w1.forall { case (_, wg) => wg >= -1000L && wg <= 1000L })
+    // not degenerate: both signs present
+    assert(w1.exists(_._2 > 0L) && w1.exists(_._2 < 0L))
+  }
+
+  test("quantiles: nearest-rank terciles and median on 1..100, " +
+    "duplicates collapse to the same thresholds") {
+    val df = (1L to 100L).map(v => ("g", v)).toDF("g", "v")
+    val t = RobustStats.quantiles(df, "g", "v", Seq(1L, 2L), 3L)
+      .collect()(0)
+    assert(t.getAs[Long]("n") == 100L)
+    assert(t.getAs[Long]("q0") == 34L) // ceil(100/3) = 34
+    assert(t.getAs[Long]("q1") == 67L) // ceil(200/3) = 67
+    val med = RobustStats.quantiles(df, "g", "v", Seq(1L), 2L)
+      .collect()(0)
+    assert(med.getAs[Long]("q0") == 50L) // ceil(100/2) = 50
+    // every value duplicated 5×: same thresholds (rank scales with n)
+    val dup = (1L to 100L).flatMap(v => Seq.fill(5)(("g", v)))
+      .toDF("g", "v")
+    val t5 = RobustStats.quantiles(dup, "g", "v", Seq(1L, 2L), 3L)
+      .collect()(0)
+    assert(t5.getAs[Long]("n") == 500L)
+    assert(t5.getAs[Long]("q0") == 34L && t5.getAs[Long]("q1") == 67L)
+  }
+
+  test("quantiles: rejects invalid fractions and fractional columns") {
+    val df = Seq(("g", 1L)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      RobustStats.quantiles(df, "g", "v", Seq(4L), 3L)
+    }
+    intercept[IllegalArgumentException] {
+      RobustStats.quantiles(Seq(("g", 1.5)).toDF("g", "v"),
+        "g", "v", Seq(1L), 2L)
+    }
+  }
+}

@@ -108,13 +108,18 @@ object Bench {
     // elapsed time must not become the min) and the very long tail
     // (≥ 30 s — none registered today): noise there is proportional
     // and a rerun doubles real cost without sharpening the min.
-    // SPARK_GRAFT_RUNS=n forces n passes (profiling aid: separates
-    // per-JVM fixture/cold cost from steady state).
+    // SPARK_GRAFT_RUNS=n forces n passes of EVERY query — the
+    // failed/long-tail drop-out below is bypassed, because the whole
+    // point of the override is profiling exactly the slow or flaky
+    // query (separating per-JVM fixture/cold cost from steady state).
+    val forcedRuns = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt)
     val orderSeed = sys.env.get("SPARK_GRAFT_BENCH_SEED")
       .map(_.toLong).getOrElse(System.nanoTime())
     val rng = new scala.util.Random(orderSeed)
-    val passCount = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt)
-      .getOrElse(3)
+    val passCount = forcedRuns.getOrElse(3)
+    require(passCount >= 1,
+      s"SPARK_GRAFT_RUNS must be >= 1, got $passCount — zero passes " +
+        "would report every query as a vacuous success at -1s")
     val runsAcc = scala.collection.mutable.LinkedHashMap(
       selected.map { case (n, _) =>
         n -> (scala.collection.mutable.ArrayBuffer[(Double, Boolean)](),
@@ -128,10 +133,11 @@ object Bench {
         rs += ((dt, ok)); ls += la
         System.err.println(f"[bench] pass $pass $name $dt%.2fs")
       }
-      active = active.filter { case (name, _) =>
-        val (rs, _) = runsAcc(name)
-        rs.last._2 && rs.last._1 < 30.0
-      }
+      if (forcedRuns.isEmpty)
+        active = active.filter { case (name, _) =>
+          val (rs, _) = runsAcc(name)
+          rs.last._2 && rs.last._1 < 30.0
+        }
     }
     val results = selected.map { case (name, _) =>
       val (rs, loads) = runsAcc(name)

@@ -37,9 +37,14 @@ import org.apache.spark.sql.functions._
 object RobustStats {
 
   /** (group, v, c, cum, n) — distinct values with counts, cumulative
-    * counts (ordered by value), and group totals. */
+    * counts (ordered by value), and group totals. `obsName` must be
+    * UNIQUE per registered query: the bench merges observed metrics
+    * per NAME with field-wise max across the whole run, so two
+    * queries sharing one name would mix their distinct/total counters
+    * and could mask exactly the degradation the observe exists to
+    * reveal (the Dedup lsh_cap_$label convention). */
   private def cumCounts(df: DataFrame, groupCol: String,
-                        valueCol: String): DataFrame = {
+                        valueCol: String, obsName: String): DataFrame = {
     val vt = df.schema(valueCol).dataType
     require(Seq("byte", "short", "integer", "long")
         .contains(vt.typeName),
@@ -60,7 +65,7 @@ object RobustStats {
       // in the bench's observed section is that degradation, visible
       // in committed evidence instead of only in this comment;
       // the fix stays the documented one (quantize the column first).
-      .observe("robust_stats_collapse",
+      .observe(obsName,
         count(lit(1)).as("distinct_rows"),
         sum(col("__c")).cast("long").as("total_rows"))
       .withColumn("__cum", sum(col("__c")).over(byV))
@@ -82,9 +87,9 @@ object RobustStats {
     * Output: (group, n, med2, mad4, n_outliers) ordered by group.
     * MAD = 0 (at least half the group identical) flags EVERY value off
     * the median — the documented degenerate case of the MAD rule. */
-  def madOutliers(df: DataFrame, groupCol: String,
-                  valueCol: String): DataFrame = {
-    val cc = cumCounts(df, groupCol, valueCol)
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  obsName: String = "robust_stats_collapse"): DataFrame = {
+    val cc = cumCounts(df, groupCol, valueCol, obsName)
     val med = cc.groupBy(col(groupCol))
       .agg((min(when(col("__cum") >= expr("(__n + 1) div 2"),
         col("__v"))) +
@@ -129,11 +134,12 @@ object RobustStats {
     * (group, n, q0..q{m-1}) ordered by group, one column per
     * requested quantile. */
   def quantiles(df: DataFrame, groupCol: String, valueCol: String,
-                nums: Seq[Long], den: Long): DataFrame = {
+                nums: Seq[Long], den: Long,
+                obsName: String = "robust_stats_collapse"): DataFrame = {
     require(den > 0 && nums.nonEmpty &&
       nums.forall(n => n >= 0 && n <= den),
       s"need 0 <= num <= den for every num, got $nums / $den")
-    val cc = cumCounts(df, groupCol, valueCol)
+    val cc = cumCounts(df, groupCol, valueCol, obsName)
     val qCols = nums.zipWithIndex.map { case (num, i) =>
       min(when(col("__cum") >=
         expr(s"($num * __n + ${den - 1}) div $den"), col("__v")))
@@ -151,11 +157,11 @@ object RobustStats {
     * on every engine, never interpolated). Output per group:
     * (group, n, p_lo, p_hi, raw_sum, clamped_sum, n_lo, n_hi). */
   def winsorize(df: DataFrame, groupCol: String,
-                valueCol: String, loNum: Long, hiNum: Long,
-                den: Long): DataFrame = {
+                valueCol: String, loNum: Long, hiNum: Long, den: Long,
+                obsName: String = "robust_stats_collapse"): DataFrame = {
     require(den > 0 && loNum >= 0 && hiNum <= den && loNum <= hiNum,
       s"need 0 <= loNum <= hiNum <= den, got $loNum/$hiNum/$den")
-    val cc = cumCounts(df, groupCol, valueCol)
+    val cc = cumCounts(df, groupCol, valueCol, obsName)
     val pct = cc.groupBy(col(groupCol))
       .agg(max(col("__n")).as("n"),
         min(when(col("__cum") >=

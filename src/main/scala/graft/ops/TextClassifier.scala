@@ -56,8 +56,8 @@ object TextClassifier {
     * exact same model without shipping a binary. */
   def standInWeights(s: SparkSession, dim: Int): DataFrame =
     s.range(0, dim.toLong).select(col("id").as("fid"),
-      (conv(substring(md5(concat(lit("w:"), col("id").cast("string"))),
-        1, 15), 16, 10).cast("long") % 2001L - 1000L).as("wgt"))
+      (featureHash(concat(lit("w:"), col("id").cast("string")), 2001)
+        - 1000L).as("wgt"))
 
   /** The stand-in weight table as DuckDB SQL (CTE body). */
   def standInWeightsSql(dim: Int): String =
@@ -70,7 +70,14 @@ object TextClassifier {
     * contain whitespace, so the two families cannot collide). Built
     * from the token ARRAY with `transform` — narrow, no per-doc
     * window sort; the size()<2 guard exists because Spark's
-    * `sequence(1, 0)` is a DESCENDING sequence, not empty. */
+    * `sequence(1, 0)` is a DESCENDING sequence, not empty.
+    *
+    * Corpus invariant (shared with every `split(trim(text), "\\s+")`
+    * site since r14): Java regex `\s` matches vertical tab \x0B while
+    * DuckDB/RE2's does not, so a document containing \x0B would
+    * tokenize differently on the two engines. The test corpus has
+    * none; a corpus that may carry \x0B must normalize it to ' '
+    * (one regexp_replace on both sides) before classification. */
   def ngramFeatures(docs: DataFrame, idCol: String,
                     textCol: String): DataFrame = {
     val toks = docs.select(col(idCol),

@@ -38,7 +38,7 @@ object Round15dQueries {
         RobustStats.madOutliers(
           Tables.events(s, d).select($"user_id",
             expr("CAST(round(value * 100) AS BIGINT)").as("v")),
-          "user_id", "v")
+          "user_id", "v", obsName = "robust_stats_collapse_mad")
       },
       Some("""WITH e AS (
              |  SELECT user_id, event_id,
@@ -98,7 +98,8 @@ object Round15dQueries {
             Tables.events(s, d).select($"event_type",
               expr("CAST(round(value * 100) AS BIGINT)").as("v")),
             "event_type", "v",
-            loNum = 1L, hiNum = 19L, den = 20L)
+            loNum = 1L, hiNum = 19L, den = 20L,
+            obsName = "robust_stats_collapse_winsorize")
           .withColumnRenamed("p_lo", "p05")
           .withColumnRenamed("p_hi", "p95")
       },

@@ -77,8 +77,12 @@ object Round16Queries {
         "al. 2020 split their corpus into head/middle/tail by " +
         "per-doc LM quality terciles): the per-doc dot from " +
         "curate_classifier_score, QUANTIZED to 16-milli bins after a " +
-        "+2^31 shift (all operands non-negative, so Spark's " +
-        "truncating `div` and DuckDB's flooring `//` agree), then " +
+        "+2^31 shift (both engines' integer division TRUNCATES " +
+        "toward zero — measured: DuckDB 1.0 `-7 // 2` = -3, same as " +
+        "Spark `div`, so the shift is NOT load-bearing for sign " +
+        "agreement; it is kept so every operand is non-negative, " +
+        "where truncate ≡ floor and bin k covers exactly " +
+        "[16k, 16k+16) with no negative-division edge cases), then " +
         "global nearest-rank terciles t1 = value at rank ceil(n/3), " +
         "t2 at ceil(2n/3) located on the COUNT-COLLAPSED frame " +
         "(RobustStats.quantiles — the exchange carries distinct " +
@@ -96,7 +100,8 @@ object Round16Queries {
         val qz = scored.select($"doc_id",
           expr("(dot + 2147483648) div 16").as("qv"))
         val t = RobustStats.quantiles(qz.withColumn("__g", lit(0)),
-            "__g", "qv", nums = Seq(1L, 2L), den = 3L)
+            "__g", "qv", nums = Seq(1L, 2L), den = 3L,
+            obsName = "robust_stats_collapse_terciles")
           .select($"q0".as("t1"), $"q1".as("t2"))
         qz.crossJoin(broadcast(t))
           .select(when($"qv" > $"t2", "head")

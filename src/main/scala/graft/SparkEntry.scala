@@ -112,7 +112,8 @@ object SparkEntry {
     // r15 fifth wave: same capped-from-birth policy
     "e_mmr_ivf", "g_bfs_hops",
     // r16: same capped-from-birth policy
-    "curate_classifier_score", "curate_classifier_terciles")
+    "curate_classifier_score", "curate_classifier_terciles",
+    "curate_repetition_rules", "p_domain_mix")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

@@ -168,4 +168,49 @@ object Sampling {
           col("tau_scaled").cast("double")).as("est"))
       .withColumn("ratio", col("est") / col("exact").cast("double"))
   }
+
+  /** Largest-remainder (Hamilton) apportionment of an integer sample
+    * budget across domains — the deterministic allocation step of a
+    * data-mixing pipeline (given per-source weights, how many samples
+    * each source contributes to a fixed-size training mix; the static
+    * counterpart of DoReMi-style reweighting). Exact by construction:
+    * quota_s = budget·w_s / Σw splits into the BIGINT floor
+    * (budget·w_s) div Σw and remainder (budget·w_s) % Σw; the
+    * leftover budget − Σfloor units (< |domains| of them) go to the
+    * largest remainders, ties broken by domain key ascending. The
+    * result sums to the budget EXACTLY — no float quota ever exists.
+    *
+    * Scale: raw rows reduce per-domain via one partial-agg groupBy;
+    * everything after (total, remainder rank, top-up) runs on the
+    * |domains|-row frame — metadata-sized, so the single global
+    * row_number window is |domains| rows in one task by design.
+    * budget·w_s is ANSI BIGINT arithmetic: an overflowing product
+    * fails loudly (pre-scale the weights), never wraps.
+    * Weights must be non-negative with a POSITIVE total; a zero
+    * total would divide by zero (loud under ANSI).
+    *
+    * Output: (key, weight, alloc) ordered by key, Σalloc = budget. */
+  def largestRemainderAllocate(df: DataFrame, keyCol: String,
+                               weightCol: String,
+                               budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val perKey = df
+      .select(col(keyCol), col(weightCol).cast("long").as("__w"))
+      .groupBy(col(keyCol)).agg(sum(col("__w")).as("weight"))
+    val tot = perKey.agg(sum(col("weight")).as("__t"))
+    val quotas = perKey.crossJoin(broadcast(tot))
+      .select(col(keyCol), col("weight"),
+        expr(s"($budget * weight) div __t").as("__fl"),
+        expr(s"($budget * weight) % __t").as("__rem"))
+    val leftover = quotas.agg((lit(budget) - sum(col("__fl")))
+      .as("__k"))
+    val wRem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col(keyCol).asc)
+    quotas.crossJoin(broadcast(leftover))
+      .withColumn("__rn", row_number().over(wRem))
+      .select(col(keyCol), col("weight"),
+        (col("__fl") + when(col("__rn") <= col("__k"), 1L)
+          .otherwise(0L)).as("alloc"))
+      .orderBy(col(keyCol))
+  }
 }

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Repetition statistics for corpus curation (Rae et al. 2021 App. A
+  * "repetitious text" family): how much of a document is one n-gram
+  * repeated over and over. Gopher thresholds the fraction of
+  * characters in the most frequent 2-/3-gram; this operator computes
+  * the char-coverage variant `rep_n = max over n-grams of
+  * (count · n-gram length)` — the most characters attributable to a
+  * single repeated n-gram. One max over integers: no
+  * most-frequent-tie to break, deterministic on every engine, and
+  * monotone-related to Gopher's metric (the most frequent gram's
+  * coverage is always ≤ rep_n).
+  *
+  * Exactness: every output is a BIGINT (counts, char totals, products
+  * of the two); threshold decisions are left to the caller as
+  * cross-multiplied comparisons — no division exists here.
+  *
+  * Scale: the uni/bi/tri-gram streams are TAGGED and fused into ONE
+  * explode feeding ONE (doc, n, gram) partial-agg groupBy (map-side
+  * combine collapses the repeats that make a doc flaggable — the
+  * worst-case doc shrinks the MOST), then one per-doc conditional
+  * agg. Two exchanges total, no windows, no joins.
+  */
+object TextStats {
+
+  /** Per-doc repetition summary: (id, n_toks, dup_toks, rep2_chars,
+    * rep3_chars) where dup_toks = n_toks − distinct tokens,
+    * rep{2,3}_chars = max(count · length(gram)) over adjacent token
+    * {2,3}-grams (space-joined, so gram length = covered chars +
+    * separators — the window the repeated text occupies). Docs with
+    * fewer than n tokens report rep_n = 0. */
+  def repetitionStats(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      split(trim(col(textCol)), "\\s+").as("__toks"))
+    // adjacent n-grams from the token ARRAY (narrow, no per-doc
+    // window sort); the size guard exists because Spark's
+    // sequence(a, b) DESCENDS when a > b instead of returning empty
+    def grams(n: Int) =
+      s"CASE WHEN size(__toks) < $n THEN array() " +
+        s"ELSE transform(sequence(0, size(__toks) - $n), " +
+        s"i -> named_struct('n', $n, 'gram', " +
+        s"array_join(slice(__toks, i + 1, $n), ' '))) END"
+    toks.select(col(idCol), explode(concat(
+        expr(grams(1)), expr(grams(2)), expr(grams(3)))).as("g"))
+      .select(col(idCol), col("g.n").as("n"), col("g.gram").as("gram"))
+      .groupBy(col(idCol), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("n") === 1, col("cnt")).otherwise(0L))
+          .as("n_toks"),
+        (sum(when(col("n") === 1, col("cnt")).otherwise(0L)) -
+          sum(when(col("n") === 1, 1L).otherwise(0L))).as("dup_toks"),
+        coalesce(max(when(col("n") === 2,
+          col("cnt") * length(col("gram")).cast("long"))), lit(0L))
+          .as("rep2_chars"),
+        coalesce(max(when(col("n") === 3,
+          col("cnt") * length(col("gram")).cast("long"))), lit(0L))
+          .as("rep3_chars"))
+  }
+}

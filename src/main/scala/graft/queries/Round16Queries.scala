@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{RobustStats, TextClassifier}
+import graft.ops.{RobustStats, Sampling, TextClassifier, TextStats}
 import org.apache.spark.sql.functions._
 
 /** Round-16 first wave: learned quality-classifier INFERENCE — the
@@ -131,6 +131,123 @@ object Round16Queries {
          |    qv, t1, t2 FROM qz, t)
          |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(qv) AS BIGINT) AS sum_qv, t1, t2
-         |FROM b GROUP BY bucket, t1, t2 ORDER BY bucket""".stripMargin))
+         |FROM b GROUP BY bucket, t1, t2 ORDER BY bucket""".stripMargin)),
+
+    Q("curate_repetition_rules",
+      "Gopher repetition filters (Rae et al. 2021 App. A, " +
+        "'repetitious text'): per-doc duplicate-token count and the " +
+        "char-coverage of the most repetition-heavy 2-/3-gram " +
+        "(rep_n = max over adjacent n-grams of count*length — one " +
+        "integer max, no most-frequent tie to break), thresholded as " +
+        "cross-multiplied BIGINT rules: rep2 <= 20% of chars " +
+        "(5*rep2 <= n_chars), rep3 <= 18% (50*rep3 <= 9*n_chars), " +
+        "duplicate tokens <= 75% (4*dup <= 3*n_toks). Complements " +
+        "curate_gopher_rules (those are word-shape rules; these are " +
+        "repetition rules — together the published filter set). " +
+        "Plan: ONE tagged explode for all three gram sizes -> one " +
+        "(doc,n,gram) partial agg -> one per-doc conditional agg; " +
+        "the repeats that make a doc flaggable collapse map-side.",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select($"doc_id", $"text")
+        val stats = TextStats.repetitionStats(docs, "doc_id", "text")
+        val chars = docs.select($"doc_id",
+          length(trim($"text")).cast("long").as("n_chars"))
+        stats.join(chars, Seq("doc_id"))
+          .select($"doc_id", $"n_toks", $"dup_toks",
+            $"rep2_chars", $"rep3_chars", $"n_chars",
+            (lit(5L) * $"rep2_chars" <= $"n_chars").as("top2_ok"),
+            (lit(50L) * $"rep3_chars" <= lit(9L) * $"n_chars")
+              .as("top3_ok"),
+            (lit(4L) * $"dup_toks" <= lit(3L) * $"n_toks")
+              .as("duptok_ok"))
+          .withColumn("keep",
+            $"top2_ok" && $"top3_ok" && $"duptok_ok")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+         |  SELECT doc_id, u.p AS p, toks[u.p + 1] AS tok
+         |  FROM (SELECT doc_id,
+         |          string_split_regex(trim(text), '\s+') AS toks
+         |        FROM documents) t,
+         |    unnest(range(0, len(toks))) AS u(p)),
+         |uni AS (
+         |  SELECT doc_id, count(*) AS n_toks,
+         |    count(*) - count(DISTINCT tok) AS dup_toks
+         |  FROM toks GROUP BY doc_id),
+         |g2 AS (
+         |  SELECT doc_id, tok || ' ' ||
+         |      lead(tok) OVER (PARTITION BY doc_id ORDER BY p) AS gram
+         |  FROM toks),
+         |r2 AS (
+         |  SELECT doc_id,
+         |    CAST(max(cnt * length(gram)) AS BIGINT) AS rep2_chars
+         |  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g2
+         |        WHERE gram IS NOT NULL GROUP BY doc_id, gram) c
+         |  GROUP BY doc_id),
+         |g3 AS (
+         |  SELECT doc_id, tok || ' ' ||
+         |      lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY p)
+         |      || ' ' ||
+         |      lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY p)
+         |      AS gram
+         |  FROM toks),
+         |r3 AS (
+         |  SELECT doc_id,
+         |    CAST(max(cnt * length(gram)) AS BIGINT) AS rep3_chars
+         |  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g3
+         |        WHERE gram IS NOT NULL GROUP BY doc_id, gram) c
+         |  GROUP BY doc_id),
+         |ch AS (SELECT doc_id,
+         |    CAST(length(trim(text)) AS BIGINT) AS n_chars
+         |  FROM documents)
+         |SELECT uni.doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+         |  CAST(dup_toks AS BIGINT) AS dup_toks,
+         |  coalesce(rep2_chars, 0) AS rep2_chars,
+         |  coalesce(rep3_chars, 0) AS rep3_chars, n_chars,
+         |  (5 * coalesce(rep2_chars, 0) <= n_chars) AS top2_ok,
+         |  (50 * coalesce(rep3_chars, 0) <= 9 * n_chars) AS top3_ok,
+         |  (4 * dup_toks <= 3 * n_toks) AS duptok_ok,
+         |  ((5 * coalesce(rep2_chars, 0) <= n_chars)
+         |    AND (50 * coalesce(rep3_chars, 0) <= 9 * n_chars)
+         |    AND (4 * dup_toks <= 3 * n_toks)) AS keep
+         |FROM uni JOIN ch ON uni.doc_id = ch.doc_id
+         |LEFT JOIN r2 ON uni.doc_id = r2.doc_id
+         |LEFT JOIN r3 ON uni.doc_id = r3.doc_id
+         |ORDER BY uni.doc_id""".stripMargin)),
+
+    Q("p_domain_mix",
+      "Largest-remainder (Hamilton) apportionment of a 97-sample " +
+        "training-mix budget across corpus sources, weighted by " +
+        "total chars — the deterministic allocation step of a " +
+        "data-mixing pipeline (the static counterpart of " +
+        "DoReMi-style reweighting). quota = budget*w/T split into " +
+        "BIGINT floor + remainder; the budget - sum(floor) leftover " +
+        "units go to the largest remainders (ties by source key), " +
+        "so allocations sum to the budget EXACTLY and no float " +
+        "quota ever exists. The ranked frame is |sources| rows — " +
+        "metadata-sized by design; the raw corpus reduces via one " +
+        "partial-agg groupBy.",
+      (s, d) => {
+        import s.implicits._
+        Sampling.largestRemainderAllocate(
+          Tables.documents(s, d).select($"source", $"n_chars"),
+          "source", "n_chars", budget = 97L)
+      },
+      Some("""WITH pk AS (
+         |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS weight
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT CAST(sum(weight) AS BIGINT) AS t FROM pk),
+         |q AS (SELECT source, weight,
+         |    (97 * weight) // t AS fl, (97 * weight) % t AS rem
+         |  FROM pk, t),
+         |k AS (SELECT 97 - CAST(sum(fl) AS BIGINT) AS k FROM q),
+         |r AS (SELECT source, weight, fl,
+         |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rn
+         |  FROM q)
+         |SELECT source, weight,
+         |  CAST(fl + CASE WHEN rn <= k THEN 1 ELSE 0 END AS BIGINT)
+         |    AS alloc
+         |FROM r, k ORDER BY source""".stripMargin))
   )
 }

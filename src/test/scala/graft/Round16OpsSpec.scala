@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{RobustStats, TextClassifier}
+import graft.ops.{RobustStats, Sampling, TextClassifier, TextStats}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -109,6 +109,68 @@ class Round16OpsSpec extends AnyFunSuite {
       .collect()(0)
     assert(t5.getAs[Long]("n") == 500L)
     assert(t5.getAs[Long]("q0") == 34L && t5.getAs[Long]("q1") == 67L)
+  }
+
+  test("repetitionStats: hand-computed dup/rep counts — the all-one-" +
+    "token doc, a clean doc, and the sub-n-token degenerates") {
+    val docs = Seq(
+      (1L, "a a a a"),   // 4×"a": dup 3; "a a"×3 len3 → rep2 9;
+                         // "a a a"×2 len5 → rep3 10
+      (2L, "w x y z"),   // all distinct, every gram unique:
+                         // rep2 = 1·3 = 3, rep3 = 1·5 = 5
+      (3L, "solo"),      // 1 token: no grams at all
+      (4L, "p q")        // 2 tokens: rep3 = 0, rep2 = 1·3 = 3
+    ).toDF("doc_id", "text")
+    val got = TextStats.repetitionStats(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((4L, 3L, 9L, 10L)))
+    assert(got(2L) == ((4L, 0L, 3L, 5L)))
+    assert(got(3L) == ((1L, 0L, 0L, 0L)))
+    assert(got(4L) == ((2L, 0L, 3L, 0L)))
+  }
+
+  test("repetitionStats: rep_n is the MAX coverage, not the most " +
+    "frequent gram's (longer gram at same count wins)") {
+    // "ab ab cd cd cd": "ab ab"×1 len5, "ab cd"×1, "cd cd"×2 len5=10
+    val docs = Seq((1L, "ab ab cd cd cd")).toDF("doc_id", "text")
+    val r = TextStats.repetitionStats(docs, "doc_id", "text")
+      .collect()(0)
+    assert(r.getAs[Long]("rep2_chars") == 10L)
+  }
+
+  test("largestRemainderAllocate: floors + largest remainders, " +
+    "key-ascending tie break, sums to the budget exactly") {
+    // budget 10, weights 4/4/3 (T=11): floors 3/3/2 (sum 8),
+    // remainders 7/7/8 → c first, then the a-b tie breaks to a
+    val df = Seq(("a", 4L), ("b", 4L), ("c", 3L)).toDF("k", "w")
+    val got = Sampling.largestRemainderAllocate(df, "k", "w", 10L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 4L, 4L), ("b", 4L, 3L), ("c", 3L, 3L)))
+    assert(got.map(_._3).sum == 10L)
+  }
+
+  test("largestRemainderAllocate: raw rows reduce per key first; " +
+    "zero budget allocates zero everywhere") {
+    val raw = Seq(("a", 2L), ("a", 2L), ("b", 4L), ("c", 3L))
+      .toDF("k", "w")
+    val got = Sampling.largestRemainderAllocate(raw, "k", "w", 10L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 4L, 4L), ("b", 4L, 3L), ("c", 3L, 3L)))
+    val zero = Sampling.largestRemainderAllocate(raw, "k", "w", 0L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(zero.forall(_._3 == 0L))
+    intercept[IllegalArgumentException] {
+      Sampling.largestRemainderAllocate(raw, "k", "w", -1L)
+    }
+  }
+
+  test("largestRemainderAllocate: exact-proportion weights need no " +
+    "remainder units (every quota integral)") {
+    val df = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("k", "w")
+    val got = Sampling.largestRemainderAllocate(df, "k", "w", 10L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 5L, 5L), ("b", 3L, 3L), ("c", 2L, 2L)))
   }
 
   test("quantiles: rejects invalid fractions and fractional columns") {

@@ -113,7 +113,8 @@ object SparkEntry {
     "e_mmr_ivf", "g_bfs_hops",
     // r16: same capped-from-birth policy
     "curate_classifier_score", "curate_classifier_terciles",
-    "curate_repetition_rules", "p_domain_mix")
+    "curate_repetition_rules", "p_domain_mix",
+    "curate_pii_scrub", "p_quality_weighted_sample")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

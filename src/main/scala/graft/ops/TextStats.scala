@@ -62,4 +62,40 @@ object TextStats {
           col("cnt") * length(col("gram")).cast("long"))), lit(0L))
           .as("rep3_chars"))
   }
+
+  /** PII patterns shared by [[piiScrub]] and its oracle — restricted
+    * to the regex subset where Java regex (Spark) and RE2 (DuckDB)
+    * agree: explicit char classes and counted repetition only — no
+    * \s (vertical-tab divergence), no \b, no backrefs, no lookaround
+    * (RE2 has none). Email is the standard liberal matcher; phone is
+    * the NANP 7-digit core; IPv4 is the syntactic dotted quad. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "[0-9]{3}-[0-9]{4}"
+  val Ipv4Pattern =
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII detection + redaction per doc: (id, n_email, n_phone, n_ip,
+    * scrubbed) — counts are non-overlapping leftmost matches on the
+    * ORIGINAL text (each pattern counted independently, so a count
+    * never depends on another pattern's redaction), and `scrubbed`
+    * replaces email → ip → phone in that fixed order (emails can
+    * contain dotted/digit runs, so they must leave the text before
+    * the narrower patterns scan; an IPv4 quad contains no '-', so ip
+    * vs phone order is inert but pinned anyway). Both engines scan
+    * leftmost-non-overlapping, so counts and redactions replay
+    * exactly. Pure per-row map work: no shuffle, no explode — the
+    * shape that runs at corpus scale inside whole-stage codegen. */
+  def piiScrub(docs: DataFrame, idCol: String,
+               textCol: String): DataFrame =
+    docs.select(col(idCol),
+      regexp_count(col(textCol), lit(EmailPattern)).cast("long")
+        .as("n_email"),
+      regexp_count(col(textCol), lit(PhonePattern)).cast("long")
+        .as("n_phone"),
+      regexp_count(col(textCol), lit(Ipv4Pattern)).cast("long")
+        .as("n_ip"),
+      regexp_replace(regexp_replace(regexp_replace(col(textCol),
+        EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+        PhonePattern, "<PHONE>").as("scrubbed"))
 }

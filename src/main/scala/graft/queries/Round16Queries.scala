@@ -11,6 +11,9 @@ import org.apache.spark.sql.functions._
   */
 object Round16Queries {
 
+  private val ScaleL = graft.ops.Sampling.PriorityScale.toString
+  private val ScaleD = s"$ScaleL.0"
+
   /** Shared oracle prefix: the classifier score chain (tokens →
     * unigram+bigram features → 60-bit md5 hash mod dim → stand-in
     * weight join → per-doc BIGINT dot). Kept in ONE place so both
@@ -248,6 +251,115 @@ object Round16Queries {
          |SELECT source, weight,
          |  CAST(fl + CASE WHEN rn <= k THEN 1 ELSE 0 END AS BIGINT)
          |    AS alloc
-         |FROM r, k ORDER BY source""".stripMargin))
+         |FROM r, k ORDER BY source""".stripMargin)),
+
+    Q("curate_pii_scrub",
+      "PII detection + redaction (emails, NANP phone cores, dotted-" +
+        "quad IPs) over a deterministically AUGMENTED corpus — the " +
+        "natural test corpus contains no digits or '@' at all, so " +
+        "each doc_id % 3 class gets a synthetic contact tail derived " +
+        "from doc_id (same derivation on both engines; counts are " +
+        "non-degenerate BY CONSTRUCTION: ~1/3 emails, ~1/3 " +
+        "phone+ip). Patterns live in ONE place (TextStats) and are " +
+        "restricted to the Java-regex/RE2 common subset (explicit " +
+        "char classes + counted repetition; no \\s, \\b, or " +
+        "lookaround); counts are leftmost-non-overlapping matches on " +
+        "the ORIGINAL text, redaction replaces email -> ip -> phone " +
+        "in a pinned order. Pure per-row map work — no shuffle, " +
+        "whole-stage codegen at corpus scale.",
+      (s, d) => {
+        import s.implicits._
+        val aug = Tables.documents(s, d).select($"doc_id",
+          concat($"text",
+            when($"doc_id" % 3 === 0,
+              concat(lit(" contact user"), $"doc_id".cast("string"),
+                lit("@example.com")))
+            .when($"doc_id" % 3 === 1,
+              concat(lit(" call 555-0199 from 10.0."),
+                ($"doc_id" % 256).cast("string"), lit(".7")))
+            .otherwise(lit(""))).as("text"))
+        TextStats.piiScrub(aug, "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH aug AS (
+         |  SELECT doc_id, text || CASE
+         |      WHEN doc_id % 3 = 0 THEN ' contact user' ||
+         |        CAST(doc_id AS VARCHAR) || '@example.com'
+         |      WHEN doc_id % 3 = 1 THEN ' call 555-0199 from 10.0.'
+         |        || CAST(doc_id % 256 AS VARCHAR) || '.7'
+         |      ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text,
+         |    '${TextStats.EmailPattern}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text,
+         |    '${TextStats.PhonePattern}')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(text,
+         |    '${TextStats.Ipv4Pattern}')) AS BIGINT) AS n_ip,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TextStats.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${TextStats.Ipv4Pattern}', '<IP>', 'g'),
+         |    '${TextStats.PhonePattern}', '<PHONE>', 'g') AS scrubbed
+         |FROM aug ORDER BY doc_id""".stripMargin)),
+
+    Q("p_quality_weighted_sample",
+      "Quality-weighted corpus sampling — the classifier and the " +
+        "priority sampler COMPOSED: per-doc classifier dot (the " +
+        "curate_classifier_score chain), clamped to [1, 2^19) (the " +
+        "sampler's documented BIGINT fixed-point weight domain; " +
+        "negative-scoring docs floor at weight 1, never vanish), " +
+        "feeds Duffield-Lund-Thorup priority sampling stratified by " +
+        "language, k = 8 per stratum — the 'sample good docs more' " +
+        "step of a curation pipeline with an unbiased subset-sum " +
+        "estimator attached. The oracle splices the classifier " +
+        "chain verbatim into the DLT unroll: retriever and sampler " +
+        "both replay bit-for-bit (the e_mmr_ivf composition " +
+        "discipline).",
+      (s, d) => {
+        import s.implicits._
+        val docsAll = Tables.documents(s, d)
+        val scored = TextClassifier.scoreDocs(
+          docsAll.select($"doc_id", $"text"), "doc_id", "text",
+          TextClassifier.standInWeights(s, 1024), dim = 1024,
+          thrNum = 5L, thrDen = 1000L)
+        val weighted = scored
+          .join(docsAll.select($"doc_id", $"lang"), Seq("doc_id"))
+          .select($"lang", $"doc_id",
+            least(lit(524287L), greatest(lit(1L), $"dot")).as("qw"))
+        Sampling.prioritySample(weighted, "lang", "doc_id", "qw",
+            k = 8)
+          .select($"stratum".as("lang"), $"rn", $"id".as("doc_id"),
+            $"w", $"est")
+          .orderBy($"lang", $"rn")
+      },
+      Some(s"""WITH ${scoredSql(1024)},
+         |wts AS (
+         |  SELECT d.lang, s.doc_id,
+         |    LEAST(524287, GREATEST(1, s.dot)) AS w
+         |  FROM scored s JOIN documents d USING (doc_id)),
+         |h AS (
+         |  SELECT lang, doc_id, w,
+         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+         |      1, 11)) AS BIGINT) + 1 AS u
+         |  FROM wts),
+         |pk AS (
+         |  SELECT lang, doc_id, w, (w * $ScaleL) // u AS pk FROM h),
+         |r AS (
+         |  SELECT lang, doc_id, w, pk,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY pk DESC, doc_id DESC) AS rn
+         |  FROM pk),
+         |t AS (
+         |  SELECT lang,
+         |    coalesce(max(CASE WHEN rn = 9 THEN pk END), 0)
+         |      AS tau_scaled
+         |  FROM r GROUP BY lang)
+         |SELECT r.lang, CAST(r.rn AS BIGINT) AS rn, r.doc_id,
+         |  CAST(r.w AS BIGINT) AS w,
+         |  GREATEST(CAST(r.w AS DOUBLE),
+         |    CAST(t.tau_scaled AS DOUBLE) / $ScaleD) AS est
+         |FROM r JOIN t ON r.lang = t.lang
+         |WHERE r.rn <= 8
+         |ORDER BY r.lang, r.rn""".stripMargin))
   )
 }

@@ -173,6 +173,39 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(got == Seq(("a", 5L, 5L), ("b", 3L, 3L), ("c", 2L, 2L)))
   }
 
+  test("piiScrub: counts each pattern independently on the original " +
+    "text and redacts email -> ip -> phone in the pinned order") {
+    val docs = Seq(
+      (1L, "mail a.b-c%d@sub.example.org now"),
+      (2L, "call 555-0199 or 555-1234 twice"),
+      (3L, "host 10.0.200.7 and 192.168.1.1"),
+      (4L, "mixed u1@example.com via 10.0.0.1 call 555-0000"),
+      (5L, "clean text with no pii at all")
+    ).toDF("doc_id", "text")
+    val got = TextStats.piiScrub(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 1L, 0L, 0L,
+      "mail <EMAIL> now")))
+    assert(got(2L) == ((2L, 0L, 2L, 0L,
+      "call <PHONE> or <PHONE> twice")))
+    assert(got(3L) == ((3L, 0L, 0L, 2L,
+      "host <IP> and <IP>")))
+    assert(got(4L) == ((4L, 1L, 1L, 1L,
+      "mixed <EMAIL> via <IP> call <PHONE>")))
+    assert(got(5L) == ((5L, 0L, 0L, 0L,
+      "clean text with no pii at all")))
+  }
+
+  test("piiScrub: a phone-shaped digit run inside an email is counted " +
+    "by BOTH patterns but redacts as the email (email replaced first)") {
+    val docs = Seq((1L, "u555-0123@example.com")).toDF("doc_id", "text")
+    val r = TextStats.piiScrub(docs, "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("n_email") == 1L)
+    assert(r.getAs[Long]("n_phone") == 1L) // independent count
+    assert(r.getAs[String]("scrubbed") == "<EMAIL>")
+  }
+
   test("quantiles: rejects invalid fractions and fractional columns") {
     val df = Seq(("g", 1L)).toDF("g", "v")
     intercept[IllegalArgumentException] {

@@ -138,7 +138,22 @@ object ScaleProbe {
     // r15 fifth wave: MMR-over-IVF rides the K× embeddings (the IVF
     // assignment scan is the linear term; the greedy phase is
     // candidate-bounded); BFS rides the K disjoint subgraphs
-    "e_mmr_ivf", "g_bfs_hops")
+    "e_mmr_ivf", "g_bfs_hops",
+    // r16: all six ride the K× documents. The classifier pair's
+    // linear term is the tagged-feature explode + broadcast weight
+    // join (dim-row build side at any K); terciles adds the global
+    // count-collapsed quantile over quantized bins (the exchange
+    // carries bins, not docs — the domain widens sub-linearly);
+    // repetition rules are the one-tagged-explode/two-partial-agg
+    // pass; PII scrub is pure per-row regex map work; the weighted
+    // sample's bounded TopKAgg buffer shuffles 9 rows per partition
+    // per stratum regardless of K; domain mix is one partial-agg
+    // reduce to the |sources|-row frame (its t1 sits under the ratio
+    // clamp floor — recorded for completeness, the reduce shape is
+    // shared with every groupBy probe above)
+    "curate_classifier_score", "curate_classifier_terciles",
+    "curate_repetition_rules", "curate_pii_scrub",
+    "p_quality_weighted_sample", "p_domain_mix")
 
   /** Documents inflated COPIES× in-plan (ids stay unique under any
     * further per-dir offset; text carries a per-copy tag so copies are

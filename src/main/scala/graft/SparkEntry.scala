@@ -114,7 +114,8 @@ object SparkEntry {
     // r16: same capped-from-birth policy
     "curate_classifier_score", "curate_classifier_terciles",
     "curate_repetition_rules", "p_domain_mix",
-    "curate_pii_scrub", "p_quality_weighted_sample")
+    "curate_pii_scrub", "p_quality_weighted_sample",
+    "stream_classifier_score", "g_hits")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

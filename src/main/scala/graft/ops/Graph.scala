@@ -122,6 +122,57 @@ object Graph {
       .join(undM, $"u" === $"a" && $"w" === $"b", "left_anti")
   }
 
+  /** HITS hubs/authorities (Kleinberg, JACM 1999) over the DIRECTED
+    * edge frame (a → b), `iters` full mutual-recursion rounds in
+    * EXACT integer arithmetic: auth(v) = Σ_{u→v} hub(u), then hub(v)
+    * = Σ_{v→u} auth(u), each half-step SUM-normalized back toward a
+    * 1e6 total. The paper's L2 normalization is transcendental; sum
+    * normalization preserves the ranking and keeps every step integer.
+    * The normalizer is `raw div greatest(1, total div 1e6)` — the
+    * total is divided DOWN first, so no raw·1e6 product ever forms
+    * and the chain is overflow-free at ANY graph size (the same
+    * formula on both engines → bit-equal; the trade is ≤1-ulp extra
+    * truncation vs (raw·1e6) div total, identically on both sides).
+    * Nodes with no in/out edges carry 0 on that side. Runs 2·iters
+    * Spark actions at construction (per-half-step localCheckpoint —
+    * the CC/kcore/pagerank loop contract); one dst- or src-keyed
+    * shuffle per half-step, edges/nodes checkpointed once.
+    * Returns (node, hub, auth) ordered by node. */
+  def hits(und: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val s = und.sparkSession
+    import s.implicits._
+    val e = und.select($"a".as("src"), $"b".as("dst"))
+      .localCheckpoint()
+    val nodes = e.select($"src".as("node"))
+      .unionByName(e.select($"dst".as("node")))
+      .distinct().localCheckpoint()
+    def normalize(raw: DataFrame, outCol: String): DataFrame = {
+      val tot = raw.agg(sum($"raw").as("tot"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select($"node", expr(
+          "coalesce(raw, 0L) div greatest(1L, tot div 1000000L)")
+          .as(outCol))
+    }
+    var hub = nodes.select($"node", lit(1000000L).as("hub"))
+    var auth = nodes.select($"node", lit(0L).as("auth"))
+    for (_ <- 1 to iters) {
+      val ar = e.join(hub.withColumnRenamed("node", "hn"),
+          $"src" === $"hn")
+        .groupBy($"dst").agg(sum($"hub").as("raw"))
+        .withColumnRenamed("dst", "node")
+      auth = normalize(ar, "auth").localCheckpoint()
+      val hr = e.join(auth.withColumnRenamed("node", "an"),
+          $"dst" === $"an")
+        .groupBy($"src").agg(sum($"auth").as("raw"))
+        .withColumnRenamed("src", "node")
+      hub = normalize(hr, "hub").localCheckpoint()
+    }
+    hub.join(auth, Seq("node"))
+      .select($"node", $"hub", $"auth").orderBy($"node")
+  }
+
   /** Personalized PageRank from a seed set — rank every node by
     * proximity to the seeds (seed-based corpus/user expansion, the
     * curation move behind domain bootstrapping). Same EXACT

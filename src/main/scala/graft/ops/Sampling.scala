@@ -194,6 +194,13 @@ object Sampling {
                                weightCol: String,
                                budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be non-negative, got $budget")
+    // same integral-type guard as RobustStats/skyline2d: the weight
+    // cast below would silently truncate a fractional column before
+    // quotas are decided — pre-scale fractional weights instead
+    val wt = df.schema(weightCol).dataType.typeName
+    require(Seq("byte", "short", "integer", "long").contains(wt),
+      s"$weightCol is $wt — apportionment is exact INTEGER " +
+        "arithmetic; round/scale fractional weights first.")
     val perKey = df
       .select(col(keyCol), col(weightCol).cast("long").as("__w"))
       .groupBy(col(keyCol)).agg(sum(col("__w")).as("weight"))

@@ -90,6 +90,44 @@ object TextClassifier {
       explode(concat(col("__toks"), bigrams)).as("feat"))
   }
 
+  /** [[scoreDocs]] as a PURE PER-ROW MAP — no explode, no join, no
+    * aggregation: the weight table ships as a literal map (dim
+    * entries — metadata-sized, the model-as-artifact pattern), the
+    * feature stream stays inside one array expression, and the dot
+    * product is `aggregate` over the hashed ids. Identical output to
+    * [[scoreDocs]] row for row (spec-pinned); this is the STREAMING
+    * serving shape — per-doc classification with ZERO state, so a
+    * classifier stage adds no stateful operator to a streaming
+    * pipeline and no exchange to a batch one. Prefer [[scoreDocs]]
+    * when the weight table is a DataFrame you'd rather broadcast
+    * than inline (both are the same model). */
+  def scoreDocsInline(docs: DataFrame, idCol: String, textCol: String,
+                      weights: Map[Long, Long], dim: Int,
+                      thrNum: Long, thrDen: Long): DataFrame = {
+    require(thrDen > 0, s"thrDen must be positive, got $thrDen")
+    require(weights.size == dim && (0 until dim).forall(i =>
+      weights.contains(i.toLong)),
+      s"weights must cover every fid in [0, $dim)")
+    val wmap = typedLit(weights)
+    val feats = expr(
+      "concat(__toks, CASE WHEN size(__toks) < 2 THEN array() " +
+        "ELSE transform(sequence(1, size(__toks) - 1), " +
+        "i -> concat(__toks[i - 1], ' ', __toks[i])) END)")
+    docs
+      .withColumn("__toks", split(trim(col(textCol)), "\\s+"))
+      .withColumn("__fids", transform(feats,
+        f => featureHash(f, dim)))
+      .select(col(idCol),
+        size(col("__fids")).cast("long").as("n_feats"),
+        aggregate(col("__fids"), lit(0L),
+          (acc, fid) => acc + element_at(wmap, fid)).as("dot"))
+      .select(col(idCol), col("n_feats"), col("dot"),
+        (col("dot").cast("double") / col("n_feats").cast("double"))
+          .as("score"),
+        (lit(thrDen) * col("dot") >= lit(thrNum) * col("n_feats"))
+          .as("keep"))
+  }
+
   /** Score every document: (id, n_feats, dot, score, keep) where
     * dot = Σ w[h(feature)] over the doc's unigram+bigram stream,
     * score = dot/n_feats (one IEEE step), and

@@ -360,6 +360,94 @@ object Round16Queries {
          |    CAST(t.tau_scaled AS DOUBLE) / $ScaleD) AS est
          |FROM r JOIN t ON r.lang = t.lang
          |WHERE r.rn <= 8
-         |ORDER BY r.lang, r.rn""".stripMargin))
+         |ORDER BY r.lang, r.rn""".stripMargin)),
+
+    Q("stream_classifier_score",
+      "Streaming classifier inference — the fastText scorer as a " +
+        "ZERO-STATE streaming stage: the weight table ships as a " +
+        "1024-entry literal map (the model-as-artifact pattern; the " +
+        "collect at construction is the dim-row model, never data), " +
+        "and TextClassifier.scoreDocsInline keeps the whole feature " +
+        "stream inside one array expression — no explode, no join, " +
+        "no aggregation, so the streaming plan has NO stateful " +
+        "operator and classification adds nothing to checkpoint " +
+        "state at any corpus rate. Streamed ≡ batch: the oracle is " +
+        "the IDENTICAL SQL as curate_classifier_score (which runs " +
+        "the explode + broadcast-join batch plan), so one oracle " +
+        "pins batch plan ≡ stream plan ≡ DuckDB bit-for-bit.",
+      (s, d) => {
+        import s.implicits._
+        val wmap = TextClassifier.standInWeights(s, 1024)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val schema = Tables.documents(s, d).schema
+        graft.streaming.Streams.runToMemoryAppend(s,
+            s"stream_clf_${System.nanoTime()}") { scoped =>
+          val stream = graft.streaming.Streams.fileStream(scoped,
+            s"$d/documents.*", schema,
+            maxFilesPerTrigger = Int.MaxValue)
+          TextClassifier.scoreDocsInline(
+            stream.select(col("doc_id"), col("text")),
+            "doc_id", "text", wmap, dim = 1024,
+            thrNum = 5L, thrDen = 1000L)
+        }.orderBy($"doc_id")
+      },
+      Some(s"""WITH ${scoredSql(1024)}
+         |SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats, dot,
+         |  CAST(dot AS DOUBLE) / CAST(n_feats AS DOUBLE) AS score,
+         |  (1000 * dot >= 5 * n_feats) AS keep
+         |FROM scored ORDER BY doc_id""".stripMargin)),
+
+    Q("g_hits",
+      "HITS hubs/authorities (Kleinberg JACM 1999) over the DIRECTED " +
+        "co-activity edges (a -> b; the a < b orientation makes hub " +
+        "and authority genuinely different sides), 2 mutual-recursion " +
+        "rounds in exact integer arithmetic — each half-step " +
+        "sum-normalized toward a 1e6 total via `raw div greatest(1, " +
+        "total div 1e6)`: the total divides DOWN first, so no " +
+        "raw*1e6 product ever forms and the chain is overflow-free " +
+        "at any graph size (vs the pagerank-style scaled product, " +
+        "which caps the domain). One src- or dst-keyed shuffle per " +
+        "half-step over the checkpointed edge frame; the oracle is " +
+        "the fixed 2-round unroll.",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.Graph.hits(Coactivity.und(s, d), iters = 2)
+          .select($"node".as("user_id"), $"hub", $"auth")
+          .orderBy($"user_id")
+      },
+      Some {
+        def round(i: Int) =
+          s"""ar$i AS (SELECT e.dst AS node,
+             |    CAST(sum(h${i - 1}.hub) AS BIGINT) AS raw
+             |  FROM e JOIN h${i - 1} ON e.src = h${i - 1}.node
+             |  GROUP BY e.dst),
+             |at$i AS (SELECT CAST(sum(raw) AS BIGINT) AS tot
+             |  FROM ar$i),
+             |a$i AS (SELECT n.node, CAST(coalesce(ar.raw, 0) //
+             |    GREATEST(1, at.tot // 1000000) AS BIGINT) AS auth
+             |  FROM nodes n LEFT JOIN ar$i ar ON n.node = ar.node
+             |  CROSS JOIN at$i at),
+             |hr$i AS (SELECT e.src AS node,
+             |    CAST(sum(a.auth) AS BIGINT) AS raw
+             |  FROM e JOIN a$i a ON e.dst = a.node GROUP BY e.src),
+             |ht$i AS (SELECT CAST(sum(raw) AS BIGINT) AS tot
+             |  FROM hr$i),
+             |h$i AS (SELECT n.node, CAST(coalesce(hr.raw, 0) //
+             |    GREATEST(1, ht.tot // 1000000) AS BIGINT) AS hub
+             |  FROM nodes n LEFT JOIN hr$i hr ON n.node = hr.node
+             |  CROSS JOIN ht$i ht)"""
+        s"""WITH ${Coactivity.sqlUnd},
+           |e AS (SELECT a AS src, b AS dst FROM und),
+           |nodes AS (SELECT DISTINCT node FROM (
+           |  SELECT src AS node FROM e
+           |  UNION ALL SELECT dst AS node FROM e) u),
+           |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub
+           |  FROM nodes),
+           |${round(1)},
+           |${round(2)}
+           |SELECT h2.node AS user_id, h2.hub, a2.auth
+           |FROM h2 JOIN a2 ON h2.node = a2.node
+           |ORDER BY user_id""".stripMargin
+      })
   )
 }

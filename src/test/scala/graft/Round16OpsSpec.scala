@@ -206,6 +206,53 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(r.getAs[String]("scrubbed") == "<EMAIL>")
   }
 
+  test("scoreDocsInline ≡ scoreDocs row-for-row (the zero-state " +
+    "streaming shape equals the explode+join batch plan), including " +
+    "the single-token and duplicate-feature edges") {
+    val dim = 64
+    val w = TextClassifier.standInWeights(spark, dim)
+    val wmap = w.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Seq((1L, "a b c"), (2L, "solo"), (3L, "x x"),
+      (4L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val batch = TextClassifier
+      .scoreDocs(docs, "doc_id", "text", w, dim, 5L, 1000L)
+      .orderBy("doc_id").collect().toSeq
+    val inline = TextClassifier
+      .scoreDocsInline(docs, "doc_id", "text", wmap, dim, 5L, 1000L)
+      .orderBy("doc_id").collect().toSeq
+    assert(inline == batch)
+  }
+
+  test("scoreDocsInline: rejects an incomplete weight map loudly") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextClassifier.scoreDocsInline(docs, "doc_id", "text",
+        Map(0L -> 1L), dim = 4, thrNum = 0L, thrDen = 1L)
+    }
+  }
+
+  test("hits: hand-computed 2-round hubs/authorities on a directed " +
+    "fan-in graph (1->3, 2->3, 3->4), empty graph yields empty") {
+    // round 1: auth raw {3: 2e6, 4: 1e6}, tot 3e6, denom 3 →
+    //   a1 = {3: 666666, 4: 333333}; hub raw {1: 666666, 2: 666666,
+    //   3: 333333}, tot 1666665, denom 1 → h1 unchanged.
+    // round 2: auth raw {3: 1333332, 4: 333333}, tot 1666665,
+    //   denom 1 → a2 = raw; hub raw {1: 1333332, 2: 1333332,
+    //   3: 333333}, tot 2999997, denom 2 → h2 = {1: 666666,
+    //   2: 666666, 3: 166666, 4: 0}.
+    val und = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = graft.ops.Graph.hits(und, iters = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got(1L) == ((666666L, 0L)))
+    assert(got(2L) == ((666666L, 0L)))
+    assert(got(3L) == ((166666L, 1333332L)))
+    assert(got(4L) == ((0L, 333333L)))
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.ops.Graph.hits(empty, iters = 1).count() == 0L)
+  }
+
   test("quantiles: rejects invalid fractions and fractional columns") {
     val df = Seq(("g", 1L)).toDF("g", "v")
     intercept[IllegalArgumentException] {

@@ -153,7 +153,11 @@ object ScaleProbe {
     // shared with every groupBy probe above)
     "curate_classifier_score", "curate_classifier_terciles",
     "curate_repetition_rules", "curate_pii_scrub",
-    "p_quality_weighted_sample", "p_domain_mix")
+    "p_quality_weighted_sample", "p_domain_mix",
+    // r16 second wave: HITS rides the K disjoint co-activity
+    // subgraphs like the other g_* probes (one src-/dst-keyed
+    // shuffle per half-step; the normalization scalar is one row)
+    "g_hits")
 
   /** Documents inflated COPIES× in-plan (ids stay unique under any
     * further per-dir offset; text carries a per-copy tag so copies are

@@ -156,7 +156,9 @@ object Graph {
           .as(outCol))
     }
     var hub = nodes.select($"node", lit(1000000L).as("hub"))
-    var auth = nodes.select($"node", lit(0L).as("auth"))
+    // no a0 exists in the recursion (the oracle has h0 only): auth is
+    // first DEFINED by round 1's hub half-step
+    var auth: DataFrame = null
     for (_ <- 1 to iters) {
       val ar = e.join(hub.withColumnRenamed("node", "hn"),
           $"src" === $"hn")

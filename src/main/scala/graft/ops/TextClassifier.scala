@@ -65,6 +65,16 @@ object TextClassifier {
        | - 1000 AS wgt
        |FROM (SELECT unnest(range(0, $dim)) AS fid)""".stripMargin
 
+  /** The uni+bigram feature-array SQL over a tokens array named
+    * `__toks` — ONE definition shared by [[ngramFeatures]] (the batch
+    * explode path) and [[scoreDocsInline]] (the zero-state map path),
+    * whose row-for-row equality is spec-pinned; a feature-stream fix
+    * applied to one site cannot desynchronize the other. */
+  private val featsExpr =
+    "concat(__toks, CASE WHEN size(__toks) < 2 THEN array() " +
+      "ELSE transform(sequence(1, size(__toks) - 1), " +
+      "i -> concat(__toks[i - 1], ' ', __toks[i])) END)"
+
   /** Per-doc unigram + adjacent-bigram feature stream (id, feat) —
     * whitespace tokens plus space-joined adjacent pairs (tokens never
     * contain whitespace, so the two families cannot collide). Built
@@ -82,12 +92,7 @@ object TextClassifier {
                     textCol: String): DataFrame = {
     val toks = docs.select(col(idCol),
       split(trim(col(textCol)), "\\s+").as("__toks"))
-    val bigrams = expr(
-      "CASE WHEN size(__toks) < 2 THEN array() " +
-        "ELSE transform(sequence(1, size(__toks) - 1), " +
-        "i -> concat(__toks[i - 1], ' ', __toks[i])) END")
-    toks.select(col(idCol),
-      explode(concat(col("__toks"), bigrams)).as("feat"))
+    toks.select(col(idCol), explode(expr(featsExpr)).as("feat"))
   }
 
   /** [[scoreDocs]] as a PURE PER-ROW MAP — no explode, no join, no
@@ -109,13 +114,14 @@ object TextClassifier {
       weights.contains(i.toLong)),
       s"weights must cover every fid in [0, $dim)")
     val wmap = typedLit(weights)
-    val feats = expr(
-      "concat(__toks, CASE WHEN size(__toks) < 2 THEN array() " +
-        "ELSE transform(sequence(1, size(__toks) - 1), " +
-        "i -> concat(__toks[i - 1], ' ', __toks[i])) END)")
+    // NULL text: scoreDocs' explode(NULL array) DROPS the doc (and so
+    // does the oracle's unnest(range(0, len(NULL)))) — the map path
+    // must drop it too, or it alone would emit an all-NULL row and
+    // break the spec-pinned row-for-row equality
     docs
+      .filter(col(textCol).isNotNull)
       .withColumn("__toks", split(trim(col(textCol)), "\\s+"))
-      .withColumn("__fids", transform(feats,
+      .withColumn("__fids", transform(expr(featsExpr),
         f => featureHash(f, dim)))
       .select(col(idCol),
         size(col("__fids")).cast("long").as("n_feats"),

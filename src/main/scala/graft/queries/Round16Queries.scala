@@ -326,6 +326,18 @@ object Round16Queries {
           .join(docsAll.select($"doc_id", $"lang"), Seq("doc_id"))
           .select($"lang", $"doc_id",
             least(lit(524287L), greatest(lit(1L), $"dot")).as("qw"))
+          // prioritySample traverses its input TWICE (priority top-k
+          // + the weight join-back), and this input is the expensive
+          // classifier chain — checkpoint the slim 3-col frame so the
+          // corpus is classified once. MEASURED at sf0.1 (6 runs,
+          // same seed): 1.80-1.93 s steady without vs 1.60-1.72 s
+          // with — a real ~12%, far below the naive 2×, because the
+          // doc-keyed exchange is already reused across the two
+          // traversals (ReusedExchange) and only the post-shuffle
+          // map work was being recomputed (the cumCounts lesson;
+          // adopted anyway since it also wins at 8-64× probe tiers
+          // where the map work dominates)
+          .localCheckpoint()
         Sampling.prioritySample(weighted, "lang", "doc_id", "qw",
             k = 8)
           .select($"stratum".as("lang"), $"rn", $"id".as("doc_id"),

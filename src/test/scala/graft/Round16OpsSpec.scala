@@ -213,7 +213,8 @@ class Round16OpsSpec extends AnyFunSuite {
     val w = TextClassifier.standInWeights(spark, dim)
     val wmap = w.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val docs = Seq((1L, "a b c"), (2L, "solo"), (3L, "x x"),
-      (4L, "the quick brown fox jumps over the lazy dog"))
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, null.asInstanceOf[String])) // both paths must DROP it
       .toDF("doc_id", "text")
     val batch = TextClassifier
       .scoreDocs(docs, "doc_id", "text", w, dim, 5L, 1000L)

@@ -157,7 +157,12 @@ object ScaleProbe {
     // r16 second wave: HITS rides the K disjoint co-activity
     // subgraphs like the other g_* probes (one src-/dst-keyed
     // shuffle per half-step; the normalization scalar is one row)
-    "g_hits")
+    "g_hits",
+    // r16 third wave: the mix->sample->pack pipeline rides the K×
+    // documents — the hash scan is the linear term; the sample is
+    // BUDGET-bounded (200 docs total at any K), so the pack stage's
+    // cost is constant and the ratio should approach pure scan cost
+    "p_mix_sample_pack")
 
   /** Documents inflated COPIES× in-plan (ids stay unique under any
     * further per-dir offset; text carries a per-copy tag so copies are
@@ -545,8 +550,15 @@ object ScaleProbe {
         f""""$q":{"rows1":$rows1,"rowsk":$rowsk,"ratio_per_outrow":$perRow%.3f,"t1":$t1%.3f,"tk":$tk%.3f,"ratio":${ratio(t1, tk)}%.3f}"""
     }.mkString("{\"k\":" + k + ",\"sf\":\"" + sfDir + "\",\"queries\":{",
       ",\n", "}}")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"scale_probe_${k}x.json"), json + "\n")
+    // a GUARD run's measurements go to a scratch name: its job is to
+    // COMPARE against the committed baseline, and writing over the
+    // committed scale_probe_8x.json leaves the repo with an
+    // inconsistent 8x-vs-SCALE_RATIOS pair to restore by hand (it
+    // happened: the r16 final-build guard clobbered the merged file
+    // minutes after it was assembled)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      if (guard) "guard_probe_latest.json"
+      else s"scale_probe_${k}x.json"), json + "\n")
     spark.stop()
     if (guard) {
       val basePath = java.nio.file.Paths.get("SCALE_RATIOS.json")

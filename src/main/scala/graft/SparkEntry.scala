@@ -115,7 +115,7 @@ object SparkEntry {
     "curate_classifier_score", "curate_classifier_terciles",
     "curate_repetition_rules", "p_domain_mix",
     "curate_pii_scrub", "p_quality_weighted_sample",
-    "stream_classifier_score", "g_hits")
+    "stream_classifier_score", "g_hits", "p_mix_sample_pack")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

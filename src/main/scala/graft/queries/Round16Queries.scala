@@ -409,6 +409,96 @@ object Round16Queries {
          |  (1000 * dot >= 5 * n_feats) AS keep
          |FROM scored ORDER BY doc_id""".stripMargin)),
 
+    Q("p_mix_sample_pack",
+      "The training-mix BUILD pipeline end-to-end — three engine " +
+        "primitives composed under ONE hash-exact oracle: (1) " +
+        "Hamilton largest-remainder apportionment of a 200-doc " +
+        "budget across sources by total chars (p_domain_mix's " +
+        "kernel); (2) EXACTLY alloc_s docs sampled per source via " +
+        "bottom-k hash ranks — the bounded TopKAgg buffer is sized " +
+        "to the GLOBAL budget (every per-source alloc <= budget by " +
+        "construction), so map-side partials stay <= 200 entries per " +
+        "source and a billion-row source shuffles 200 rows per " +
+        "partition; a source smaller than its alloc contributes all " +
+        "its docs (both engines agree by construction); (3) the " +
+        "sample packed into 512-token bins per source (p_pack_" +
+        "sequences' cumsum-div shape over the rank order — the " +
+        "window is per-source over <= 200 sampled rows, metadata-" +
+        "sized). Output per (source, bin): doc count + exact token " +
+        "total. This is the 'build me a mixed corpus of N docs' " +
+        "operation a data-curation team actually runs.",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val alloc = Sampling.largestRemainderAllocate(
+            docs.select($"source", $"n_chars"),
+            "source", "n_chars", budget = 200L)
+          .select($"source", $"alloc")
+        val topk = graft.functions.TopKAgg.topK(200)
+        val sample = docs
+          .select($"source", $"doc_id",
+            expr("CAST(conv(substring(md5(cast(doc_id AS string)), " +
+              "1, 15), 16, 10) AS BIGINT)").as("h"))
+          .groupBy($"source")
+          .agg(topk(negate($"h"), $"doc_id").as("mins"))
+          .select($"source",
+            posexplode($"mins.id").as(Seq("pos", "doc_id")))
+          .select($"source", ($"pos" + 1L).cast("long").as("rn"),
+            $"doc_id")
+          .join(broadcast(alloc), Seq("source"))
+          .filter($"rn" <= $"alloc")
+        val withToks = docs
+          .select($"doc_id",
+            size(split($"text", "\\s+")).cast("long").as("toks"))
+          .join(broadcast(sample), Seq("doc_id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"rn")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        withToks.withColumn("cum", sum($"toks").over(w))
+          .select($"source", expr("(cum - toks) div 512").as("bin"),
+            $"toks")
+          .groupBy($"source", $"bin")
+          .agg(count(lit(1)).as("n_docs"), sum($"toks").as("sum_toks"))
+          .orderBy($"source", $"bin")
+      },
+      Some("""WITH pk AS (
+         |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS weight
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT CAST(sum(weight) AS BIGINT) AS t FROM pk),
+         |q AS (SELECT source, weight,
+         |    (200 * weight) // t AS fl, (200 * weight) % t AS rem
+         |  FROM pk, t),
+         |kk AS (SELECT 200 - CAST(sum(fl) AS BIGINT) AS k FROM q),
+         |al AS (SELECT source,
+         |    CAST(fl + CASE WHEN rn <= k THEN 1 ELSE 0 END AS BIGINT)
+         |      AS alloc
+         |  FROM (SELECT source, fl,
+         |      row_number() OVER (ORDER BY rem DESC, source ASC)
+         |        AS rn FROM q) r
+         |  CROSS JOIN kk),
+         |h AS (SELECT source, doc_id,
+         |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+         |      AS toks,
+         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+         |      1, 15)) AS BIGINT) AS h
+         |  FROM documents),
+         |r2 AS (SELECT source, doc_id, toks,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY h, doc_id DESC) AS rn
+         |  FROM h),
+         |smp AS (SELECT r2.source, r2.rn, r2.toks
+         |  FROM r2 JOIN al ON r2.source = al.source
+         |  WHERE r2.rn <= al.alloc),
+         |c AS (SELECT source, toks,
+         |    CAST((sum(toks) OVER (PARTITION BY source ORDER BY rn
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      - toks) // 512 AS BIGINT) AS bin
+         |  FROM smp)
+         |SELECT source, bin, count(*) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS sum_toks
+         |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin)),
+
     Q("g_hits",
       "HITS hubs/authorities (Kleinberg JACM 1999) over the DIRECTED " +
         "co-activity edges (a -> b; the a < b orientation makes hub " +

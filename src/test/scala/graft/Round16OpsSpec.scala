@@ -254,6 +254,22 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(graft.ops.Graph.hits(empty, iters = 1).count() == 0L)
   }
 
+  test("p_mix_sample_pack: the packed bins hold EXACTLY the 200-doc " +
+    "budget (Hamilton alloc sums to budget; bottom-k rank filter " +
+    "takes exactly alloc per source), and every bin is under the " +
+    "512-token budget at the bin start") {
+    val rows = graft.SparkEntry.queries("p_mix_sample_pack")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 200L)
+    // bin ids are dense from 0 per source (cumsum-div packing)
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (src, rs) =>
+      val bins = rs.map(_.getAs[Long]("bin")).sorted.toSeq
+      assert(bins == (0L until bins.length.toLong),
+        s"source $src: ${bins.mkString(",")}")
+    }
+  }
+
   test("quantiles: rejects invalid fractions and fractional columns") {
     val df = Seq(("g", 1L)).toDF("g", "v")
     intercept[IllegalArgumentException] {

@@ -169,6 +169,36 @@ object Sampling {
       .withColumn("ratio", col("est") / col("exact").cast("double"))
   }
 
+  /** Bottom-k (exact-size, mergeable) uniform sample per group: the k
+    * ids with the smallest 60-bit md5 hashes per group ARE a uniform
+    * without-replacement sample (the bottom-k sketch applied to row
+    * sampling; Spark's native sample() is seed-per-partition and
+    * changes under repartition — this replays on any md5-capable
+    * engine). The bounded [[TopKAgg]] buffer caps map-side partials
+    * at k entries per group, so a billion-row group shuffles k rows
+    * per partition, never the group. Ties (equal hashes) break by id
+    * DESC, matching the oracle's `ORDER BY h, id DESC`. Output:
+    * (group, rn, id) rank-ordered by hash, rn in [1, k]. Shared by
+    * `p_bottomk_sample` and the `p_mix_sample_pack` pipeline (which
+    * sizes k to the GLOBAL budget and filters rn <= per-group alloc —
+    * legal because every alloc <= budget by construction). */
+  def bottomKSample(df: DataFrame, groupCol: String, idCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val topk = TopKAgg.topK(k)
+    df.select(col(groupCol), col(idCol),
+        conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+          .cast("long").as("__h"))
+      .groupBy(col(groupCol))
+      // v = −h ⇒ the descending TopKAgg buffer holds the k SMALLEST
+      // hashes; id carries the sampled id
+      .agg(topk(negate(col("__h")), col(idCol)).as("__mins"))
+      .select(col(groupCol),
+        posexplode(col("__mins.id")).as(Seq("__pos", idCol)))
+      .select(col(groupCol),
+        (col("__pos") + 1L).cast("long").as("rn"), col(idCol))
+  }
+
   /** Largest-remainder (Hamilton) apportionment of an integer sample
     * budget across domains — the deterministic allocation step of a
     * data-mixing pipeline (given per-source weights, how many samples

@@ -31,19 +31,9 @@ object Round15bQueries {
         "itself, rank-ordered by hash.",
       (s, d) => {
         import s.implicits._
-        val topk = graft.functions.TopKAgg.topK(16)
-        Tables.documents(s, d)
-          .select($"lang", $"doc_id",
-            expr("CAST(conv(substring(md5(cast(doc_id AS string)), " +
-              "1, 15), 16, 10) AS BIGINT)").as("h"))
-          .groupBy($"lang")
-          // v = −h ⇒ the descending TopKAgg buffer holds the k
-          // SMALLEST hashes; id carries the sampled doc_id
-          .agg(topk(negate($"h"), $"doc_id").as("mins"))
-          .select($"lang",
-            posexplode($"mins.id").as(Seq("pos", "doc_id")))
-          .select($"lang", ($"pos" + 1L).cast("long").as("rn"),
-            $"doc_id")
+        graft.ops.Sampling.bottomKSample(
+            Tables.documents(s, d).select($"lang", $"doc_id"),
+            "lang", "doc_id", k = 16)
           .orderBy($"lang", $"rn")
       },
       Some("""WITH h AS (

@@ -434,23 +434,22 @@ object Round16Queries {
             docs.select($"source", $"n_chars"),
             "source", "n_chars", budget = 200L)
           .select($"source", $"alloc")
-        val topk = graft.functions.TopKAgg.topK(200)
-        val sample = docs
-          .select($"source", $"doc_id",
-            expr("CAST(conv(substring(md5(cast(doc_id AS string)), " +
-              "1, 15), 16, 10) AS BIGINT)").as("h"))
-          .groupBy($"source")
-          .agg(topk(negate($"h"), $"doc_id").as("mins"))
-          .select($"source",
-            posexplode($"mins.id").as(Seq("pos", "doc_id")))
-          .select($"source", ($"pos" + 1L).cast("long").as("rn"),
-            $"doc_id")
+        // NULL-text docs drop BEFORE sampling (the r16 scorer-path
+        // convention; oracle filters identically)
+        val sample = Sampling.bottomKSample(
+            docs.filter($"text".isNotNull)
+              .select($"source", $"doc_id"),
+            "source", "doc_id", k = 200)
           .join(broadcast(alloc), Seq("source"))
           .filter($"rn" <= $"alloc")
-        val withToks = docs
-          .select($"doc_id",
-            size(split($"text", "\\s+")).cast("long").as("toks"))
+        // join FIRST, tokenize the <= 200 matched rows after — the
+        // whole-corpus regex pass the first draft paid (plan-audited:
+        // the toks Project sat below the join) is gone; the only
+        // full-corpus work is the md5 hash scan inside bottomKSample
+        val withToks = docs.select($"doc_id", $"text")
           .join(broadcast(sample), Seq("doc_id"))
+          .withColumn("toks",
+            size(split($"text", "\\s+")).cast("long"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"source").orderBy($"rn")
           .rowsBetween(org.apache.spark.sql.expressions.Window
@@ -482,7 +481,7 @@ object Round16Queries {
          |      AS toks,
          |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
          |      1, 15)) AS BIGINT) AS h
-         |  FROM documents),
+         |  FROM documents WHERE text IS NOT NULL),
          |r2 AS (SELECT source, doc_id, toks,
          |    ROW_NUMBER() OVER (PARTITION BY source
          |      ORDER BY h, doc_id DESC) AS rn

@@ -254,18 +254,45 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(graft.ops.Graph.hits(empty, iters = 1).count() == 0L)
   }
 
-  test("p_mix_sample_pack: the packed bins hold EXACTLY the 200-doc " +
-    "budget (Hamilton alloc sums to budget; bottom-k rank filter " +
-    "takes exactly alloc per source), and every bin is under the " +
-    "512-token budget at the bin start") {
+  test("bottomKSample: the k smallest-hash ids per group, ties by id " +
+    "desc, invariant under repartition, and equal to a rank-window " +
+    "replay of the same hashes") {
+    val df = (1L to 40L).map(i => (if (i % 2 == 0) "even" else "odd", i))
+      .toDF("g", "id")
+    // independent replay: full rank window over the SAME hash expr
+    val expected = df.select(col("g"), col("id"),
+        conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (r._3, -r._2))
+        .take(5).map(_._2).toSeq).toMap
+    for (parts <- Seq(1, 7)) {
+      val got = graft.ops.Sampling.bottomKSample(
+          df.repartition(parts), "g", "id", k = 5)
+        .orderBy(col("g"), col("rn"))
+        .as[(String, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq)
+        .toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("p_mix_sample_pack: the packed bins hold the full 200-doc " +
+    "budget on this corpus (every sf0.001 source holds more docs " +
+    "than its alloc — the undersized-source case would legally " +
+    "yield fewer, both engines agreeing), bins start at 0 and " +
+    "ascend per source") {
     val rows = graft.SparkEntry.queries("p_mix_sample_pack")(
       spark, "/root/testdata/sf0.001").collect()
     assert(rows.map(_.getAs[Long]("n_docs")).sum == 200L)
-    // bin ids are dense from 0 per source (cumsum-div packing)
     val bySrc = rows.groupBy(_.getAs[String]("source"))
     bySrc.foreach { case (src, rs) =>
       val bins = rs.map(_.getAs[Long]("bin")).sorted.toSeq
-      assert(bins == (0L until bins.length.toLong),
+      // first bin is always 0 (cum − toks = 0 at rn 1) and bins
+      // ascend; a doc longer than the 512-token budget may legally
+      // SKIP an id, so density is not asserted (none in this corpus,
+      // where docs max out near ~100 tokens)
+      assert(bins.head == 0L && bins == bins.distinct.sorted,
         s"source $src: ${bins.mkString(",")}")
     }
   }

@@ -73,6 +73,17 @@ class Round7OpsSpec extends AnyFunSuite {
       s"baseline missing probes: " +
         s"${ScaleProbe.probes.toSet -- parsed.keySet}")
     assert(parsed.values.forall(r => r >= 0.0 && r < 1000.0))
+    // the committed 8x measurement file and the guard baseline are
+    // the SAME file by workflow (merge 8x -> copy to SCALE_RATIOS);
+    // they silently diverged in r16 when a guard run clobbered the
+    // merged 8x file minutes after it was assembled (guard output is
+    // now redirected, and this pins the invariant so any future
+    // divergence fails loudly instead of shipping two baselines)
+    val probe8 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("scale_probe_8x.json"))
+    assert(probe8 == committed,
+      "scale_probe_8x.json and SCALE_RATIOS.json have diverged — " +
+        "re-copy the merged 8x file over SCALE_RATIOS.json")
   }
 
   test("bloomPrunedJoinAuto equals the plain join exactly") {

@@ -77,7 +77,12 @@ object Plans {
     // per-half-step shuffle
     "curate_classifier_score", "curate_classifier_terciles",
     "curate_repetition_rules", "curate_pii_scrub", "p_domain_mix",
-    "p_quality_weighted_sample", "p_mix_sample_pack", "g_hits")
+    "p_quality_weighted_sample", "p_mix_sample_pack", "g_hits",
+    // stream_classifier_score's registered claim ("NO stateful
+    // operator in the streaming plan") is carried here like the other
+    // plan-audited stream_* queries: the dump shows the post-stream
+    // result plan plus scoreDocsInline's shuffle-free map shape
+    "stream_classifier_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir =

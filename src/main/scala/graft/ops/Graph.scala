@@ -131,8 +131,14 @@ object Graph {
     * The normalizer is `raw div greatest(1, total div 1e6)` — the
     * total is divided DOWN first, so no raw·1e6 product ever forms
     * and the chain is overflow-free at ANY graph size (the same
-    * formula on both engines → bit-equal; the trade is ≤1-ulp extra
-    * truncation vs (raw·1e6) div total, identically on both sides).
+    * formula on both engines → bit-equal). The trade vs the
+    * overflow-prone (raw·1e6) div total is that truncating the
+    * DIVISOR first can under-normalize by a relative error up to
+    * 1/(total div 1e6) — e.g. total = 1,999,999 gives divisor 1
+    * instead of ~2, so half-step totals can drift up to ~2× from
+    * the 1e6 target at small totals (shrinking as totals grow).
+    * Cross-engine equality and within-step ranking are unaffected;
+    * only the nominal normalization target is approximate.
     * Nodes with no in/out edges carry 0 on that side. Runs 2·iters
     * Spark actions at construction (per-half-step localCheckpoint —
     * the CC/kcore/pagerank loop contract); one dst- or src-keyed

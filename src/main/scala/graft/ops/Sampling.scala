@@ -234,15 +234,20 @@ object Sampling {
     val perKey = df
       .select(col(keyCol), col(weightCol).cast("long").as("__w"))
       .groupBy(col(keyCol)).agg(sum(col("__w")).as("weight"))
-      // non-negativity enforced IN-PLAN on the |domains|-row frame
-      // (cheap), not just documented: a negative per-key total makes
-      // Spark's toward-zero div truncate quotas UP, sum(floor) can
-      // exceed the budget, and the allocation silently stops summing
-      // to the budget (and can go negative) — the loud-failure
-      // posture the budget/integral guards beside this already take
-      .select(col(keyCol), when(col("weight") < 0L,
-          raise_error(concat(lit("largestRemainderAllocate: negative " +
-            "weight total for key "), col(keyCol).cast("string"))))
+      // non-negativity AND non-NULL enforced IN-PLAN on the
+      // |domains|-row frame (cheap), not just documented: a negative
+      // per-key total makes Spark's toward-zero div truncate quotas
+      // UP, sum(floor) can exceed the budget, and the allocation
+      // silently stops summing to the budget (and can go negative);
+      // an all-NULL key's summed weight is NULL, which would sail
+      // past a bare `< 0` check and flow through with a NULL alloc
+      // while its share silently redistributes via the top-up —
+      // the loud-failure posture the budget/integral guards take
+      .select(col(keyCol), when(col("weight").isNull ||
+            col("weight") < 0L,
+          raise_error(concat(lit("largestRemainderAllocate: NULL or " +
+            "negative weight total for key "),
+            col(keyCol).cast("string"))))
         .otherwise(col("weight")).as("weight"))
     val tot = perKey.agg(sum(col("weight")).as("__t"))
     val quotas = perKey.crossJoin(broadcast(tot))

@@ -46,6 +46,23 @@ object TextClassifier {
   def featureHashSql(featExpr: String, dim: Int): String =
     s"CAST(concat('0x', substr(md5($featExpr), 1, 15)) AS BIGINT) % $dim"
 
+  /** Opt-in cure for the \x0B corpus invariant documented on
+    * [[ngramFeatures]]: Java regex `\s` matches vertical tab \x0B
+    * while DuckDB/RE2's does not, so a corpus carrying \x0B
+    * tokenizes differently on the two engines. ONE character
+    * translation mapping \x0B → ' ' BEFORE tokenization puts both
+    * engines on the same whitespace alphabet (no regex — `translate`
+    * is an exact char map, codegen'd, shuffle-free); apply
+    * [[normalizeVtSql]] to the oracle side of the same query. The
+    * test corpus carries no \x0B, so this stays opt-in rather than
+    * a cost every clean corpus pays. */
+  def normalizeVt(text: Column): Column =
+    translate(text, "\u000B", " ")
+
+  /** [[normalizeVt]] as DuckDB SQL (exact literal replace). */
+  def normalizeVtSql(textExpr: String): String =
+    s"replace($textExpr, chr(11), ' ')"
+
   /** Deterministic stand-in weight table (fid, wgt) with
     * wgt = h("w:"||fid) % 2001 − 1000 ∈ [−1000, 1000] fixed-point
     * millis — the oracle-replayable stand-in for a TRAINED model's
@@ -139,11 +156,25 @@ object TextClassifier {
     * score = dot/n_feats (one IEEE step), and
     * keep ⟺ thrDen·dot ≥ thrNum·n_feats (exact integers; n_feats ≥ 1
     * always — split of an empty string yields one empty token).
-    * `weights` must be (fid, wgt) with dim rows — broadcast inside. */
+    * `weights` must be (fid, wgt) covering EVERY fid in [0, dim) —
+    * enforced with one distinct-count over the dim-row frame at
+    * construction (one Spark action on a metadata-sized input, the
+    * model-load cost): the inner join below would otherwise SILENTLY
+    * drop uncovered features from both n_feats and dot, so a sparse
+    * trained-model export would change scores with no error while
+    * [[scoreDocsInline]] rejects it loudly — both paths now enforce
+    * the same full-coverage precondition (zero-pad a sparse export
+    * at write time, exactly as fastText quantization does). */
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
                 weights: DataFrame, dim: Int,
                 thrNum: Long, thrDen: Long): DataFrame = {
     require(thrDen > 0, s"thrDen must be positive, got $thrDen")
+    val covered = weights
+      .filter(col("fid") >= 0L && col("fid") < dim.toLong)
+      .select(col("fid")).distinct().count()
+    require(covered == dim.toLong,
+      s"weights must cover every fid in [0, $dim): found $covered " +
+        "distinct in-range fids — zero-pad sparse model exports")
     val feats = ngramFeatures(docs, idCol, textCol)
       .select(col(idCol), featureHash(col("feat"), dim).as("fid"))
     feats.join(broadcast(weights), Seq("fid"))

@@ -1,0 +1,99 @@
+package graft
+
+import graft.ops.{Sampling, TextClassifier}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-17 first wave: the ADVICE closures made testable — scoreDocs'
+  * full-coverage model guard, largestRemainderAllocate's NULL-weight
+  * loud failure, and the \x0B tokenization cure (normalizeVt) for the
+  * corpus invariant documented on ngramFeatures.
+  */
+class Round17OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("scoreDocs: rejects a sparse weight table loudly (a trained " +
+    "export missing fids would otherwise silently change scores)") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    // 3 of 4 fids covered — must fail at construction, not score
+    val sparse = spark.range(0, 3L)
+      .select(col("id").as("fid"), lit(1L).as("wgt"))
+    val e = intercept[IllegalArgumentException] {
+      TextClassifier.scoreDocs(docs, "doc_id", "text", sparse,
+        dim = 4, thrNum = 0L, thrDen = 1L)
+    }
+    assert(e.getMessage.contains("cover every fid"))
+    // duplicate fids cannot fake coverage: 4 rows, 2 distinct
+    val dup = Seq((0L, 1L), (0L, 2L), (1L, 1L), (1L, 2L))
+      .toDF("fid", "wgt")
+    intercept[IllegalArgumentException] {
+      TextClassifier.scoreDocs(docs, "doc_id", "text", dup,
+        dim = 4, thrNum = 0L, thrDen = 1L)
+    }
+  }
+
+  test("scoreDocs: still accepts a full-coverage table (guard does " +
+    "not reject the standInWeights model)") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val w = TextClassifier.standInWeights(spark, 8)
+    val out = TextClassifier.scoreDocs(docs, "doc_id", "text", w,
+      dim = 8, thrNum = 0L, thrDen = 1L).collect()
+    assert(out.length == 1)
+  }
+
+  test("largestRemainderAllocate: NULL weight total raises in-plan " +
+    "instead of silently redistributing the key's share") {
+    val df = Seq(("a", Some(10L)), ("b", None))
+      .toDF("source", "n_chars")
+    val e = intercept[Exception] {
+      Sampling.largestRemainderAllocate(df, "source", "n_chars",
+        budget = 5L).collect()
+    }
+    assert(e.getMessage.contains("NULL or negative"))
+  }
+
+  test("largestRemainderAllocate: a NULL weight among non-NULLs for " +
+    "the SAME key does not raise (sum ignores NULL rows) but an " +
+    "all-NULL key does") {
+    val ok = Seq(("a", Some(10L)), ("a", None), ("b", Some(30L)))
+      .toDF("source", "n_chars")
+    val got = Sampling.largestRemainderAllocate(ok, "source",
+      "n_chars", budget = 4L).as[(String, Long, Long)].collect()
+    assert(got.map(_._3).sum == 4L)
+  }
+
+  test("normalizeVt: a \\x0B document tokenizes identically to its " +
+    "space-normalized form (the documented cross-engine cure), and " +
+    "WITHOUT the cure Java's \\s splits where RE2 would not") {
+    val vt = "alpha\u000Bbeta gamma"
+    val docs = Seq((1L, vt)).toDF("doc_id", "text")
+    // the hazard, pinned: Java regex \s treats \x0B as whitespace
+    val rawFeats = TextClassifier
+      .ngramFeatures(docs, "doc_id", "text")
+      .as[(Long, String)].collect().map(_._2).toSeq
+    assert(rawFeats == Seq("alpha", "beta", "gamma",
+      "alpha beta", "beta gamma"))
+    // RE2/DuckDB \s+ would yield tokens ("alpha\x0Bbeta", "gamma") —
+    // a DIFFERENT stream. The cure maps \x0B → ' ' so both engines
+    // see one whitespace alphabet; after it, Spark's stream equals
+    // the stream over the hand-normalized text.
+    val cured = docs.select(col("doc_id"),
+      TextClassifier.normalizeVt(col("text")).as("text"))
+    val curedFeats = TextClassifier
+      .ngramFeatures(cured, "doc_id", "text")
+      .as[(Long, String)].collect().map(_._2).toSeq
+    val handNorm = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val handFeats = TextClassifier
+      .ngramFeatures(handNorm, "doc_id", "text")
+      .as[(Long, String)].collect().map(_._2).toSeq
+    assert(curedFeats == handFeats)
+    // and the full scorer agrees end-to-end on the cured text
+    val w = TextClassifier.standInWeights(spark, 32)
+    val a = TextClassifier.scoreDocs(cured, "doc_id", "text", w,
+      32, 5L, 1000L).collect().toSeq
+    val b = TextClassifier.scoreDocs(handNorm, "doc_id", "text", w,
+      32, 5L, 1000L).collect().toSeq
+    assert(a == b)
+  }
+}

@@ -8,6 +8,42 @@ import org.apache.spark.sql.SparkSession
   * first-job JIT/codegen infrastructure spin-up.
   */
 object Bench {
+
+  /** JIT-elimination sink for [[calibrate]] (never read). */
+  @volatile private var calibrationSink: Long = 0L
+
+  /** Per-run host-speed calibration control (r16 verdict item 2): a
+    * FIXED CPU-bound computation — `threads` JVM threads each running
+    * a constant-iteration xorshift loop — timed wall-clock, so every
+    * bench snapshot carries a measurement of how fast THIS host was
+    * at that moment, in the same units as the query times. Two
+    * rounds of uniform ~1.3× "host drift" (r15→r16) eroded the 2×
+    * perf-gate margin with no code change; totals from different
+    * rounds can now be load-normalized by the ratio of their
+    * calibration times instead of adjudicated by per-query median
+    * ratios after the fact. Pure JVM (no Spark, no I/O, no alloc):
+    * the control must not shuffle or spill, or it would measure the
+    * thing it exists to factor out. Thread count = the bench's CPU
+    * count, so CPU contention hits the control the way it hits the
+    * 32-thread query runs. */
+  private[graft] def calibrate(threads: Int): Double = {
+    val work = 1L << 28
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + t
+        var i = 0L
+        while (i < work) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+        }
+        calibrationSink = x
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -126,6 +162,11 @@ object Bench {
           scala.collection.mutable.ArrayBuffer[Double]())
       }: _*)
     var active = selected
+    // calibration control sampled before pass 1 and after EVERY pass
+    // (passCount+1 samples): the min is the host's near-quiet speed
+    // this run; comparing mins across rounds load-normalizes totals
+    val calibs = scala.collection.mutable.ArrayBuffer[Double]()
+    calibs += calibrate(cpus.toInt)
     for (pass <- 1 to passCount) {
       rng.shuffle(active).foreach { case (name, fn) =>
         val (dt, ok, la) = timeOne(name, fn)
@@ -133,12 +174,15 @@ object Bench {
         rs += ((dt, ok)); ls += la
         System.err.println(f"[bench] pass $pass $name $dt%.2fs")
       }
+      calibs += calibrate(cpus.toInt)
       if (forcedRuns.isEmpty)
         active = active.filter { case (name, _) =>
           val (rs, _) = runsAcc(name)
           rs.last._2 && rs.last._1 < 30.0
         }
     }
+    val calibMin = calibs.min
+    val calibsJson = calibs.map(c => f"$c%.3f").mkString("[", ",", "]")
     val results = selected.map { case (name, _) =>
       val (rs, loads) = runsAcc(name)
       val ok = rs.forall(_._2)
@@ -195,7 +239,7 @@ object Bench {
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","load_start":$loadStart%.1f,"load_end":$loadEnd%.1f,"order_seed":$orderSeed,"n_passes":$passCount,"caps_engaged":$engaged,"observed":$obsJson,"queries":${fullEntries.mkString("{", ",\n", "}")}}""" + "\n")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","load_start":$loadStart%.1f,"load_end":$loadEnd%.1f,"order_seed":$orderSeed,"n_passes":$passCount,"calibration_sec":$calibMin%.3f,"calibration_secs":$calibsJson,"caps_engaged":$engaged,"observed":$obsJson,"queries":${fullEntries.mkString("{", ",\n", "}")}}""" + "\n")
     // The harness captures only the LAST ~2000 chars of stdout; a JSON
     // line longer than that loses its head and never parses. Emit the
     // queries map slowest-first, truncated to a hard budget (the slowest
@@ -204,7 +248,7 @@ object Bench {
     val entries = results.sortBy { case (_, v, ok, _, _) => if (ok) -v else 1e18 }
       .map { case (k, v, ok, _, _) =>
         "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1") }
-    val fixed = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","load":[$loadStart%.1f,$loadEnd%.1f],"order_seed":$orderSeed,"full":"$fullPath","queries":{},"omitted":000}"""
+    val fixed = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","load":[$loadStart%.1f,$loadEnd%.1f],"order_seed":$orderSeed,"calibration_sec":$calibMin%.3f,"full":"$fullPath","queries":{},"omitted":000}"""
     val budget = 1700 - fixed.length
     val kept = new scala.collection.mutable.ArrayBuffer[String]
     var used = 0
@@ -212,7 +256,7 @@ object Bench {
       if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
     }
     val omitted = entries.size - kept.size
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","load":[$loadStart%.1f,$loadEnd%.1f],"order_seed":$orderSeed,"full":"$fullPath","queries":${kept.mkString("{", ",", "}")},"omitted":$omitted}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","load":[$loadStart%.1f,$loadEnd%.1f],"order_seed":$orderSeed,"calibration_sec":$calibMin%.3f,"full":"$fullPath","queries":${kept.mkString("{", ",", "}")},"omitted":$omitted}""")
     spark.stop()
   }
 }

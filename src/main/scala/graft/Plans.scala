@@ -82,7 +82,11 @@ object Plans {
     // operator in the streaming plan") is carried here like the other
     // plan-audited stream_* queries: the dump shows the post-stream
     // result plan plus scoreDocsInline's shuffle-free map shape
-    "stream_classifier_score")
+    "stream_classifier_score",
+    // r17: the full-chain curation composite — audit that the fused
+    // rule pass is ONE gram exchange + broadcast weight join, the
+    // eval-shingle join broadcasts, and packing tokenizes finalists
+    "curate_e2e_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir =

@@ -162,7 +162,10 @@ object ScaleProbe {
     // documents — the hash scan is the linear term; the sample is
     // BUDGET-bounded (200 docs total at any K), so the pack stage's
     // cost is constant and the ratio should approach pure scan cost
-    "p_mix_sample_pack")
+    "p_mix_sample_pack",
+    // r17: the full-chain curation composite, uncapped (the capped
+    // registry query would measure a fixed 1500-doc corpus at any K)
+    "probe_e2e_uncapped")
 
   /** Documents inflated COPIES× in-plan (ids stay unique under any
     * further per-dir offset; text carries a per-copy tag so copies are
@@ -258,6 +261,14 @@ object ScaleProbe {
         "embedding", threshold = 0.5)),
     "probe_leakproof_uncapped" -> ((s: SparkSession, d: String) =>
       graft.queries.Round11Queries.leakproofSplit(s, d, None)),
+    // the full curation chain (rules -> repetition -> classifier ->
+    // line dedup -> minhash canonical -> decontaminate -> split ->
+    // pack) WITHOUT the doc_id < 1500 oracle cap, over the K×-scaled
+    // documents — the chain's linear terms are the fused rule pass
+    // and the survivor-side dedup; the eval side stays %97-sized
+    "probe_e2e_uncapped" -> ((s: SparkSession, d: String) =>
+      graft.queries.Round17Queries.e2ePipeline(s,
+        Tables.documents(s, d), None)),
     // the curate_line_dedup body over 6×-inflated docs: the natural
     // corpus runs it in ~0.35 s — under the 0.5 s ratio clamp floor,
     // where ratios are noise (the r12 lesson) — so the probe carries

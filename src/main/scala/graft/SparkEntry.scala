@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{ExtendedQueries, PipelineQueries, Q, Round4Queries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, Round9Queries, Round10Queries, Round10bQueries, Round11Queries, Round12Queries, Round13Queries, Round14Queries, Round14bQueries, Round15Queries, Round15bQueries, Round15cQueries, Round15dQueries, Round15eQueries, Round16Queries, StarQueries}
+import graft.queries.{ExtendedQueries, PipelineQueries, Q, Round4Queries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, Round9Queries, Round10Queries, Round10bQueries, Round11Queries, Round12Queries, Round13Queries, Round14Queries, Round14bQueries, Round15Queries, Round15bQueries, Round15cQueries, Round15dQueries, Round15eQueries, Round16Queries, Round17Queries, StarQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,7 +21,7 @@ object SparkEntry {
       Round11Queries.all ++ Round12Queries.all ++ Round13Queries.all ++
       Round14Queries.all ++ Round14bQueries.all ++ Round15Queries.all ++
       Round15bQueries.all ++ Round15cQueries.all ++ Round15dQueries.all ++
-      Round15eQueries.all ++ Round16Queries.all
+      Round15eQueries.all ++ Round16Queries.all ++ Round17Queries.all
     val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(",")}")
     all
@@ -115,7 +115,9 @@ object SparkEntry {
     "curate_classifier_score", "curate_classifier_terciles",
     "curate_repetition_rules", "p_domain_mix",
     "curate_pii_scrub", "p_quality_weighted_sample",
-    "stream_classifier_score", "g_hits", "p_mix_sample_pack")
+    "stream_classifier_score", "g_hits", "p_mix_sample_pack",
+    // r17: same capped-from-birth policy
+    "curate_e2e_pipeline")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

@@ -63,6 +63,79 @@ object TextStats {
           .as("rep3_chars"))
   }
 
+  /** The FUSED curation-rule pass: Gopher word-shape stats (Rae et
+    * al. 2021 App. A), repetition stats ([[repetitionStats]]) and the
+    * learned-classifier dot product (graft.ops.TextClassifier) in ONE
+    * tokenize → ONE tagged uni/bi/tri-gram explode → ONE (doc,n,gram)
+    * partial-agg exchange → ONE broadcast weight join → ONE per-doc
+    * agg. Correctness hinges on one algebraic fact, spec-pinned
+    * against the three stand-alone operators: the classifier's
+    * per-occurrence sum Σ_f w[h(f)] equals the per-DISTINCT-gram sum
+    * Σ_g cnt_g·w[h(g)] over n ≤ 2 grams, so the classifier rides the
+    * same collapsed gram counts the repetition max needs anyway —
+    * three rule stages, zero extra corpus passes.
+    *
+    * Output per doc: (id, n_chars, n_words, word_chars, n_alpha,
+    * n_stop, n_sym, dup_toks, rep2_chars, rep3_chars, n_feats, dot).
+    * Threshold decisions stay with the caller as cross-multiplied
+    * BIGINT comparisons. `weights` must be the (fid, wgt) model table
+    * covering [0, dim) — broadcast inside (dim rows, metadata-sized).
+    * NULL-text docs vanish (explode of a NULL array), matching the
+    * scoreDocs/oracle convention. */
+  def curationStats(docs: DataFrame, idCol: String, textCol: String,
+                    weights: DataFrame, dim: Int): DataFrame = {
+    val stop = Seq("the", "be", "to", "of", "and", "that",
+      "have", "with")
+    val tokArr = docs.select(col(idCol),
+      length(trim(col(textCol))).cast("long").as("n_chars"),
+      split(trim(col(textCol)), "\\s+").as("__toks"))
+    def grams(n: Int) =
+      s"CASE WHEN size(__toks) < $n THEN array() " +
+        s"ELSE transform(sequence(0, size(__toks) - $n), " +
+        s"i -> named_struct('n', $n, 'gram', " +
+        s"array_join(slice(__toks, i + 1, $n), ' '))) END"
+    val gc = tokArr
+      .select(col(idCol), col("n_chars"), explode(concat(
+        expr(grams(1)), expr(grams(2)), expr(grams(3)))).as("g"))
+      .select(col(idCol), col("n_chars"),
+        col("g.n").as("n"), col("g.gram").as("gram"))
+      .groupBy(col(idCol), col("n"), col("gram"))
+      .agg(max(col("n_chars")).as("n_chars"), count(lit(1)).as("cnt"))
+      .withColumn("fid", when(col("n") <= 2,
+        TextClassifier.featureHash(col("gram"), dim)))
+    val symCount = expr(
+      "(length(gram) - length(replace(gram, '#', ''))) + " +
+        "((length(gram) - length(replace(gram, '...', ''))) " +
+        "div 3)").cast("long")
+    gc.join(broadcast(weights), Seq("fid"), "left")
+      .groupBy(col(idCol))
+      .agg(max(col("n_chars")).as("n_chars"),
+        sum(when(col("n") === 1, col("cnt")).otherwise(0L))
+          .as("n_words"),
+        sum(when(col("n") === 1,
+          col("cnt") * length(col("gram")).cast("long"))
+          .otherwise(0L)).as("word_chars"),
+        sum(when(col("n") === 1 && col("gram").rlike("[a-zA-Z]"),
+          col("cnt")).otherwise(0L)).as("n_alpha"),
+        sum(when(col("n") === 1 && col("gram").isin(stop: _*),
+          col("cnt")).otherwise(0L)).as("n_stop"),
+        sum(when(col("n") === 1, col("cnt") * symCount)
+          .otherwise(0L)).as("n_sym"),
+        (sum(when(col("n") === 1, col("cnt")).otherwise(0L)) -
+          sum(when(col("n") === 1, 1L).otherwise(0L)))
+          .as("dup_toks"),
+        coalesce(max(when(col("n") === 2,
+          col("cnt") * length(col("gram")).cast("long"))), lit(0L))
+          .as("rep2_chars"),
+        coalesce(max(when(col("n") === 3,
+          col("cnt") * length(col("gram")).cast("long"))), lit(0L))
+          .as("rep3_chars"),
+        sum(when(col("n") <= 2, col("cnt")).otherwise(0L))
+          .as("n_feats"),
+        sum(when(col("n") <= 2, col("cnt") * col("wgt"))
+          .otherwise(0L)).as("dot"))
+  }
+
   /** PII patterns shared by [[piiScrub]] and its oracle — restricted
     * to the regex subset where Java regex (Spark) and RE2 (DuckDB)
     * agree: explicit char classes and counted repetition only — no

@@ -1,0 +1,391 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.TextClassifier
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-17 queries: the FULL-CHAIN curation composite — the
+  * RefinedWeb/CCNet-shape pipeline (Penedo et al. 2023 §3; Wenzek et
+  * al. 2020; Rae et al. 2021 App. A) run as ONE oracle-gated plan:
+  * word-shape rules → repetition rules → learned classifier gate →
+  * line-level boilerplate dedup → MinHash near-dup canonical select →
+  * eval-set decontamination → leakage-proof split → token packing →
+  * shard accounting. Every stage is an individually-proven engine
+  * operator; this query pins their COMPOSITION (the plan a curation
+  * team actually runs) under one hash-exact DuckDB replay.
+  */
+object Round17Queries {
+
+  private val Promo = "follow us on example social"
+  /** The 8-token contamination canary: planted as a per-doc-unique
+    * extra LINE on doc_id % 53 == 7 training docs (unique tail ⇒ the
+    * line survives line-dedup into the cleaned text) and appended to
+    * every eval doc, so its 8-token shingle is the deterministic
+    * train/eval overlap the decontamination stage must catch — the
+    * stage is observably non-degenerate at every SF instead of
+    * relying on accidental cross-doc 8-token runs. */
+  private val Canary = "the benchmark answer is alpha beta gamma delta"
+
+  /** Oracle cap shared with curate_leakproof_split: the recursive-CTE
+    * connected-components replay stays tractable; a no-op at
+    * sf0.001/sf0.01 (500 docs), caps sf0.1's 5000. */
+  private val MaxDocId = 1500L
+
+  /** The `curate_e2e_pipeline` body over an arbitrary (doc_id, text)
+    * corpus, optionally doc-id-capped (the registered query caps for
+    * the recursive-CTE oracle replay; the `probe_e2e_uncapped` scale
+    * probe drives THIS helper uncapped over the K×-scaled corpus so
+    * the full chain is scale-measured under its real shape — the
+    * probe_leakproof_uncapped convention).
+    */
+  private[graft] def e2ePipeline(
+      s: org.apache.spark.sql.SparkSession,
+      docsIn: DataFrame,
+      maxDocId: Option[Long]): DataFrame = {
+    import s.implicits._
+    val dim = 1024
+    val docsAll = maxDocId.fold(docsIn)(m =>
+      docsIn.filter($"doc_id" < m))
+    val base = docsAll.filter($"doc_id" % 97 =!= 0)
+      .select($"doc_id", $"text")
+    val evalD = docsAll.filter($"doc_id" % 97 === 0)
+      .select($"doc_id",
+        concat($"text", lit(" " + Canary)).as("text"))
+    val aug = base.select($"doc_id",
+      concat(lit(Promo + "\n"), $"text",
+        lit("\ncopyright footer "),
+        ($"doc_id" % 7).cast("string"),
+        when($"doc_id" % 53 === 7,
+          concat(lit("\n" + Canary + " leak"),
+            $"doc_id".cast("string"))).otherwise(lit("")))
+        .as("text"))
+
+    // ---- stages 1-3 fused (TextStats.curationStats): one
+    // tokenize, one tagged explode, one (doc,n,gram) collapse,
+    // one broadcast weight join, one per-doc agg — spec-pinned
+    // equal to composing the three stand-alone operators
+    val keep = graft.ops.TextStats.curationStats(aug, "doc_id",
+        "text", TextClassifier.standInWeights(s, dim), dim)
+      .filter(
+        $"n_words" >= 50L && $"n_words" <= 100000L &&
+          lit(3L) * $"n_words" <= $"word_chars" &&
+          $"word_chars" <= lit(10L) * $"n_words" &&
+          lit(5L) * $"n_alpha" >= lit(4L) * $"n_words" &&
+          lit(10L) * $"n_sym" <= $"n_words" &&
+          $"n_stop" >= 2L &&
+          lit(5L) * $"rep2_chars" <= $"n_chars" &&
+          lit(50L) * $"rep3_chars" <= lit(9L) * $"n_chars" &&
+          lit(4L) * $"dup_toks" <= lit(3L) * $"n_words" &&
+          lit(1000L) * $"dot" >= lit(5L) * $"n_feats")
+      .select($"doc_id")
+
+    // ---- stage 4: line dedup over survivors (lines rebuilt
+    // from the RAW text + planted boilerplate, as lineDedup)
+    val lines = base.join(keep, Seq("doc_id"))
+      .select($"doc_id", posexplode(concat(
+        array(lit(Promo), $"text",
+          concat(lit("copyright footer "),
+            ($"doc_id" % 7).cast("string"))),
+        when($"doc_id" % 53 === 7,
+          array(concat(lit(Canary + " leak"),
+            $"doc_id".cast("string"))))
+          .otherwise(array().cast("array<string>")))))
+      .toDF("doc_id", "line_no", "line")
+    val lf = lines.groupBy($"line")
+      .agg(countDistinct($"doc_id").as("df"))
+    // cleanD feeds FOUR consumers (minhash buckets, CC nodes,
+    // canonical rank, decontamination shingles) and CC's loop
+    // runs actions at construction — checkpoint the survivor
+    // corpus ONCE so the whole upstream rule chain is not
+    // re-evaluated per consumer (survivors are the post-filter
+    // corpus: data-sized but a fraction of the input)
+    val cleanD = lines.join(lf, Seq("line"))
+      .groupBy($"doc_id")
+      .agg(sum(when($"df" < 2, 1L).otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(when($"df" < 2,
+          struct($"line_no", $"line")))).as("arr"))
+      .filter($"n_kept" > 0L)
+      .select($"doc_id", concat_ws("\n",
+        expr("transform(arr, x -> x.line)")).as("text"))
+      .localCheckpoint()
+
+    // ---- stage 5: near-dup clusters -> canonical member
+    val edges = graft.dedup.Dedup.minhashCandidatesPortable(
+      cleanD, "doc_id", "text",
+      shingleN = 5, bands = 8, rowsPerBand = 2)
+    val clusters = graft.dedup.Dedup
+      .duplicateClusters(cleanD.select($"doc_id"), edges, "doc_id")
+      .withColumnRenamed("id", "doc_id")
+    val wRk = Window.partitionBy($"cluster_id")
+      .orderBy(length($"text").desc, $"doc_id")
+    val canon = clusters.join(cleanD, Seq("doc_id"))
+      .withColumn("rk", row_number().over(wRk))
+      .filter($"rk" === 1)
+      .select($"doc_id", $"cluster_id", $"text")
+      // canon feeds TWO consumers (the decontamination shingles
+      // and the final anti join) — without this the cluster join
+      // + canonical window re-run per consumer. MEASURED at
+      // sf0.1: 2.0-2.3 s -> 1.4-1.7 s over 3 runs each (the
+      // r15/r16 checkpoint discipline: adopt only on a measured
+      // win)
+      .localCheckpoint()
+
+    // ---- stage 6: decontamination (8-token shingles vs the
+    // broadcast eval set — curate_decontaminate's shape)
+    def shingles8(df: DataFrame) = df
+      .select($"doc_id", split($"text", "\\s+").as("tk"))
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, greatest(size(tk) - 7, 1)), " +
+          "i -> array_join(slice(tk, i, 8), ' '))")).as("shingle"))
+    val esh = shingles8(evalD).select($"shingle").distinct()
+    val cont = shingles8(canon).distinct()
+      .join(broadcast(esh), Seq("shingle"))
+      .select($"doc_id").distinct()
+    val fin = canon.join(cont, Seq("doc_id"), "left_anti")
+
+    // ---- stages 7-9: whole-cluster split, 512-token pack,
+    // shard rollup (token counts computed ONLY for finalists)
+    val sp = fin.select($"doc_id",
+      when(($"cluster_id" % 1000003L) * 2654435761L % 100L < 80L,
+        "train")
+        .when(($"cluster_id" % 1000003L) * 2654435761L % 100L
+          < 90L, "val")
+        .otherwise("test").as("split"),
+      expr("doc_id div 256").as("shard"),
+      size(split($"text", "\\s+")).cast("long").as("toks"))
+    val wPack = Window.partitionBy($"split", $"shard")
+      .orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sp.withColumn("cum", sum($"toks").over(wPack))
+      .select($"split", $"shard",
+        expr("(cum - toks) div 512").as("bin"),
+        $"doc_id", $"toks")
+      .groupBy($"split", $"shard", $"bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"toks").as("sum_toks"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+      .orderBy($"split", $"shard", $"bin")
+  }
+
+  def all: Seq[Q] = Seq(
+
+    Q("curate_e2e_pipeline",
+      "The FULL curation chain as ONE plan (RefinedWeb/CCNet shape): " +
+        "(1) Gopher word-shape rules + (2) repetition rules + (3) " +
+        "learned classifier gate evaluated in ONE fused pass — one " +
+        "tokenize, one tagged uni/bi/tri-gram explode, one " +
+        "(doc,n,gram) partial-agg exchange, one broadcast weight " +
+        "join, one per-doc agg; no rule stage re-tokenizes the " +
+        "corpus (dot = sum over DISTINCT grams of cnt*w[h(gram)] is " +
+        "algebraically the per-occurrence sum, so the classifier " +
+        "rides the same collapsed gram counts as the repetition " +
+        "max). (4) line-level boilerplate dedup over survivors " +
+        "(corpus-frequency >= 2 lines drop; cleaned text rebuilt in " +
+        "line order), (5) MinHash near-dup clusters (portable " +
+        "bands, large-star/small-star CC) reduced to one canonical " +
+        "doc each, (6) 8-token-shingle decontamination against the " +
+        "eval set (doc_id % 97 == 0, broadcast), (7) whole-cluster " +
+        "80/10/10 split (the curate_split_assign permutation keyed " +
+        "by cluster), (8) 512-token packing per (split, shard) " +
+        "window, (9) shard rollup. Tokenize-after-join discipline: " +
+        "packing token counts are computed only for final " +
+        "survivors. A planted 8-token canary (unique-tailed line on " +
+        "doc_id % 53 == 7 + appended to eval docs) keeps the " +
+        "decontamination stage non-degenerate at every SF. Corpus " +
+        "capped at doc_id < 1500 for the recursive-CTE oracle " +
+        "replay (same cap as curate_leakproof_split).",
+      (s, d) => e2ePipeline(s, Tables.documents(s, d),
+        Some(MaxDocId)),
+      Some(s"""WITH RECURSIVE
+         |base AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id < $MaxDocId AND doc_id % 97 <> 0),
+         |evald AS (
+         |  SELECT doc_id,
+         |    text || ' $Canary' AS text
+         |  FROM documents
+         |  WHERE doc_id < $MaxDocId AND doc_id % 97 = 0),
+         |aug AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    '$Promo' || chr(10) || text || chr(10)
+         |      || 'copyright footer ' || CAST(doc_id % 7 AS VARCHAR)
+         |      || CASE WHEN doc_id % 53 = 7 THEN chr(10)
+         |        || '$Canary leak'
+         |        || CAST(doc_id AS VARCHAR) ELSE '' END AS text
+         |  FROM base),
+         |toks AS MATERIALIZED (
+         |  SELECT doc_id, u.p AS p, toks[u.p + 1] AS tok
+         |  FROM (SELECT doc_id,
+         |          string_split_regex(trim(text), '\\s+') AS toks
+         |        FROM aug) t,
+         |    unnest(range(0, len(toks))) AS u(p)),
+         |gop AS (
+         |  SELECT doc_id, count(*) AS n_words,
+         |    CAST(sum(length(tok)) AS BIGINT) AS word_chars,
+         |    CAST(sum(CASE WHEN regexp_matches(tok, '[a-zA-Z]')
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+         |    CAST(sum(CASE WHEN tok IN ('the','be','to','of',
+         |      'and','that','have','with') THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_stop,
+         |    CAST(sum((length(tok) - length(replace(tok, '#', '')))
+         |      + (length(tok) -
+         |         length(replace(tok, '...', ''))) // 3)
+         |      AS BIGINT) AS n_sym
+         |  FROM toks GROUP BY doc_id),
+         |gkeep AS (
+         |  SELECT doc_id FROM gop
+         |  WHERE n_words >= 50 AND n_words <= 100000
+         |    AND 3 * n_words <= word_chars
+         |    AND word_chars <= 10 * n_words
+         |    AND 5 * n_alpha >= 4 * n_words
+         |    AND 10 * n_sym <= n_words
+         |    AND n_stop >= 2),
+         |runi AS (
+         |  SELECT doc_id, count(*) AS n_toks,
+         |    count(*) - count(DISTINCT tok) AS dup_toks
+         |  FROM toks GROUP BY doc_id),
+         |g2 AS (
+         |  SELECT doc_id, tok || ' ' ||
+         |      lead(tok) OVER (PARTITION BY doc_id ORDER BY p)
+         |      AS gram
+         |  FROM toks),
+         |r2 AS (
+         |  SELECT doc_id,
+         |    CAST(max(cnt * length(gram)) AS BIGINT) AS rep2_chars
+         |  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g2
+         |        WHERE gram IS NOT NULL GROUP BY doc_id, gram) c
+         |  GROUP BY doc_id),
+         |g3 AS (
+         |  SELECT doc_id, tok || ' ' ||
+         |      lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY p)
+         |      || ' ' ||
+         |      lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY p)
+         |      AS gram
+         |  FROM toks),
+         |r3 AS (
+         |  SELECT doc_id,
+         |    CAST(max(cnt * length(gram)) AS BIGINT) AS rep3_chars
+         |  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g3
+         |        WHERE gram IS NOT NULL GROUP BY doc_id, gram) c
+         |  GROUP BY doc_id),
+         |rch AS (SELECT doc_id,
+         |    CAST(length(trim(text)) AS BIGINT) AS n_chars FROM aug),
+         |rkeep AS (
+         |  SELECT runi.doc_id FROM runi
+         |  JOIN rch ON runi.doc_id = rch.doc_id
+         |  LEFT JOIN r2 ON runi.doc_id = r2.doc_id
+         |  LEFT JOIN r3 ON runi.doc_id = r3.doc_id
+         |  WHERE 5 * coalesce(rep2_chars, 0) <= n_chars
+         |    AND 50 * coalesce(rep3_chars, 0) <= 9 * n_chars
+         |    AND 4 * dup_toks <= 3 * n_toks),
+         |feats AS (
+         |  SELECT doc_id, tok AS feat FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, feat FROM (
+         |    SELECT doc_id, tok || ' ' || lead(tok) OVER
+         |        (PARTITION BY doc_id ORDER BY p) AS feat
+         |    FROM toks) b
+         |  WHERE feat IS NOT NULL),
+         |w AS (${TextClassifier.standInWeightsSql(1024)}),
+         |scored AS (
+         |  SELECT doc_id, count(*) AS n_feats,
+         |    CAST(sum(wgt) AS BIGINT) AS dot
+         |  FROM (SELECT doc_id,
+         |          ${TextClassifier.featureHashSql("feat", 1024)}
+         |            AS fid
+         |        FROM feats) h
+         |  JOIN w USING (fid)
+         |  GROUP BY doc_id),
+         |ckeep AS (
+         |  SELECT doc_id FROM scored
+         |  WHERE 1000 * dot >= 5 * n_feats),
+         |surv AS MATERIALIZED (
+         |  SELECT b.doc_id, b.text FROM base b
+         |  JOIN gkeep USING (doc_id) JOIN rkeep USING (doc_id)
+         |  JOIN ckeep USING (doc_id)),
+         |lines AS (
+         |  SELECT doc_id, 0 AS line_no,
+         |    '$Promo' AS line FROM surv
+         |  UNION ALL SELECT doc_id, 1, text FROM surv
+         |  UNION ALL SELECT doc_id, 2,
+         |    'copyright footer ' || CAST(doc_id % 7 AS VARCHAR)
+         |  FROM surv
+         |  UNION ALL SELECT doc_id, 3,
+         |    '$Canary leak' || CAST(doc_id AS VARCHAR)
+         |  FROM surv WHERE doc_id % 53 = 7),
+         |lf AS (
+         |  SELECT line, count(DISTINCT doc_id) AS df
+         |  FROM lines GROUP BY line),
+         |cleand AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    string_agg(CASE WHEN df < 2 THEN line END, chr(10)
+         |      ORDER BY line_no) AS text
+         |  FROM lines l JOIN lf USING (line)
+         |  GROUP BY doc_id
+         |  HAVING sum(CASE WHEN df < 2 THEN 1 ELSE 0 END) > 0),
+         |${OracleGen.minhashBucketsCte(5, 8, 2, source = "cleand")},
+         |ee AS (SELECT a_id AS a, b_id AS b FROM mh_cand
+         |  UNION SELECT b_id, a_id FROM mh_cand),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lab FROM cleand
+         |  UNION
+         |  SELECT ee.b, reach.lab FROM reach
+         |  JOIN ee ON ee.a = reach.id),
+         |cl AS MATERIALIZED (
+         |  SELECT id AS doc_id, min(lab) AS cluster_id
+         |  FROM reach GROUP BY id),
+         |rk AS (
+         |  SELECT cl.cluster_id, cl.doc_id,
+         |    row_number() OVER (PARTITION BY cl.cluster_id
+         |      ORDER BY length(c.text) DESC, cl.doc_id) AS rk
+         |  FROM cl JOIN cleand c ON c.doc_id = cl.doc_id),
+         |canon AS MATERIALIZED (
+         |  SELECT doc_id, cluster_id FROM rk WHERE rk = 1),
+         |esh AS MATERIALIZED (
+         |  SELECT DISTINCT array_to_string(
+         |      string_split_regex(text, '\\s+')[i:i+7], ' ')
+         |    AS shingle
+         |  FROM evald, unnest(range(1,
+         |    greatest(len(string_split_regex(text, '\\s+')) - 7, 1)
+         |      + 1)) AS u(i)),
+         |csh AS MATERIALIZED (
+         |  SELECT DISTINCT c.doc_id, array_to_string(
+         |      string_split_regex(cd.text, '\\s+')[i:i+7], ' ')
+         |    AS shingle
+         |  FROM canon c JOIN cleand cd USING (doc_id),
+         |    unnest(range(1,
+         |      greatest(len(string_split_regex(cd.text, '\\s+'))
+         |        - 7, 1) + 1)) AS u(i)),
+         |cont AS (
+         |  SELECT DISTINCT doc_id FROM csh JOIN esh USING (shingle)),
+         |fin AS (
+         |  SELECT c.doc_id, c.cluster_id, cd.text
+         |  FROM canon c JOIN cleand cd USING (doc_id)
+         |  WHERE c.doc_id NOT IN (SELECT doc_id FROM cont)),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ((cluster_id % 1000003) * 2654435761) % 100
+         |        < 80 THEN 'train'
+         |      WHEN ((cluster_id % 1000003) * 2654435761) % 100
+         |        < 90 THEN 'val' ELSE 'test' END AS split,
+         |    doc_id // 256 AS shard,
+         |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+         |      AS toks
+         |  FROM fin),
+         |c2 AS (
+         |  SELECT split, shard, doc_id, toks,
+         |    CAST((sum(toks) OVER (PARTITION BY split, shard
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      - toks) // 512 AS BIGINT) AS bin
+         |  FROM sp)
+         |SELECT split, CAST(shard AS BIGINT) AS shard, bin,
+         |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_toks,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c2 GROUP BY split, shard, bin
+         |ORDER BY split, shard, bin""".stripMargin)),
+  )
+}

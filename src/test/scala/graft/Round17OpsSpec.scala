@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Sampling, TextClassifier}
+import graft.ops.{Sampling, TextClassifier, TextStats}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -61,6 +61,66 @@ class Round17OpsSpec extends AnyFunSuite {
     val got = Sampling.largestRemainderAllocate(ok, "source",
       "n_chars", budget = 4L).as[(String, Long, Long)].collect()
     assert(got.map(_._3).sum == 4L)
+  }
+
+  test("curationStats (the fused rule pass) ≡ composing the three " +
+    "stand-alone operators: classifier dot/n_feats from scoreDocs, " +
+    "repetition stats from repetitionStats, gopher word-shape stats " +
+    "from an independent per-token aggregation") {
+    val dim = 64
+    val w = TextClassifier.standInWeights(spark, dim)
+    val docs = Seq(
+      (1L, "the cat sat on the mat with a #tag and more..."),
+      (2L, "go go go go go go stop"), // heavy repetition
+      (3L, "solo"),
+      (4L, "alpha beta alpha beta alpha beta gamma delta epsilon"),
+      (5L, null.asInstanceOf[String])) // must vanish on both paths
+      .toDF("doc_id", "text")
+    val fused = TextStats.curationStats(docs, "doc_id", "text", w, dim)
+      .orderBy("doc_id").collect()
+    // classifier leg
+    val clf = TextClassifier
+      .scoreDocs(docs, "doc_id", "text", w, dim, 0L, 1L)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // repetition leg
+    val rep = TextStats.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // gopher leg, independently assembled from a plain token explode
+    val gop = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("tok")).cast("long")).as("word_chars"),
+        sum(when(col("tok").rlike("[a-zA-Z]"), 1L).otherwise(0L))
+          .as("n_alpha"),
+        sum(when(col("tok").isin("the", "be", "to", "of", "and",
+          "that", "have", "with"), 1L).otherwise(0L)).as("n_stop"),
+        sum(expr("(length(tok) - length(replace(tok, '#', ''))) + " +
+          "((length(tok) - length(replace(tok, '...', ''))) div 3)")
+          .cast("long")).as("n_sym"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(fused.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    fused.foreach { r =>
+      val id = r.getLong(0)
+      assert((r.getAs[Long]("n_feats"), r.getAs[Long]("dot"))
+        == clf(id), s"classifier leg, doc $id")
+      assert((r.getAs[Long]("n_words"), r.getAs[Long]("dup_toks"),
+        r.getAs[Long]("rep2_chars"), r.getAs[Long]("rep3_chars"))
+        == rep(id), s"repetition leg, doc $id")
+      assert((r.getAs[Long]("n_words"), r.getAs[Long]("word_chars"),
+        r.getAs[Long]("n_alpha"), r.getAs[Long]("n_stop"),
+        r.getAs[Long]("n_sym")) == gop(id), s"gopher leg, doc $id")
+    }
+    // the doc-2 fixture actually exercises the repetition max
+    val d2 = fused.find(_.getLong(0) == 2L).get
+    assert(d2.getAs[Long]("rep2_chars") == 25L) // "go go" x5 * len 5
+    assert(d2.getAs[Long]("dup_toks") == 5L)
   }
 
   test("normalizeVt: a \\x0B document tokenizes identically to its " +

@@ -85,8 +85,10 @@ object Plans {
     "stream_classifier_score",
     // r17: the full-chain curation composite — audit that the fused
     // rule pass is ONE gram exchange + broadcast weight join, the
-    // eval-shingle join broadcasts, and packing tokenizes finalists
-    "curate_e2e_pipeline")
+    // eval-shingle join broadcasts, and packing tokenizes finalists —
+    // plus embedding inference (pivoted broadcast weight join, one
+    // per-doc agg) and its end-to-end retrieval composition
+    "curate_e2e_pipeline", "m_embed_infer", "e_knn_embed_infer")
 
   def main(args: Array[String]): Unit = {
     val sfDir =

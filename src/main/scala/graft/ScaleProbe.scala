@@ -164,8 +164,11 @@ object ScaleProbe {
     // cost is constant and the ratio should approach pure scan cost
     "p_mix_sample_pack",
     // r17: the full-chain curation composite, uncapped (the capped
-    // registry query would measure a fixed 1500-doc corpus at any K)
-    "probe_e2e_uncapped")
+    // registry query would measure a fixed 1500-doc corpus at any K),
+    // and embedding inference over the K× documents (linear term =
+    // the feature explode + broadcast pivoted-weight join; the weight
+    // table is dim-row at any K)
+    "probe_e2e_uncapped", "m_embed_infer")
 
   /** Documents inflated COPIES× in-plan (ids stay unique under any
     * further per-dir offset; text carries a per-copy tag so copies are

@@ -117,7 +117,8 @@ object SparkEntry {
     "curate_pii_scrub", "p_quality_weighted_sample",
     "stream_classifier_score", "g_hits", "p_mix_sample_pack",
     // r17: same capped-from-birth policy
-    "curate_e2e_pipeline")
+    "curate_e2e_pipeline", "m_embed_infer", "e_knn_embed_infer",
+    "curate_pii_scrub_v2", "j_kmv_adaptive_join")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

@@ -14,36 +14,69 @@ import org.apache.spark.sql.functions._
   * ([[decodeVideoFrames]]: uncompressed BI_RGB frames exactly, MJPEG
   * frames through the in-JDK JPEG codec; compressed codecs the JDK
   * lacks — H.264 etc. — would plug into the same per-frame hook).
-  * The one remaining deterministic stand-in is [[decodeFeatures]]'s
-  * fake FEATURE VECTOR ([[stubDecode]]) — it models the learned
-  * embedding model (CLIP-style) a production pipeline runs after
-  * decode, which no JDK facility can replace.
+  * The learned-model slot ([[decodeFeatures]]) runs [[embedBytes]] —
+  * a quantized hashed-projection embedding (exact BIGINT matrix
+  * product over the byte histogram, oracle-rebuildable stand-in
+  * weights; r17 — formerly an arbitrary bit-twiddle fake): a trained
+  * CLIP-style export drops in as a loaded weight table, the
+  * inference shape is already the real one.
   */
 object Multimodal {
 
-  /** A decoded-asset feature row. `features` stands in for an
-    * image-embedding / mel-spectrogram summary vector.
+  /** A decoded-asset feature row. `features` is the [[embedBytes]]
+    * quantized-projection embedding (fixed-point millis per dim).
     */
   case class AssetFeatures(asset_id: Long, media_type: String,
                            n_bytes: Long, width: Int, height: Int,
                            features: Array[Double])
 
-  /** STUB feature extractor (every CODEC path is real — see
-    * [[decodeImages]] / [[decodeAudio]] / [[decodeVideoFrames]]):
-    * deterministic fake deriving dimensions and a fixed-width feature
-    * vector from the payload bytes. It stands in for the LEARNED
-    * embedding model (CLIP-style image/audio encoder) a production
-    * pipeline runs after decode — a model, not a codec, so no JDK
-    * facility can make it real; everything around it (batching, schema,
-    * partition shape) is production plumbing.
+  /** The 60-bit md5-prefix hash shared with the Spark-side
+    * TextClassifier.featureHash / EmbedInference.standInProjection
+    * conventions, computed in plain JVM code for the typed decode
+    * loop (spec-pinned equal to the Spark expression). */
+  private def hash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** The quantized byte-feature projection W[b][j] = h("e:"‖b‖":"‖j)
+    * % 2001 − 1000 — EmbedInference.standInProjection(dim=256,
+    * outDim=8) restricted to byte-valued fids, as a JVM table the
+    * per-partition decode loop reads for free (2048 longs, the
+    * model-as-artifact pattern: a trained export would load here
+    * once per executor exactly like an ONNX session). */
+  private lazy val byteProjection: Array[Array[Long]] =
+    Array.tabulate(256, 8)((b, j) =>
+      hash60(s"e:$b:$j") % 2001L - 1000L)
+
+  /** Embedding inference over payload bytes (formerly the engine's
+    * last deterministic FAKE — an arbitrary bit-twiddle of
+    * hashCode): e_j = Σ_b hist_b · W[b][j] over the payload's byte
+    * histogram, an exact BIGINT matrix product through the quantized
+    * stand-in weights above, reported as e_j / 1000.0 (one IEEE
+    * division per dimension — both engines agree bit-for-bit on
+    * exactly-representable operands). This is a real MODEL SHAPE —
+    * hashed-feature linear encoder, fixed-point weights, replayable
+    * on any engine from the weight export — standing where a trained
+    * CLIP-style encoder runs after decode; the trained export drops
+    * in by replacing [[byteProjection]] with a parquet-loaded table.
+    * Width/height report −1: an opaque byte payload is NOT a decoded
+    * image — real dimensions come from the codec tier
+    * ([[decodeImages]] / [[decodeAudio]] / [[decodeVideoFrames]]).
     */
-  def stubDecode(bytes: Array[Byte]): (Int, Int, Array[Double]) = {
-    val h = java.util.Arrays.hashCode(bytes)
-    val width = 64 + math.abs(h % 512)
-    val height = 64 + math.abs((h / 512) % 512)
-    val features = Array.tabulate(8)(i =>
-      ((h >>> (i * 4)) & 0xF).toDouble / 15.0)
-    (width, height, features)
+  def embedBytes(bytes: Array[Byte]): (Int, Int, Array[Double]) = {
+    val hist = new Array[Long](256)
+    var i = 0
+    while (i < bytes.length) { hist(bytes(i) & 0xFF) += 1L; i += 1 }
+    val features = Array.tabulate(8) { j =>
+      var acc = 0L
+      var b = 0
+      while (b < 256) { acc += hist(b) * byteProjection(b)(j); b += 1 }
+      acc.toDouble / 1000.0
+    }
+    (-1, -1, features)
   }
 
   /** REAL image decode result — every field integer-exact so the row is
@@ -453,7 +486,7 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition init happens here (once), not per row
         it.map { case (id, mt, payload, nBytes) =>
-          val (w, hgt, feats) = stubDecode(payload)
+          val (w, hgt, feats) = embedBytes(payload)
           AssetFeatures(id, mt, nBytes, w, hgt, feats)
         }
       }

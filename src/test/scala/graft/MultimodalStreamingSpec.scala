@@ -19,7 +19,8 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(bytes == Seq(5L, 6L)) // ö is 2 UTF-8 bytes
   }
 
-  test("multimodal: stub decode is deterministic, batched per partition") {
+  test("multimodal: embedBytes feature inference is deterministic, " +
+    "batched per partition") {
     val docs = Seq((1L, "same"), (2L, "same"), (3L, "diff"))
       .toDF("doc_id", "text")
     val feats = Multimodal.decodeFeatures(

@@ -123,6 +123,121 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(d2.getAs[Long]("dup_toks") == 5L)
   }
 
+  test("embedDocs: e_j equals the independently assembled " +
+    "per-occurrence sum over hashed features, NULL-text docs vanish, " +
+    "and embedVectors restores j-ordered exact float vectors") {
+    import graft.similarity.EmbedInference
+    val dim = 32; val outDim = 4
+    val w = EmbedInference.standInProjection(spark, dim, outDim)
+    val docs = Seq((1L, "a b c"), (2L, "solo"), (3L, "x x"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = EmbedInference
+      .embedDocs(docs, "doc_id", "text", w, dim, outDim)
+      .orderBy("doc_id", "j").as[(Long, Long, Long)].collect().toSeq
+    // independent replay: per-occurrence explode joined to the raw
+    // (fid, j, wgt) rows — the naive shape the pivoted plan must equal
+    val expected = TextClassifier.ngramFeatures(docs, "doc_id", "text")
+      .select(col("doc_id"),
+        TextClassifier.featureHash(col("feat"), dim).as("fid"))
+      .join(w, Seq("fid"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("wgt")).as("e"))
+      .orderBy("doc_id", "j").as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.map(_._1).distinct == Seq(1L, 2L, 3L)) // doc 4 dropped
+    assert(got.count(_._1 == 1L) == outDim)
+    val vecs = EmbedInference.embedVectors(
+        EmbedInference.embedDocs(docs, "doc_id", "text", w, dim,
+          outDim), "doc_id")
+      .orderBy("doc_id").as[(Long, Seq[Float])].collect()
+    vecs.foreach { case (id, v) =>
+      val byJ = got.filter(_._1 == id).sortBy(_._2).map(_._3.toFloat)
+      assert(v == byJ.toSeq, s"doc $id vector order")
+    }
+  }
+
+  test("Multimodal.embedBytes: the byte-histogram projection replays " +
+    "in closed form from standInProjection's weights (the JVM table " +
+    "and the Spark expression are the same model)") {
+    import graft.multimodal.Multimodal
+    // W restricted to byte fids: dim=256, outDim=8
+    val w = graft.similarity.EmbedInference
+      .standInProjection(spark, 256, 8)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val payload = Array[Byte](0, 1, 1, 65, -1) // hist: 0->1,1->2,65->1,255->1
+    val (wd, ht, feats) = Multimodal.embedBytes(payload)
+    assert(wd == -1 && ht == -1 && feats.length == 8)
+    (0 until 8).foreach { j =>
+      val exp = (w((0L, j.toLong)) + 2L * w((1L, j.toLong)) +
+        w((65L, j.toLong)) + w((255L, j.toLong))).toDouble / 1000.0
+      assert(feats(j) == exp, s"dim $j")
+    }
+    // empty payload: all-zero histogram -> the zero vector
+    val (_, _, z) = Multimodal.embedBytes(Array.empty[Byte])
+    assert(z.toSeq == Seq.fill(8)(0.0))
+  }
+
+  test("kmvAdaptiveEquiJoin: the estimate DECISION binds physically " +
+    "— a reducing dim executes as BroadcastHashJoin, an exploding " +
+    "dim as SortMergeJoin — and both branches join value-identically") {
+    // fact: 400 rows over 20 keys; selective dim: 2 keys (est ~40 <
+    // 400 -> broadcast); exploding dim: 20 keys x 30 dup rows each
+    // (est ~12000 > 400 -> shuffle-merge)
+    val fact = spark.range(0, 400L)
+      .select((col("id") % 20L).as("k"), col("id").as("payload"))
+    val dimSmall = Seq(3L, 7L).toDF("k")
+    val dimBig = spark.range(0, 600L).select((col("id") % 20L).as("k"))
+    val small = Sampling.kmvAdaptiveEquiJoin(fact, dimSmall, "k", 16)
+    val big = Sampling.kmvAdaptiveEquiJoin(fact, dimBig, "k", 16)
+    assert(small.select("join_strategy").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("broadcast"))
+    assert(big.select("join_strategy").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("shuffle"))
+    val smallPlan = small.queryExecution.executedPlan.toString
+    val bigPlan = big.queryExecution.executedPlan.toString
+    assert(smallPlan.contains("BroadcastHashJoin"),
+      s"broadcast branch must bind physically:\n$smallPlan")
+    assert(bigPlan.contains("SortMergeJoin"),
+      s"shuffle branch must bind physically:\n$bigPlan")
+    // value identity: strategy changes the plan, never the rows
+    assert(small.count() == 40L) // 400/20 rows per key x 2 keys
+    assert(big.count() == 12000L) // 400 fact rows x 30 dim dups/key
+  }
+
+  test("piiScrubV2: Luhn separates valid from shaped-but-invalid " +
+    "cards, SSN/intl/card counts are independent, and redaction is " +
+    "conservative (every SHAPED card redacts) in the pinned order") {
+    val docs = Seq(
+      (1L, "pay 4111-1111-1111-1111 now"), // Luhn-valid
+      (2L, "pay 4111 1111 1111 1112 now"), // shaped, Luhn-INVALID
+      (3L, "id 123-45-6789 card 5500-0000-0000-0004 tel +44 7000123"),
+      (4L, "no pii here"),
+      (5L, "raw 4111111111111111 run")) // bare 16 digits, valid
+      .toDF("doc_id", "text")
+    val r = TextStats.piiScrubV2(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def row(i: Int) = r(i)
+    assert(row(0).getAs[Long]("n_card") == 1L &&
+      row(0).getAs[Long]("n_card_luhn") == 1L)
+    assert(row(1).getAs[Long]("n_card") == 1L &&
+      row(1).getAs[Long]("n_card_luhn") == 0L) // checksum does work
+    assert(row(1).getAs[String]("scrubbed") == "pay <CARD> now",
+      "invalid-checksum cards still redact (conservative posture)")
+    assert(row(2).getAs[Long]("n_ssn") == 1L &&
+      row(2).getAs[Long]("n_card") == 1L &&
+      row(2).getAs[Long]("n_card_luhn") == 1L && // 5500...0004 valid
+      row(2).getAs[Long]("n_intl") == 1L)
+    assert(row(2).getAs[String]("scrubbed") ==
+      "id <SSN> card <CARD> tel <INTL>")
+    assert(row(3).getAs[Long]("n_ssn") == 0L &&
+      row(3).getAs[Long]("n_card") == 0L &&
+      row(3).getAs[Long]("n_intl") == 0L &&
+      row(3).getAs[String]("scrubbed") == "no pii here")
+    assert(row(4).getAs[Long]("n_card") == 1L &&
+      row(4).getAs[Long]("n_card_luhn") == 1L)
+  }
+
   test("normalizeVt: a \\x0B document tokenizes identically to its " +
     "space-normalized form (the documented cross-engine cure), and " +
     "WITHOUT the cure Java's \\s splits where RE2 would not") {

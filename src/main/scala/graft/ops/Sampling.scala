@@ -201,8 +201,17 @@ object Sampling {
     * WHOLE decision chain, not just the join result; both branches
     * are value-identical by construction (the hint changes the
     * physical plan, never the semantics). */
-  def kmvAdaptiveEquiJoin(fact: DataFrame, dim: DataFrame,
-                          keyCol: String, k: Int): DataFrame = {
+  /** The decision record of [[kmvAdaptiveEquiJoin]]: the chosen
+    * strategy, the estimate and threshold that chose it, and the
+    * physically-bound joined frame. Exposed so a caller aggregating
+    * the join can still report the decision when the join is EMPTY
+    * (constant columns on an empty frame vanish under a global agg —
+    * the oracle's scalar aggregate always emits its count-0 row). */
+  final case class KmvAdaptivePlan(strategy: String, est: Double,
+                                   factRows: Long, joined: DataFrame)
+
+  def kmvAdaptivePlan(fact: DataFrame, dim: DataFrame,
+                      keyCol: String, k: Int): KmvAdaptivePlan = {
     val est = kmvJoinEstimate(fact, dim, keyCol, k)
       .select(col("est")).head().getDouble(0)
     val factRows = fact.count()
@@ -210,11 +219,17 @@ object Sampling {
     val joined =
       if (broadcastIt) fact.join(broadcast(dim), Seq(keyCol))
       else fact.join(dim.hint("merge"), Seq(keyCol))
-    joined
-      .withColumn("join_strategy",
-        lit(if (broadcastIt) "broadcast" else "shuffle"))
-      .withColumn("join_est", lit(est))
-      .withColumn("fact_rows", lit(factRows))
+    KmvAdaptivePlan(if (broadcastIt) "broadcast" else "shuffle",
+      est, factRows, joined)
+  }
+
+  def kmvAdaptiveEquiJoin(fact: DataFrame, dim: DataFrame,
+                          keyCol: String, k: Int): DataFrame = {
+    val p = kmvAdaptivePlan(fact, dim, keyCol, k)
+    p.joined
+      .withColumn("join_strategy", lit(p.strategy))
+      .withColumn("join_est", lit(p.est))
+      .withColumn("fact_rows", lit(p.factRows))
   }
 
   /** Bottom-k (exact-size, mergeable) uniform sample per group: the k

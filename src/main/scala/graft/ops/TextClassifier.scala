@@ -156,25 +156,40 @@ object TextClassifier {
     * score = dot/n_feats (one IEEE step), and
     * keep ⟺ thrDen·dot ≥ thrNum·n_feats (exact integers; n_feats ≥ 1
     * always — split of an empty string yields one empty token).
-    * `weights` must be (fid, wgt) covering EVERY fid in [0, dim) —
-    * enforced with one distinct-count over the dim-row frame at
-    * construction (one Spark action on a metadata-sized input, the
+    * `weights` must be EXACTLY one (fid, wgt) row per fid in
+    * [0, dim) — enforced by [[requireFullCoverage]] at construction
+    * (one Spark action on the metadata-sized model frame, the
     * model-load cost): the inner join below would otherwise SILENTLY
-    * drop uncovered features from both n_feats and dot, so a sparse
-    * trained-model export would change scores with no error while
-    * [[scoreDocsInline]] rejects it loudly — both paths now enforce
-    * the same full-coverage precondition (zero-pad a sparse export
-    * at write time, exactly as fastText quantization does). */
+    * drop uncovered features from both n_feats and dot (sparse
+    * export) or double-count features (duplicated fid row), while
+    * [[scoreDocsInline]] rejects bad maps loudly — all paths now
+    * enforce the same precondition (zero-pad a sparse export at
+    * write time, exactly as fastText quantization does). */
+  /** One-action full-coverage guard for a (fid, wgt) model frame:
+    * EXACTLY dim rows and EXACTLY dim distinct in-range fids — a
+    * sparse export (missing fids would silently drop features from
+    * n_feats AND dot through the inner join) and a duplicated-fid
+    * export (a repeated row would silently double-count every
+    * feature hashing to it) both fail loudly at construction.
+    * Shared by [[scoreDocs]] and TextStats.curationStats so the
+    * batch, fused, and inline paths enforce the same precondition. */
+  private[graft] def requireFullCoverage(weights: DataFrame,
+                                         dim: Int): Unit = {
+    val row = weights.agg(count(lit(1)).as("n"),
+      count_distinct(when(col("fid") >= 0L &&
+        col("fid") < dim.toLong, col("fid"))).as("nd")).head()
+    val (n, nd) = (row.getLong(0), row.getLong(1))
+    require(n == dim.toLong && nd == dim.toLong,
+      s"weights must be EXACTLY one row per fid in [0, $dim): got " +
+        s"$n rows, $nd distinct in-range fids — zero-pad sparse " +
+        "model exports, dedup repeated fids")
+  }
+
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
                 weights: DataFrame, dim: Int,
                 thrNum: Long, thrDen: Long): DataFrame = {
     require(thrDen > 0, s"thrDen must be positive, got $thrDen")
-    val covered = weights
-      .filter(col("fid") >= 0L && col("fid") < dim.toLong)
-      .select(col("fid")).distinct().count()
-    require(covered == dim.toLong,
-      s"weights must cover every fid in [0, $dim): found $covered " +
-        "distinct in-range fids — zero-pad sparse model exports")
+    requireFullCoverage(weights, dim)
     val feats = ngramFeatures(docs, idCol, textCol)
       .select(col(idCol), featureHash(col("feat"), dim).as("fid"))
     feats.join(broadcast(weights), Seq("fid"))

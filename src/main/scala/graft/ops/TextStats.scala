@@ -78,12 +78,18 @@ object TextStats {
     * Output per doc: (id, n_chars, n_words, word_chars, n_alpha,
     * n_stop, n_sym, dup_toks, rep2_chars, rep3_chars, n_feats, dot).
     * Threshold decisions stay with the caller as cross-multiplied
-    * BIGINT comparisons. `weights` must be the (fid, wgt) model table
-    * covering [0, dim) — broadcast inside (dim rows, metadata-sized).
-    * NULL-text docs vanish (explode of a NULL array), matching the
-    * scoreDocs/oracle convention. */
+    * BIGINT comparisons. `weights` must be EXACTLY one (fid, wgt)
+    * row per fid in [0, dim) — enforced by the SAME
+    * TextClassifier.requireFullCoverage guard as scoreDocs (the
+    * left join below pads n=3 grams with NULL wgt by design, so a
+    * sparse export would otherwise silently drop classifier
+    * features from dot while still counting them in n_feats —
+    * diverging from the spec-pinned scoreDocs equivalence with no
+    * error). NULL-text docs vanish (explode of a NULL array),
+    * matching the scoreDocs/oracle convention. */
   def curationStats(docs: DataFrame, idCol: String, textCol: String,
                     weights: DataFrame, dim: Int): DataFrame = {
+    TextClassifier.requireFullCoverage(weights, dim)
     val stop = Seq("the", "be", "to", "of", "and", "that",
       "have", "with")
     val tokArr = docs.select(col(idCol),

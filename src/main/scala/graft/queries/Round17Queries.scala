@@ -410,13 +410,23 @@ object Round17Queries {
         import s.implicits._
         val ev = Tables.events(s, d)
         val fact = ev.select($"user_id", $"event_id")
-        def run(name: String, dim: DataFrame): DataFrame =
-          Sampling.kmvAdaptiveEquiJoin(fact, dim, "user_id", k = 64)
-            .groupBy($"join_strategy", $"join_est", $"fact_rows")
+        // GLOBAL agg + driver-side decision constants (not a groupBy
+        // on the constant columns): an EMPTY join must still emit
+        // its one count-0 row, matching the oracle's scalar
+        // aggregate — a grouped agg on constants emits zero rows
+        // for an empty join and hash-diverges on degenerate corpora
+        def run(name: String, dim: DataFrame): DataFrame = {
+          val p = Sampling.kmvAdaptivePlan(fact, dim, "user_id",
+            k = 64)
+          p.joined
             .agg(count(lit(1)).as("join_rows"),
               countDistinct($"user_id").as("n_users"))
-            .select(lit(name).as("jcase"), $"join_strategy",
-              $"join_est", $"fact_rows", $"join_rows", $"n_users")
+            .select(lit(name).as("jcase"),
+              lit(p.strategy).as("join_strategy"),
+              lit(p.est).as("join_est"),
+              lit(p.factRows).as("fact_rows"),
+              $"join_rows", $"n_users")
+        }
         val selective = ev.filter($"user_id" % 37 === 0)
           .select($"user_id").distinct()
         val exploding = ev.filter($"event_type" === "view")
@@ -595,10 +605,12 @@ object Round17Queries {
         "uni+bigram features of w[h(f), j], a dim=1024 x outDim=16 " +
         "FIXED-POINT integer matrix product per doc, every e_j an " +
         "exact BIGINT. Plan: ONE feature explode (the classifier's " +
-        "shared ngramFeatures), broadcast join of the 16384-row " +
-        "weight table, ONE (doc, j)-keyed partial-agg exchange — " +
-        "the feature stream fans x16 inside the broadcast join but " +
-        "collapses map-side to |docs|*16 rows before the shuffle. " +
+        "shared ngramFeatures), the 16384-cell weight matrix " +
+        "PIVOTED to a 1024-row x 16-col broadcast frame so the " +
+        "feature stream joins WITHOUT fanning x16 — the 16 " +
+        "accumulators ride ONE per-doc hash-agg codegen stage and " +
+        "the only exchange carries |docs| partial rows; one " +
+        "posexplode restores the (doc, j, e) long form. " +
         "Weights are the deterministic stand-in export; a trained " +
         "encoder drops in as a parquet read of its quantized export " +
         "with the identical plan. Output (doc_id, j, e) sampled to " +

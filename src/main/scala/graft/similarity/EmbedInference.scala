@@ -77,6 +77,23 @@ object EmbedInference {
   def embedDocs(docs: DataFrame, idCol: String, textCol: String,
                 weights: DataFrame, dim: Int, outDim: Int): DataFrame = {
     require(outDim > 0, s"outDim must be positive, got $outDim")
+    // same loud-failure posture as TextClassifier.requireFullCoverage
+    // (one action on the metadata-sized model frame): a sparse
+    // export would silently drop the feature from EVERY dimension
+    // through the inner join, a partially-sparse one would zero some
+    // dims only (NULL pivot cells vanish from sums), and a
+    // duplicated (fid, j) row would double-count — all with no error
+    val row = weights.agg(count(lit(1)).as("n"),
+      count_distinct(when(col("fid") >= 0L &&
+          col("fid") < dim.toLong &&
+          col("j") >= 0L && col("j") < outDim.toLong,
+        struct(col("fid"), col("j")))).as("nd")).head()
+    val want = dim.toLong * outDim
+    require(row.getLong(0) == want && row.getLong(1) == want,
+      s"weights must be EXACTLY one row per (fid, j) in [0, $dim) x " +
+        s"[0, $outDim): got ${row.getLong(0)} rows, " +
+        s"${row.getLong(1)} distinct in-range pairs — zero-pad " +
+        "sparse model exports, dedup repeated cells")
     val js = 0 until outDim
     val wide = weights.groupBy(col("fid"))
       .agg(max(when(col("j") === 0, col("wgt"))).as("w0"),
@@ -95,11 +112,22 @@ object EmbedInference {
   }
 
   /** [[embedDocs]] rows assembled into one dense vector per doc:
-    * (id, emb array<float>) in j order. Every e is an exact integer
-    * far below 2^24, so the float cast is value-preserving and the
-    * vectors drop into the cosine/MIPS ANN tier (Knn.*) unchanged. */
+    * (id, emb array<float>) in j order, for the cosine/MIPS ANN
+    * tier (Knn.*). The float cast is value-preserving only while
+    * |e| < 2^24 — NOT guaranteed by the model shape (a legal
+    * 100k-word doc has ~200k feature occurrences of weights up to
+    * 1000 in magnitude), so the cast is GUARDED in-plan: any
+    * component at or past 2^24 raises instead of silently rounding
+    * (a rounded vector would quietly change downstream dedup/ANN
+    * decisions away from the exact-BIGINT rows). Callers with
+    * larger domains keep the exact (id, j, e) long form or rescale
+    * the model weights. */
   def embedVectors(embedRows: DataFrame, idCol: String): DataFrame =
     embedRows.groupBy(col(idCol))
       .agg(expr("transform(array_sort(collect_list(" +
-        "struct(j, e))), x -> CAST(x.e AS FLOAT))").as("embedding"))
+        "struct(j, e))), x -> CASE WHEN abs(x.e) >= 16777216 THEN " +
+        "CAST(raise_error(concat('embedVectors: |e| >= 2^24 at j=', " +
+        "CAST(x.j AS STRING), ' — the float cast would round; use " +
+        "the exact (id, j, e) rows or rescale the model')) AS FLOAT) " +
+        "ELSE CAST(x.e AS FLOAT) END)").as("embedding"))
 }

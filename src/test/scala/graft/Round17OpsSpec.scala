@@ -23,7 +23,7 @@ class Round17OpsSpec extends AnyFunSuite {
       TextClassifier.scoreDocs(docs, "doc_id", "text", sparse,
         dim = 4, thrNum = 0L, thrDen = 1L)
     }
-    assert(e.getMessage.contains("cover every fid"))
+    assert(e.getMessage.contains("EXACTLY one row per fid"))
     // duplicate fids cannot fake coverage: 4 rows, 2 distinct
     val dup = Seq((0L, 1L), (0L, 2L), (1L, 1L), (1L, 2L))
       .toDF("fid", "wgt")
@@ -31,6 +31,53 @@ class Round17OpsSpec extends AnyFunSuite {
       TextClassifier.scoreDocs(docs, "doc_id", "text", dup,
         dim = 4, thrNum = 0L, thrDen = 1L)
     }
+    // FULL coverage + one duplicated row (5 rows, 4 distinct) must
+    // also fail — the dup would silently double-count its features
+    val covDup = Seq((0L, 1L), (1L, 1L), (2L, 1L), (3L, 1L),
+      (0L, 9L)).toDF("fid", "wgt")
+    intercept[IllegalArgumentException] {
+      TextClassifier.scoreDocs(docs, "doc_id", "text", covDup,
+        dim = 4, thrNum = 0L, thrDen = 1L)
+    }
+    // the fused pass enforces the SAME precondition (its left join
+    // would otherwise drop sparse features from dot but not n_feats)
+    intercept[IllegalArgumentException] {
+      TextStats.curationStats(docs, "doc_id", "text", sparse, 4)
+    }
+  }
+
+  test("embedDocs: rejects sparse, out-of-range, and duplicated " +
+    "weight cells loudly; embedVectors raises on a component the " +
+    "float cast would round") {
+    import graft.similarity.EmbedInference
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    // missing one (fid, j) cell of the 4x2 matrix
+    val sparse = spark.range(0, 7L).select(
+      (col("id") / 2).cast("long").as("fid"),
+      (col("id") % 2).cast("long").as("j"), lit(1L).as("wgt"))
+    intercept[IllegalArgumentException] {
+      EmbedInference.embedDocs(docs, "doc_id", "text", sparse, 4, 2)
+    }
+    // full coverage + one duplicated cell
+    val dup = spark.range(0, 8L).select(
+        (col("id") / 2).cast("long").as("fid"),
+        (col("id") % 2).cast("long").as("j"), lit(1L).as("wgt"))
+      .unionByName(Seq((0L, 0L, 5L)).toDF("fid", "j", "wgt"))
+    intercept[IllegalArgumentException] {
+      EmbedInference.embedDocs(docs, "doc_id", "text", dup, 4, 2)
+    }
+    // overflow guard: a planted e at 2^24 raises instead of rounding
+    val rows = Seq((1L, 0L, 16777216L), (1L, 1L, 3L))
+      .toDF("doc_id", "j", "e")
+    val e = intercept[Exception] {
+      EmbedInference.embedVectors(rows, "doc_id").collect()
+    }
+    assert(e.getMessage.contains("2^24"))
+    val ok = Seq((1L, 0L, 16777215L), (1L, 1L, -16777215L))
+      .toDF("doc_id", "j", "e")
+    val v = EmbedInference.embedVectors(ok, "doc_id")
+      .as[(Long, Seq[Float])].collect()
+    assert(v.head._2 == Seq(16777215f, -16777215f))
   }
 
   test("scoreDocs: still accepts a full-coverage table (guard does " +

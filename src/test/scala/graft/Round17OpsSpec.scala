@@ -285,6 +285,44 @@ class Round17OpsSpec extends AnyFunSuite {
       row(4).getAs[Long]("n_card_luhn") == 1L)
   }
 
+  test("luhnOk16 property: 300 seeded-random 16-digit strings agree " +
+    "with an independent JVM Luhn implementation, and flipping any " +
+    "single digit of a valid number breaks it") {
+    def luhnRef(d: String): Boolean = {
+      // standard right-to-left doubling, written independently of
+      // the Column expression's fixed-length-16 left-parity form
+      val sum = d.reverse.zipWithIndex.map { case (c, i) =>
+        val v = c - '0'
+        if (i % 2 == 1) { val x = v * 2; if (x > 9) x - 9 else x }
+        else v
+      }.sum
+      sum % 10 == 0
+    }
+    val rnd = new scala.util.Random(17L)
+    val cands = Seq.fill(300)(
+      (1 to 16).map(_ => rnd.nextInt(10)).mkString)
+    val df = cands.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toDF("id", "d")
+    val got = df.select(col("id"),
+        TextStats.luhnOk16(col("d")).as("ok"))
+      .orderBy("id").as[(Long, Boolean)].collect()
+    got.foreach { case (i, ok) =>
+      assert(ok == luhnRef(cands(i.toInt)), s"candidate ${cands(i.toInt)}")
+    }
+    // single-digit sensitivity on a known-valid number
+    val valid = "4111111111111111"
+    assert(luhnRef(valid))
+    val flipped = (0 until 16).map { p =>
+      val c = valid.charAt(p) - '0'
+      valid.updated(p, (((c + 1) % 10) + '0').toChar)
+    }
+    val fdf = flipped.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toDF("id", "d")
+    val fGot = fdf.select(TextStats.luhnOk16(col("d")).as("ok"))
+      .as[Boolean].collect()
+    assert(fGot.forall(!_), "every single-digit flip must invalidate")
+  }
+
   test("normalizeVt: a \\x0B document tokenizes identically to its " +
     "space-normalized form (the documented cross-engine cure), and " +
     "WITHOUT the cure Java's \\s splits where RE2 would not") {

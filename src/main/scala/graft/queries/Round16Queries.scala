@@ -18,7 +18,7 @@ object Round16Queries {
     * unigram+bigram features → 60-bit md5 hash mod dim → stand-in
     * weight join → per-doc BIGINT dot). Kept in ONE place so both
     * registered queries replay the identical model. */
-  private def scoredSql(dim: Int): String =
+  private[queries] def scoredSql(dim: Int): String =
     s"""toks AS (
        |  SELECT doc_id, u.p AS p, toks[u.p + 1] AS tok
        |  FROM (SELECT doc_id,

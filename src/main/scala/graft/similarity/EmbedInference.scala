@@ -111,6 +111,38 @@ object EmbedInference {
       .select(col(idCol), col("j").cast("long").as("j"), col("e"))
   }
 
+  /** The whole inference chain as DuckDB CTE bodies — `toks`,
+    * `feats`, `w`, `emb` (the last MATERIALIZED: every consumer
+    * references it more than once and DuckDB re-inlines shared CTEs
+    * exponentially otherwise) — verbatim the chain the r17
+    * `m_embed_infer` / `e_knn_embed_infer` oracles carry inline, ONE
+    * definition for every composition that serves these embeddings
+    * (IVF tier, recall eval, on-disk-model replays). Splice after
+    * `WITH `; `emb` is (doc_id, j, e) with e an exact BIGINT. */
+  def embedChainSql(dim: Int, outDim: Int): String =
+    s"""toks AS (
+       |  SELECT doc_id, u.p AS p, toks[u.p + 1] AS tok
+       |  FROM (SELECT doc_id,
+       |          string_split_regex(trim(text), '\\s+') AS toks
+       |        FROM documents) t,
+       |    unnest(range(0, len(toks))) AS u(p)),
+       |feats AS (
+       |  SELECT doc_id, tok AS feat FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, feat FROM (
+       |    SELECT doc_id, tok || ' ' || lead(tok) OVER
+       |        (PARTITION BY doc_id ORDER BY p) AS feat
+       |    FROM toks) b
+       |  WHERE feat IS NOT NULL),
+       |w AS (${standInProjectionSql(dim, outDim)}),
+       |emb AS MATERIALIZED (
+       |  SELECT doc_id, j, CAST(sum(wgt) AS BIGINT) AS e
+       |  FROM (SELECT doc_id,
+       |      ${TextClassifier.featureHashSql("feat", dim)} AS fid
+       |    FROM feats) h
+       |  JOIN w USING (fid)
+       |  GROUP BY doc_id, j)""".stripMargin
+
   /** [[embedDocs]] rows assembled into one dense vector per doc:
     * (id, emb array<float>) in j order, for the cosine/MIPS ANN
     * tier (Knn.*). The float cast is value-preserving only while

@@ -122,7 +122,8 @@ object SparkEntry {
     "curate_pii_scrub_v2", "j_kmv_adaptive_join",
     // r18: same capped-from-birth policy
     "e_knn_embed_ivf", "e_embed_ivf_recall",
-    "m_classifier_from_disk", "m_embed_from_disk")
+    "m_classifier_from_disk", "m_embed_from_disk",
+    "stream_curate_pipeline")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

@@ -87,7 +87,7 @@ object TextClassifier {
     * explode path) and [[scoreDocsInline]] (the zero-state map path),
     * whose row-for-row equality is spec-pinned; a feature-stream fix
     * applied to one site cannot desynchronize the other. */
-  private val featsExpr =
+  private[graft] val featsExpr =
     "concat(__toks, CASE WHEN size(__toks) < 2 THEN array() " +
       "ELSE transform(sequence(1, size(__toks) - 1), " +
       "i -> concat(__toks[i - 1], ' ', __toks[i])) END)"

@@ -142,6 +142,83 @@ object TextStats {
           .otherwise(0L)).as("dot"))
   }
 
+  /** [[curationStats]] as a PURE PER-ROW MAP — the scoreDocsInline
+    * treatment applied to the WHOLE fused rule pass: no explode, no
+    * join, no aggregation, so a streaming gate built on it has ZERO
+    * stateful operators (per-arrival cost is one row's expressions)
+    * and a batch gate adds no exchange. The weight table ships as a
+    * literal map (dim entries — the model-as-artifact pattern).
+    * Identical output to [[curationStats]] row for row (spec-pinned):
+    * word-shape stats are per-token folds; dup_toks is
+    * size − size(array_distinct); the repetition maxima are computed
+    * by a run-length fold over the SORTED n-gram array (equal grams
+    * are adjacent after sorting, so max(run·len) ≡ the batch path's
+    * max over distinct grams of cnt·len) — O(n log n) per doc, still
+    * inside one codegen'd projection; the classifier dot is the
+    * per-occurrence fold over hashed uni+bigram features. Prefer
+    * [[curationStats]] when the corpus is at rest: its collapsed
+    * (doc, n, gram) exchange shrinks repetition-heavy docs before
+    * the per-doc agg, where this shape carries each doc whole. */
+  def curationStatsInline(docs: DataFrame, idCol: String,
+                          textCol: String, weights: Map[Long, Long],
+                          dim: Int): DataFrame = {
+    require(weights.size == dim && (0 until dim).forall(i =>
+      weights.contains(i.toLong)),
+      s"weights must cover every fid in [0, $dim)")
+    val stop = Seq("the", "be", "to", "of", "and", "that",
+      "have", "with")
+    val wmap = typedLit(weights)
+    def gramsArr(n: Int) =
+      s"CASE WHEN size(__toks) < $n THEN array() " +
+        s"ELSE transform(sequence(0, size(__toks) - $n), " +
+        s"i -> array_join(slice(__toks, i + 1, $n), ' ')) END"
+    // max over distinct grams of count·length, as a run-length fold
+    // over the sorted gram array (the first gram sees prev = NULL,
+    // so x = acc.prev is NULL and the CASE starts the run at 1)
+    def repBest(n: Int) = expr(
+      s"""aggregate(array_sort(${gramsArr(n)}),
+         |  named_struct('prev', CAST(NULL AS STRING),
+         |    'run', 0L, 'best', 0L),
+         |  (acc, x) -> named_struct(
+         |    'prev', x,
+         |    'run', CASE WHEN x = acc.prev THEN acc.run + 1L
+         |      ELSE 1L END,
+         |    'best', greatest(acc.best,
+         |      (CASE WHEN x = acc.prev THEN acc.run + 1L
+         |        ELSE 1L END) * CAST(length(x) AS BIGINT))),
+         |  acc -> acc.best)""".stripMargin)
+    docs
+      .filter(col(textCol).isNotNull)
+      .withColumn("__toks", split(trim(col(textCol)), "\\s+"))
+      .select(col(idCol),
+        length(trim(col(textCol))).cast("long").as("n_chars"),
+        size(col("__toks")).cast("long").as("n_words"),
+        expr("aggregate(__toks, 0L, " +
+          "(a, t) -> a + CAST(length(t) AS BIGINT))").as("word_chars"),
+        expr("CAST(size(filter(__toks, " +
+          "t -> t rlike '[a-zA-Z]')) AS BIGINT)").as("n_alpha"),
+        size(filter(col("__toks"),
+          t => array_contains(typedLit(stop), t))).cast("long")
+          .as("n_stop"),
+        expr("aggregate(__toks, 0L, (a, t) -> a + CAST(" +
+          "(length(t) - length(replace(t, '#', ''))) + " +
+          "((length(t) - length(replace(t, '...', ''))) div 3) " +
+          "AS BIGINT))").as("n_sym"),
+        (size(col("__toks")) - size(array_distinct(col("__toks"))))
+          .cast("long").as("dup_toks"),
+        repBest(2).as("rep2_chars"),
+        repBest(3).as("rep3_chars"),
+        (size(col("__toks")).cast("long") +
+          when(size(col("__toks")) < 2, 0L)
+            .otherwise(size(col("__toks")).cast("long") - 1L))
+          .as("n_feats"),
+        aggregate(
+          transform(expr(TextClassifier.featsExpr),
+            f => TextClassifier.featureHash(f, dim)),
+          lit(0L), (acc, fid) => acc + element_at(wmap, fid))
+          .as("dot"))
+  }
+
   /** PII patterns shared by [[piiScrub]] and its oracle — restricted
     * to the regex subset where Java regex (Spark) and RE2 (DuckDB)
     * agree: explicit char classes and counted repetition only — no

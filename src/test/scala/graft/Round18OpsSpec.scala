@@ -128,6 +128,38 @@ class Round18OpsSpec extends AnyFunSuite {
     assert(bruteSet.nonEmpty)
   }
 
+  test("curationStatsInline ≡ curationStats row for row (incl. " +
+    "repetition-heavy, stopword-free, single-token, symbol-laden " +
+    "and NULL-text docs) and rejects a sparse weight map") {
+    import graft.ops.TextStats
+    val dim = 32
+    val wdf = TextClassifier.standInWeights(spark, dim)
+    val wmap = wdf.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val docs = Seq(
+      (1L, "the cat sat on the mat with the hat of doom"),
+      (2L, "spam spam spam spam spam spam spam spam"),
+      (3L, "a b a b a b a b a b a b"),
+      (4L, "one"),
+      (5L, "### ... ....... #a#b# x...y...z"),
+      (6L, "  padded   whitespace\tand tabs  "),
+      (7L, null.asInstanceOf[String]),
+      (8L, "")).toDF("doc_id", "text")
+    val batch = TextStats.curationStats(docs, "doc_id", "text",
+      wdf, dim).orderBy($"doc_id").collect().toSeq
+    val inline = TextStats.curationStatsInline(docs, "doc_id",
+      "text", wmap, dim).orderBy($"doc_id").collect().toSeq
+    assert(inline == batch)
+    // the inline plan is a pure map: no exchange anywhere
+    val plan = TextStats.curationStatsInline(docs, "doc_id", "text",
+      wmap, dim).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    intercept[IllegalArgumentException] {
+      TextStats.curationStatsInline(docs, "doc_id", "text",
+        wmap - 3L, dim)
+    }
+  }
+
   test("IntIvf.denseVectors: j-ordered exact longs; NULL-text docs " +
     "absent upstream stay absent") {
     val emb = Seq((1L, 2L, 30L), (1L, 0L, 10L), (1L, 1L, -20L),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{ExtendedQueries, PipelineQueries, Q, Round4Queries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, Round9Queries, Round10Queries, Round10bQueries, Round11Queries, Round12Queries, Round13Queries, Round14Queries, Round14bQueries, Round15Queries, Round15bQueries, Round15cQueries, Round15dQueries, Round15eQueries, Round16Queries, Round17Queries, Round18Queries, StarQueries}
+import graft.queries.{ExtendedQueries, PipelineQueries, Q, Round4Queries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, Round9Queries, Round10Queries, Round10bQueries, Round11Queries, Round12Queries, Round13Queries, Round14Queries, Round14bQueries, Round15Queries, Round15bQueries, Round15cQueries, Round15dQueries, Round15eQueries, Round16Queries, Round17Queries, Round18Queries, Round18bQueries, StarQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,7 +22,7 @@ object SparkEntry {
       Round14Queries.all ++ Round14bQueries.all ++ Round15Queries.all ++
       Round15bQueries.all ++ Round15cQueries.all ++ Round15dQueries.all ++
       Round15eQueries.all ++ Round16Queries.all ++ Round17Queries.all ++
-      Round18Queries.all
+      Round18Queries.all ++ Round18bQueries.all
     val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(",")}")
     all
@@ -123,7 +123,7 @@ object SparkEntry {
     // r18: same capped-from-birth policy
     "e_knn_embed_ivf", "e_embed_ivf_recall",
     "m_classifier_from_disk", "m_embed_from_disk",
-    "stream_curate_pipeline")
+    "stream_curate_pipeline", "t_bpe_real")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

@@ -137,12 +137,19 @@ object Sampling {
     * (k, tau_scaled, sampled_keys, est). Cost: one distinct-union
     * sketch pass + two count-aggs joined to the 64-row sketch. */
   def kmvJoinEstimate(a: DataFrame, b: DataFrame, keyCol: String,
-                      k: Int): DataFrame = {
+                      k: Int,
+                      precomputed: Option[(DataFrame, DataFrame)] = None)
+      : DataFrame = {
     require(k > 1, s"k must be > 1, got $k")
-    val fa = a.groupBy(col(keyCol).as("key"))
-      .agg(count(lit(1)).as("fa"))
-    val fb = b.groupBy(col(keyCol).as("key"))
-      .agg(count(lit(1)).as("fb"))
+    // callers that already hold the (key, fa)/(key, fb) frequency
+    // frames (kmvJoinSize builds them for its exact column) pass
+    // them in, so the plan carries each aggregation subtree ONCE
+    // instead of relying on exchange reuse to deduplicate copies
+    val (fa, fb) = precomputed.getOrElse((
+      a.groupBy(col(keyCol).as("key"))
+        .agg(count(lit(1)).as("fa")),
+      b.groupBy(col(keyCol).as("key"))
+        .agg(count(lit(1)).as("fb"))))
     // bottom-k of the distinct key union: negate the hash so the
     // descending TopKAgg buffer holds the k SMALLEST
     val keys = a.select(col(keyCol).as("key"))
@@ -179,7 +186,8 @@ object Sampling {
       .agg(count(lit(1)).as("fb"))
     val exact = fa.join(fb, Seq("key"))
       .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("exact"))
-    kmvJoinEstimate(a, b, keyCol, k).crossJoin(exact)
+    kmvJoinEstimate(a, b, keyCol, k, precomputed = Some((fa, fb)))
+      .crossJoin(exact)
       .select(col("k"), col("tau_scaled"), col("sampled_keys"),
         col("exact"), col("est"))
       .withColumn("ratio", col("est") / col("exact").cast("double"))

@@ -161,7 +161,8 @@ object TextStats {
     * the per-doc agg, where this shape carries each doc whole. */
   def curationStatsInline(docs: DataFrame, idCol: String,
                           textCol: String, weights: Map[Long, Long],
-                          dim: Int): DataFrame = {
+                          dim: Int,
+                          keep: Seq[String] = Nil): DataFrame = {
     require(weights.size == dim && (0 until dim).forall(i =>
       weights.contains(i.toLong)),
       s"weights must cover every fid in [0, $dim)")
@@ -190,7 +191,7 @@ object TextStats {
     docs
       .filter(col(textCol).isNotNull)
       .withColumn("__toks", split(trim(col(textCol)), "\\s+"))
-      .select(col(idCol),
+      .select((col(idCol) +: keep.map(col)) ++ Seq(
         length(trim(col(textCol))).cast("long").as("n_chars"),
         size(col("__toks")).cast("long").as("n_words"),
         expr("aggregate(__toks, 0L, " +
@@ -216,8 +217,29 @@ object TextStats {
           transform(expr(TextClassifier.featsExpr),
             f => TextClassifier.featureHash(f, dim)),
           lit(0L), (acc, fid) => acc + element_at(wmap, fid))
-          .as("dot"))
+          .as("dot")): _*)
   }
+
+  /** The 11-predicate curation gate shared by the batch composite
+    * (`curate_e2e_pipeline` stages 1-3) and its streaming twin
+    * (`stream_curate_pipeline`) — ONE definition so the two plans
+    * cannot drift from each other or from the shared oracle CTEs
+    * ([[graft.queries.OracleGen.curationGateCtes]]). All thresholds
+    * are cross-multiplied BIGINT comparisons over [[curationStats]] /
+    * [[curationStatsInline]] columns: Gopher word-shape bounds, the
+    * repetition caps, and the classifier score 1000·dot ≥ 5·n_feats.
+    */
+  def curationGate: Column =
+    col("n_words") >= 50L && col("n_words") <= 100000L &&
+      lit(3L) * col("n_words") <= col("word_chars") &&
+      col("word_chars") <= lit(10L) * col("n_words") &&
+      lit(5L) * col("n_alpha") >= lit(4L) * col("n_words") &&
+      lit(10L) * col("n_sym") <= col("n_words") &&
+      col("n_stop") >= 2L &&
+      lit(5L) * col("rep2_chars") <= col("n_chars") &&
+      lit(50L) * col("rep3_chars") <= lit(9L) * col("n_chars") &&
+      lit(4L) * col("dup_toks") <= lit(3L) * col("n_words") &&
+      lit(1000L) * col("dot") >= lit(5L) * col("n_feats")
 
   /** PII patterns shared by [[piiScrub]] and its oracle — restricted
     * to the regex subset where Java regex (Spark) and RE2 (DuckDB)
@@ -305,7 +327,13 @@ object TextStats {
     * email → card → ssn → intl → ip → phone (cards/SSNs contain
     * phone-shaped runs, so the wider patterns leave the text first;
     * counts stay independent — each pattern counted on the ORIGINAL
-    * text, the v1 convention). Pure per-row map work, no shuffle. */
+    * text, the v1 convention). Because counts are independent, the
+    * per-pattern counts are NOT disjoint: one digit run can count in
+    * several columns (e.g. '+1 4111111111111111' counts in n_intl —
+    * [[IntlPhonePattern]] matches its first 12 digits — AND in
+    * n_card, which matches all 16). Deterministic and identical in
+    * both engines, but do not sum the columns expecting a partition
+    * of the matches. Pure per-row map work, no shuffle. */
   def piiScrubV2(docs: DataFrame, idCol: String,
                  textCol: String): DataFrame =
     docs.select(col(idCol),

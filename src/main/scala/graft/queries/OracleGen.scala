@@ -1402,4 +1402,105 @@ object OracleGen {
          |FROM ($union) u
          |ORDER BY query_id, step""".stripMargin
   }
+
+  /** The curation-gate CTE chain (`toks` … `ckeep`) shared by the
+    * `curate_e2e_pipeline` oracle and its streaming twin
+    * `stream_curate_pipeline` — ONE definition, parameterized only by
+    * the source relation, so the two replays cannot drift from each
+    * other or from the engine-side `TextStats.curationGate`. Emits, in
+    * order: tokenize (`toks`), Gopher word-shape stats + keep
+    * (`gop`/`gkeep`), repetition stats + keep
+    * (`runi`/`g2`/`r2`/`g3`/`r3`/`rch`/`rkeep`), and classifier score +
+    * keep (`feats`/`w`/`scored`/`ckeep`). The caller splices it into a
+    * WITH chain and joins `gkeep`/`rkeep`/`ckeep` (plus `gop`/`scored`
+    * for stat columns). `toks`/`rch` filter NULL text explicitly —
+    * equivalent to the unguarded form (NULL text yields zero token
+    * rows either way) and identical to the engine's NULL-drop. */
+  def curationGateCtes(source: String, dim: Int): String =
+    s"""toks AS MATERIALIZED (
+       |  SELECT doc_id, u.p AS p, toks[u.p + 1] AS tok
+       |  FROM (SELECT doc_id,
+       |          string_split_regex(trim(text), '\\s+') AS toks
+       |        FROM $source WHERE text IS NOT NULL) t,
+       |    unnest(range(0, len(toks))) AS u(p)),
+       |gop AS (
+       |  SELECT doc_id, count(*) AS n_words,
+       |    CAST(sum(length(tok)) AS BIGINT) AS word_chars,
+       |    CAST(sum(CASE WHEN regexp_matches(tok, '[a-zA-Z]')
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+       |    CAST(sum(CASE WHEN tok IN ('the','be','to','of',
+       |      'and','that','have','with') THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_stop,
+       |    CAST(sum((length(tok) - length(replace(tok, '#', '')))
+       |      + (length(tok) -
+       |         length(replace(tok, '...', ''))) // 3)
+       |      AS BIGINT) AS n_sym
+       |  FROM toks GROUP BY doc_id),
+       |gkeep AS (
+       |  SELECT doc_id FROM gop
+       |  WHERE n_words >= 50 AND n_words <= 100000
+       |    AND 3 * n_words <= word_chars
+       |    AND word_chars <= 10 * n_words
+       |    AND 5 * n_alpha >= 4 * n_words
+       |    AND 10 * n_sym <= n_words
+       |    AND n_stop >= 2),
+       |runi AS (
+       |  SELECT doc_id, count(*) AS n_toks,
+       |    count(*) - count(DISTINCT tok) AS dup_toks
+       |  FROM toks GROUP BY doc_id),
+       |g2 AS (
+       |  SELECT doc_id, tok || ' ' ||
+       |      lead(tok) OVER (PARTITION BY doc_id ORDER BY p)
+       |      AS gram
+       |  FROM toks),
+       |r2 AS (
+       |  SELECT doc_id,
+       |    CAST(max(cnt * length(gram)) AS BIGINT) AS rep2_chars
+       |  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g2
+       |        WHERE gram IS NOT NULL GROUP BY doc_id, gram) c
+       |  GROUP BY doc_id),
+       |g3 AS (
+       |  SELECT doc_id, tok || ' ' ||
+       |      lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY p) ||
+       |      ' ' || lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY p)
+       |      AS gram
+       |  FROM toks),
+       |r3 AS (
+       |  SELECT doc_id,
+       |    CAST(max(cnt * length(gram)) AS BIGINT) AS rep3_chars
+       |  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g3
+       |        WHERE gram IS NOT NULL GROUP BY doc_id, gram) c
+       |  GROUP BY doc_id),
+       |rch AS (SELECT doc_id,
+       |    CAST(length(trim(text)) AS BIGINT) AS n_chars
+       |  FROM $source WHERE text IS NOT NULL),
+       |rkeep AS (
+       |  SELECT runi.doc_id FROM runi
+       |  JOIN rch ON runi.doc_id = rch.doc_id
+       |  LEFT JOIN r2 ON runi.doc_id = r2.doc_id
+       |  LEFT JOIN r3 ON runi.doc_id = r3.doc_id
+       |  WHERE 5 * coalesce(rep2_chars, 0) <= n_chars
+       |    AND 50 * coalesce(rep3_chars, 0) <= 9 * n_chars
+       |    AND 4 * dup_toks <= 3 * n_toks),
+       |feats AS (
+       |  SELECT doc_id, tok AS feat FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, feat FROM (
+       |    SELECT doc_id, tok || ' ' || lead(tok) OVER
+       |        (PARTITION BY doc_id ORDER BY p) AS feat
+       |    FROM toks) b
+       |  WHERE feat IS NOT NULL),
+       |w AS (${graft.ops.TextClassifier.standInWeightsSql(dim)}),
+       |scored AS (
+       |  SELECT doc_id, count(*) AS n_feats,
+       |    CAST(sum(wgt) AS BIGINT) AS dot
+       |  FROM (SELECT doc_id,
+       |          ${graft.ops.TextClassifier.featureHashSql("feat", dim)}
+       |            AS fid
+       |        FROM feats) h
+       |  JOIN w USING (fid)
+       |  GROUP BY doc_id),
+       |ckeep AS (
+       |  SELECT doc_id FROM scored
+       |  WHERE 1000 * dot >= 5 * n_feats)""".stripMargin
 }

@@ -53,13 +53,23 @@ object Round17Queries {
     val evalD = docsAll.filter($"doc_id" % 97 === 0)
       .select($"doc_id",
         concat($"text", lit(" " + Canary)).as("text"))
+    // the planted boilerplate as ONE per-doc line array, consumed
+    // by BOTH the fused rule pass (joined with \n into aug text)
+    // and the line-dedup stage (posexploded) — a single definition
+    // so the dedup corpus cannot drift from the filtered corpus.
+    // NULL text must stay NULL in aug (array_join SKIPS null
+    // elements, which would resurrect NULL-text docs as
+    // boilerplate-only texts), hence the isNotNull gate.
+    val augLineArr = concat(
+      array(lit(Promo), $"text",
+        concat(lit("copyright footer "),
+          ($"doc_id" % 7).cast("string"))),
+      when($"doc_id" % 53 === 7,
+        array(concat(lit(Canary + " leak"),
+          $"doc_id".cast("string"))))
+        .otherwise(array().cast("array<string>")))
     val aug = base.select($"doc_id",
-      concat(lit(Promo + "\n"), $"text",
-        lit("\ncopyright footer "),
-        ($"doc_id" % 7).cast("string"),
-        when($"doc_id" % 53 === 7,
-          concat(lit("\n" + Canary + " leak"),
-            $"doc_id".cast("string"))).otherwise(lit("")))
+      when($"text".isNotNull, array_join(augLineArr, "\n"))
         .as("text"))
 
     // ---- stages 1-3 fused (TextStats.curationStats): one
@@ -68,30 +78,13 @@ object Round17Queries {
     // equal to composing the three stand-alone operators
     val keep = graft.ops.TextStats.curationStats(aug, "doc_id",
         "text", TextClassifier.standInWeights(s, dim), dim)
-      .filter(
-        $"n_words" >= 50L && $"n_words" <= 100000L &&
-          lit(3L) * $"n_words" <= $"word_chars" &&
-          $"word_chars" <= lit(10L) * $"n_words" &&
-          lit(5L) * $"n_alpha" >= lit(4L) * $"n_words" &&
-          lit(10L) * $"n_sym" <= $"n_words" &&
-          $"n_stop" >= 2L &&
-          lit(5L) * $"rep2_chars" <= $"n_chars" &&
-          lit(50L) * $"rep3_chars" <= lit(9L) * $"n_chars" &&
-          lit(4L) * $"dup_toks" <= lit(3L) * $"n_words" &&
-          lit(1000L) * $"dot" >= lit(5L) * $"n_feats")
+      .filter(graft.ops.TextStats.curationGate)
       .select($"doc_id")
 
     // ---- stage 4: line dedup over survivors (lines rebuilt
     // from the RAW text + planted boilerplate, as lineDedup)
     val lines = base.join(keep, Seq("doc_id"))
-      .select($"doc_id", posexplode(concat(
-        array(lit(Promo), $"text",
-          concat(lit("copyright footer "),
-            ($"doc_id" % 7).cast("string"))),
-        when($"doc_id" % 53 === 7,
-          array(concat(lit(Canary + " leak"),
-            $"doc_id".cast("string"))))
-          .otherwise(array().cast("array<string>")))))
+      .select($"doc_id", posexplode(augLineArr))
       .toDF("doc_id", "line_no", "line")
     val lf = lines.groupBy($"line")
       .agg(countDistinct($"doc_id").as("df"))
@@ -216,92 +209,7 @@ object Round17Queries {
          |        || '$Canary leak'
          |        || CAST(doc_id AS VARCHAR) ELSE '' END AS text
          |  FROM base),
-         |toks AS MATERIALIZED (
-         |  SELECT doc_id, u.p AS p, toks[u.p + 1] AS tok
-         |  FROM (SELECT doc_id,
-         |          string_split_regex(trim(text), '\\s+') AS toks
-         |        FROM aug) t,
-         |    unnest(range(0, len(toks))) AS u(p)),
-         |gop AS (
-         |  SELECT doc_id, count(*) AS n_words,
-         |    CAST(sum(length(tok)) AS BIGINT) AS word_chars,
-         |    CAST(sum(CASE WHEN regexp_matches(tok, '[a-zA-Z]')
-         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
-         |    CAST(sum(CASE WHEN tok IN ('the','be','to','of',
-         |      'and','that','have','with') THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS n_stop,
-         |    CAST(sum((length(tok) - length(replace(tok, '#', '')))
-         |      + (length(tok) -
-         |         length(replace(tok, '...', ''))) // 3)
-         |      AS BIGINT) AS n_sym
-         |  FROM toks GROUP BY doc_id),
-         |gkeep AS (
-         |  SELECT doc_id FROM gop
-         |  WHERE n_words >= 50 AND n_words <= 100000
-         |    AND 3 * n_words <= word_chars
-         |    AND word_chars <= 10 * n_words
-         |    AND 5 * n_alpha >= 4 * n_words
-         |    AND 10 * n_sym <= n_words
-         |    AND n_stop >= 2),
-         |runi AS (
-         |  SELECT doc_id, count(*) AS n_toks,
-         |    count(*) - count(DISTINCT tok) AS dup_toks
-         |  FROM toks GROUP BY doc_id),
-         |g2 AS (
-         |  SELECT doc_id, tok || ' ' ||
-         |      lead(tok) OVER (PARTITION BY doc_id ORDER BY p)
-         |      AS gram
-         |  FROM toks),
-         |r2 AS (
-         |  SELECT doc_id,
-         |    CAST(max(cnt * length(gram)) AS BIGINT) AS rep2_chars
-         |  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g2
-         |        WHERE gram IS NOT NULL GROUP BY doc_id, gram) c
-         |  GROUP BY doc_id),
-         |g3 AS (
-         |  SELECT doc_id, tok || ' ' ||
-         |      lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY p)
-         |      || ' ' ||
-         |      lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY p)
-         |      AS gram
-         |  FROM toks),
-         |r3 AS (
-         |  SELECT doc_id,
-         |    CAST(max(cnt * length(gram)) AS BIGINT) AS rep3_chars
-         |  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g3
-         |        WHERE gram IS NOT NULL GROUP BY doc_id, gram) c
-         |  GROUP BY doc_id),
-         |rch AS (SELECT doc_id,
-         |    CAST(length(trim(text)) AS BIGINT) AS n_chars FROM aug),
-         |rkeep AS (
-         |  SELECT runi.doc_id FROM runi
-         |  JOIN rch ON runi.doc_id = rch.doc_id
-         |  LEFT JOIN r2 ON runi.doc_id = r2.doc_id
-         |  LEFT JOIN r3 ON runi.doc_id = r3.doc_id
-         |  WHERE 5 * coalesce(rep2_chars, 0) <= n_chars
-         |    AND 50 * coalesce(rep3_chars, 0) <= 9 * n_chars
-         |    AND 4 * dup_toks <= 3 * n_toks),
-         |feats AS (
-         |  SELECT doc_id, tok AS feat FROM toks
-         |  UNION ALL
-         |  SELECT doc_id, feat FROM (
-         |    SELECT doc_id, tok || ' ' || lead(tok) OVER
-         |        (PARTITION BY doc_id ORDER BY p) AS feat
-         |    FROM toks) b
-         |  WHERE feat IS NOT NULL),
-         |w AS (${TextClassifier.standInWeightsSql(1024)}),
-         |scored AS (
-         |  SELECT doc_id, count(*) AS n_feats,
-         |    CAST(sum(wgt) AS BIGINT) AS dot
-         |  FROM (SELECT doc_id,
-         |          ${TextClassifier.featureHashSql("feat", 1024)}
-         |            AS fid
-         |        FROM feats) h
-         |  JOIN w USING (fid)
-         |  GROUP BY doc_id),
-         |ckeep AS (
-         |  SELECT doc_id FROM scored
-         |  WHERE 1000 * dot >= 5 * n_feats),
+         |${OracleGen.curationGateCtes("aug", 1024)},
          |surv AS MATERIALIZED (
          |  SELECT b.doc_id, b.text FROM base b
          |  JOIN gkeep USING (doc_id) JOIN rkeep USING (doc_id)

@@ -88,99 +88,15 @@ object Round18Queries {
        |  WHERE rn <= $K)""".stripMargin
 
   /** The gate + cross-batch-dedup replay as DuckDB CTE bodies over
-    * `documents`: the e2e chain's gop/rkeep/ckeep stages (identical
-    * thresholds — the SHARED batch-chain oracle the stream twin is
-    * pinned to), survivors bucketed by the portable MinHash recipe,
-    * and `coll` = survivors sharing a band with a STRICTLY-EARLIER
-    * arrival batch (bid = doc_id·4 div (max_id+1) — four data-defined
-    * arrival waves at every SF). */
+    * `documents`: the e2e chain's gate stages spliced from the ONE
+    * shared generator ([[OracleGen.curationGateCtes]] — the same
+    * helper `curate_e2e_pipeline` uses, so the twins cannot drift),
+    * survivors bucketed by the portable MinHash recipe, and `coll` =
+    * survivors sharing a band with a STRICTLY-EARLIER arrival batch
+    * (bid = doc_id·4 div (max_id+1) — four data-defined arrival
+    * waves at every SF). */
   private def streamCurateOracleSql: String =
-    s"""toks AS MATERIALIZED (
-       |  SELECT doc_id, u.p AS p, toks[u.p + 1] AS tok
-       |  FROM (SELECT doc_id,
-       |          string_split_regex(trim(text), '\\s+') AS toks
-       |        FROM documents WHERE text IS NOT NULL) t,
-       |    unnest(range(0, len(toks))) AS u(p)),
-       |gop AS (
-       |  SELECT doc_id, count(*) AS n_words,
-       |    CAST(sum(length(tok)) AS BIGINT) AS word_chars,
-       |    CAST(sum(CASE WHEN regexp_matches(tok, '[a-zA-Z]')
-       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
-       |    CAST(sum(CASE WHEN tok IN ('the','be','to','of',
-       |      'and','that','have','with') THEN 1 ELSE 0 END)
-       |      AS BIGINT) AS n_stop,
-       |    CAST(sum((length(tok) - length(replace(tok, '#', '')))
-       |      + (length(tok) -
-       |         length(replace(tok, '...', ''))) // 3)
-       |      AS BIGINT) AS n_sym
-       |  FROM toks GROUP BY doc_id),
-       |gkeep AS (
-       |  SELECT doc_id FROM gop
-       |  WHERE n_words >= 50 AND n_words <= 100000
-       |    AND 3 * n_words <= word_chars
-       |    AND word_chars <= 10 * n_words
-       |    AND 5 * n_alpha >= 4 * n_words
-       |    AND 10 * n_sym <= n_words
-       |    AND n_stop >= 2),
-       |runi AS (
-       |  SELECT doc_id, count(*) AS n_toks,
-       |    count(*) - count(DISTINCT tok) AS dup_toks
-       |  FROM toks GROUP BY doc_id),
-       |g2 AS (
-       |  SELECT doc_id, tok || ' ' ||
-       |      lead(tok) OVER (PARTITION BY doc_id ORDER BY p)
-       |      AS gram
-       |  FROM toks),
-       |r2 AS (
-       |  SELECT doc_id,
-       |    CAST(max(cnt * length(gram)) AS BIGINT) AS rep2_chars
-       |  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g2
-       |        WHERE gram IS NOT NULL GROUP BY doc_id, gram) c
-       |  GROUP BY doc_id),
-       |g3 AS (
-       |  SELECT doc_id, tok || ' ' ||
-       |      lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY p) ||
-       |      ' ' || lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY p)
-       |      AS gram
-       |  FROM toks),
-       |r3 AS (
-       |  SELECT doc_id,
-       |    CAST(max(cnt * length(gram)) AS BIGINT) AS rep3_chars
-       |  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g3
-       |        WHERE gram IS NOT NULL GROUP BY doc_id, gram) c
-       |  GROUP BY doc_id),
-       |rch AS (SELECT doc_id,
-       |    CAST(length(trim(text)) AS BIGINT) AS n_chars
-       |  FROM documents WHERE text IS NOT NULL),
-       |rkeep AS (
-       |  SELECT runi.doc_id FROM runi
-       |  JOIN rch ON runi.doc_id = rch.doc_id
-       |  LEFT JOIN r2 ON runi.doc_id = r2.doc_id
-       |  LEFT JOIN r3 ON runi.doc_id = r3.doc_id
-       |  WHERE 5 * coalesce(rep2_chars, 0) <= n_chars
-       |    AND 50 * coalesce(rep3_chars, 0) <= 9 * n_chars
-       |    AND 4 * dup_toks <= 3 * n_toks),
-       |feats AS (
-       |  SELECT doc_id, tok AS feat FROM toks
-       |  UNION ALL
-       |  SELECT doc_id, feat FROM (
-       |    SELECT doc_id, tok || ' ' || lead(tok) OVER
-       |        (PARTITION BY doc_id ORDER BY p) AS feat
-       |    FROM toks) b
-       |  WHERE feat IS NOT NULL),
-       |w AS (${TextClassifier.standInWeightsSql(1024)}),
-       |scored AS (
-       |  SELECT doc_id, count(*) AS n_feats,
-       |    CAST(sum(wgt) AS BIGINT) AS dot
-       |  FROM (SELECT doc_id,
-       |          ${TextClassifier.featureHashSql("feat", 1024)}
-       |            AS fid
-       |        FROM feats) h
-       |  JOIN w USING (fid)
-       |  GROUP BY doc_id),
-       |ckeep AS (
-       |  SELECT doc_id FROM scored
-       |  WHERE 1000 * dot >= 5 * n_feats),
+    s"""${OracleGen.curationGateCtes("documents", 1024)},
        |surv AS MATERIALIZED (
        |  SELECT d.doc_id, d.text FROM documents d
        |  JOIN gkeep USING (doc_id) JOIN rkeep USING (doc_id)
@@ -216,10 +132,11 @@ object Round18Queries {
         "one row's gate expressions + 8 band probes + an append " +
         "touching only arriving band partitions; no corpus access, " +
         "no retrain, state lives AT REST in the index, not in the " +
-        "stream. The oracle replays gate thresholds IDENTICAL to " +
-        "curate_e2e_pipeline's stages 1-3 plus the band-collision " +
-        "policy relationally, so completed stream ≡ batch chain is " +
-        "hash-gated, not asserted.",
+        "stream. Gate identity with curate_e2e_pipeline is " +
+        "STRUCTURAL, not copied: both plans filter on the one " +
+        "TextStats.curationGate column and both oracles splice the " +
+        "one OracleGen.curationGateCtes generator, so completed " +
+        "stream ≡ batch chain is hash-gated and drift-proof.",
       (s, d) => {
         import s.implicits._
         val docsT = Tables.documents(s, d)
@@ -241,7 +158,12 @@ object Round18Queries {
               .filter(f => f.getName.endsWith(".parquet") &&
                 !stamped(f.getName))
               .foreach { f =>
-                f.setLastModified(base + i * 2000); stamped += f.getName
+                // a silently failed stamp would reorder arrival and
+                // turn an oracle mismatch opaque — fail fast instead
+                // (the Round11 stream-shard precedent)
+                require(f.setLastModified(base + i * 2000),
+                  s"cannot stamp mtime on $f")
+                stamped += f.getName
               }
           }
         }.getAbsolutePath
@@ -250,79 +172,76 @@ object Round18Queries {
         val idxDir = s"${runRoot.getAbsolutePath}/band_index"
         val keptDir = s"${runRoot.getAbsolutePath}/kept"
         @volatile var gatePlanAudited = false
-        graft.streaming.Streams.runForeachBatch(s) { scoped =>
-          graft.streaming.Streams.fileStream(scoped, shards, schema,
-            maxFilesPerTrigger = 1)
-        } { (df, _) =>
-          val sc = df.sparkSession
-          val stats = TextStats.curationStatsInline(
-            df.select(col("doc_id"), col("text")), "doc_id", "text",
-            wmap, 1024)
-          if (!gatePlanAudited) {
-            // the zero-state claim, checked on the EXECUTED batch
-            // plan: the fused gate is one projection, no exchange
-            val p = stats.queryExecution.executedPlan.toString
-            require(!p.contains("Exchange"),
-              s"inline gate plan must be a pure map, got:\n$p")
-            gatePlanAudited = true
+        try {
+          graft.streaming.Streams.runForeachBatch(s) { scoped =>
+            graft.streaming.Streams.fileStream(scoped, shards, schema,
+              maxFilesPerTrigger = 1)
+          } { (df, _) =>
+            val sc = df.sparkSession
+            // text rides THROUGH the per-row projection (keep), so
+            // the survivor frame is still one map — no join back
+            // onto the raw batch, no second scan
+            val stats = TextStats.curationStatsInline(
+              df.select(col("doc_id"), col("text")), "doc_id", "text",
+              wmap, 1024, keep = Seq("text"))
+            if (!gatePlanAudited) {
+              // the zero-state claim, checked on the EXECUTED batch
+              // plan: the fused gate is one projection, no exchange
+              val p = stats.queryExecution.executedPlan.toString
+              require(!p.contains("Exchange"),
+                s"inline gate plan must be a pure map, got:\n$p")
+              gatePlanAudited = true
+            }
+            // survivors feed bands + the kept write: checkpoint the
+            // batch-local frame once (micro-batch-sized); the gate
+            // is the ONE shared TextStats.curationGate definition —
+            // identical to the batch composite by construction
+            val surv = stats.filter(TextStats.curationGate)
+              .select(col("doc_id"), col("text"), col("n_words"),
+                col("n_feats"), col("dot"))
+              .localCheckpoint()
+            val ownBands = Dedup.minhashBucketsPortable(surv,
+                "doc_id", "text", shingleN = 5, bands = 8,
+                rowsPerBand = 2)
+              .withColumn("bid", expr(s"(id * 4) div $n"))
+              .localCheckpoint()
+            // probe set = at-rest index ∪ this batch's own bands (a
+            // catch-up trigger carrying several bids still sees its
+            // earlier waves); collision ⟺ shared bucket with a
+            // strictly smaller bid
+            val idxBands =
+              if (new java.io.File(idxDir).exists)
+                sc.read.parquet(idxDir)
+                  .select(col("band"), col("band_hash"),
+                    col("bid").as("i_bid"))
+              else null
+            val own = ownBands.select(col("band"), col("band_hash"),
+              col("bid").as("i_bid"))
+            val probe =
+              if (idxBands == null) own else idxBands.union(own)
+            val coll = ownBands.join(probe, Seq("band", "band_hash"))
+              .filter(col("i_bid") < col("bid"))
+              .select(col("id").as("doc_id")).distinct()
+            surv.select(col("doc_id"), col("n_words"), col("n_feats"),
+                col("dot"))
+              .join(coll, Seq("doc_id"), "left_anti")
+              .write.mode("append").parquet(keptDir)
+            // EVERY gate survivor's bands enter the index (kept or
+            // not): the next wave must collide with whichever arrived
+            // first, exactly the oracle's earlier-batch predicate.
+            // Skip empty batches: a dynamic-partition write of an
+            // empty frame creates the directory with ZERO data files,
+            // which the next batch's read would fail to infer a
+            // schema from (isEmpty on the checkpointed frame is one
+            // cheap local scan)
+            if (!ownBands.isEmpty)
+              ownBands.select(col("id"), col("band"), col("band_hash"),
+                  col("bid"))
+                .write.mode("append").partitionBy("band").parquet(idxDir)
           }
-          val gate = stats.filter(
-            col("n_words") >= 50L && col("n_words") <= 100000L &&
-              lit(3L) * col("n_words") <= col("word_chars") &&
-              col("word_chars") <= lit(10L) * col("n_words") &&
-              lit(5L) * col("n_alpha") >= lit(4L) * col("n_words") &&
-              lit(10L) * col("n_sym") <= col("n_words") &&
-              col("n_stop") >= 2L &&
-              lit(5L) * col("rep2_chars") <= col("n_chars") &&
-              lit(50L) * col("rep3_chars") <=
-                lit(9L) * col("n_chars") &&
-              lit(4L) * col("dup_toks") <= lit(3L) * col("n_words") &&
-              lit(1000L) * col("dot") >= lit(5L) * col("n_feats"))
-          // survivors feed bands + the kept write: checkpoint the
-          // batch-local frame once (micro-batch-sized)
-          val surv = df.select(col("doc_id"), col("text"))
-            .join(gate.select(col("doc_id"), col("n_words"),
-              col("n_feats"), col("dot")), "doc_id")
-            .localCheckpoint()
-          val ownBands = Dedup.minhashBucketsPortable(surv,
-              "doc_id", "text", shingleN = 5, bands = 8,
-              rowsPerBand = 2)
-            .withColumn("bid", expr(s"(id * 4) div $n"))
-            .localCheckpoint()
-          // probe set = at-rest index ∪ this batch's own bands (a
-          // catch-up trigger carrying several bids still sees its
-          // earlier waves); collision ⟺ shared bucket with a
-          // strictly smaller bid
-          val idxBands =
-            if (new java.io.File(idxDir).exists)
-              sc.read.parquet(idxDir)
-                .select(col("band"), col("band_hash"),
-                  col("bid").as("i_bid"))
-            else null
-          val own = ownBands.select(col("band"), col("band_hash"),
-            col("bid").as("i_bid"))
-          val probe = if (idxBands == null) own else idxBands.union(own)
-          val coll = ownBands.join(probe, Seq("band", "band_hash"))
-            .filter(col("i_bid") < col("bid"))
-            .select(col("id").as("doc_id")).distinct()
-          surv.select(col("doc_id"), col("n_words"), col("n_feats"),
-              col("dot"))
-            .join(coll, Seq("doc_id"), "left_anti")
-            .write.mode("append").parquet(keptDir)
-          // EVERY gate survivor's bands enter the index (kept or
-          // not): the next wave must collide with whichever arrived
-          // first, exactly the oracle's earlier-batch predicate
-          ownBands.select(col("id"), col("band"), col("band_hash"),
-              col("bid"))
-            .write.mode("append").partitionBy("band").parquet(idxDir)
-        }
-        val out = s.read.parquet(keptDir)
-          .orderBy($"doc_id").localCheckpoint()
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(runRoot)
-        out
+          s.read.parquet(keptDir)
+            .orderBy($"doc_id").localCheckpoint()
+        } finally Scratch.rmTree(runRoot)
       },
       Some(s"""WITH $streamCurateOracleSql
          |SELECT s.doc_id, CAST(g.n_words AS BIGINT) AS n_words,

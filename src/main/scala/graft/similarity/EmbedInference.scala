@@ -151,9 +151,13 @@ object EmbedInference {
     * 1000 in magnitude), so the cast is GUARDED in-plan: any
     * component at or past 2^24 raises instead of silently rounding
     * (a rounded vector would quietly change downstream dedup/ANN
-    * decisions away from the exact-BIGINT rows). Callers with
-    * larger domains keep the exact (id, j, e) long form or rescale
-    * the model weights. */
+    * decisions away from the exact-BIGINT rows). The bound is
+    * DELIBERATELY conservative by one value: ±2^24 itself is still
+    * exactly float-representable (the first unrepresentable integer
+    * is 2^24+1), but `>=` keeps the accepted domain strictly inside
+    * the exact range rather than ending exactly on its edge.
+    * Callers with larger domains keep the exact (id, j, e) long
+    * form or rescale the model weights. */
   def embedVectors(embedRows: DataFrame, idCol: String): DataFrame =
     embedRows.groupBy(col(idCol))
       .agg(expr("transform(array_sort(collect_list(" +

@@ -10,10 +10,17 @@ import java.nio.{ByteBuffer, ByteOrder}
   * fixed-length strings. Implemented from the public HDF5 file-format
   * specification; no external HDF5 library exists in this runtime.
   *
-  * Out of scope (raises with a clear message): chunked/compressed
-  * layouts (pandas `complevel>0`), new-style groups, non-LE types. The
-  * reference pipeline writes plain fixed-format stores, which are
-  * contiguous.
+  * Also reads CHUNKED datasets (layout v3 class 2) indexed by a v1
+  * chunk B-tree, with an optional DEFLATE filter pipeline
+  * (`java.util.zip.Inflater` — zero new dependencies): the layout
+  * pandas writes for `complevel>0` stores and h5py writes for
+  * `compression='gzip'`. Chunks are whole by definition (edge chunks
+  * padded), each compressed independently; the reader walks the
+  * B-tree, inflates each chunk, and scatters it into the dense array
+  * by its offset key.
+  *
+  * Out of scope (raises with a clear message): non-deflate filters
+  * (shuffle/fletcher32/szip), new-style groups, non-LE types.
   *
   * The whole file is held as one byte array: `out.hdf5` is per-dataset
   * (one imaging run), so it is bounded by a single dataset's
@@ -180,8 +187,14 @@ final class Hdf5Reader(bytes: Array[Byte]) {
 
   // ---- datasets ----
 
-  /** (dims, dtypeClass, elemSize, dataOffset) of a contiguous dataset. */
-  private def datasetInfo(headerAddr: Long): (Seq[Long], Int, Int, Long) = {
+  private sealed trait Layout
+  private case class Contiguous(dataOffset: Long) extends Layout
+  private case class Chunked(btreeAddr: Long, chunkDims: Seq[Int],
+                             deflate: Boolean) extends Layout
+
+  /** (dims, dtypeClass, elemSize, layout) of a dataset — contiguous or
+    * chunked (v3 layout message, classes 1 and 2). */
+  private def datasetInfo(headerAddr: Long): (Seq[Long], Int, Int, Layout) = {
     val msgs = readMessages(headerAddr)
     val space = msgs.find(_.msgType == 0x0001)
       .getOrElse(sys.error("dataset has no dataspace message"))
@@ -197,55 +210,191 @@ final class Hdf5Reader(bytes: Array[Byte]) {
     require(bytes(layout.dataPos) == 3,
       s"unsupported layout version ${bytes(layout.dataPos)}")
     val layoutClass = bytes(layout.dataPos + 1) & 0xff
-    require(layoutClass == 1,
-      "only CONTIGUOUS dataset layout is supported (pandas fixed-format " +
-        "stores without complevel); got class " + layoutClass)
-    (dims, dtClass, elemSize, u64(layout.dataPos + 2))
+    val lay = layoutClass match {
+      case 1 => Contiguous(u64(layout.dataPos + 2))
+      case 2 =>
+        // v3 chunked: dimensionality(1) = rank+1, btree address(8),
+        // then dimensionality × u32 chunk dims — the LAST is the
+        // dataset element size in bytes (the HDF5 convention)
+        val ndims = bytes(layout.dataPos + 2) & 0xff
+        require(ndims == rank + 1,
+          s"chunk dimensionality $ndims != rank+1 ${rank + 1}")
+        val btreeAddr = u64(layout.dataPos + 3)
+        val cdims = (0 until ndims)
+          .map(i => u32(layout.dataPos + 11 + 4 * i).toInt)
+        require(cdims.last == elemSize,
+          s"chunk element size ${cdims.last} != datatype size $elemSize")
+        Chunked(btreeAddr, cdims.init, deflate = deflateFilter(msgs))
+      case other => sys.error(
+        "only CONTIGUOUS and CHUNKED dataset layouts are supported; " +
+          s"got class $other")
+    }
+    (dims, dtClass, elemSize, lay)
+  }
+
+  /** True if the filter pipeline (message 0x000B, v1) is exactly one
+    * DEFLATE filter; false if absent; raises on any other filter. */
+  private def deflateFilter(msgs: Seq[Msg]): Boolean =
+    msgs.find(_.msgType == 0x000B) match {
+      case None => false
+      case Some(m) =>
+        require(bytes(m.dataPos) == 1,
+          s"unsupported filter pipeline version ${bytes(m.dataPos)}")
+        val nf = bytes(m.dataPos + 1) & 0xff
+        // v1 per-filter: id(2) nameLen(2) flags(2) nvals(2)
+        // name(pad8) vals(4×n, +4 pad if n odd)
+        var p = m.dataPos + 8
+        (0 until nf).foreach { _ =>
+          val id = u16(p)
+          require(id == 1,
+            s"unsupported filter id $id (only DEFLATE=1 is supported)")
+          val nameLen = u16(p + 2); val nvals = u16(p + 6)
+          p += 8 + (nameLen + 7) / 8 * 8 + 4 * nvals +
+            (if (nvals % 2 == 1) 4 else 0)
+        }
+        nf > 0
+    }
+
+  /** Dense row-major raw bytes of a dataset, whatever the layout:
+    * contiguous data is sliced; chunked data is assembled by walking
+    * the chunk B-tree, inflating each chunk (when the DEFLATE filter
+    * is present), and scattering it by its offset key — edge chunks
+    * are whole per the format, the scatter clips them to the dataset
+    * bounds. */
+  private def rawData(dims: Seq[Long], elemSize: Int, lay: Layout)
+      : (Array[Byte], Int) = {
+    val n = dims.product * elemSize
+    require(n <= Int.MaxValue,
+      s"dataset too large for one in-core file: $dims × $elemSize")
+    lay match {
+      case Contiguous(off) => (bytes, off.toInt)
+      case Chunked(btreeAddr, chunkDims, deflate) =>
+        val out = new Array[Byte](n.toInt)
+        walkChunkBtree(btreeAddr, dims.map(_.toInt), chunkDims,
+          elemSize, deflate, out)
+        (out, 0)
+    }
+  }
+
+  private def walkChunkBtree(addr: Long, dims: Seq[Int],
+                             chunkDims: Seq[Int], elemSize: Int,
+                             deflate: Boolean, out: Array[Byte]): Unit = {
+    val p = addr.toInt
+    require(bytes(p) == 'T' && bytes(p + 1) == 'R' && bytes(p + 2) == 'E' &&
+      bytes(p + 3) == 'E', "bad chunk b-tree signature")
+    require((bytes(p + 4) & 0xff) == 1,
+      s"expected raw-data chunk b-tree (type 1), got ${bytes(p + 4)}")
+    val level = bytes(p + 5) & 0xff
+    val entries = u16(p + 6)
+    // key: size(4) filterMask(4) offsets(8 × (rank+1)); interleaved
+    // key0 child0 key1 child1 … (the trailing key is not consumed)
+    val keySize = 8 + 8 * (dims.length + 1)
+    var cp = p + 24
+    (0 until entries).foreach { _ =>
+      val chunkBytes = u32(cp).toInt
+      val offs = (0 until dims.length).map(i => u64(cp + 8 + 8 * i).toInt)
+      val child = u64(cp + keySize)
+      if (level > 0)
+        walkChunkBtree(child, dims, chunkDims, elemSize, deflate, out)
+      else
+        scatterChunk(child.toInt, chunkBytes, offs, dims, chunkDims,
+          elemSize, deflate, out)
+      cp += keySize + 8
+    }
+  }
+
+  private def scatterChunk(at: Int, stored: Int, offs: Seq[Int],
+                           dims: Seq[Int], chunkDims: Seq[Int],
+                           elemSize: Int, deflate: Boolean,
+                           out: Array[Byte]): Unit = {
+    val full = chunkDims.product * elemSize
+    val chunk =
+      if (!deflate) {
+        require(stored == full,
+          s"unfiltered chunk stored $stored bytes, expected $full")
+        java.util.Arrays.copyOfRange(bytes, at, at + stored)
+      } else {
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(bytes, at, stored)
+        val buf = new Array[Byte](full)
+        var got = 0
+        while (got < full && !inf.finished())
+          got += inf.inflate(buf, got, full - got)
+        inf.end()
+        require(got == full,
+          s"chunk inflated to $got bytes, expected $full")
+        buf
+      }
+    // scatter row-major, clipping edge chunks to the dataset bounds
+    dims.length match {
+      case 1 =>
+        val copy = math.min(chunkDims(0), dims(0) - offs(0)) * elemSize
+        if (copy > 0)
+          System.arraycopy(chunk, 0, out, offs(0) * elemSize, copy)
+      case 2 =>
+        val rows = math.min(chunkDims(0), dims(0) - offs(0))
+        val cols = math.min(chunkDims(1), dims(1) - offs(1))
+        (0 until rows).foreach { i =>
+          System.arraycopy(chunk, i * chunkDims(1) * elemSize, out,
+            ((offs(0) + i) * dims(1) + offs(1)) * elemSize,
+            cols * elemSize)
+        }
+      case r => sys.error(s"unsupported chunked rank $r")
+    }
   }
 
   /** 2-D float64 dataset → row-major Array of rows. */
   def readDoubleMatrix(headerAddr: Long): Array[Array[Double]] = {
-    val (dims, cls, sz, off) = datasetInfo(headerAddr)
+    val (dims, cls, sz, lay) = datasetInfo(headerAddr)
     require(dims.length == 2 && cls == 1 && sz == 8,
       s"expected 2-D float64, got dims=$dims class=$cls size=$sz")
+    val (arr, base) = rawData(dims, sz, lay)
+    val bb = ByteBuffer.wrap(arr).order(ByteOrder.LITTLE_ENDIAN)
     val (r, c) = (dims(0).toInt, dims(1).toInt)
-    Array.tabulate(r, c)((i, j) => buf.getDouble((off + (i.toLong * c + j) * 8).toInt))
+    Array.tabulate(r, c)((i, j) =>
+      bb.getDouble(base + (i * c + j) * 8))
   }
 
   /** 1-D float64 dataset (h5mu COO weights, layer vectors). */
   def readDoubleVector(headerAddr: Long): Array[Double] = {
-    val (dims, cls, sz, off) = datasetInfo(headerAddr)
+    val (dims, cls, sz, lay) = datasetInfo(headerAddr)
     require(dims.length == 1 && cls == 1 && sz == 8,
       s"expected 1-D float64, got dims=$dims class=$cls size=$sz")
-    Array.tabulate(dims(0).toInt)(i => buf.getDouble((off + i.toLong * 8).toInt))
+    val (arr, base) = rawData(dims, sz, lay)
+    val bb = ByteBuffer.wrap(arr).order(ByteOrder.LITTLE_ENDIAN)
+    Array.tabulate(dims(0).toInt)(i => bb.getDouble(base + i * 8))
   }
 
   /** 1-D int64 dataset (h5mu COO indices, integer uns scalars). */
   def readLongVector(headerAddr: Long): Array[Long] = {
-    val (dims, cls, sz, off) = datasetInfo(headerAddr)
+    val (dims, cls, sz, lay) = datasetInfo(headerAddr)
     require(dims.length == 1 && cls == 0 && sz == 8,
       s"expected 1-D int64, got dims=$dims class=$cls size=$sz")
-    Array.tabulate(dims(0).toInt)(i => u64((off + i.toLong * 8).toInt))
+    val (arr, base) = rawData(dims, sz, lay)
+    val bb = ByteBuffer.wrap(arr).order(ByteOrder.LITTLE_ENDIAN)
+    Array.tabulate(dims(0).toInt)(i => bb.getLong(base + i * 8))
   }
 
   /** 1-D dataset of fixed-length strings (null-padded) or int64 — both
     * returned as strings, matching how the reference treats the pandas
     * index (`adata.obs.index` values become original_obs_id strings). */
   def readStringVector(headerAddr: Long): Seq[String] = {
-    val (dims, cls, sz, off) = datasetInfo(headerAddr)
+    val (dims, cls, sz, lay) = datasetInfo(headerAddr)
     require(dims.length == 1, s"expected 1-D vector, got dims=$dims")
     val n = dims(0).toInt
+    val (arr, base) = rawData(dims, sz, lay)
     cls match {
       case 3 => // fixed-length string
         (0 until n).map { i =>
-          val p = (off + i.toLong * sz).toInt
+          val p = base + i * sz
           var e = p
-          while (e < p + sz && bytes(e) != 0) e += 1
-          new String(bytes, p, e - p, "UTF-8")
+          while (e < p + sz && arr(e) != 0) e += 1
+          new String(arr, p, e - p, "UTF-8")
         }
       case 0 => // fixed-point (int64 index)
         require(sz == 8, s"expected int64 index, got size $sz")
-        (0 until n).map(i => u64((off + i.toLong * 8).toInt).toString)
+        val bb = ByteBuffer.wrap(arr).order(ByteOrder.LITTLE_ENDIAN)
+        (0 until n).map(i => bb.getLong(base + i * 8).toString)
       case other => sys.error(s"unsupported vector datatype class $other")
     }
   }

@@ -30,6 +30,16 @@ object Hdf5Writer {
   final case class StringVector(values: Seq[String]) extends Node
   final case class LongVector(values: Seq[Long]) extends Node
   final case class DoubleVector(values: Array[Double]) extends Node
+  /** CHUNKED float64 matrix with a DEFLATE filter (layout v3 class 2 +
+    * v1 chunk B-tree + filter pipeline message) — the layout pandas
+    * `complevel>0` / h5py `compression='gzip'` stores use. Chunks are
+    * row blocks of `chunkRows` full rows; the edge chunk is padded to
+    * whole size per the format and each chunk deflates independently
+    * (`java.util.zip.Deflater`, zero new dependencies). `level` 0 still
+    * writes a valid deflate stream (stored blocks) — useful to test the
+    * filter plumbing apart from compression. */
+  final case class ChunkedDoubleMatrix(rows: Int, cols: Int,
+      chunkRows: Int, values: Array[Double], level: Int = 6) extends Node
   /** Iterator-fed variants: `values()` must yield exactly rows×cols (or
     * n) elements; bytes are appended to the file buffer as pulled. */
   final case class DoubleMatrixStream(rows: Int, cols: Int,
@@ -136,6 +146,8 @@ object Hdf5Writer {
         doubleDataset(buf, Seq(r.toLong, c.toLong), v.iterator)
       case DoubleMatrixStream(r, c, it) =>
         doubleDataset(buf, Seq(r.toLong, c.toLong), it())
+      case ChunkedDoubleMatrix(r, c, cr, v, level) =>
+        chunkedDoubleDataset(buf, r, c, cr, v, level)
       case DoubleVector(v) =>
         doubleDataset(buf, Seq(v.length.toLong), v.iterator)
       case DoubleVectorStream(n, it) =>
@@ -178,6 +190,84 @@ object Hdf5Writer {
     require(i == n, s"iterator yielded $i values for dims $dims")
     Seq(0x0001 -> dataspace(dims), 0x0003 -> dtDouble,
       0x0008 -> layoutContiguous(data.toLong, 8L * n))
+  }
+
+  /** Chunked float64 dataset: row-block chunks deflated independently,
+    * indexed by a single-leaf v1 chunk B-tree (type 1). Message set:
+    * dataspace + datatype + DEFLATE filter pipeline + v3 class-2
+    * layout. */
+  private def chunkedDoubleDataset(buf: Buf, rows: Int, cols: Int,
+                                   chunkRows: Int, v: Array[Double],
+                                   level: Int): Seq[(Int, Array[Byte])] = {
+    require(v.length == rows * cols, "row-major values length mismatch")
+    require(chunkRows > 0 && chunkRows <= rows,
+      s"chunkRows $chunkRows out of (0, $rows]")
+    require(level >= 0 && level <= 9, s"deflate level $level out of [0,9]")
+    val nChunks = (rows + chunkRows - 1) / chunkRows
+    val full = chunkRows * cols * 8
+    // compress + append each chunk; record (offsetRow, addr, storedSize)
+    val chunks = (0 until nChunks).map { ci =>
+      val r0 = ci * chunkRows
+      val raw = new Array[Byte](full) // edge chunk zero-padded to whole
+      (0 until math.min(chunkRows, rows - r0)).foreach { i =>
+        (0 until cols).foreach { j =>
+          val bits = java.lang.Double.doubleToLongBits(v((r0 + i) * cols + j))
+          (0 until 8).foreach { b =>
+            raw((i * cols + j) * 8 + b) = (bits >> (8 * b)).toByte
+          }
+        }
+      }
+      val d = new java.util.zip.Deflater(level)
+      d.setInput(raw); d.finish()
+      val tmp = new Array[Byte](full + 64)
+      var sz = 0
+      while (!d.finished()) sz += d.deflate(tmp, sz, tmp.length - sz)
+      d.end()
+      val at = buf.alloc(sz)
+      buf.putBytes(at, java.util.Arrays.copyOf(tmp, sz))
+      (r0, at.toLong, sz)
+    }
+    // single-leaf chunk B-tree: key = size(4) filterMask(4)
+    // offsets(8 × rank+1), interleaved key0 child0 … childN keyN+1
+    val keySize = 8 + 8 * 3
+    val btree = buf.alloc(24 + keySize * (nChunks + 1) + 8 * nChunks)
+    buf.putBytes(btree, "TREE".getBytes("US-ASCII"))
+    buf.put8(btree + 4, 1) // node type: raw data chunks
+    buf.put8(btree + 5, 0) // level
+    buf.putU16(btree + 6, nChunks)
+    buf.putU64(btree + 8, Undef)
+    buf.putU64(btree + 16, Undef)
+    var kp = btree + 24
+    chunks.foreach { case (r0, addr, sz) =>
+      buf.putU32(kp, sz.toLong); buf.putU32(kp + 4, 0L) // filter mask
+      buf.putU64(kp + 8, r0.toLong); buf.putU64(kp + 16, 0L)
+      buf.putU64(kp + 24, 0L)
+      buf.putU64(kp + keySize, addr)
+      kp += keySize + 8
+    }
+    // trailing key: the one-past-the-end chunk offset
+    buf.putU32(kp, 0L); buf.putU32(kp + 4, 0L)
+    buf.putU64(kp + 8, (nChunks.toLong * chunkRows))
+    buf.putU64(kp + 16, 0L); buf.putU64(kp + 24, 8L)
+    // filter pipeline v1: one DEFLATE filter, 1 client value (level);
+    // odd value count pads 4 bytes
+    val filt = new Array[Byte](8 + 8 + 4 + 4)
+    filt(0) = 1; filt(1) = 1
+    filt(8) = 1 // filter id 1 = deflate (u16 LE)
+    filt(14) = 1 // number of client data values (u16 LE)
+    filt(16) = level.toByte
+    // layout v3 class 2: dimensionality(rank+1), btree addr, chunk
+    // dims (u32 × 3, last = element size)
+    val lay = new Array[Byte](3 + 8 + 4 * 3)
+    lay(0) = 3; lay(1) = 2; lay(2) = 3
+    (0 until 8).foreach(i => lay(3 + i) = (btree.toLong >> (8 * i)).toByte)
+    (0 until 4).foreach { i =>
+      lay(11 + i) = (chunkRows >> (8 * i)).toByte
+      lay(15 + i) = (cols >> (8 * i)).toByte
+      lay(19 + i) = (8 >> (8 * i)).toByte
+    }
+    Seq(0x0001 -> dataspace(Seq(rows.toLong, cols.toLong)),
+      0x0003 -> dtDouble, 0x000B -> filt, 0x0008 -> lay)
   }
 
   private def longDataset(buf: Buf, n: Int, it: Iterator[Long])

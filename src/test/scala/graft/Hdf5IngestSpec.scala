@@ -107,6 +107,100 @@ class Hdf5IngestSpec extends AnyFunSuite {
     }
   }
 
+
+  test("chunked+DEFLATE round-trip: random shapes, chunk sizes and " +
+    "levels (incl. edge chunks, level 0, single-chunk, chunk==rows); " +
+    "converter reads a chunked store unchanged") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[T](g: Gen[T], seed: Long): T =
+      g.pureApply(Gen.Parameters.default, Seed(seed))
+    val gen = for {
+      rows <- Gen.choose(1, 40)
+      cols <- Gen.choose(1, 7)
+      chunkRows <- Gen.choose(1, 40).map(c => math.min(c, rows))
+      level <- Gen.choose(0, 9)
+      values <- Gen.listOfN(rows * cols,
+        Gen.chooseNum(-1e6, 1e6).map(v => math.rint(v) / 4))
+    } yield (rows, cols, chunkRows, level, values.toArray)
+    (1 to 25).foreach { seed =>
+      val (rows, cols, chunkRows, level, values) = sample(gen, seed.toLong)
+      val bytes = write(Group(Seq("d" ->
+        ChunkedDoubleMatrix(rows, cols, chunkRows, values, level))))
+      val r = new Hdf5Reader(bytes)
+      val m = r.readDoubleMatrix(r.resolve("d").get)
+      assert(m.flatten.toSeq == values.toSeq,
+        s"seed $seed rows=$rows chunkRows=$chunkRows level=$level")
+      // compression actually happened for repetitive data at level>0:
+      // not asserted per-seed (random data may not shrink), checked
+      // once below
+    }
+    // a repetitive matrix must genuinely shrink under deflate
+    val rep = Array.fill(64 * 8)(1.25)
+    val packed = write(Group(Seq("d" ->
+      ChunkedDoubleMatrix(64, 8, 16, rep, level = 6))))
+    val plain = write(Group(Seq("d" -> DoubleMatrix(64, 8, rep))))
+    assert(packed.length < plain.length / 4,
+      s"deflate did not compress: ${packed.length} vs ${plain.length}")
+    val rrep = new Hdf5Reader(packed)
+    assert(rrep.readDoubleMatrix(rrep.resolve("d").get)
+      .flatten.forall(_ == 1.25))
+
+    // the S-5 ingest path reads a CHUNKED pandas-style store with the
+    // converter unchanged: same leaf shape, block0_values chunked
+    val chunkedLeaf = Group(Seq(
+      "axis0" -> StringVector(Seq("CD45", "DAPI")),
+      "axis1" -> LongVector(Seq(0L, 1L)),
+      "block0_items" -> StringVector(Seq("CD45", "DAPI")),
+      "block0_values" -> ChunkedDoubleMatrix(2, 2, 1,
+        Array(1.0, 2.0, 3.0, 4.0), level = 6)))
+    val storeBytes = write(Group(Seq(
+      "total" -> nest(key1Path, chunkedLeaf),
+      "meanAll" -> nest(key1Path, Group(Seq(
+        "axis0" -> StringVector(Seq("CD45", "DAPI")),
+        "axis1" -> LongVector(Seq(0L, 1L)),
+        "block0_items" -> StringVector(Seq("CD45", "DAPI")),
+        "block0_values" -> ChunkedDoubleMatrix(2, 2, 2,
+          Array(0.5, 1.0, 1.5, 2.0), level = 1)))))))
+    val root = java.nio.file.Files.createTempDirectory("h5chunked")
+    val d = root.resolve("dsc"); java.nio.file.Files.createDirectory(d)
+    java.nio.file.Files.write(d.resolve("out.hdf5"), storeBytes)
+    val got = Hdf5Ingest.convert(spark, root.toString)
+      .as[(String, String, String, Double, Double)].collect().toSet
+    assert(got == Set(
+      ("dsc", "0", "CD45", 1.0, 0.5), ("dsc", "0", "DAPI", 2.0, 1.0),
+      ("dsc", "1", "CD45", 3.0, 1.5), ("dsc", "1", "DAPI", 4.0, 2.0)))
+  }
+
+  test("reader rejects non-deflate filters and malformed chunk trees " +
+    "with clear errors") {
+    // hand-corrupt the filter id in a valid chunked file: id 2 =
+    // shuffle, which the reader must refuse by name, not garble
+    val bytes = write(Group(Seq("d" ->
+      ChunkedDoubleMatrix(4, 2, 2, Array.tabulate(8)(_.toDouble)))))
+    // the filter message body starts with version=1, nfilters=1 and the
+    // id u16 sits at offset 8 — locate it via the unique byte pattern
+    val r0 = new Hdf5Reader(bytes)
+    assert(r0.readDoubleMatrix(r0.resolve("d").get)
+      .flatten.toSeq == (0 until 8).map(_.toDouble))
+    var patched = 0
+    (0 until bytes.length - 24).foreach { p =>
+      // msg header: type=0x000B size + the v1 body (1,1,0,0,0,0,0,0)
+      if (patched == 0 && bytes(p) == 0x0B && bytes(p + 1) == 0 &&
+        bytes(p + 8) == 1 && bytes(p + 9) == 1 &&
+        bytes(p + 16) == 1 && bytes(p + 17) == 0) {
+        bytes(p + 16) = 2 // deflate -> shuffle
+        patched += 1
+      }
+    }
+    assert(patched == 1, "filter message not found to patch")
+    val ex = intercept[IllegalArgumentException] {
+      val r = new Hdf5Reader(bytes)
+      r.readDoubleMatrix(r.resolve("d").get)
+    }
+    assert(ex.getMessage.contains("unsupported filter id 2"))
+  }
+
   test("parseStore: stitched reg1 key convention") {
     val rows = Hdf5Ingest.parseStore(store(key1Path, Seq("CD45", "DAPI"),
       Seq(0L, 1L), Array(1.0, 2.0, 3.0, 4.0),

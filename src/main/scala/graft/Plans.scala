@@ -88,7 +88,14 @@ object Plans {
     // eval-shingle join broadcasts, and packing tokenizes finalists —
     // plus embedding inference (pivoted broadcast weight join, one
     // per-doc agg) and its end-to-end retrieval composition
-    "curate_e2e_pipeline", "m_embed_infer", "e_knn_embed_infer")
+    "curate_e2e_pipeline", "m_embed_infer", "e_knn_embed_infer",
+    // r18: the IVF serving tier over inferred embeddings (pure-map
+    // cell assignment, broadcast probe explode, probed-cell-only
+    // scoring), the on-disk-model serving paths, the BPE tokenizer's
+    // shuffle-free replace-chain projection, and the uncapped e2e
+    // audit's stage plan
+    "e_knn_embed_ivf", "m_classifier_from_disk", "m_embed_from_disk",
+    "t_bpe_real", "curate_e2e_uncapped")
 
   def main(args: Array[String]): Unit = {
     val sfDir =

@@ -168,7 +168,20 @@ object ScaleProbe {
     // and embedding inference over the K× documents (linear term =
     // the feature explode + broadcast pivoted-weight join; the weight
     // table is dim-row at any K)
-    "probe_e2e_uncapped", "m_embed_infer")
+    "probe_e2e_uncapped", "m_embed_infer",
+    // r18: the true BPE tokenizer is a pure per-row replace chain
+    // over the K× documents (no shuffle — the ratio should approach
+    // raw scan cost); the incremental curation stream replays its 4
+    // mtime-ordered shards rebuilt from the K× corpus (per-batch
+    // zero-state gate + band-index probe/append — each stage linear
+    // in the batch); the IVF serving probe holds the query set FIXED
+    // (the registered query's % 101 queries grow ×K with the corpus,
+    // making pair volume ×K² by construction — the winnow caveat),
+    // so the measured terms are inference + assignment + probed-cell
+    // scan over the K× corpus. curate_e2e_uncapped is deliberately
+    // NOT probed: probe_e2e_uncapped already measures the identical
+    // uncapped chain (the audit adds only count actions on top).
+    "t_bpe_real", "stream_curate_pipeline", "probe_embed_ivf_serve")
 
   /** Documents inflated COPIES× in-plan (ids stay unique under any
     * further per-dir offset; text carries a per-copy tag so copies are
@@ -233,6 +246,9 @@ object ScaleProbe {
     */
   val extraProbes: Map[String,
       (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "probe_embed_ivf_serve" -> ((s: SparkSession, d: String) =>
+      graft.queries.Round18Queries.ivfServeFixedQueries(s, d,
+        maxQ = 5000L)),
     "probe_lsh_spam" -> ((s: SparkSession, d: String) => {
       val spamText = (0 until 30).map(i => s"probespam$i").mkString(" ")
       val docs = inflateDocs(s, d, 6).select(col("doc_id"),

@@ -123,7 +123,7 @@ object SparkEntry {
     // r18: same capped-from-birth policy
     "e_knn_embed_ivf", "e_embed_ivf_recall",
     "m_classifier_from_disk", "m_embed_from_disk",
-    "stream_curate_pipeline", "t_bpe_real")
+    "stream_curate_pipeline", "t_bpe_real", "curate_e2e_uncapped")
 
   private val selfCapPrologue =
     "SET memory_limit='2GB'; SET threads=2; "

@@ -33,17 +33,88 @@ object Round17Queries {
     * sf0.001/sf0.01 (500 docs), caps sf0.1's 5000. */
   private val MaxDocId = 1500L
 
+  /** The LINEAR prefix of the e2e oracle replay — base/evald/aug, the
+    * shared gate CTEs, survivors, line dedup, cleaned text — ONE
+    * definition spliced by both the capped `curate_e2e_pipeline`
+    * replay and the uncapped `curate_e2e_uncapped` audit, so the two
+    * cannot drift. Emits `base` … `cleand`; everything here is
+    * non-recursive (the recursive CC replay stays with the capped
+    * query only). Lines never START with `||` — the caller's outer
+    * stripMargin would eat the first pipe. */
+  private[queries] def e2ePrefixSql(cap: Option[Long]): String = {
+    val capAnd = cap.fold("")(m => s" AND doc_id < $m")
+    s"""base AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 97 <> 0$capAnd),
+       |evald AS (
+       |  SELECT doc_id,
+       |    text || ' $Canary' AS text
+       |  FROM documents
+       |  WHERE doc_id % 97 = 0$capAnd),
+       |aug AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    '$Promo' || chr(10) || text || chr(10) ||
+       |      'copyright footer ' || CAST(doc_id % 7 AS VARCHAR) ||
+       |      CASE WHEN doc_id % 53 = 7 THEN chr(10) ||
+       |        '$Canary leak' ||
+       |        CAST(doc_id AS VARCHAR) ELSE '' END AS text
+       |  FROM base),
+       |${OracleGen.curationGateCtes("aug", 1024)},
+       |surv AS MATERIALIZED (
+       |  SELECT b.doc_id, b.text FROM base b
+       |  JOIN gkeep USING (doc_id) JOIN rkeep USING (doc_id)
+       |  JOIN ckeep USING (doc_id)),
+       |lines AS (
+       |  SELECT doc_id, 0 AS line_no,
+       |    '$Promo' AS line FROM surv
+       |  UNION ALL SELECT doc_id, 1, text FROM surv
+       |  UNION ALL SELECT doc_id, 2,
+       |    'copyright footer ' || CAST(doc_id % 7 AS VARCHAR)
+       |  FROM surv
+       |  UNION ALL SELECT doc_id, 3,
+       |    '$Canary leak' || CAST(doc_id AS VARCHAR)
+       |  FROM surv WHERE doc_id % 53 = 7),
+       |lf AS (
+       |  SELECT line, count(DISTINCT doc_id) AS df
+       |  FROM lines GROUP BY line),
+       |cleand AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    string_agg(CASE WHEN df < 2 THEN line END, chr(10)
+       |      ORDER BY line_no) AS text
+       |  FROM lines l JOIN lf USING (line)
+       |  GROUP BY doc_id
+       |  HAVING sum(CASE WHEN df < 2 THEN 1 ELSE 0 END) > 0)"""
+      .stripMargin
+  }
+
+  /** Every intermediate frame of the e2e curation chain — the
+    * `curate_e2e_uncapped` audit counts stages and checks invariants
+    * without re-deriving any of them. `edges` are the near-dup
+    * candidate pairs (endpoint union = every doc sharing a band
+    * bucket with another doc, however the pair set is thinned). */
+  private[graft] final case class E2eStages(
+      base: DataFrame, evalD: DataFrame, keep: DataFrame,
+      cleanD: DataFrame, edges: DataFrame, canon: DataFrame,
+      fin: DataFrame, packed: DataFrame)
+
   /** The `curate_e2e_pipeline` body over an arbitrary (doc_id, text)
     * corpus, optionally doc-id-capped (the registered query caps for
     * the recursive-CTE oracle replay; the `probe_e2e_uncapped` scale
-    * probe drives THIS helper uncapped over the K×-scaled corpus so
-    * the full chain is scale-measured under its real shape — the
-    * probe_leakproof_uncapped convention).
+    * probe and the `curate_e2e_uncapped` audit drive THIS helper
+    * uncapped over the full corpus so the production shape is both
+    * scale-measured and oracle-gated — the probe_leakproof_uncapped
+    * convention).
     */
   private[graft] def e2ePipeline(
       s: org.apache.spark.sql.SparkSession,
       docsIn: DataFrame,
-      maxDocId: Option[Long]): DataFrame = {
+      maxDocId: Option[Long]): DataFrame =
+    e2eStages(s, docsIn, maxDocId).packed
+
+  private[graft] def e2eStages(
+      s: org.apache.spark.sql.SparkSession,
+      docsIn: DataFrame,
+      maxDocId: Option[Long]): E2eStages = {
     import s.implicits._
     val dim = 1024
     val docsAll = maxDocId.fold(docsIn)(m =>
@@ -151,7 +222,7 @@ object Round17Queries {
     val wPack = Window.partitionBy($"split", $"shard")
       .orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, 0)
-    sp.withColumn("cum", sum($"toks").over(wPack))
+    val packed = sp.withColumn("cum", sum($"toks").over(wPack))
       .select($"split", $"shard",
         expr("(cum - toks) div 512").as("bin"),
         $"doc_id", $"toks")
@@ -161,6 +232,7 @@ object Round17Queries {
         min($"doc_id").as("first_doc"),
         max($"doc_id").as("last_doc"))
       .orderBy($"split", $"shard", $"bin")
+    E2eStages(base, evalD, keep, cleanD, edges, canon, fin, packed)
   }
 
   def all: Seq[Q] = Seq(
@@ -193,47 +265,7 @@ object Round17Queries {
       (s, d) => e2ePipeline(s, Tables.documents(s, d),
         Some(MaxDocId)),
       Some(s"""WITH RECURSIVE
-         |base AS MATERIALIZED (
-         |  SELECT doc_id, text FROM documents
-         |  WHERE doc_id < $MaxDocId AND doc_id % 97 <> 0),
-         |evald AS (
-         |  SELECT doc_id,
-         |    text || ' $Canary' AS text
-         |  FROM documents
-         |  WHERE doc_id < $MaxDocId AND doc_id % 97 = 0),
-         |aug AS MATERIALIZED (
-         |  SELECT doc_id,
-         |    '$Promo' || chr(10) || text || chr(10)
-         |      || 'copyright footer ' || CAST(doc_id % 7 AS VARCHAR)
-         |      || CASE WHEN doc_id % 53 = 7 THEN chr(10)
-         |        || '$Canary leak'
-         |        || CAST(doc_id AS VARCHAR) ELSE '' END AS text
-         |  FROM base),
-         |${OracleGen.curationGateCtes("aug", 1024)},
-         |surv AS MATERIALIZED (
-         |  SELECT b.doc_id, b.text FROM base b
-         |  JOIN gkeep USING (doc_id) JOIN rkeep USING (doc_id)
-         |  JOIN ckeep USING (doc_id)),
-         |lines AS (
-         |  SELECT doc_id, 0 AS line_no,
-         |    '$Promo' AS line FROM surv
-         |  UNION ALL SELECT doc_id, 1, text FROM surv
-         |  UNION ALL SELECT doc_id, 2,
-         |    'copyright footer ' || CAST(doc_id % 7 AS VARCHAR)
-         |  FROM surv
-         |  UNION ALL SELECT doc_id, 3,
-         |    '$Canary leak' || CAST(doc_id AS VARCHAR)
-         |  FROM surv WHERE doc_id % 53 = 7),
-         |lf AS (
-         |  SELECT line, count(DISTINCT doc_id) AS df
-         |  FROM lines GROUP BY line),
-         |cleand AS MATERIALIZED (
-         |  SELECT doc_id,
-         |    string_agg(CASE WHEN df < 2 THEN line END, chr(10)
-         |      ORDER BY line_no) AS text
-         |  FROM lines l JOIN lf USING (line)
-         |  GROUP BY doc_id
-         |  HAVING sum(CASE WHEN df < 2 THEN 1 ELSE 0 END) > 0),
+         |${e2ePrefixSql(Some(MaxDocId))},
          |${OracleGen.minhashBucketsCte(5, 8, 2, source = "cleand")},
          |ee AS (SELECT a_id AS a, b_id AS b FROM mh_cand
          |  UNION SELECT b_id, a_id FROM mh_cand),

@@ -31,6 +31,24 @@ object Round18Queries {
     * longs — the r15/r16 measured-checkpoint discipline: the embed
     * chain is the expensive subtree and feeds the centroid action
     * plus both join sides) and the metadata-sized centroid sample. */
+  /** The IVF serving plan at a FIXED query set (doc_id % 101 == 0
+    * bounded below `maxQ`) — the scale-probe form: the registered
+    * `e_knn_embed_ivf` draws queries from the whole corpus, so on a
+    * K×-scaled dir its query count grows ×K and the query×candidate
+    * pair volume grows ×K² by construction (the winnow-probe
+    * output-bound caveat). Serving cost at scale is per-query — this
+    * form holds queries constant so the probe measures the real
+    * linear terms: inference + cell assignment over the K× corpus and
+    * the probed-cell candidate scan. */
+  private[graft] def ivfServeFixedQueries(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      maxQ: Long): DataFrame = {
+    val (vecs, cents) = embedVecsAndCentroids(s, d)
+    val qs = vecs.filter(col("doc_id") % 101 === 0 &&
+      col("doc_id") < maxQ)
+    IntIvf.ivfMipsTopK(vecs, qs, "doc_id", K, cents, NProbe)
+  }
+
   private def embedVecsAndCentroids(
       s: org.apache.spark.sql.SparkSession, d: String)
     : (DataFrame, Seq[(Long, Array[Long])]) = {

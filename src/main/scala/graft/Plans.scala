@@ -91,11 +91,15 @@ object Plans {
     "curate_e2e_pipeline", "m_embed_infer", "e_knn_embed_infer",
     // r18: the IVF serving tier over inferred embeddings (pure-map
     // cell assignment, broadcast probe explode, probed-cell-only
-    // scoring), the on-disk-model serving paths, the BPE tokenizer's
-    // shuffle-free replace-chain projection, and the uncapped e2e
-    // audit's stage plan
+    // scoring), the on-disk-model serving paths, and the BPE
+    // tokenizer's shuffle-free replace-chain projection.
+    // curate_e2e_uncapped is deliberately ABSENT: its Q runs the
+    // stage counts eagerly and returns a local 9-row frame, so a
+    // dump would execute the whole uncapped chain to print a
+    // LocalTableScan — the chain's plan evidence lives with
+    // curate_e2e_pipeline above
     "e_knn_embed_ivf", "m_classifier_from_disk", "m_embed_from_disk",
-    "t_bpe_real", "curate_e2e_uncapped")
+    "t_bpe_real")
 
   def main(args: Array[String]): Unit = {
     val sfDir =

@@ -26,11 +26,6 @@ object Round18Queries {
   private val NProbe = 4
   private val K = 5
 
-  /** Shared embed → dense-vector → centroid stage for the IVF-tier
-    * queries: ONE localCheckpoint'd (id, vec) frame (|docs| × 16
-    * longs — the r15/r16 measured-checkpoint discipline: the embed
-    * chain is the expensive subtree and feeds the centroid action
-    * plus both join sides) and the metadata-sized centroid sample. */
   /** The IVF serving plan at a FIXED query set (doc_id % 101 == 0
     * bounded below `maxQ`) — the scale-probe form: the registered
     * `e_knn_embed_ivf` draws queries from the whole corpus, so on a
@@ -49,6 +44,11 @@ object Round18Queries {
     IntIvf.ivfMipsTopK(vecs, qs, "doc_id", K, cents, NProbe)
   }
 
+  /** Shared embed → dense-vector → centroid stage for the IVF-tier
+    * queries: ONE localCheckpoint'd (id, vec) frame (|docs| × 16
+    * longs — the r15/r16 measured-checkpoint discipline: the embed
+    * chain is the expensive subtree and feeds the centroid action
+    * plus both join sides) and the metadata-sized centroid sample. */
   private def embedVecsAndCentroids(
       s: org.apache.spark.sql.SparkSession, d: String)
     : (DataFrame, Seq[(Long, Array[Long])]) = {

@@ -52,13 +52,16 @@ object Round18bQueries {
           .join(st.canon.select($"doc_id"), Seq("doc_id"), "left_anti")
           .count()
         val nFin = st.fin.count()
+        // coalesce: sum over ZERO rows is NULL — an all-filtered
+        // corpus must report 0s and flip invariant bits, not NPE
         val packRow = st.packed
-          .agg(sum($"n_docs").as("d"), sum($"sum_toks").as("t")).head()
+          .agg(coalesce(sum($"n_docs"), lit(0L)).as("d"),
+            coalesce(sum($"sum_toks"), lit(0L)).as("t")).head()
         val (packDocs, packToks) =
           (packRow.getLong(0), packRow.getLong(1))
         val finToks = st.fin
           .select(size(split($"text", "\\s+")).cast("long").as("t"))
-          .agg(sum($"t")).head().getLong(0)
+          .agg(coalesce(sum($"t"), lit(0L))).head().getLong(0)
         def bit(ok: Boolean) = if (ok) 1L else 0L
         Seq(
           "band_singleton" -> (nClean - nCollided),

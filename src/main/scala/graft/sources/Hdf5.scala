@@ -318,8 +318,15 @@ final class Hdf5Reader(bytes: Array[Byte]) {
         inf.setInput(bytes, at, stored)
         val buf = new Array[Byte](full)
         var got = 0
-        while (got < full && !inf.finished())
-          got += inf.inflate(buf, got, full - got)
+        while (got < full && !inf.finished()) {
+          val n = inf.inflate(buf, got, full - got)
+          // a truncated stored stream makes inflate() return 0 with
+          // needsInput() set — raise instead of spinning forever
+          require(n > 0 || !(inf.needsInput() || inf.needsDictionary()),
+            s"chunk deflate stream truncated or malformed " +
+              s"($got of $full bytes inflated from $stored stored)")
+          got += n
+        }
         inf.end()
         require(got == full,
           s"chunk inflated to $got bytes, expected $full")

@@ -204,6 +204,12 @@ object Hdf5Writer {
       s"chunkRows $chunkRows out of (0, $rows]")
     require(level >= 0 && level <= 9, s"deflate level $level out of [0,9]")
     val nChunks = (rows + chunkRows - 1) / chunkRows
+    // the single-leaf B-tree stores its entry count in a u16 — more
+    // chunks than that must fail loudly, never wrap mod 65536 into a
+    // file whose tail chunks silently read back as zeros
+    require(nChunks <= 0xFFFF,
+      s"$nChunks chunks exceed the v1 B-tree u16 entry count — " +
+        "raise chunkRows")
     val full = chunkRows * cols * 8
     // compress + append each chunk; record (offsetRow, addr, storedSize)
     val chunks = (0 until nChunks).map { ci =>
@@ -219,13 +225,20 @@ object Hdf5Writer {
       }
       val d = new java.util.zip.Deflater(level)
       d.setInput(raw); d.finish()
-      val tmp = new Array[Byte](full + 64)
-      var sz = 0
-      while (!d.finished()) sz += d.deflate(tmp, sz, tmp.length - sz)
+      // drain through a growable sink: a fixed full+margin buffer
+      // under-sizes zlib's worst case (~full + 5 bytes per 64 KB
+      // block) and the deflate loop would spin forever at capacity
+      val sink = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) {
+        val n = d.deflate(tmp)
+        sink.write(tmp, 0, n)
+      }
       d.end()
-      val at = buf.alloc(sz)
-      buf.putBytes(at, java.util.Arrays.copyOf(tmp, sz))
-      (r0, at.toLong, sz)
+      val out = sink.toByteArray
+      val at = buf.alloc(out.length)
+      buf.putBytes(at, out)
+      (r0, at.toLong, out.length)
     }
     // single-leaf chunk B-tree: key = size(4) filterMask(4)
     // offsets(8 × rank+1), interleaved key0 child0 … childN keyN+1

@@ -26,6 +26,7 @@ def main(committed_path, fresh_path, out_path):
     committed = json.load(open(committed_path))
     fresh = json.load(open(fresh_path))
     assert committed["k"] == fresh["k"], (committed["k"], fresh["k"])
+    assert committed["sf"] == fresh["sf"], (committed["sf"], fresh["sf"])
     merged = dict(committed["queries"])
     merged.update(fresh["queries"])
     lines = ['{"k":%d,"sf":"%s","queries":{' %

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Round-18 optimization evidence: dump `.explain("formatted")` for a
+  * list of queries into plans/r18/<name>_<suffix>.txt (the judge
+  * checks plan-shape claims against these files).
+  * Usage: runMain graft.PlansR18 <suffix> <name1,name2,...> [sfDir]
+  */
+object PlansR18 {
+  def main(args: Array[String]): Unit = {
+    val suffix = args(0)
+    val names = args(1).split(",").map(_.trim).filter(_.nonEmpty)
+    val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = new java.io.File("plans/r18")
+    dir.mkdirs()
+    names.foreach { name =>
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"plans/r18/${name}_$suffix.txt"), plan)
+        System.err.println(s"[plans] $name -> ${name}_$suffix.txt")
+      } catch { case e: Throwable =>
+        System.err.println(s"[plans] $name FAILED: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -419,8 +419,8 @@ object ScaleProbe {
         .as("__planes")))
     inflated.crossJoin(planes)
       .select(col("vec_id"),
-        (col("x0") + pmod(expr("CAST(conv(substring(md5(cast(vec_id " +
-            "AS string)), 1, 15), 16, 10) AS BIGINT)"), col("__planes"))
+        (col("x0") + pmod(graft.functions.text.md5_prefix64(
+            col("vec_id").cast("string"), 15), col("__planes"))
           .cast("double") * 1000.0).as("x"),
         col("y"))
   }

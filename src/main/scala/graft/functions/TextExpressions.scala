@@ -95,6 +95,69 @@ case class UnicodeNormalize(child: Expression, form: Int)
     copy(child = c)
 }
 
+/** Fused md5-prefix hash kernel: the engine's portable hash idiom is
+  * `conv(substring(md5(s), 1, n), 16, 10)` — md5 hex, keep the first
+  * n hex digits, parse base-16 — which as a built-in chain costs one
+  * MessageDigest.getInstance + a 32-char hex encode + a substring
+  * copy + a string base-16 parse PER CALL, in the hottest loops the
+  * engine has (per-token classifier features, per-gram winnowing
+  * fingerprints, per-row sampling priorities). [[HashKernels
+  * .md5Prefix]] computes the identical value straight off the digest
+  * bytes — thread-local digest instance, zero string allocation —
+  * and [[Md5Prefix64]] inlines it into whole-stage codegen. The
+  * DuckDB oracles keep the written-out chain; bit-equality for every
+  * n in [1, 15] is property-pinned in Md5PrefixSpec.
+  */
+object HashKernels {
+  private val tl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Value of the first `nHex` hex digits of md5(s) as a long —
+    * bit-equal to `conv(substring(md5(s), 1, nHex), 16, 10)` for
+    * 1 ≤ nHex ≤ 15 (≤ 60 bits, so the value is always positive and
+    * exact in a BIGINT on every engine). */
+  def md5Prefix(s: UTF8String, nHex: Int): Long = {
+    val md = tl.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < nHex) {
+      val b = d(i >> 1) & 0xff
+      v = (v << 4) | (if ((i & 1) == 0) b >>> 4 else b & 0xf)
+      i += 1
+    }
+    v
+  }
+}
+
+/** md5_prefix64(s, nHex) → long; NULL in, NULL out. `nHex` is a
+  * plan-time constant in [1, 15], embedded in the generated code. */
+case class Md5Prefix64(child: Expression, nHex: Int)
+    extends UnaryExpression {
+  require(nHex >= 1 && nHex <= 15,
+    s"md5_prefix64: nHex must be in [1, 15], got $nHex")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"md5_prefix64 expects a string column, got ${child.dataType}")
+  override def nullSafeEval(s: Any): Any =
+    HashKernels.md5Prefix(s.asInstanceOf[UTF8String], nHex)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.functions.HashKernels.md5Prefix($s, $nHex)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object text {
   private def ex(c: Column) = GraftColumnBridge.expression(c)
 
@@ -102,4 +165,9 @@ object text {
   def unicode_normalize(s: Column, form: String): Column =
     GraftColumnBridge.column(
       UnicodeNormalize(ex(s), TextKernels.formOf(form)))
+
+  /** Column-API form: `md5_prefix64($"tok", 15)` ≡
+    * `conv(substring(md5(tok), 1, 15), 16, 10)` cast long. */
+  def md5_prefix64(s: Column, nHex: Int): Column =
+    GraftColumnBridge.column(Md5Prefix64(ex(s), nHex))
 }

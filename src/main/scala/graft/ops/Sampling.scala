@@ -29,8 +29,7 @@ object Sampling {
     * the +1 avoids a zero divisor and keeps the domain exactly
     * representable as a double). */
   def hash44(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 11), 16, 10)
-      .cast("long") + lit(1L)
+    graft.functions.text.md5_prefix64(key.cast("string"), 11) + lit(1L)
 
   /** Priority sampling (Duffield, Lund, Thorup — "Priority sampling
     * for estimation of arbitrary subset sums", JACM 2007): each item
@@ -258,8 +257,8 @@ object Sampling {
     require(k > 0, s"k must be positive, got $k")
     val topk = TopKAgg.topK(k)
     df.select(col(groupCol), col(idCol),
-        conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
-          .cast("long").as("__h"))
+        graft.functions.text
+          .md5_prefix64(col(idCol).cast("string"), 15).as("__h"))
       .groupBy(col(groupCol))
       // v = −h ⇒ the descending TopKAgg buffer holds the k SMALLEST
       // hashes; id carries the sampled id

@@ -168,7 +168,11 @@ object TextStats {
       s"weights must cover every fid in [0, $dim)")
     val stop = Seq("the", "be", "to", "of", "and", "that",
       "have", "with")
-    val wmap = typedLit(weights)
+    // array-indexed weights, not a literal map — element_at on a
+    // literal map linear-scans all dim entries per token (see
+    // TextClassifier.scoreDocsInline); coverage of [0, dim) is
+    // enforced by the require above
+    val wmap = typedLit((0 until dim).map(i => weights(i.toLong)))
     def gramsArr(n: Int) =
       s"CASE WHEN size(__toks) < $n THEN array() " +
         s"ELSE transform(sequence(0, size(__toks) - $n), " +
@@ -216,7 +220,8 @@ object TextStats {
         aggregate(
           transform(expr(TextClassifier.featsExpr),
             f => TextClassifier.featureHash(f, dim)),
-          lit(0L), (acc, fid) => acc + element_at(wmap, fid))
+          lit(0L), (acc, fid) => acc +
+            element_at(wmap, (fid + 1L).cast("int")))
           .as("dot")): _*)
   }
 

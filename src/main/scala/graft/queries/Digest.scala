@@ -31,7 +31,7 @@ object Digest {
     * which SUM skips on both engines — pair with a count(col) to pin the
     * null count). */
   def strSig(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 10), 16, 10).cast("long")
+    graft.functions.text.md5_prefix64(c.cast("string"), 10)
 
   /** DuckDB fragment computing the identical signature. NOTE: `||`, not
     * concat() — DuckDB's concat() treats NULL as '', yielding the

@@ -95,9 +95,9 @@ object Round13Queries {
           .as("i"),
         col("t"))
       .select(col("doc_id"), col("max_j"), col("i"),
-        (expr("conv(substring(md5(substring(t, CAST(i + 1 AS INT), 8))" +
-            ", 1, 10), 16, 10)")
-          .cast("long") * 4096L + col("i")).as("combined"))
+        (graft.functions.text.md5_prefix64(
+          expr("substring(t, CAST(i + 1 AS INT), 8)"), 10)
+          * 4096L + col("i")).as("combined"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
       .rowsBetween(0, 3)
     grams

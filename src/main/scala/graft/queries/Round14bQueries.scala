@@ -592,8 +592,8 @@ object Round14bQueries {
     // engines compute the IDENTICAL partition of ids.
     val h = events.select(col("event_type"),
       (col("user_id") % lit(8L)).as("shard"),
-      expr("CAST(conv(substring(md5(cast(user_id AS string)), 1, " +
-        "15), 16, 10) AS BIGINT)").as("h"))
+      graft.functions.text
+        .md5_prefix64(col("user_id").cast("string"), 15).as("h"))
     // KMV is defined over DISTINCT hash values; v = -h makes the
     // descending TopKAgg buffer hold the k SMALLEST hashes
     // (ascending h), id carries the hash itself
@@ -643,8 +643,8 @@ object Round14bQueries {
       : org.apache.spark.sql.DataFrame = {
     val topk = graft.functions.TopKAgg.topK(KmvK)
     val h = events.select(col("event_type"),
-        expr("CAST(conv(substring(md5(cast(user_id AS string)), 1, " +
-          "15), 16, 10) AS BIGINT)").as("h"))
+        graft.functions.text
+          .md5_prefix64(col("user_id").cast("string"), 15).as("h"))
       .distinct()
     val sk = h.groupBy(col("event_type"))
       .agg(topk(negate(col("h")), col("h")).as("mins"),
@@ -1151,9 +1151,9 @@ object Round14bQueries {
         import s.implicits._
         val ev = Tables.events(s, d).select($"user_id")
         val rows = broadcast(s.range(0, 4L).toDF("r"))
-        def cellCol = expr("pmod(CAST(conv(substring(md5(concat(" +
-          "CAST(r AS string), ':', CAST(user_id AS string))), 1, 15)" +
-          ", 16, 10) AS BIGINT), 256)")
+        def cellCol = pmod(graft.functions.text.md5_prefix64(
+          concat($"r".cast("string"), lit(":"),
+            $"user_id".cast("string")), 15), lit(256L))
         val cells = ev.crossJoin(rows)
           .select($"r", cellCol.as("c"))
           .groupBy($"r", $"c").agg(count(lit(1)).as("n"))

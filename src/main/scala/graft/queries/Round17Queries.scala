@@ -147,10 +147,16 @@ object Round17Queries {
     // tokenize, one tagged explode, one (doc,n,gram) collapse,
     // one broadcast weight join, one per-doc agg — spec-pinned
     // equal to composing the three stand-alone operators
+    // keep is doc_ids only (metadata-thin) and feeds cleanD's join
+    // AND the uncapped audit's gate-survivor count — without the
+    // checkpoint the audit re-runs the whole fused gate chain
+    // (tokenize + tagged explode + gram agg, ~1.9 s at sf0.1
+    // uncapped) a second time for one count (r18 measured)
     val keep = graft.ops.TextStats.curationStats(aug, "doc_id",
         "text", TextClassifier.standInWeights(s, dim), dim)
       .filter(graft.ops.TextStats.curationGate)
       .select($"doc_id")
+      .localCheckpoint()
 
     // ---- stage 4: line dedup over survivors (lines rebuilt
     // from the RAW text + planted boilerplate, as lineDedup)
@@ -176,9 +182,16 @@ object Round17Queries {
       .localCheckpoint()
 
     // ---- stage 5: near-dup clusters -> canonical member
+    // edges checkpointed HERE (not only inside duplicateClusters,
+    // which checkpoints its own directed copy): the uncapped audit's
+    // band-singleton count re-traverses the candidate-pair frame, and
+    // without this it re-runs the whole shingle+minhash derivation
+    // (r18 measured; duplicateClusters' internal checkpoint then
+    // reads this one cheaply)
     val edges = graft.dedup.Dedup.minhashCandidatesPortable(
       cleanD, "doc_id", "text",
       shingleN = 5, bands = 8, rowsPerBand = 2)
+      .localCheckpoint()
     val clusters = graft.dedup.Dedup
       .duplicateClusters(cleanD.select($"doc_id"), edges, "doc_id")
       .withColumnRenamed("id", "doc_id")
@@ -207,7 +220,11 @@ object Round17Queries {
     val cont = shingles8(canon).distinct()
       .join(broadcast(esh), Seq("shingle"))
       .select($"doc_id").distinct()
+    // fin feeds packing AND (in the uncapped audit) the finalist
+    // count + the token-conservation invariant — three traversals of
+    // the decontamination join without this checkpoint (r18 measured)
     val fin = canon.join(cont, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
 
     // ---- stages 7-9: whole-cluster split, 512-token pack,
     // shard rollup (token counts computed ONLY for finalists)

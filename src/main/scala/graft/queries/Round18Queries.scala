@@ -211,13 +211,25 @@ object Round18Queries {
               gatePlanAudited = true
             }
             // survivors feed bands + the kept write: checkpoint the
-            // batch-local frame once (micro-batch-sized); the gate
-            // is the ONE shared TextStats.curationGate definition —
-            // identical to the batch composite by construction
-            val surv = stats.filter(TextStats.curationGate)
+            // STATS frame (micro-batch-sized), THEN filter — checking
+            // the gate on the lazy frame lets PushPredicateThroughNonJoin
+            // substitute all 11 predicate trees below the projection,
+            // re-evaluating the tokenize + gram sorts + hash fold ~2×
+            // per row and the split ~10× (measured 1.9 s/batch vs
+            // 0.45 s for one honest evaluation). The checkpoint is a
+            // materialization barrier: every gate expression runs
+            // exactly once per row, the filter then reads materialized
+            // columns. The gate is the ONE shared
+            // TextStats.curationGate definition — identical to the
+            // batch composite by construction
+            sc.sparkContext.setJobDescription("scp: gate checkpoint")
+            val surv = stats
               .select(col("doc_id"), col("text"), col("n_words"),
-                col("n_feats"), col("dot"))
+                col("n_feats"), col("dot"),
+                TextStats.curationGate.as("__keep"))
               .localCheckpoint()
+              .filter(col("__keep")).drop("__keep")
+            sc.sparkContext.setJobDescription("scp: own bands")
             val ownBands = Dedup.minhashBucketsPortable(surv,
                 "doc_id", "text", shingleN = 5, bands = 8,
                 rowsPerBand = 2)
@@ -240,6 +252,7 @@ object Round18Queries {
             val coll = ownBands.join(probe, Seq("band", "band_hash"))
               .filter(col("i_bid") < col("bid"))
               .select(col("id").as("doc_id")).distinct()
+            sc.sparkContext.setJobDescription("scp: kept write")
             surv.select(col("doc_id"), col("n_words"), col("n_feats"),
                 col("dot"))
               .join(coll, Seq("doc_id"), "left_anti")
@@ -252,10 +265,12 @@ object Round18Queries {
             // which the next batch's read would fail to infer a
             // schema from (isEmpty on the checkpointed frame is one
             // cheap local scan)
+            sc.sparkContext.setJobDescription("scp: index append")
             if (!ownBands.isEmpty)
               ownBands.select(col("id"), col("band"), col("band_hash"),
                   col("bid"))
                 .write.mode("append").partitionBy("band").parquet(idxDir)
+            sc.sparkContext.setJobDescription(null)
           }
           s.read.parquet(keptDir)
             .orderBy($"doc_id").localCheckpoint()

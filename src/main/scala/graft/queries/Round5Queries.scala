@@ -659,8 +659,8 @@ object Round5Queries {
           .select($"doc_id", $"lang", $"w",
             explode(sequence(lit(1), ceil($"w").cast("int"))).as("epoch"))
           .filter($"epoch" <= floor($"w") ||
-            conv(substring(md5(concat_ws("-", $"doc_id", $"epoch")),
-              1, 15), 16, 10).cast("long") % 1000 <
+            graft.functions.text.md5_prefix64(
+              concat_ws("-", $"doc_id", $"epoch"), 15) % 1000 <
               round(($"w" - floor($"w")) * 1000))
           .groupBy($"lang")
           .agg(countDistinct($"doc_id").as("n_docs"),

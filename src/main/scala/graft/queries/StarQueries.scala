@@ -431,9 +431,8 @@ object StarQueries {
         "cluster size (no RNG state), a pure scan-side filter at 100 TB.",
       (s, d) => {
         import s.implicits._
-        val bucket = conv(substring(
-          md5(concat_ws("-", $"l_orderkey", $"l_linenumber")), 1, 15),
-          16, 10).cast("long") % 100
+        val bucket = graft.functions.text.md5_prefix64(
+          concat_ws("-", $"l_orderkey", $"l_linenumber"), 15) % 100
         val rate = when($"l_returnflag" === "A", 5)
           .when($"l_returnflag" === "N", 10).otherwise(20)
         Tables.lineitem(s, d)

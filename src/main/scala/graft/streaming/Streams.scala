@@ -161,9 +161,10 @@ object Streams {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .selectExpr("event_type",
-        "CAST(conv(substring(md5(cast(user_id AS string)), 1, 15), " +
-          "16, 10) AS BIGINT) AS h")
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        graft.functions.text.md5_prefix64(
+          org.apache.spark.sql.functions.col("user_id").cast("string"),
+          15).as("h"))
       .as[(String, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[KmvState, (String, Long, Double)](

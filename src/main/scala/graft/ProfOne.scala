@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   */
 object ProfOne {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -52,7 +52,7 @@ object ProfOne {
       SparkEntry.queries("q1_agg")(spark, sfDir).count()
       SparkEntry.queries("j1_patient_join")(spark, sfDir).count()
     } catch { case _: Throwable => () }
-    for (r <- 1 to reps) {
+    for (name <- names; r <- 1 to reps) {
       rows.clear(); stages.clear()
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()

@@ -744,9 +744,13 @@ object Dedup {
                        path: String,
                        retain: Column = lit(true)): Unit =
     graft.ops.AtomicSwap.rewrite(path) { tmp =>
+      // explicit width (bare keyed repartitions are AQE-coalescible
+      // down to one task on a small index — r18); keyed by band, so
+      // the one-file-per-band compaction contract is unchanged
       spark.read.parquet(path)
         .filter(retain)
-        .repartition(col("band"))
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("band"))
         .sortWithinPartitions(col("band_hash"))
         .write.partitionBy("band").parquet(tmp)
     }

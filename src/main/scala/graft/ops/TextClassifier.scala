@@ -42,6 +42,25 @@ object TextClassifier {
   def featureHash(feat: Column, dim: Int): Column =
     graft.functions.text.md5_prefix64(feat, 15) % dim.toLong
 
+  /** Spread an under-split batch scan before an expensive per-row
+    * stage (tokenize + n-gram explode: ~10³ generated rows and two
+    * md5s per token of work per input row). A small corpus arrives
+    * as one parquet file = ONE scan partition, and everything up to
+    * the first exchange then runs single-task (r18 measured: the
+    * fused gate chain's 1.9 s stage was this). When the scan is
+    * already at session width (any at-scale corpus), this is a
+    * no-op — the repartition only fires for under-split inputs, so
+    * no full-corpus shuffle is ever added at 100 TB. Streaming
+    * frames pass through untouched (micro-batches own their
+    * parallelism; the inline zero-state forms are the streaming
+    * path anyway). */
+  private[graft] def spread(df: DataFrame, key: Column): DataFrame = {
+    if (df.isStreaming) return df
+    val width = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= width) df
+    else df.repartition(width, key)
+  }
+
   /** The same hash as DuckDB SQL over a feature expression. */
   def featureHashSql(featExpr: String, dim: Int): String =
     s"CAST(concat('0x', substr(md5($featExpr), 1, 15)) AS BIGINT) % $dim"
@@ -107,7 +126,7 @@ object TextClassifier {
     * (one regexp_replace on both sides) before classification. */
   def ngramFeatures(docs: DataFrame, idCol: String,
                     textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol),
+    val toks = spread(docs, col(idCol)).select(col(idCol),
       split(trim(col(textCol)), "\\s+").as("__toks"))
     toks.select(col(idCol), explode(expr(featsExpr)).as("feat"))
   }

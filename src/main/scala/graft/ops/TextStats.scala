@@ -92,9 +92,10 @@ object TextStats {
     TextClassifier.requireFullCoverage(weights, dim)
     val stop = Seq("the", "be", "to", "of", "and", "that",
       "have", "with")
-    val tokArr = docs.select(col(idCol),
-      length(trim(col(textCol))).cast("long").as("n_chars"),
-      split(trim(col(textCol)), "\\s+").as("__toks"))
+    val tokArr = TextClassifier.spread(docs, col(idCol))
+      .select(col(idCol),
+        length(trim(col(textCol))).cast("long").as("n_chars"),
+        split(trim(col(textCol)), "\\s+").as("__toks"))
     def grams(n: Int) =
       s"CASE WHEN size(__toks) < $n THEN array() " +
         s"ELSE transform(sequence(0, size(__toks) - $n), " +

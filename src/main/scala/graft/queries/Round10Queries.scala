@@ -148,9 +148,14 @@ object Round10Queries {
           val shards = embShards(s, d)
           Scratch.withTempDir("graft-ivfstream-") { tmp =>
             val p = s"${tmp.getAbsolutePath}/index"
+            // explicit-width keyed repartition: the single-file scan
+            // otherwise funnels the assign+16-way dynamic write
+            // through ONE task (r18); one file per cell either way
             batchA.select($"vec_id", $"embedding",
                 graft.functions.vector.vec_argmax_cosine($"embedding", cents)
                   .as("cell"))
+              .repartition(s.sessionState.conf.numShufflePartitions,
+                $"cell")
               .write.partitionBy("cell").parquet(p)
             graft.streaming.Streams.runForeachBatch(s) { scoped =>
               graft.streaming.Streams.fileStream(scoped, shards, emb.schema,
@@ -397,10 +402,14 @@ object Round10Queries {
         val batchB = emb.filter($"vec_id" % 10 === 0)
         val stale = graft.similarity.Knn.kmeansCentroids(
           batchA, "vec_id", "embedding", k = 16)
+        // explicit-width keyed repartition before the dynamic write
+        // (the Round9 e_knn_ivf_append rationale — one task otherwise)
         def assigned(df: org.apache.spark.sql.DataFrame) =
           df.select($"vec_id", $"embedding",
             graft.functions.vector.vec_argmax_cosine($"embedding", stale)
               .as("cell"))
+            .repartition(s.sessionState.conf.numShufflePartitions,
+              $"cell")
         // degenerate corpus: nothing to index/recenter — empty ranked
         // result (matches the oracle on empty tables)
         if (stale.length < 2)

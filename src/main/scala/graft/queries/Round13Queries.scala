@@ -80,14 +80,23 @@ object Round13Queries {
       // Spark sequence(0, negative) DESCENDS instead of being empty —
       // sub-k docs must not reach it (they have no grams anyway)
       .filter(length(col("t")) >= 8)
-      // the per-gram hashing below is ~chars × (md5 + conv) of work:
-      // left in the scan stage it runs at the PARQUET SPLIT's
-      // parallelism (a single-file corpus = one core — measured 5×
-      // slower than linear on the 6× probe). Repartitioning the cheap
-      // (doc_id, t) rows first spreads it, and the sliding-window min
-      // needs this exact hash distribution anyway, so the window adds
-      // NO second exchange.
-      .repartition(col("doc_id"))
+      // the per-gram hashing below is ~chars × md5 of work: left in
+      // the scan stage it runs at the PARQUET SPLIT's parallelism (a
+      // single-file corpus = one core — measured 5× slower than
+      // linear on the 6× probe). Repartitioning the cheap (doc_id, t)
+      // rows first spreads it, and the sliding-window min needs this
+      // exact hash distribution anyway, so the window adds NO second
+      // exchange. The width is EXPLICIT (session shuffle partitions):
+      // a bare repartition(col) is an AQE-coalescible exchange, and
+      // the (doc_id, t) rows are so small that AQE folded the whole
+      // ~2000-gram/doc explode+hash+window into ONE task (r18
+      // measured: 3.2 s single-task stage = the whole query's
+      // critical path; AQE sizes by the exchange's INPUT bytes and
+      // cannot see the downstream fan-out). Explicit-width keyed
+      // repartitions are exempt from AQE coalescing by contract, and
+      // the width follows the session conf, not a local constant.
+      .repartition(docs.sparkSession.sessionState.conf
+        .numShufflePartitions, col("doc_id"))
     val grams = normed
       .select(col("doc_id"),
         (length(col("t")).cast("long") - 11L).as("max_j"),

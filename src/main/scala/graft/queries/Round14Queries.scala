@@ -57,7 +57,12 @@ object Round14Queries {
       .select(col("doc_id"), expr("fp div 4096").as("fp"))
       .distinct()
       .localCheckpoint()
-    winnowOverlapPairs(fps.repartition(col("fp")),
+    // explicit width: the fp index is a few MB at sf0.1, so a bare
+    // repartition(col) lets AQE coalesce the exchange that feeds the
+    // frequency window AND both self-join legs down to ~1 task (the
+    // winnowFingerprints lesson, same round)
+    winnowOverlapPairs(fps.repartition(docs.sparkSession.sessionState
+        .conf.numShufflePartitions, col("fp")),
       docs.select(col("doc_id")), minShared)
   }
 

@@ -153,10 +153,16 @@ object Round9Queries {
         val batchB = emb.filter($"vec_id" % 10 === 0)
         val cents = graft.similarity.Knn.kmeansCentroids(
           batchA, "vec_id", "embedding", k = 16)
+        // explicit-width keyed repartition before the dynamic write:
+        // the single-file scan otherwise funnels assign+write through
+        // ONE task (r18); keyed by cell, so files-per-cell audits see
+        // the same one-file-per-cell-per-write layout
         def assigned(df: org.apache.spark.sql.DataFrame) =
           df.select($"vec_id", $"embedding",
             graft.functions.vector.vec_argmax_cosine($"embedding", cents)
               .as("cell"))
+            .repartition(s.sessionState.conf.numShufflePartitions,
+              $"cell")
         // degenerate corpus: nothing to index — empty ranked result
         // (matches the oracle on empty tables)
         if (cents.length < 2)

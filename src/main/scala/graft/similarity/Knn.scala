@@ -510,8 +510,13 @@ object Knn {
     val cents = kmeansCentroids(live, idCol, vecCol, nCells)
     require(cents.nonEmpty, s"recenter of an empty index at $path")
     graft.ops.AtomicSwap.rewrite(path) { tmp =>
+      // explicit width: a bare repartition(col) is AQE-coalescible,
+      // and a small index folds the whole reassign+rewrite into ONE
+      // task (r18 measured); keyed by cell either way, so the
+      // one-file-per-cell layout is unchanged
       live.withColumn("cell", vec_argmax_cosine(col(vecCol), cents))
-        .repartition(col("cell"))
+        .repartition(live.sparkSession.sessionState.conf
+          .numShufflePartitions, col("cell"))
         .write.partitionBy("cell").parquet(tmp)
     }
     cents

@@ -206,16 +206,22 @@ object Dedup {
     clique.union(star).distinct()
   }
 
+  /** The [[bucketCap]] formula over an in-plan count column — THE one
+    * Column-level definition (r18 review: the formula had forked into
+    * a hand-inlined Coactivity copy; every capped operator now builds
+    * on this or the DuckDB twin).
+    */
+  private[graft] def capCol(n: Column): Column =
+    greatest(lit(64L), (lit(8L) * length(bin(n + 1))).cast("long"))
+
   /** The [[bucketCap]] formula as a 1-row IN-PLAN scalar over the
     * corpus: `greatest(64, 8·length(bin(n+1)))` — no job executes at
     * DataFrame-construction time, and the DuckDB oracle replays the
     * identical integer arithmetic.
     */
   private[graft] def inPlanCap(capFrom: DataFrame): DataFrame =
-    capFrom.agg(count(lit(1)).as("n")).select(
-      greatest(lit(64L),
-        (lit(8L) * length(bin(col("n") + 1))).cast("long"))
-        .as("bkt_cap"))
+    capFrom.agg(count(lit(1)).as("n"))
+      .select(capCol(col("n")).as("bkt_cap"))
 
   /** Per-bucket monitoring stats for the hot-bucket cap: one row per
     * (band, band_hash) with its size, hub (min id), and whether it

@@ -56,6 +56,19 @@ object TextClassifier {
     * path anyway). */
   private[graft] def spread(df: DataFrame, key: Column): DataFrame = {
     if (df.isStreaming) return df
+    // Only scan-rooted NARROW chains can be under-split — a frame
+    // with any exchange-introducing operator upstream (join, agg,
+    // window, distinct, repartition) already runs at session width,
+    // and probing ITS partition count via df.rdd would eagerly
+    // execute those upstream stages under AQE just to read a number
+    // (r18 self-review). For a narrow chain .rdd only plans — there
+    // are no stages to execute.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val wide = df.queryExecution.analyzed.collectFirst {
+      case p @ (_: Join | _: Aggregate | _: Window | _: Distinct |
+                _: RepartitionOperation | _: Deduplicate) => p
+    }.isDefined
+    if (wide) return df
     val width = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions >= width) df
     else df.repartition(width, key)

@@ -53,45 +53,60 @@ private[graft] object Coactivity {
     * flash-crowd scale probe drive.
     *
     * Plan shape (r18 optimization — guide §2.4 "remove shuffles
-    * outright"): ONE exchange total before the final pair-distinct.
-    * Each bucket is aggregated to its sorted distinct user ARRAY
-    * (map-side partial collect_set, one (event_type, hr) exchange);
-    * occupancy is `size(us)` — no Window, no repartition — and the
-    * in-bucket pairs are generated by one array expression + explode
-    * instead of a bucket self-join, so the events scan runs ONCE
-    * (the former shape scanned events twice: the distinct leg and
-    * the self-join's right leg) and five exchanges collapse to two.
-    * The edge SET is identical: occupancy = distinct users per
-    * bucket either way, under-cap buckets emit their full clique
-    * (sorted array ⇒ a < b by construction), over-cap buckets emit
-    * nothing, cross-bucket multiplicity dies in the same final
-    * distinct. The cap is the same broadcast 1-row scalar
-    * (greatest(64, 8·bitlen(n_act+1)) with n_act = Σ bucket sizes ≡
-    * the former act row count), and the `coactivity_cap` observe
-    * reports the same values (max_bucket = max size; over_cap_rows
-    * = Σ size over over-cap buckets ≡ the former per-row count). */
+    * outright"): the events scan runs ONCE (the former shape scanned
+    * it twice — the distinct leg plus the self-join's right leg), no
+    * Window, no repartition: distinct activities → per-bucket COUNTS
+    * (one tiny bucket-row exchange) → under-cap buckets join back →
+    * per-bucket sorted user array → in-bucket pairs as one array
+    * expression + explode instead of a bucket self-join. Occupancy is
+    * computed from plain counts, never from a materialized set, so no
+    * aggregation buffer ever holds a flash-crowd bucket, and the
+    * arrays that DO materialize are ≤ bkt_cap entries by
+    * construction. The edge SET is identical to the r13 shape:
+    * occupancy = distinct activity rows per bucket (NULL user rows
+    * included, matching the oracle's window count(*)), under-cap
+    * buckets emit their full clique (sorted array ⇒ a < b; NULLs
+    * drop from the set exactly as the former `user_id < u2` join
+    * dropped them), over-cap buckets emit nothing, cross-bucket
+    * multiplicity dies in the same final distinct. The cap is the
+    * same broadcast 1-row scalar ([[graft.dedup.Dedup.capCol]] over
+    * n_act = Σ occ ≡ the activity row count), and the
+    * `coactivity_cap` observe reports the identical values. */
   def undFromEvents(s: SparkSession, events: DataFrame): DataFrame = {
     import s.implicits._
-    val buckets = events
+    // distinct activities (one spillable hash-agg exchange) and plain
+    // per-bucket COUNTS — occupancy is never derived from a
+    // materialized user set, so no aggregation buffer ever holds a
+    // flash-crowd bucket (the r18 self-review finding: a
+    // collect_set-first shape builds the one array the cap exists to
+    // discard), and NULL user_ids count toward occupancy exactly as
+    // the oracle's window count(*) does
+    val act = events
       .select($"user_id", $"event_type",
         date_trunc("minute", $"ts").as("hr"))
+      .distinct()
+    val occ = act.groupBy($"event_type", $"hr")
+      .agg(count(lit(1)).as("occ"))
+    // the shared bucketCap formula over n_act = Σ occ ≡ the activity
+    // row count (coalesce: an EMPTY corpus sums to NULL)
+    val cap = occ.agg(coalesce(sum($"occ"), lit(0L)).as("n"))
+      .select(graft.dedup.Dedup.capCol($"n").as("bkt_cap"))
+    val counted = occ.crossJoin(broadcast(cap))
+      .observe("coactivity_cap",
+        max($"occ").as("max_bucket"),
+        sum(when($"occ" > $"bkt_cap", $"occ").otherwise(0L))
+          .as("over_cap_rows"))
+    val kept = counted.filter($"occ" <= $"bkt_cap")
+      .select($"event_type", $"hr")
+    // ONLY under-cap buckets reach the set builder, so every
+    // collect_set array is ≤ bkt_cap entries BY CONSTRUCTION; the
+    // (event_type, hr) join partitioning serves the groupBy with no
+    // further exchange, and the sorted array (NULLs dropped, as the
+    // former `user_id < u2` join condition dropped them) emits the
+    // in-bucket clique as one array expression — a < b by sort order
+    act.join(kept, Seq("event_type", "hr"))
       .groupBy($"event_type", $"hr")
       .agg(sort_array(collect_set($"user_id")).as("us"))
-    // the bucketCap formula over n_act = Σ size(us) — identical to
-    // Dedup.inPlanCap over the former row-per-activity frame
-    // (coalesce: an EMPTY corpus sums to NULL where count() gave 0)
-    val cap = buckets
-      .agg(coalesce(sum(size($"us")), lit(0L)).as("n"))
-      .select(greatest(lit(64L),
-        (lit(8L) * length(bin($"n" + 1))).cast("long")).as("bkt_cap"))
-    val counted = buckets
-      .crossJoin(broadcast(cap))
-      .observe("coactivity_cap",
-        max(size($"us").cast("long")).as("max_bucket"),
-        sum(when(size($"us").cast("long") > $"bkt_cap",
-          size($"us").cast("long")).otherwise(0L))
-          .as("over_cap_rows"))
-    counted.filter(size($"us").cast("long") <= $"bkt_cap")
       .select(explode(expr(
         """flatten(transform(us, (x, i) ->
           |  transform(slice(us, i + 2, size(us) - i - 1),

@@ -752,10 +752,14 @@ object Dedup {
     graft.ops.AtomicSwap.rewrite(path) { tmp =>
       // explicit width (bare keyed repartitions are AQE-coalescible
       // down to one task on a small index — r18); keyed by band, so
-      // the one-file-per-band compaction contract is unchanged
-      spark.read.parquet(path)
-        .filter(retain)
-        .repartition(spark.sessionState.conf.numShufflePartitions,
+      // the one-file-per-band compaction contract is unchanged.
+      // Width is DATA-SCALED (r19, guide §2.2): compaction is a
+      // plain rewrite (~no per-row compute), so 256 KB/task bounds
+      // task overhead on small indexes; at scale it saturates the
+      // session conf as before.
+      val live = spark.read.parquet(path).filter(retain)
+      live
+        .repartition(graft.ops.Width.scaled(live, 256L << 10),
           col("band"))
         .sortWithinPartitions(col("band_hash"))
         .write.partitionBy("band").parquet(tmp)

@@ -148,6 +148,9 @@ case class Md5Prefix64(child: Expression, nHex: Int)
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"md5_prefix64 expects a string column, got ${child.dataType}")
+  // readable explain output (r18 advice: the default case-class
+  // rendering hid which kernel the plan runs)
+  override def prettyName: String = "md5_prefix64"
   override def nullSafeEval(s: Any): Any =
     HashKernels.md5Prefix(s.asInstanceOf[UTF8String], nHex)
   override protected def doGenCode(ctx: CodegenContext,

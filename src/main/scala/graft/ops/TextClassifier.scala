@@ -58,19 +58,33 @@ object TextClassifier {
     if (df.isStreaming) return df
     // Only scan-rooted NARROW chains can be under-split — a frame
     // with any exchange-introducing operator upstream (join, agg,
-    // window, distinct, repartition) already runs at session width,
-    // and probing ITS partition count via df.rdd would eagerly
-    // execute those upstream stages under AQE just to read a number
-    // (r18 self-review). For a narrow chain .rdd only plans — there
-    // are no stages to execute.
+    // window, distinct, repartition, global sort/limit, set op)
+    // already runs at session width, and probing ITS partition count
+    // via df.rdd would eagerly execute those upstream stages under
+    // AQE just to read a number (r18 self-review). For a narrow
+    // chain .rdd only plans — there are no stages to execute. The
+    // check WHITELISTS known-narrow operators (r19, from r18 advice:
+    // a blacklist missed Sort/GlobalLimit/set-ops and would let a
+    // future orderBy-rooted caller trip the eager-execution hazard).
     import org.apache.spark.sql.catalyst.plans.logical._
     val wide = df.queryExecution.analyzed.collectFirst {
-      case p @ (_: Join | _: Aggregate | _: Window | _: Distinct |
-                _: RepartitionOperation | _: Deduplicate) => p
+      case p if !(p.isInstanceOf[Project] || p.isInstanceOf[Filter] ||
+        p.isInstanceOf[Generate] || p.isInstanceOf[SubqueryAlias] ||
+        p.isInstanceOf[LocalLimit] || p.isInstanceOf[LeafNode]) => p
     }.isDefined
     if (wide) return df
-    val width = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions >= width) df
+    // Width is DATA-SCALED (r19, guide §2.2): the per-row stage this
+    // spreads (tokenize + n-gram explode + 2 md5s/token) costs
+    // ~7 µs per input byte, so 8 KB/task ≈ 50 ms of hash work per
+    // task — enough to amortize task overhead while keeping the
+    // benched-SF shape identical to the r18 session-width form that
+    // measured the 1.37-1.45× embed/terciles wins (255 KB of docs at
+    // sf0.1 saturates 32). Tiny corpora (the correctness SFs, 28 KB)
+    // now get ~4 tasks instead of a full-width exchange; at-scale
+    // inputs saturate the session conf, so the 100 TB shape is
+    // unchanged.
+    val width = Width.scaled(df, 8L << 10)
+    if (width <= 1 || df.rdd.getNumPartitions >= width) df
     else df.repartition(width, key)
   }
 

@@ -34,8 +34,17 @@ object TextStats {
     * fewer than n tokens report rep_n = 0. */
   def repetitionStats(docs: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol),
-      split(trim(col(textCol)), "\\s+").as("__toks"))
+    // spread the under-split scan BEFORE the 3-gram-size explode +
+    // partial agg (r19: ProfOne showed this stage running as ONE
+    // 1.4 s task at sf0.1/32c — the scan is a single parquet file,
+    // and everything up to the groupBy exchange inherits its
+    // parallelism; the same under-split-scan fix every other
+    // tokenizing path got in r18). Results are unchanged: the
+    // per-doc aggregation is keyed by id and the exchange is keyed
+    // the same way.
+    val toks = TextClassifier.spread(docs, col(idCol))
+      .select(col(idCol),
+        split(trim(col(textCol)), "\\s+").as("__toks"))
     // adjacent n-grams from the token ARRAY (narrow, no per-doc
     // window sort); the size guard exists because Spark's
     // sequence(a, b) DESCENDS when a > b instead of returning empty

@@ -150,11 +150,13 @@ object Round10Queries {
             val p = s"${tmp.getAbsolutePath}/index"
             // explicit-width keyed repartition: the single-file scan
             // otherwise funnels the assign+16-way dynamic write
-            // through ONE task (r18); one file per cell either way
+            // through ONE task (r18); one file per cell either way.
+            // Width data-scaled + cell-count capped (r19).
             batchA.select($"vec_id", $"embedding",
                 graft.functions.vector.vec_argmax_cosine($"embedding", cents)
                   .as("cell"))
-              .repartition(s.sessionState.conf.numShufflePartitions,
+              .repartition(
+                graft.ops.Width.scaled(batchA, 128L << 10, cents.length),
                 $"cell")
               .write.partitionBy("cell").parquet(p)
             graft.streaming.Streams.runForeachBatch(s) { scoped =>
@@ -403,12 +405,14 @@ object Round10Queries {
         val stale = graft.similarity.Knn.kmeansCentroids(
           batchA, "vec_id", "embedding", k = 16)
         // explicit-width keyed repartition before the dynamic write
-        // (the Round9 e_knn_ivf_append rationale — one task otherwise)
+        // (the Round9 e_knn_ivf_append rationale — one task
+        // otherwise); width data-scaled + cell-count capped (r19)
         def assigned(df: org.apache.spark.sql.DataFrame) =
           df.select($"vec_id", $"embedding",
             graft.functions.vector.vec_argmax_cosine($"embedding", stale)
               .as("cell"))
-            .repartition(s.sessionState.conf.numShufflePartitions,
+            .repartition(
+              graft.ops.Width.scaled(df, 128L << 10, stale.length),
               $"cell")
         // degenerate corpus: nothing to index/recenter — empty ranked
         // result (matches the oracle on empty tables)

@@ -86,17 +86,21 @@ object Round13Queries {
       // linear on the 6× probe). Repartitioning the cheap (doc_id, t)
       // rows first spreads it, and the sliding-window min needs this
       // exact hash distribution anyway, so the window adds NO second
-      // exchange. The width is EXPLICIT (session shuffle partitions):
-      // a bare repartition(col) is an AQE-coalescible exchange, and
-      // the (doc_id, t) rows are so small that AQE folded the whole
-      // ~2000-gram/doc explode+hash+window into ONE task (r18
-      // measured: 3.2 s single-task stage = the whole query's
-      // critical path; AQE sizes by the exchange's INPUT bytes and
-      // cannot see the downstream fan-out). Explicit-width keyed
-      // repartitions are exempt from AQE coalescing by contract, and
-      // the width follows the session conf, not a local constant.
-      .repartition(docs.sparkSession.sessionState.conf
-        .numShufflePartitions, col("doc_id"))
+      // exchange. The width is EXPLICIT: a bare repartition(col) is
+      // an AQE-coalescible exchange, and the (doc_id, t) rows are so
+      // small that AQE folded the whole ~2000-gram/doc
+      // explode+hash+window into ONE task (r18 measured: 3.2 s
+      // single-task stage = the whole query's critical path; AQE
+      // sizes by the exchange's INPUT bytes and cannot see the
+      // downstream fan-out). The width is DATA-SCALED (r19): the
+      // per-input-byte cost here is ~1 gram explode + md5 per char
+      // (~12 µs/byte measured at r18's single-task fold: 3.2 s /
+      // 255 KB), so 8 KB/task ≈ 0.1 s of hash work per task — at the
+      // benched SF that saturates the session width (unchanged plan)
+      // while tiny corpora stop paying a 32-wide exchange for
+      // sub-millisecond partitions.
+      .repartition(graft.ops.Width.scaled(docs, 8L << 10),
+        col("doc_id"))
     val grams = normed
       .select(col("doc_id"),
         (length(col("t")).cast("long") - 11L).as("max_j"),

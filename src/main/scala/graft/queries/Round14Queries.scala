@@ -60,9 +60,13 @@ object Round14Queries {
     // explicit width: the fp index is a few MB at sf0.1, so a bare
     // repartition(col) lets AQE coalesce the exchange that feeds the
     // frequency window AND both self-join legs down to ~1 task (the
-    // winnowFingerprints lesson, same round)
-    winnowOverlapPairs(fps.repartition(docs.sparkSession.sessionState
-        .conf.numShufflePartitions, col("fp")),
+    // winnowFingerprints lesson, same round). Width is DATA-SCALED
+    // from the checkpointed index's origin stats (r19, guide §2.2):
+    // 4 KB/task keeps the benched SF at session width (139 KB at
+    // sf0.1 — the shape that measured 1.89×) while tiny indexes stop
+    // paying a full-width exchange; at scale it saturates the conf.
+    winnowOverlapPairs(fps.repartition(
+        graft.ops.Width.scaled(fps, 4L << 10), col("fp")),
       docs.select(col("doc_id")), minShared)
   }
 

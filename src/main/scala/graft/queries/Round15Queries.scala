@@ -87,6 +87,19 @@ object Round15Queries {
               Tables.documents(s, d).select($"doc_id", $"text"))
             .select($"doc_id", expr("fp div 4096").as("fp"))
             .distinct()
+            // bound the fixture write to the BUCKET count, not the
+            // session width: bucketBy(32) from a session-width frame
+            // writes up to width×32 files (each write task emits one
+            // file per bucket it holds), and the r18 driver measured
+            // that build at 35 s under load at 32-wide (vs 3-8 s
+            // elsewhere — the round's one hard regression). A keyed
+            // repartition to exactly 32 puts each fp-hash bucket in
+            // one task (HashPartitioning and the bucket spec share
+            // the same murmur3 pmod), so the write is 32 tasks / one
+            // file per bucket REGARDLESS of session width. The 32 is
+            // the table's fixed bucket count (a layout contract),
+            // not a core-count tunable.
+            .repartition(32, col("fp"))
             .write.mode("overwrite").bucketBy(32, "fp").sortBy("fp")
             .option("path", s"${tmp.getAbsolutePath}/fps")
             .saveAsTable(tbl)

@@ -156,12 +156,15 @@ object Round9Queries {
         // explicit-width keyed repartition before the dynamic write:
         // the single-file scan otherwise funnels assign+write through
         // ONE task (r18); keyed by cell, so files-per-cell audits see
-        // the same one-file-per-cell-per-write layout
+        // the same one-file-per-cell-per-write layout. Width is
+        // DATA-SCALED and capped at the cell count (r19 — a 16-cell
+        // keyed repartition can never fill more than 16 tasks).
         def assigned(df: org.apache.spark.sql.DataFrame) =
           df.select($"vec_id", $"embedding",
             graft.functions.vector.vec_argmax_cosine($"embedding", cents)
               .as("cell"))
-            .repartition(s.sessionState.conf.numShufflePartitions,
+            .repartition(
+              graft.ops.Width.scaled(df, 128L << 10, cents.length),
               $"cell")
         // degenerate corpus: nothing to index — empty ranked result
         // (matches the oracle on empty tables)

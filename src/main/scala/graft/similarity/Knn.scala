@@ -513,10 +513,16 @@ object Knn {
       // explicit width: a bare repartition(col) is AQE-coalescible,
       // and a small index folds the whole reassign+rewrite into ONE
       // task (r18 measured); keyed by cell either way, so the
-      // one-file-per-cell layout is unchanged
+      // one-file-per-cell layout is unchanged. Width is DATA-SCALED
+      // (r19, guide §2.2/§2.5) and capped at the CELL count: a keyed
+      // repartition can never fill more partitions than the key has
+      // distinct values, so width > nCells is pure empty-task
+      // overhead. 128 KB of vectors per task bounds the per-task
+      // argmax+write work; at scale the byte count saturates first.
       live.withColumn("cell", vec_argmax_cosine(col(vecCol), cents))
-        .repartition(live.sparkSession.sessionState.conf
-          .numShufflePartitions, col("cell"))
+        .repartition(
+          graft.ops.Width.scaled(live, 128L << 10, cents.length),
+          col("cell"))
         .write.partitionBy("cell").parquet(tmp)
     }
     cents

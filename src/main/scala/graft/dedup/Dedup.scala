@@ -648,9 +648,14 @@ object Dedup {
         (rawBase.repartition(loopPartitions, col("hi"), col("lo"))
           .dropDuplicates("hi", "lo").localCheckpoint(), loopPartitions)
       else {
-        val raw = rawBase.localCheckpoint()
+        // the edge count rides the SAME job that materializes the
+        // checkpoint (observe), instead of a second count job over
+        // the cached rows (r19 — the loop is job-count bound)
+        val cObs = org.apache.spark.sql.Observation()
+        val raw = rawBase
+          .observe(cObs, count(lit(1)).as("n")).localCheckpoint()
         // autoLoopWidth is calibrated in SYMMETRIC edge rows (2|E|)
-        val w = autoLoopWidth(2L * raw.count())
+        val w = autoLoopWidth(2L * cObs.get("n").asInstanceOf[Long])
         val s = raw.repartition(w, col("hi"), col("lo"))
           .dropDuplicates("hi", "lo").localCheckpoint()
         raw.unpersist()
@@ -661,42 +666,58 @@ object Dedup {
       .partitionBy(col("u"))
     val wHi = org.apache.spark.sql.expressions.Window
       .partitionBy(col("hi"))
-    var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
-      // LARGE-STAR: symmetrize, take each node's neighborhood min (with
-      // itself — one Window min over the u-exchange, no self-join),
-      // re-attach strictly larger neighbors to it. Output rows are
-      // (v, m) with v > u ≥ m, so the directed hi > lo form is
-      // preserved by construction.
-      val ls = e.select(col("hi").as("u"), col("lo").as("v"))
-        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+    // One LARGE-STAR + SMALL-STAR round as a frame transform.
+    // LARGE-STAR: symmetrize, take each node's neighborhood min (with
+    // itself — one Window min over the u-exchange, no self-join),
+    // re-attach strictly larger neighbors to it. Output rows are
+    // (v, m) with v > u ≥ m, so the directed hi > lo form is
+    // preserved by construction.
+    // SMALL-STAR on the directed view: node u re-attaches itself and
+    // ALL its smaller neighbors to their collective min (again a
+    // Window min riding one hi-exchange; the two output branches
+    // share that exchange via ReusedExchange) — flattening
+    // multi-parent nodes into stars. Duplicate emissions collapse in
+    // the (hi, lo) dedup — without it the edge multiset could double
+    // every round.
+    def round(cur: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val ls = cur.select(col("hi").as("u"), col("lo").as("v"))
+        .union(cur.select(col("lo").as("u"), col("hi").as("v")))
         .repartition(width, col("u"))
         .withColumn("m", least(col("u"), min(col("v")).over(wU)))
         .filter(col("v") > col("u") && col("v") =!= col("m"))
         .select(col("v").as("hi"), col("m").as("lo"))
-      // SMALL-STAR on the directed view: node u re-attaches itself and
-      // ALL its smaller neighbors to their collective min (again a
-      // Window min riding one hi-exchange; the two output branches
-      // share that exchange via ReusedExchange) — flattening
-      // multi-parent nodes into stars. Duplicate emissions collapse in
-      // the (hi, lo) dedup below — without it the edge multiset could
-      // double every round.
       val lsW = ls.repartition(width, col("hi"))
         .withColumn("m", min(col("lo")).over(wHi))
-      val ssRaw = lsW.filter(col("lo") =!= col("m"))
+      lsW.filter(col("lo") =!= col("m"))
         .select(col("lo").as("hi"), col("m").as("lo"))
         .union(lsW.select(col("hi"), col("m").as("lo")))
         .repartition(width, col("hi"), col("lo"))
         .dropDuplicates("hi", "lo")
-      // fixpoint = edge set unchanged (then both operations are
-      // idempotent forever). The symmetric-difference count rides the
-      // SAME job that materializes the round result: full-outer join
-      // against the previous edge set (both sides (hi, lo)-partitioned
-      // — no exchange), an `observe` counting one-sided rows, then the
+    }
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // ONE round per materialized job. r19 NOTE — two-rounds-per-job
+      // fusion was implemented, PROVEN result-equivalent (the integer
+      // potential Φ(E) = Σ (hi+lo+1) strictly decreases under any
+      // non-identity star application, so a double-round fixpoint
+      // forces a single-round fixpoint — property-pinned in
+      // AsofClusterSpec), and then REVERTED on measurement: the fused
+      // job ran 2-3× a single round's wall time (AQE re-optimizes and
+      // schedules each of the doubled plan's shuffle stages
+      // sequentially, so per-job latency scales with plan DEPTH, not
+      // job count) and the double-round diff needs one extra inner
+      // round to observe convergence — j_spatial_dbscan measured
+      // 4.6 s → 8.2 s fused. The loop's real fixed cost is stage-wave
+      // latency, which fusing makes worse, not better.
+      // The symmetric-difference count rides the SAME job that
+      // materializes the round result: full-outer join against the
+      // previous edge set (both sides (hi, lo)-partitioned — no
+      // exchange), an `observe` counting one-sided rows, then the
       // new side filtered back out. One Spark job per round, total.
       val obs = org.apache.spark.sql.Observation()
-      val ss = ssRaw.withColumn("in_new", lit(1))
+      val ss = round(e).withColumn("in_new", lit(1))
         .join(e.withColumn("in_old", lit(1)), Seq("hi", "lo"),
           "full_outer")
         .observe(obs, count(when(col("in_new").isNull ||

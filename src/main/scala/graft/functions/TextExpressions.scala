@@ -161,6 +161,36 @@ case class Md5Prefix64(child: Expression, nHex: Int)
     copy(child = c)
 }
 
+/** Identity wrapper DECLARED non-deterministic — the built-in-
+  * expression analog of guide §4.4's `udf.asNondeterministic()`: the
+  * optimizer may not push, duplicate, reorder or constant-fold an
+  * expression it cannot assume deterministic, so wrapping a filter
+  * predicate that references an EXPENSIVE projected column (a
+  * tokenize, a normalize chain) stops PushPredicateThroughNonJoin
+  * from substituting the column's defining expression below the
+  * projection and evaluating it twice per row (r19 plan audit found
+  * this duplication in the winnowing normalize chain and the
+  * curation token-count gates). Value-identical to its child by
+  * construction; evaluation and codegen are a plain pass-through.
+  * Apply ONLY to predicates whose referenced columns are expensive —
+  * a pinned predicate also blocks legitimate pushdown past it.
+  */
+case class Pinned(child: Expression) extends UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "pinned"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : Any = child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object text {
   private def ex(c: Column) = GraftColumnBridge.expression(c)
 
@@ -173,4 +203,9 @@ object text {
     * `conv(substring(md5(tok), 1, 15), 16, 10)` cast long. */
   def md5_prefix64(s: Column, nHex: Int): Column =
     GraftColumnBridge.column(Md5Prefix64(ex(s), nHex))
+
+  /** Column-API form of [[Pinned]] — see its scaladoc for when (and
+    * when NOT) to pin a predicate. */
+  def pinned(c: Column): Column =
+    GraftColumnBridge.column(Pinned(ex(c)))
 }

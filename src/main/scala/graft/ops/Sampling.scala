@@ -219,9 +219,22 @@ object Sampling {
 
   def kmvAdaptivePlan(fact: DataFrame, dim: DataFrame,
                       keyCol: String, k: Int): KmvAdaptivePlan = {
-    val est = kmvJoinEstimate(fact, dim, keyCol, k)
+    // the fact row count RIDES the estimate job (r19): factRows ≡
+    // Σ fa by definition, and the whole fa frame flows through the
+    // estimate plan's sketch join, so an observe on it captures the
+    // count in the same action — the former separate fact.count()
+    // was a second full fact pass per planned join, purely to read
+    // one number a stats pass already had
+    val obs = org.apache.spark.sql.Observation()
+    val fa = fact.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("fa"))
+      .observe(obs, coalesce(sum(col("fa")), lit(0L)).as("fact_rows"))
+    val fb = dim.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("fb"))
+    val est = kmvJoinEstimate(fact, dim, keyCol, k,
+        precomputed = Some((fa, fb)))
       .select(col("est")).head().getDouble(0)
-    val factRows = fact.count()
+    val factRows = obs.get("fact_rows").asInstanceOf[Long]
     val broadcastIt = est < factRows.toDouble
     val joined =
       if (broadcastIt) fact.join(broadcast(dim), Seq(keyCol))

@@ -38,9 +38,22 @@ object TextClassifier {
 
   /** Hashed feature id in [0, dim): low 60 bits of md5, mod dim —
     * the engine's established cross-engine hash (15 hex chars stay
-    * under 2^63; non-negative, so `%` ≡ pmod on both engines). */
-  def featureHash(feat: Column, dim: Int): Column =
-    graft.functions.text.md5_prefix64(feat, 15) % dim.toLong
+    * under 2^63; non-negative, so `%` ≡ pmod on both engines).
+    * Power-of-two dims use the bit-identical `& (dim-1)` instead of
+    * `%` (r19): Remainder is ALWAYS nullable in Spark (x % 0 → NULL),
+    * so a join key built with `%` makes every join infer an
+    * `isnotnull(md5_prefix64(...) % dim)` filter that re-runs the
+    * hash kernel per feature row below the fid projection (guide
+    * §4.4's duplicated-evaluation class; r19 plan audit). BitwiseAnd
+    * inherits the child's nullability, so with a non-null feat the
+    * fid is non-nullable and no filter is inferred. For non-negative
+    * x and power-of-two d, x % d ≡ x & (d−1) exactly. */
+  def featureHash(feat: Column, dim: Int): Column = {
+    val h = graft.functions.text.md5_prefix64(feat, 15)
+    if (dim > 0 && (dim & (dim - 1)) == 0)
+      h.bitwiseAND(lit(dim.toLong - 1L))
+    else h % dim.toLong
+  }
 
   /** Spread an under-split batch scan before an expensive per-row
     * stage (tokenize + n-gram explode: ~10³ generated rows and two
@@ -155,7 +168,19 @@ object TextClassifier {
                     textCol: String): DataFrame = {
     val toks = spread(docs, col(idCol)).select(col(idCol),
       split(trim(col(textCol)), "\\s+").as("__toks"))
-    toks.select(col(idCol), explode(expr(featsExpr)).as("feat"))
+    // feat is PROVABLY never NULL (split elements are non-null
+    // strings; concat of non-nulls is non-null) but the explode
+    // output is typed nullable (array containsNull), so every join
+    // on featureHash(feat) used to infer an
+    // `isnotnull(md5_prefix64(feat) % dim)` filter below the fid
+    // projection — re-running the hash kernel on EVERY feature row
+    // (r19 plan audit: two md5_prefix64(feat) sites in every
+    // classifier/embed plan; guide §4.4's duplicated-evaluation
+    // class). coalesce to '' is value-identical and makes the column
+    // non-nullable, so no null filter is inferred and the hash runs
+    // once.
+    toks.select(col(idCol), explode(expr(featsExpr)).as("__feat"))
+      .select(col(idCol), coalesce(col("__feat"), lit("")).as("feat"))
   }
 
   /** [[scoreDocs]] as a PURE PER-ROW MAP — no explode, no join, no

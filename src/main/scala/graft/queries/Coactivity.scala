@@ -52,39 +52,48 @@ private[graft] object Coactivity {
     * ts ...) — the seam the planted hot-minute spec and the
     * flash-crowd scale probe drive.
     *
-    * Plan shape (r18 optimization — guide §2.4 "remove shuffles
-    * outright"): the events scan runs ONCE (the former shape scanned
-    * it twice — the distinct leg plus the self-join's right leg), no
-    * Window, no repartition: distinct activities → per-bucket COUNTS
-    * (one tiny bucket-row exchange) → under-cap buckets join back →
-    * per-bucket sorted user array → in-bucket pairs as one array
-    * expression + explode instead of a bucket self-join. Occupancy is
-    * computed from plain counts, never from a materialized set, so no
-    * aggregation buffer ever holds a flash-crowd bucket, and the
-    * arrays that DO materialize are ≤ bkt_cap entries by
-    * construction. The edge SET is identical to the r13 shape:
-    * occupancy = distinct activity rows per bucket (NULL user rows
-    * included, matching the oracle's window count(*)), under-cap
-    * buckets emit their full clique (sorted array ⇒ a < b; NULLs
-    * drop from the set exactly as the former `user_id < u2` join
-    * dropped them), over-cap buckets emit nothing, cross-bucket
-    * multiplicity dies in the same final distinct. The cap is the
-    * same broadcast 1-row scalar ([[graft.dedup.Dedup.capCol]] over
-    * n_act = Σ occ ≡ the activity row count), and the
-    * `coactivity_cap` observe reports the identical values. */
+    * Plan shape (r19 — guide §2.4 "two operations keyed the same way
+    * share one exchange", measured 1.35× over the r18 shape and ~1.1×
+    * over r17 in an alternating same-JVM A/B with edge-set-identical
+    * output, graft.CoactAB): ONE events scan, then ONE explicit
+    * act-scale exchange keyed (event_type, hr) up front. Because the
+    * partitioning expressions are a subset of every downstream
+    * clustering, the activity distinct (user, event_type, hr), the
+    * per-bucket occupancy counts, the under-cap join-back AND the
+    * per-bucket collect_set group-by ALL satisfy their required
+    * distributions from that one exchange — the only other act-scale
+    * exchange left in the derivation is the final pair distinct (the
+    * r18 shape paid the distinct's 3-column exchange plus a second
+    * act-scale exchange to re-key the join; r17 additionally scanned
+    * events twice). Skew note: keying by bucket alone means a
+    * flash-crowd bucket's rows land in one partition for the distinct
+    * — LINEAR per-bucket work in a spillable hash aggregate, which is
+    * the acceptable cost of removing a whole extra full-data exchange;
+    * the quadratic part stays impossible because occupancy is computed
+    * from plain counts (never a materialized set — the r18 self-review
+    * invariant) and only under-cap buckets reach the set builder, so
+    * every collect_set array is ≤ bkt_cap entries by construction.
+    * The edge SET is identical to the r13 shape: occupancy = distinct
+    * activity rows per bucket (NULL user rows included, matching the
+    * oracle's window count(*)), under-cap buckets emit their full
+    * clique (sorted array ⇒ a < b; NULLs drop from the set exactly as
+    * the former `user_id < u2` join dropped them), over-cap buckets
+    * emit nothing, cross-bucket multiplicity dies in the same final
+    * distinct. The cap is the same broadcast 1-row scalar
+    * ([[graft.dedup.Dedup.capCol]] over n_act = Σ occ ≡ the activity
+    * row count), and the `coactivity_cap` observe reports the
+    * identical values. */
   def undFromEvents(s: SparkSession, events: DataFrame): DataFrame = {
     import s.implicits._
-    // distinct activities (one spillable hash-agg exchange) and plain
-    // per-bucket COUNTS — occupancy is never derived from a
-    // materialized user set, so no aggregation buffer ever holds a
-    // flash-crowd bucket (the r18 self-review finding: a
-    // collect_set-first shape builds the one array the cap exists to
-    // discard), and NULL user_ids count toward occupancy exactly as
-    // the oracle's window count(*) does
     val act = events
       .select($"user_id", $"event_type",
         date_trunc("minute", $"ts").as("hr"))
-      .distinct()
+      // explicit width (AQE would coalesce the tiny-byte exchange
+      // under the expensive pair fan-out — the r18 lesson), scaled
+      // to the events input (guide §2.2)
+      .repartition(graft.ops.Width.scaled(events, 64L << 10),
+        $"event_type", $"hr")
+      .dropDuplicates("user_id", "event_type", "hr")
     val occ = act.groupBy($"event_type", $"hr")
       .agg(count(lit(1)).as("occ"))
     // the shared bucketCap formula over n_act = Σ occ ≡ the activity

@@ -396,7 +396,7 @@ object OracleGen {
        |  FROM $source d LEFT JOIN
        |    (SELECT doc_id, list(mh ORDER BY i) AS sig
        |     FROM mh_min GROUP BY doc_id) m USING (doc_id)$sigWhere),
-       |mh_buckets AS (
+       |mh_buckets AS MATERIALIZED (
        |  SELECT doc_id, b.b AS band,
        |    CAST(concat('0x', substr(md5(array_to_string(
        |      sig[b.b*$rowsPerBand+1 : b.b*$rowsPerBand+$rowsPerBand], ',')),
@@ -443,12 +443,12 @@ object OracleGen {
        |  SELECT CAST(10000000 + r.range AS BIGINT) AS doc_id,
        |    '$spamText' AS text
        |  FROM range($nSpam) r),
-       |src AS (
+       |src AS MATERIALIZED (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL SELECT doc_id, text FROM spam)""".stripMargin
 
   private val capvCte: String =
-    """capv AS (
+    """capv AS MATERIALIZED (
       |  SELECT GREATEST(64, 8 * length(bin(count(*) + 1))) AS cap
       |  FROM src)""".stripMargin
 
@@ -457,10 +457,10 @@ object OracleGen {
     s"""WITH ${spamSrcCtes(nSpam, spamText)},
        |${minhashBucketsCte(shingleN, bands, rowsPerBand, source = "src")},
        |$capvCte,
-       |bs AS (
+       |bs AS MATERIALIZED (
        |  SELECT band, band_hash, count(*) AS bn, min(doc_id) AS hub
        |  FROM mh_buckets GROUP BY 1, 2),
-       |bt AS (
+       |bt AS MATERIALIZED (
        |  SELECT mb.doc_id, mb.band, mb.band_hash, bs.bn, bs.hub
        |  FROM mh_buckets mb JOIN bs USING (band, band_hash)),
        |small_p AS (
@@ -472,10 +472,10 @@ object OracleGen {
        |star_p AS (
        |  SELECT hub AS a_id, doc_id AS b_id FROM bt
        |  WHERE bn > (SELECT cap FROM capv) AND doc_id <> hub),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a_id, b_id FROM
        |    (SELECT * FROM small_p UNION ALL SELECT * FROM star_p)),
-       |deg AS (
+       |deg AS MATERIALIZED (
        |  SELECT id, count(*) AS c FROM (
        |    SELECT a_id AS id FROM cand UNION ALL SELECT b_id FROM cand)
        |  GROUP BY id)
@@ -542,7 +542,7 @@ object OracleGen {
     s"""WITH ${spamSrcCtes(nSpam, spamText)},
        |${minhashBucketsCte(shingleN, bands, rowsPerBand, source = "src")},
        |$capvCte,
-       |bs AS (
+       |bs AS MATERIALIZED (
        |  SELECT band, band_hash, count(*) AS bn
        |  FROM mh_buckets GROUP BY 1, 2)
        |SELECT CAST(band AS BIGINT) AS band,
@@ -1301,7 +1301,7 @@ object OracleGen {
          |           WHERE vec_id < $nQueries),
          |pairs AS (SELECT q.query_id, e.vec_id AS cid, $relCos AS rel
          |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
-         |cand AS (SELECT query_id, cid, rel FROM (
+         |cand AS MATERIALIZED (SELECT query_id, cid, rel FROM (
          |    SELECT query_id, cid, rel, $rnCand AS rn FROM pairs) t
          |  WHERE rn <= $kCand)""".stripMargin
     mmrBody(candCtes, dim, kSel, lambdaLit, oneMinusLambdaLit)
@@ -1343,7 +1343,7 @@ object OracleGen {
          |  SELECT q.query_id, c.vec_id AS cid, $cosQC AS rel
          |  FROM qprobe q JOIN cells c USING (cell)
          |  WHERE c.vec_id <> q.query_id),
-         |cand AS (SELECT query_id, cid, rel FROM (
+         |cand AS MATERIALIZED (SELECT query_id, cid, rel FROM (
          |    SELECT query_id, cid, rel,
          |      ROW_NUMBER() OVER (PARTITION BY query_id
          |        ORDER BY rel DESC, cid) AS rn FROM ivfsc) t
@@ -1360,22 +1360,29 @@ object OracleGen {
     val simCos = cosExpr("a", "b", dim)
     val rnCand = "ROW_NUMBER() OVER (PARTITION BY query_id " +
       "ORDER BY rel DESC, cid)"
+    // every multi-referenced CTE below is MATERIALIZED (r19, verdict
+    // item 5): DuckDB inlines plain CTEs PER REFERENCE, and the
+    // chained greedy steps reference cand/sims/sel$i repeatedly —
+    // the un-marked form re-derived the whole candidate chain
+    // (including the IVF assign cross join) once per reference,
+    // exponentially in kSel: e_mmr_ivf's oracle measured 39.1 s at
+    // sf0.01 vs 0.8 s materialized, rows identical.
     val head =
       s"""WITH $candCtes,
-         |cv AS (SELECT c.query_id, c.cid, e.embedding
+         |cv AS MATERIALIZED (SELECT c.query_id, c.cid, e.embedding
          |  FROM cand c JOIN embeddings e ON e.vec_id = c.cid),
-         |sims AS (SELECT a.query_id, a.cid AS a_id, b.cid AS b_id,
-         |    $simCos AS sim
+         |sims AS MATERIALIZED (SELECT a.query_id, a.cid AS a_id,
+         |    b.cid AS b_id, $simCos AS sim
          |  FROM cv a JOIN cv b
          |    ON a.query_id = b.query_id AND a.cid <> b.cid),
-         |sel1 AS (SELECT query_id, 1 AS step, cid AS selected_id,
-         |    rel AS score FROM (
+         |sel1 AS MATERIALIZED (SELECT query_id, 1 AS step,
+         |    cid AS selected_id, rel AS score FROM (
          |    SELECT query_id, cid, rel, $rnCand AS rn FROM cand) t
          |  WHERE rn = 1)""".stripMargin
     val steps = (2 to kSel).map { t =>
       val selu = (1 until t).map(i => s"SELECT * FROM sel$i")
         .mkString(" UNION ALL ")
-      s"""selu$t AS ($selu),
+      s"""selu$t AS MATERIALIZED ($selu),
          |ms$t AS (SELECT s.query_id, s.a_id, max(s.sim) AS maxsim
          |  FROM sims s JOIN selu$t p
          |    ON p.query_id = s.query_id AND p.selected_id = s.b_id
@@ -1387,8 +1394,8 @@ object OracleGen {
          |    ON m.query_id = c.query_id AND m.a_id = c.cid
          |  WHERE NOT EXISTS (SELECT 1 FROM selu$t p
          |    WHERE p.query_id = c.query_id AND p.selected_id = c.cid)),
-         |sel$t AS (SELECT query_id, $t AS step, cid AS selected_id,
-         |    mmr AS score FROM (
+         |sel$t AS MATERIALIZED (SELECT query_id, $t AS step,
+         |    cid AS selected_id, mmr AS score FROM (
          |    SELECT query_id, cid, mmr, ROW_NUMBER() OVER (
          |      PARTITION BY query_id ORDER BY mmr DESC, cid) AS rn
          |    FROM mm$t) t WHERE rn = 1)""".stripMargin

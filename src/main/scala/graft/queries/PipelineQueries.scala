@@ -341,7 +341,12 @@ object PipelineQueries {
         import s.implicits._
         val docs = Tables.documents(s, d)
         val quality = docs
-          .withColumn("n_tokens", TextOps.tokenCount($"text"))
+          // n_tokens' defining tokenize is PINNED (r19, guide §4.4):
+          // unpinned, the filter below is alias-substituted under
+          // the projection and every doc splits TWICE (plan audit:
+          // split(trim(text)) in both the Filter and the Project)
+          .withColumn("n_tokens",
+            graft.functions.text.pinned(TextOps.tokenCount($"text")))
           .filter($"n_tokens" >= 20 && length($"text") >= 100)
         // keep-min-doc dedup as ONE aggregation (min_by of the full row)
         // instead of window+filter — halves the shuffles on this path

@@ -74,9 +74,20 @@ object Round13Queries {
       docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // t's defining chain is PINNED (r19, guide §4.4): the length
+    // filter below otherwise gets alias-substituted under this
+    // projection by PushPredicateThroughNonJoin — which pushes even
+    // nondeterministic predicates through a DETERMINISTIC project —
+    // and every doc pays the normalize chain
+    // (lower+trim+regexp_replace+substring over ≤2000 chars) TWICE
+    // (plan audit: 2× regexp_replace in t_winnow_fingerprint's
+    // plan). A nondeterministic projected field blocks both that
+    // substitution and any CollapseProject inlining; value-identical
+    // pass-through.
     val normed = docs.select(col("doc_id"),
-      substring(regexp_replace(lower(trim(col("text"))), "\\s+", " "),
-        1, 2000).as("t"))
+      graft.functions.text.pinned(
+        substring(regexp_replace(lower(trim(col("text"))), "\\s+", " "),
+          1, 2000)).as("t"))
       // Spark sequence(0, negative) DESCENDS instead of being empty —
       // sub-k docs must not reach it (they have no grams anyway)
       .filter(length(col("t")) >= 8)

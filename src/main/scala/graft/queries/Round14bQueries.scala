@@ -472,8 +472,13 @@ object Round14bQueries {
     // most 8-token shingles duplicated). The g_kcore checkpoint
     // lesson is about ITERATIVE loops whose plans grow per round —
     // not single-plan DAGs with shared exchanges.
+    // toks' defining split is PINNED (r19, guide §4.4): unpinned,
+    // the size predicate below is alias-substituted under this
+    // projection and the split runs twice per qualifying doc (plan
+    // audit: 2× split(trim(text)) in the Filter+Project pair)
     val base = docs.select(col("doc_id"),
-      split(trim(col("text")), "\\s+").as("toks"))
+      graft.functions.text.pinned(
+        split(trim(col("text")), "\\s+")).as("toks"))
     val toks = base.select(col("doc_id"),
       posexplode(col("toks")).as(Seq("p", "tok")))
     val sh = base.filter(size(col("toks")) >= 8)
@@ -1154,8 +1159,14 @@ object Round14bQueries {
         def cellCol = pmod(graft.functions.text.md5_prefix64(
           concat($"r".cast("string"), lit(":"),
             $"user_id".cast("string")), 15), lit(256L))
+        // the sketch-build side's hash is PINNED (r19, guide §4.4):
+        // the q-side join infers isnotnull(c) and unpinned that
+        // substitutes the md5 chain below this projection — the hash
+        // then runs TWICE per (event, row) on the 4N-row side (plan
+        // audit). Pinned, the inferred filter references the
+        // attribute and still prunes NULL keys before the groupBy.
         val cells = ev.crossJoin(rows)
-          .select($"r", cellCol.as("c"))
+          .select($"r", graft.functions.text.pinned(cellCol).as("c"))
           .groupBy($"r", $"c").agg(count(lit(1)).as("n"))
         val q = ev.filter($"user_id" < 20)
           .groupBy($"user_id").agg(count(lit(1)).as("true_n"))

@@ -1958,7 +1958,11 @@ object Round4Queries {
         import s.implicits._
         val toks = size(split($"text", "\\s+")).cast("long")
         val quality = Tables.documents(s, d)
-          .select($"doc_id", $"text", toks.as("toks"))
+          // toks' defining split is PINNED (r19, guide §4.4):
+          // unpinned, the token-count filter is alias-substituted
+          // below this projection and the split runs twice per doc
+          .select($"doc_id", $"text",
+            graft.functions.text.pinned(toks).as("toks"))
           .filter($"toks" >= 20 && length($"text") >= 100)
         val kept = quality
           .groupBy(md5($"text").as("h"))

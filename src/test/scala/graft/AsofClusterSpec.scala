@@ -170,6 +170,54 @@ class AsofClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("star rounds: potential strictly decreases and a double-round " +
+      "fixpoint implies a single-round fixpoint (the r19 fused-loop " +
+      "stop condition)") {
+    // driver-side reference of EXACTLY the Spark round (large-star
+    // then small-star over the directed hi>lo edge set)
+    def largeStar(E: Set[(Long, Long)]): Set[(Long, Long)] = {
+      val sym = E.flatMap { case (h, l) => Seq(h -> l, l -> h) }
+      val nbrMin = sym.groupBy(_._1).map { case (u, vs) =>
+        u -> math.min(u, vs.map(_._2).min) }
+      sym.collect { case (u, v) if v > u && v != nbrMin(u) =>
+        (v, nbrMin(u)) }.toSet
+    }
+    def smallStar(E: Set[(Long, Long)]): Set[(Long, Long)] =
+      E.groupBy(_._1).flatMap { case (hi, es) =>
+        val los = es.map(_._2)
+        val m = los.min
+        los.filter(_ != m).map(l => (l, m)) ++ Seq((hi, m))
+      }.toSet
+    def round(E: Set[(Long, Long)]) = smallStar(largeStar(E))
+    def phi(E: Set[(Long, Long)]): Long =
+      E.iterator.map { case (h, l) => h + l + 1 }.sum
+    val rng = new scala.util.Random(1719)
+    (0 until 50).foreach { _ =>
+      val n = 5 + rng.nextInt(40)
+      var e = Seq.fill(rng.nextInt(60))(
+          (1L + rng.nextInt(n), 1L + rng.nextInt(n)))
+        .collect { case (a, b) if a != b =>
+          (math.max(a, b), math.min(a, b)) }.toSet
+      var guard = 0
+      var r = round(e)
+      while (r != e && guard < 64) {
+        // strict decrease under any non-identity round — the reason
+        // round∘round(E) = E forces round(E) = E (no 2-cycles), which
+        // is what lets the fused loop stop on the double-round diff
+        assert(phi(r) < phi(e), s"potential did not decrease: $e -> $r")
+        e = r; r = round(e); guard += 1
+      }
+      assert(guard < 64, "reference loop did not converge")
+      // at the fixpoint the set is a star forest rooted at component
+      // minima: every non-root appears exactly once as hi, and no
+      // root ever appears as hi — the postcondition the mapping
+      // extraction in duplicateClusters relies on
+      val his = e.toSeq.map(_._1)
+      assert(his.distinct.size == his.size)
+      assert(his.toSet.intersect(e.map(_._2)).isEmpty)
+    }
+  }
+
   test("autoLoopWidth scales with the edge count (floor 8, cap 20k)") {
     // tiny candidate sets stay at the overhead-minimizing floor
     assert(Dedup.autoLoopWidth(0L) == 8)

@@ -223,9 +223,16 @@ object Round18Queries {
             // TextStats.curationGate definition — identical to the
             // batch composite by construction
             sc.sparkContext.setJobDescription("scp: gate checkpoint")
+            // non-survivors' text is NULLed before the checkpoint
+            // (r18 advice): only survivors' text is read downstream
+            // (the band builder runs after the __keep filter), so the
+            // barrier stops storing the full text of rows it is about
+            // to drop; the gate itself is cheap comparisons over the
+            // already-computed stat columns
             val surv = stats
-              .select(col("doc_id"), col("text"), col("n_words"),
-                col("n_feats"), col("dot"),
+              .select(col("doc_id"),
+                when(TextStats.curationGate, col("text")).as("text"),
+                col("n_words"), col("n_feats"), col("dot"),
                 TextStats.curationGate.as("__keep"))
               .localCheckpoint()
               .filter(col("__keep")).drop("__keep")
